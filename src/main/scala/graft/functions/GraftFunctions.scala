@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Column-level API for the vector expressions.
+  *
+  * Spark 4 removed public `new Column(expr)`, so the expressions are
+  * exposed through the session `FunctionRegistry` (also giving SQL
+  * users `SELECT cosine_distance(a, b)`) and wrapped with
+  * `call_function`. `register` is idempotent and cheap — every query
+  * builder calls it via the SparkEntry wrapper.
+  */
+object GraftFunctions {
+  val names: Seq[String] =
+    Seq("dot_product", "cosine_distance", "l2_distance", "l2_norm")
+
+  def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // Widen any numeric array (parquet ARRAY<FLOAT>) to ARRAY<DOUBLE>
+    // before the kernel — f32→f64 widening is exact, keeping parity
+    // with the DuckDB oracle (SURVEY §7 "ARRAY<FLOAT> interop").
+    // Unconditional: SimplifyCasts removes the no-op case, and not
+    // touching e.dataType keeps the builder safe on unresolved children.
+    def d(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "dot_product", es => DotProduct(d(es(0)), d(es(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "cosine_distance", es => CosineDistance(d(es(0)), d(es(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "l2_distance", es => L2Distance(d(es(0)), d(es(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "l2_norm", es => L2Norm(d(es.head)), "built-in")
+  }
+
+  def dot_product(a: Column, b: Column): Column =
+    call_function("dot_product", a, b)
+  def cosine_distance(a: Column, b: Column): Column =
+    call_function("cosine_distance", a, b)
+  def cosine_similarity(a: Column, b: Column): Column =
+    lit(1.0) - call_function("cosine_distance", a, b)
+  def l2_distance(a: Column, b: Column): Column =
+    call_function("l2_distance", a, b)
+  def l2_norm(a: Column): Column = call_function("l2_norm", a)
+
+  // ---- Higher-order-function fallbacks (pure built-in Catalyst
+  // expressions, no registration needed). Used by the test suite to
+  // cross-check the codegen kernels, and usable anywhere the custom
+  // registry is unavailable.
+  private def asDouble(a: Column): Column = a.cast("array<double>")
+
+  def dotProductHof(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + coalesce(v, lit(0.0)))
+
+  def l2NormHof(a: Column): Column =
+    sqrt(aggregate(asDouble(a), lit(0.0),
+      (acc, v) => acc + coalesce(v * v, lit(0.0))))
+
+  def cosineDistanceHof(a: Column, b: Column): Column =
+    lit(1.0) - dotProductHof(a, b) / (l2NormHof(a) * l2NormHof(b))
+}
