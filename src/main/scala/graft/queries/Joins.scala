@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions.cosine_distance
+
+/** Join surface (SURVEY §2B). Strategy choices are explicit where the
+  * 100 TB plan differs from what a tiny scale factor would pick:
+  * dimension sides get `broadcast()` hints, the big equi-join gets a
+  * `merge` hint (at sf0.01 Spark would happily broadcast 15k orders —
+  * the declared operator is the shuffle join), and the as-of join is
+  * the single-shuffle union+window formulation rather than a
+  * join-then-aggregate blowup.
+  */
+object Joins {
+
+  val qs: Seq[Q] = Seq(
+
+    // Fact × small dim — broadcast hash join, no shuffle of lineitem.
+    Q("q_join_broadcast",
+      """SELECT p.p_brand, count(*) AS n,
+        |  round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).alias("n"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .alias("revenue"))
+        .orderBy("p_brand")
+    },
+
+    // Large × large equi-join — shuffle on the key (SortMergeJoin;
+    // hinted, since at test scale Catalyst would broadcast orders).
+    Q("q_join_shuffle",
+      """SELECT o.o_orderpriority, count(*) AS n,
+        |  round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d).hint("merge"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).alias("n"),
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .alias("revenue"))
+          .orderBy("o_orderpriority")
+    },
+
+    // Star join region→nation→customer→orders; Catalyst reorders and
+    // broadcasts the small dims.
+    Q("q_join_multiway",
+      """SELECT r.r_name, count(*) AS n_orders,
+        |  round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS total
+        |FROM region r
+        |JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin) { (s, d) =>
+      Tables.region(s, d)
+        .join(Tables.nation(s, d), col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).alias("n_orders"),
+          dsum(col("o_totalprice")).alias("total"))
+        .orderBy("r_name")
+    },
+
+    // Semi: customers that have events (only user_ids 0-149 do).
+    Q("q_join_semi",
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.events(s, d),
+          col("c_custkey") === col("user_id"), "left_semi")
+        .select("c_custkey", "c_mktsegment").orderBy("c_custkey")
+    },
+
+    // Anti: customers with no events (delete pattern A13/A14
+    // generalized: anti-join is how the engine deletes at scale).
+    Q("q_join_anti",
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.events(s, d),
+          col("c_custkey") === col("user_id"), "left_anti")
+        .select("c_custkey", "c_mktsegment").orderBy("c_custkey")
+    },
+
+    // Left outer with null handling: event count per customer, 0 when
+    // none.
+    Q("q_join_outer",
+      """SELECT c.c_custkey, count(e.event_id) AS n_events,
+        |  coalesce(round(CAST(sum(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE), 6), 0) AS total_value
+        |FROM customer c LEFT JOIN events e ON e.user_id = c.c_custkey
+        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.events(s, d),
+          col("user_id") === col("c_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("event_id")).alias("n_events"),
+          coalesce(dsum(col("value")), lit(0.0)).alias("total_value"))
+        .orderBy("c_custkey")
+    },
+
+    // Pure non-equi range join: event value within a band derived
+    // from part price (BroadcastNestedLoopJoin with the small side
+    // broadcast; at scale this becomes a banded/bucketed range join —
+    // the band column is quantized into join keys).
+    Q("q_join_theta_range",
+      """SELECT e.event_type, count(*) AS n_pairs,
+        |  round(CAST(sum(CAST(p.p_retailprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS price_sum
+        |FROM events e JOIN part p
+        |  ON e.value >= p.p_retailprice / 10 - 0.5
+        | AND e.value <  p.p_retailprice / 10 + 0.5
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d).join(broadcast(Tables.part(s, d)),
+        col("value") >= col("p_retailprice") / 10 - 0.5 &&
+          col("value") < col("p_retailprice") / 10 + 0.5)
+        .groupBy("event_type")
+        .agg(count(lit(1)).alias("n_pairs"),
+          dsum(col("p_retailprice")).alias("price_sum"))
+        .orderBy("event_type")
+    },
+
+    // As-of join: for each event, the latest order date of the same
+    // customer at event time. Formulated as union + running `last`
+    // over one (user, time) sort — ONE shuffle, no join blowup, the
+    // scalable pattern for 100 TB event/state alignment. Order rows
+    // sort before event rows at equal timestamps (`<=` semantics,
+    // matching the DuckDB LEFT JOIN oracle).
+    Q("q_join_asof",
+      """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+        |       max(o.o_orderdate) AS last_od
+        |FROM events e LEFT JOIN orders o
+        |  ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+        |GROUP BY e.event_id, e.user_id, e.ts
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(
+        col("user_id").alias("uid"), col("ts").alias("t"),
+        lit(1).alias("tag"), col("event_id"),
+        lit(null).cast("timestamp").alias("od"))
+      val od = Tables.orders(s, d).select(
+        col("o_custkey").alias("uid"), col("o_orderdate").alias("t"),
+        lit(0).alias("tag"), lit(null).cast("long").alias("event_id"),
+        col("o_orderdate").alias("od"))
+      val w = Window.partitionBy("uid").orderBy(col("t"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.unionByName(od)
+        .withColumn("last_od", last(col("od"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("uid").alias("user_id"),
+          col("t").alias("ts"), col("last_od"))
+        .orderBy("event_id")
+    },
+
+    // All-pairs similarity join (dedup/similarity north star):
+    // cosine ≥ τ over the embeddings table. Exact path: broadcast
+    // self-join on vec_id < vec_id (L smaller side broadcast) +
+    // fused cosine kernel. The declared contract is exact; the LSH
+    // candidate path for 100 TB is q_dedup_minhash's banding.
+    Q("q_similarity_join",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").alias("id1"), col("embedding").alias("v1"))
+      val b = e.select(col("vec_id").alias("id2"), col("embedding").alias("v2"))
+      val sim = lit(1.0) - cosine_distance(col("v1"), col("v2"))
+      a.join(broadcast(b), col("id1") < col("id2"))
+        .filter(sim >= 0.4)
+        .select(col("id1"), col("id2"), round(sim, 6).alias("sim"))
+        .orderBy("id1", "id2")
+    },
+  )
+}

@@ -113,12 +113,13 @@ object Relational {
 
     // A20: ingest fan-out success/error counters → groupBy counts.
     Q("q_ingest_stats",
-      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS total_value
+      """SELECT event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
       (s, d) =>
         Tables.events(s, d).groupBy("event_type")
           .agg(count(lit(1)).alias("n"),
-            round(sum("value"), 6).alias("total_value"))
+            dsum(col("value")).alias("total_value"))
           .orderBy("event_type")
     },
 

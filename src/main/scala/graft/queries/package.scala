@@ -1,8 +1,25 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{round, sum}
+import org.apache.spark.sql.types.DecimalType
 
 package object queries {
+  /** Order-independent floating sum: per-row double arithmetic is
+    * IEEE-identical in Spark and DuckDB, but the ACCUMULATION order
+    * of a distributed sum is not — partial aggregates add in
+    * partition order vs DuckDB's scan order, drifting past round(6)
+    * on large groups. Casting each addend to DECIMAL(38,6) makes the
+    * sum exact and associative on both sides.
+    * Oracle twin: `round(CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE), 6)`.
+    */
+  def dsum(c: Column): Column =
+    round(sum(c.cast(DecimalType(38, 6))).cast("double"), 6)
+
+  /** Oracle-side twin of [[dsum]]. */
+  def dsumSql(expr: String): String =
+    s"round(CAST(sum(CAST($expr AS DECIMAL(38,6))) AS DOUBLE), 6)"
+
   /** One declared operator from SURVEY.md §2: a Spark builder and an
     * optional DuckDB oracle (ANSI SQL over the same parquet tables).
     * `oracle = None` → driver records a weaker rows-only check
