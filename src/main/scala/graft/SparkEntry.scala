@@ -10,7 +10,8 @@ object SparkEntry {
   /** Declared operator inventory (SURVEY.md §2). Order is the build
     * order; names are the §2 query keys. */
   def registry: Seq[Q] =
-    VectorSearch.qs ++ Relational.qs ++ Joins.qs
+    VectorSearch.qs ++ Relational.qs ++ Joins.qs ++
+      Aggregates.qs ++ Windows.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q_knn_filtered: scan → pushed filter → codegen cosine distance →

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Aggregation surface (SURVEY §2B): hash aggregate (TPC-H Q1 shape),
+  * exact + approximate distinct, rollup/cube/grouping sets, and the
+  * vector-centroid aggregate (per-label mean embedding — the batch
+  * "training" aggregate over the multimodal column).
+  *
+  * Scale notes: every groupBy here is a partial (map-side) + final
+  * aggregate — the shuffle carries one row per (partition, group),
+  * not the data. Averages are written sum/count with DECIMAL
+  * accumulation (see `dsum`) so results are order-independent.
+  * approx_count_distinct is the one declared sketch: HLL++ partials
+  * merge associatively, the 100 TB-friendly distinct; its exact twin
+  * q_agg_distinct is the oracle-checked variant.
+  */
+object Aggregates {
+
+  private def davg(c: String, scale: Int = 6): String =
+    s"round(CAST(sum(CAST($c AS DECIMAL(38,$scale))) AS DOUBLE) / count(*), 6)"
+
+  val qs: Seq[Q] = Seq(
+
+    // TPC-H Q1 pricing summary — partial+final HashAggregate.
+    Q("q_agg_hash",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_qty,
+         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_base,
+         |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_disc,
+         |  ${davg("l_quantity")} AS avg_qty,
+         |  count(*) AS n
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(col("l_quantity")).alias("sum_qty"),
+        dsum(col("l_extendedprice")).alias("sum_base"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .alias("sum_disc"),
+        round(sum(col("l_quantity").cast("decimal(38,6)")).cast("double")
+          / count(lit(1)), 6).alias("avg_qty"),
+        count(lit(1)).alias("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Exact distinct per group (expand + two-phase aggregate).
+    Q("q_agg_distinct",
+      """SELECT l_partkey, count(DISTINCT l_suppkey) AS n_supp,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d).groupBy("l_partkey")
+          .agg(countDistinct("l_suppkey").alias("n_supp"),
+            count(lit(1)).alias("n_rows"))
+          .orderBy("l_partkey")
+    },
+
+    // HLL++ sketch distinct — THE distinct for 100 TB (associative
+    // partial merge, fixed memory). Algorithms differ across engines,
+    // so no SQL oracle (rows-only check); q_agg_distinct is the exact
+    // twin that hash-matches.
+    Q.noOracle("q_agg_approx_distinct") { (s, d) =>
+      Tables.events(s, d).groupBy("event_type")
+        .agg(approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .orderBy("event_type")
+    },
+
+    // Rollup over (returnflag, linestatus).
+    Q("q_agg_rollup",
+      """SELECT CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).rollup("l_returnflag", "l_linestatus").agg(
+        grouping_id().alias("gid"),
+        count(lit(1)).alias("n"),
+        dsum(col("l_quantity")).alias("sum_qty"))
+        .select(col("gid"),
+          coalesce(col("l_returnflag"), lit("ALL")).alias("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).alias("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("gid", "rf", "ls")
+    },
+
+    // Cube over (returnflag, linestatus).
+    Q("q_agg_cube",
+      """SELECT CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).cube("l_returnflag", "l_linestatus").agg(
+        grouping_id().alias("gid"),
+        count(lit(1)).alias("n"),
+        dsum(col("l_quantity")).alias("sum_qty"))
+        .select(col("gid"),
+          coalesce(col("l_returnflag"), lit("ALL")).alias("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).alias("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("gid", "rf", "ls")
+    },
+
+    // Explicit grouping sets (SQL surface).
+    Q("q_agg_gsets",
+      """SELECT CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, rf, ls""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gsets")
+      s.sql(
+        """SELECT CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          |  coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+          |  count(*) AS n
+          |FROM lineitem_gsets
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY gid, rf, ls""".stripMargin)
+    },
+
+    // Per-label mean embedding (vector centroid). Exploded output
+    // (label, pos, c) — arrays stay out of the compared result. Plan:
+    // posexplode → two-phase hash aggregate on (label, pos); the
+    // shuffle carries 64 rows per label, not vectors. DECIMAL(38,12)
+    // accumulation for order independence at component magnitude.
+    Q("q_vector_centroid",
+      """SELECT label, CAST(t.i AS INT) AS pos,
+        |  round(CAST(sum(CAST(CAST(embedding[t.i + 1] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+        |        / count(*), 6) AS c
+        |FROM embeddings, UNNEST(generate_series(0, len(embedding) - 1)) AS t(i)
+        |GROUP BY label, t.i ORDER BY label, pos""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(round(sum(col("v").cast("decimal(38,12)")).cast("double")
+          / count(lit(1)), 6).alias("c"))
+        .orderBy("label", "pos")
+    },
+  )
+}
