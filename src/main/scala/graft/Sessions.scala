@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to build the engine's SparkSession so Verify, Bench and
+  * the test suites agree on semantics-bearing config:
+  *
+  *  - `spark.sql.shuffle.partitions` = cores (NOT the 200 default —
+  *    on the 1000-executor target this would be set to ~2-3× total
+  *    cores / sized to ~128 MB shuffle partitions; locally it must
+  *    match the thread count or small queries pay 200 empty tasks).
+  *  - UTC session timezone (hash-compare vs DuckDB, SURVEY §5.1).
+  *  - `nanosAsLong`: events.ts is parquet TIMESTAMP(NANOS) which the
+  *    vectorized reader rejects; set ONCE here instead of mutating
+  *    session conf inside a table loader (round-1 advice).
+  *  - AQE on: runtime coalescing + skew-join splitting is part of the
+  *    100 TB posture and costs nothing locally.
+  */
+object Sessions {
+  def build(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Idempotent per-session preparation for sessions we did NOT build
+    * (the driver calls `SparkEntry.entry`/`queries` with its own):
+    * the nanos conf must be set before any `events` scan is planned. */
+  def prepare(s: SparkSession): Unit =
+    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+}

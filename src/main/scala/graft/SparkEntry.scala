@@ -23,6 +23,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { q =>
       q.name -> { (s: SparkSession, dir: String) =>
+        Sessions.prepare(s)
         GraftFunctions.register(s)
         q.build(s, dir)
       }

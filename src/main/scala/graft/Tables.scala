@@ -27,12 +27,18 @@ object Tables {
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects outright. Read nanos as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
-    * microsecond TimestampType — lossless here (the generator emits
-    * µs-precision values; verified ns remainder is 0 across sf0.01)
-    * and matches DuckDB's `CAST(ts AS TIMESTAMP)` in every oracle. */
+    * (`spark.sql.legacy.parquet.nanosAsLong`, set at session build —
+    * [[Sessions]]) and truncate to microsecond TimestampType —
+    * lossless here (the generator emits µs-precision values; verified
+    * ns remainder is 0 across sf0.01) and matches DuckDB's
+    * `CAST(ts AS TIMESTAMP)` in every oracle.
+    *
+    * `DIV 1000` truncates toward zero, which equals floor only for
+    * ts >= 0 — the generator emits 2024 epochs only; a pre-1970 feed
+    * would need floor semantics ((ts - ((ts % 1000) + 1000) % 1000)
+    * DIV 1000) to round consistently. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Sessions.prepare(s)
     table(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")))
   }

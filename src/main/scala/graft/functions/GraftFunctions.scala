@@ -16,8 +16,13 @@ object GraftFunctions {
     Seq("dot_product", "cosine_distance", "l2_distance", "l2_norm")
 
   def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // Idempotent: re-registering on every query floods the log with
+    // "replacing temp function" warnings (round-1 verdict item 8).
+    if (spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier(names.head))) return
     // Widen any numeric array (parquet ARRAY<FLOAT>) to ARRAY<DOUBLE>
     // before the kernel — f32→f64 widening is exact, keeping parity
     // with the DuckDB oracle (SURVEY §7 "ARRAY<FLOAT> interop").

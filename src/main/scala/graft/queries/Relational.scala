@@ -18,6 +18,10 @@ import graft.Tables
   */
 object Relational {
 
+  /** Per-JVM unique scratch dir for write-then-read-back queries. */
+  private lazy val sinkRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_sink_").toString
+
   val qs: Seq[Q] = Seq(
 
     // A1: recursive file scan + suffix predicate (cli.py:41-42 keeps
@@ -133,7 +137,10 @@ object Relational {
       """SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
       (s, d) =>
-        val sink = s"${System.getProperty("java.io.tmpdir")}/graft_sink_events"
+        // Unique per-process sink root: a fixed shared path races
+        // between concurrent Verify/Bench runs and can serve stale
+        // data from a previous round (round-1 advice).
+        val sink = s"$sinkRoot/events_${new java.io.File(d).getName}"
         Tables.events(s, d).write.mode("overwrite")
           .partitionBy("event_type").parquet(sink)
         s.read.parquet(sink).groupBy("event_type")
