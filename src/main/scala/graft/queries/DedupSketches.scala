@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import TextKit._
+
+/** Sketch-based near-dup detection — the 100 TB dedup paths.
+  *
+  * All three sketches are fully deterministic (md5-derived hash
+  * families, TextKit) so the DuckDB oracle runs the SAME algorithm
+  * and the hash compare is exact — no "sketches are approximate"
+  * escape hatch. Approximation here is in RECALL (which pairs become
+  * candidates), never in the computed values.
+  *
+  *  - MinHash + LSH banding: 32 permutations from one base hash via a
+  *    universal family h_i(x) = (a_i·x + b_i) mod p (one md5 per
+  *    shingle, 32 cheap arithmetic ops — NOT 32 md5s); 8 bands × 4
+  *    rows; candidates = band-key equi-join; exact Jaccard verify.
+  *    This is the plan q_dedup_near grows into when shared-shingle
+  *    candidates stop fitting: band keys bound candidate volume
+  *    regardless of shingle frequency skew.
+  *  - SimHash: 60-bit signed-sum signature over token hashes weighted
+  *    by term frequency; Hamming-distance pairs found by the 4-chunk
+  *    pigeonhole join (distance ≤ 3 ⟹ one 15-bit chunk equal) —
+  *    complete, not probabilistic.
+  *  - Fingerprinting: 8-char rolling shingle hashes, min/count/sum
+  *    per document — entirely scan-local (no shuffle at all).
+  */
+object DedupSketches {
+
+  private val P = 2147483647L // 2^31 - 1; (29-bit a)·(28-bit h) + b < 2^58
+
+  val qs: Seq[Q] = Seq(
+
+    Q("q_dedup_minhash",
+      s"""WITH tok AS (SELECT doc_id, $toksDuck AS w FROM documents),
+         |sh AS (SELECT doc_id, ${shingles3Duck("w")} AS s FROM tok WHERE len(w) >= 3),
+         |ex AS (SELECT doc_id, ${h28Duck("sh")} AS h0
+         |       FROM (SELECT doc_id, unnest(s) AS sh FROM sh) u),
+         |sd AS (SELECT i AS seed,
+         |         ${h28Duck("'a#' || i")} * 2 + 1 AS a,
+         |         ${h28Duck("'b#' || i")} AS b
+         |       FROM range(32) t(i)),
+         |mh AS (SELECT doc_id, seed, min((a * h0 + b) % $P) AS mh
+         |       FROM ex CROSS JOIN sd GROUP BY doc_id, seed),
+         |bd AS (SELECT doc_id, seed // 4 AS band,
+         |         md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS bk
+         |       FROM mh GROUP BY doc_id, seed // 4),
+         |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+         |         FROM bd x JOIN bd y
+         |           ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+         |v AS (SELECT c.id1, c.id2, round(${jaccardDuck("a.s", "b.s")}, 6) AS jac
+         |      FROM cand c JOIN sh a ON a.doc_id = c.id1
+         |                  JOIN sh b ON b.doc_id = c.id2)
+         |SELECT id1, id2, jac FROM v WHERE jac >= 0.6
+         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .withColumn("w", expr(toks))
+        .select(col("doc_id"), expr(shingles3("w")).as("s"))
+        .filter(size(col("s")) > 0)
+      val ex = sh.select(col("doc_id"), explode(col("s")).as("sh"))
+        .select(col("doc_id"), expr(h28("sh")).as("h0"))
+      val seeds = s.range(32).toDF("seed").select(col("seed"),
+        (expr(h28("concat('a#', seed)")) * 2 + 1).as("a"),
+        expr(h28("concat('b#', seed)")).as("b"))
+      val mh = ex.crossJoin(broadcast(seeds))
+        .select(col("doc_id"), col("seed"),
+          ((col("a") * col("h0") + col("b")) % P).as("hv"))
+        .groupBy("doc_id", "seed").agg(min(col("hv")).as("mh"))
+      val bd = mh
+        .withColumn("band", expr("CAST(seed DIV 4 AS INT)"))
+        .groupBy("doc_id", "band")
+        .agg(expr("md5(concat_ws(',', transform(array_sort(collect_list(struct(seed, mh)))," +
+          " x -> CAST(x.mh AS STRING))))").as("bk"))
+      val cand = bd.as("x")
+        .join(bd.as("y"),
+          col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+        .distinct()
+      cand
+        .join(broadcast(sh.select(col("doc_id").as("id1"), col("s").as("s1"))), "id1")
+        .join(broadcast(sh.select(col("doc_id").as("id2"), col("s").as("s2"))), "id2")
+        .withColumn("jac", round(expr(jaccard("s1", "s2")), 6))
+        .filter(col("jac") >= 0.6)
+        .select("id1", "id2", "jac")
+        .orderBy("id1", "id2")
+    },
+
+    Q("q_dedup_simhash",
+      s"""WITH tok AS (SELECT doc_id, unnest($toksDuck) AS t FROM documents),
+         |tf AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         |th AS (SELECT doc_id, cnt, ${h60Duck("t")} AS h FROM tf),
+         |bits AS (SELECT doc_id, j,
+         |           sum((((h >> j) & 1) * 2 - 1) * cnt) AS sgn
+         |         FROM th CROSS JOIN range(60) r(j) GROUP BY doc_id, j),
+         |sig AS (SELECT doc_id,
+         |          sum(CASE WHEN sgn > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+         |        FROM bits GROUP BY doc_id),
+         |ch AS (SELECT doc_id, simhash, c, (simhash >> (15 * c)) & 32767 AS chunk
+         |       FROM sig CROSS JOIN range(4) t(c)),
+         |cand AS (SELECT DISTINCT x.doc_id AS id1, x.simhash AS s1,
+         |                y.doc_id AS id2, y.simhash AS s2
+         |         FROM ch x JOIN ch y
+         |           ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+         |SELECT id1, id2, bit_count(xor(s1, s2)) AS hamming
+         |FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr(toks)).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+        .withColumn("h", expr(h60("t")))
+      val bits = tf
+        .select(col("doc_id"), col("cnt"), col("h"),
+          explode(expr("sequence(0, 59)")).as("j"))
+        .groupBy("doc_id", "j")
+        .agg(sum(expr("((shiftright(h, CAST(j AS INT)) & 1) * 2 - 1) * cnt")).as("sgn"))
+      val sig = bits.groupBy("doc_id")
+        .agg(sum(expr("CASE WHEN sgn > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END"))
+          .as("simhash"))
+      val ch = sig.select(col("doc_id"), col("simhash"),
+          explode(expr("sequence(0, 3)")).as("c"))
+        .withColumn("chunk",
+          expr("shiftright(simhash, CAST(15 * c AS INT)) & 32767"))
+      val cand = ch.as("x")
+        .join(ch.as("y"),
+          col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id1"), col("x.simhash").as("s1"),
+          col("y.doc_id").as("id2"), col("y.simhash").as("s2"))
+        .distinct()
+      cand
+        .withColumn("hamming", expr("bit_count(s1 ^ s2)"))
+        .filter(col("hamming") <= 3)
+        .select("id1", "id2", "hamming")
+        .orderBy("id1", "id2")
+    },
+
+    // Rolling 8-char shingle fingerprint — min-hash, distinct count,
+    // and (exact, order-free) sum of distinct shingle hashes per doc.
+    // Zero shuffles: every column is computed inside the scan stage.
+    Q("q_fingerprint",
+      s"""WITH g AS (SELECT doc_id,
+         |    list_distinct([${h28Duck("substr(lower(text), i, 8)")}
+         |                   for i in range(1, length(text) - 6)]) AS hs
+         |  FROM documents WHERE length(text) >= 8)
+         |SELECT doc_id,
+         |  list_aggregate(hs, 'min') AS fp_min,
+         |  len(hs) AS n_shingles,
+         |  CAST(list_aggregate(hs, 'sum') AS BIGINT) AS fp_sum
+         |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .filter(length(col("text")) >= 8)
+        .withColumn("lt", lower(col("text")))
+        .withColumn("hs",
+          expr(s"array_distinct(transform(sequence(1, length(lt) - 7), i -> ${h28("substr(lt, i, 8)")}))"))
+        .select(col("doc_id"),
+          expr("array_min(hs)").as("fp_min"),
+          size(col("hs")).as("n_shingles"),
+          expr("aggregate(hs, CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("fp_sum"))
+        .orderBy("doc_id")
+    },
+  )
+}

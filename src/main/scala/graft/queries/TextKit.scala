@@ -1,0 +1,50 @@
+package graft.queries
+
+/** Shared SQL fragments for the text/dedup operators, written once in
+  * each dialect so the Spark plan and the DuckDB oracle compute the
+  * *same* deterministic values (SURVEY §5.1 hash-match discipline).
+  *
+  * The engine-portable hash is an md5 hex prefix parsed as an
+  * integer: md5 is bit-identical everywhere, and both engines can
+  * parse hex (`conv(,16,10)` in Spark, `('0x'||x)::BIGINT` in
+  * DuckDB). Prefix lengths are chosen so downstream arithmetic stays
+  * inside non-overflowing BIGINT range (products of two 28/29-bit
+  * values < 2^58). At 100 TB the same operators would swap in
+  * `xxhash64` (codegen'd, no hex round-trip) — the md5 path is the
+  * cross-engine-verifiable twin.
+  */
+object TextKit {
+  /** Whitespace tokens of lower(text), empty strings dropped.
+    * DuckDB twin: list_filter(string_split(lower(text),' '), t->t<>''). */
+  val toks = "filter(split(lower(text), ' '), t -> t <> '')"
+  val toksDuck = "list_filter(string_split(lower(text),' '), t -> t <> '')"
+
+  /** Word 3-gram shingles over a token-array column `w` (distinct set).
+    * Word trigrams are the dedup shingle: near-unique per document
+    * (measured doc-frequency ≈ 1.6 on the corpus) so the
+    * shared-shingle candidate join stays near-linear, while exact
+    * copies keep Jaccard ≈ 1. */
+  def shingles3(w: String): String =
+    s"""array_distinct(if(size($w) < 3, array(),
+       |  transform(sequence(1, size($w) - 2),
+       |    i -> concat_ws(' ', element_at($w, i), element_at($w, i + 1),
+       |                        element_at($w, i + 2)))))""".stripMargin
+  def shingles3Duck(w: String): String =
+    s"list_distinct([$w[i]||' '||$w[i+1]||' '||$w[i+2] for i in range(1, len($w) - 1)])"
+
+  /** 28-bit base hash (7 md5 hex chars). */
+  def h28(e: String): String = s"CAST(conv(substr(md5($e), 1, 7), 16, 10) AS BIGINT)"
+  def h28Duck(e: String): String = s"('0x' || substr(md5($e), 1, 7))::BIGINT"
+
+  /** 60-bit hash (15 md5 hex chars) — fits signed BIGINT. */
+  def h60(e: String): String = s"CAST(conv(substr(md5($e), 1, 15), 16, 10) AS BIGINT)"
+  def h60Duck(e: String): String = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  /** Jaccard of two array columns, computed identically on both
+    * sides: |∩| / (|a| + |b| - |∩|), all-integer until one double
+    * division (bit-identical across engines). */
+  def jaccard(a: String, b: String): String =
+    s"CAST(size(array_intersect($a, $b)) AS DOUBLE) / (size($a) + size($b) - size(array_intersect($a, $b)))"
+  def jaccardDuck(a: String, b: String): String =
+    s"len(list_intersect($a, $b))::DOUBLE / (len($a) + len($b) - len(list_intersect($a, $b)))"
+}

@@ -1,0 +1,280 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import TextKit._
+
+/** Text-analysis + deduplication operators over `documents` — the
+  * LLM-data-pipeline north star (BASELINE.json; reference analog: the
+  * description corpus the store keeps per photo,
+  * photo_vector_search.py:128-140).
+  *
+  * Scale design notes (100 TB posture):
+  *  - Everything is per-document scan-local until an explicit
+  *    aggregation/join; no driver-side loops, no UDFs — all built-in
+  *    codegen'd expressions.
+  *  - The near-dup candidate join is an equi-join on shared word
+  *    trigram shingles. Trigram doc-frequency is ~1.6 on this corpus,
+  *    so candidates grow ~linearly with the corpus instead of O(n²);
+  *    completeness is exact because Jaccard ≥ τ > 0 implies at least
+  *    one shared shingle. (The classic refinement — prefix filtering
+  *    on the ⌈(1-τ)|S|⌉+1 globally-rarest shingles — drops candidate
+  *    volume further and keeps the same completeness proof.)
+  *  - tf-idf joins its tiny per-token side with explicit broadcast.
+  */
+object TextOps {
+
+  val qs: Seq[Q] = Seq(
+
+    // Tokenizer as a Generate node (1 row → N rows): token corpus
+    // frequencies + document frequencies.
+    Q("q_tokenize_explode",
+      s"""SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+         |FROM (SELECT doc_id, unnest($toksDuck) AS token FROM documents) u
+         |GROUP BY token ORDER BY token""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr(toks)).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("token")
+    },
+
+    // tf-idf top-5 terms per document: two aggregations + a broadcast
+    // join on the (tiny) per-token document-frequency side + windowed
+    // top-k. Rank on the round(6) score so tie order is engine-stable.
+    Q("q_tfidf",
+      s"""WITH tok AS (SELECT doc_id, unnest($toksDuck) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (SELECT doc_id, token, tf,
+         |         round(tf * ln(n_docs / df), 6) AS score
+         |       FROM tf JOIN dfq USING (token) CROSS JOIN n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score DESC, token) AS rn FROM sc)
+         |SELECT doc_id, token, tf, score FROM r WHERE rn <= 5
+         |ORDER BY doc_id, score DESC, token""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"), explode(expr(toks)).as("token"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfq = tok.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val sc = tf.join(broadcast(dfq), "token").crossJoin(broadcast(n))
+        .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 6))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+      sc.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select("doc_id", "token", "tf", "score")
+        .orderBy(col("doc_id"), col("score").desc, col("token"))
+    },
+
+    // Exact dedup (THE flagship LLM-pipeline op): the corpus unioned
+    // with a re-ingested copy of itself (ids shifted — the A7 ingest
+    // re-run scenario), deduplicated on md5(text), first-writer wins.
+    // One hash-partitioned shuffle; no pairwise work.
+    Q("q_dedup_exact",
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+        |h AS (SELECT doc_id, md5(text) AS text_hash,
+        |        count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+        |        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |      FROM all_docs)
+        |SELECT doc_id, text_hash, n_copies FROM h WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d).select("doc_id", "text")
+      val reingested = base.withColumn("doc_id", col("doc_id") + 100000)
+      val all = base.unionByName(reingested)
+        .withColumn("text_hash", md5(col("text").cast("binary")))
+      val byHash = Window.partitionBy("text_hash")
+      all
+        .withColumn("n_copies", count(lit(1)).over(byHash))
+        .withColumn("rn",
+          row_number().over(byHash.orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select("doc_id", "text_hash", "n_copies")
+        .orderBy("doc_id")
+    },
+
+    // Near-dup pairs: word-trigram shingle Jaccard ≥ 0.6. Candidates
+    // via shared-shingle equi-join (complete for τ > 0), then exact
+    // verification on the full shingle sets. Oracle is the O(n²)
+    // brute force — small-sf only; the Spark plan is the scale path.
+    Q("q_dedup_near",
+      s"""WITH tok AS (SELECT doc_id, $toksDuck AS w FROM documents),
+         |sh AS (SELECT doc_id, ${shingles3Duck("w")} AS s FROM tok WHERE len(w) >= 3),
+         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |        round(${jaccardDuck("a.s", "b.s")}, 6) AS jac
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT id1, id2, jac FROM p WHERE jac >= 0.6
+         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .withColumn("w", expr(toks))
+        .select(col("doc_id"), expr(shingles3("w")).as("s"))
+        .filter(size(col("s")) > 0)
+      val ex = sh.select(col("doc_id"), explode(col("s")).as("sh"))
+      val cand = ex.as("a")
+        .join(ex.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+      // Verification joins would be sort-merge on doc_id at scale;
+      // the shingle-set side is small here so broadcast is right.
+      cand
+        .join(broadcast(sh.select(col("doc_id").as("id1"), col("s").as("s1"))), "id1")
+        .join(broadcast(sh.select(col("doc_id").as("id2"), col("s").as("s2"))), "id2")
+        .withColumn("jac", round(expr(jaccard("s1", "s2")), 6))
+        .filter(col("jac") >= 0.6)
+        .select("id1", "id2", "jac")
+        .orderBy("id1", "id2")
+    },
+
+    // Character-3-gram Jaccard of every document against a fixed query
+    // document (doc 0) — the linear-scan n-gram similarity probe.
+    // Top-20 by (rounded sim, doc_id): ties are engine-stable.
+    Q("q_ngram_jaccard",
+      s"""WITH g AS (SELECT doc_id,
+         |    list_distinct([substr(lower(text), i, 3)
+         |                   for i in range(1, length(text) - 1)]) AS g
+         |  FROM documents WHERE length(text) >= 3),
+         |q AS (SELECT g AS qg FROM g WHERE doc_id = 0)
+         |SELECT doc_id, round(${jaccardDuck("g.g", "q.qg")}, 6) AS jac
+         |FROM g, q WHERE doc_id <> 0
+         |ORDER BY jac DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val grams = Tables.documents(s, d)
+        .filter(length(col("text")) >= 3)
+        .withColumn("lt", lower(col("text")))
+        .select(col("doc_id"),
+          expr("array_distinct(transform(sequence(1, length(lt) - 2), i -> substr(lt, i, 3)))").as("g"))
+      val q0 = grams.filter(col("doc_id") === 0).select(col("g").as("qg"))
+      grams.filter(col("doc_id") =!= 0)
+        .crossJoin(broadcast(q0))
+        .select(col("doc_id"), round(expr(jaccard("g", "qg")), 6).as("jac"))
+        .orderBy(col("jac").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    // Language identification: multinomial Naive Bayes with +1
+    // smoothing, profiles learned from the corpus itself in the same
+    // query (per-lang token frequencies ARE the n-gram model at this
+    // vocab size). DECIMAL(38,12) accumulation keeps the score sum
+    // order-independent for the hash compare.
+    Q("q_lang_id",
+      s"""WITH tok AS (SELECT doc_id, lang, unnest($toksDuck) AS t FROM documents),
+         |tf AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         |prof AS (SELECT lang, t, count(*) AS lcnt FROM tok GROUP BY 1, 2),
+         |tot AS (SELECT lang, count(*) AS ltot FROM tok GROUP BY 1),
+         |vocab AS (SELECT DISTINCT t FROM tok),
+         |vs AS (SELECT count(*) AS v FROM vocab),
+         |langs AS (SELECT DISTINCT lang FROM documents),
+         |prior AS (SELECT lang, ln(count(*) / (SELECT count(*) FROM documents)) AS plp
+         |          FROM documents GROUP BY lang),
+         |grid AS (SELECT l.lang, v0.t,
+         |           ln((coalesce(p.lcnt, 0) + 1) / (tt.ltot + vs.v)) AS lp
+         |         FROM langs l CROSS JOIN vocab v0
+         |         LEFT JOIN prof p ON p.lang = l.lang AND p.t = v0.t
+         |         JOIN tot tt ON tt.lang = l.lang CROSS JOIN vs),
+         |sc AS (SELECT tf.doc_id, g.lang AS plang,
+         |         CAST(sum(CAST(tf.cnt * g.lp AS DECIMAL(38,12))) AS DOUBLE) AS ssum
+         |       FROM tf JOIN grid g USING (t) GROUP BY tf.doc_id, g.lang),
+         |scored AS (SELECT sc.doc_id, sc.plang,
+         |             round(sc.ssum + pr.plp, 4) AS score
+         |           FROM sc JOIN prior pr ON pr.lang = sc.plang),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score DESC, plang) AS rn FROM scored)
+         |SELECT r.doc_id, r.plang AS pred_lang, dd.lang AS actual_lang, r.score
+         |FROM r JOIN documents dd ON dd.doc_id = r.doc_id
+         |WHERE rn = 1 ORDER BY r.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"), col("lang"), explode(expr(toks)).as("t"))
+      val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+      val prof = tok.groupBy("lang", "t").agg(count(lit(1)).as("lcnt"))
+      val tot = tok.groupBy("lang").agg(count(lit(1)).as("ltot"))
+      val vocab = tok.select("t").distinct()
+      val vs = vocab.agg(count(lit(1)).as("v"))
+      val langs = docs.select("lang").distinct()
+      val nAll = docs.agg(count(lit(1)).as("n"))
+      val prior = docs.groupBy("lang").agg(count(lit(1)).as("ndocs"))
+        .crossJoin(broadcast(nAll))
+        .select(col("lang"), expr("ln(ndocs / n)").as("plp"))
+      val grid = langs.crossJoin(vocab)
+        .join(prof, Seq("lang", "t"), "left")
+        .join(tot, "lang").crossJoin(broadcast(vs))
+        .select(col("lang").as("plang"), col("t"),
+          expr("ln((coalesce(lcnt, 0) + 1) / (ltot + v))").as("lp"))
+      val sc = tf.join(broadcast(grid), "t")
+        .groupBy("doc_id", "plang")
+        .agg(sum((col("cnt") * col("lp")).cast(DecimalType(38, 12)))
+          .cast("double").as("ssum"))
+      val scored = sc.join(broadcast(prior), col("plang") === col("lang"))
+        .select(col("doc_id"), col("plang"),
+          round(col("ssum") + col("plp"), 4).as("score"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .join(docs.select(col("doc_id"), col("lang").as("actual_lang")), "doc_id")
+        .select(col("doc_id"), col("plang").as("pred_lang"),
+          col("actual_lang"), col("score"))
+        .orderBy("doc_id")
+    },
+
+    // Document quality scoring: type-token ratio, stopword ratio,
+    // length saturation — the standard cheap pre-training filters.
+    // The composite is computed from the RAW ratios, not the rounded
+    // display columns: weighted sums of 6-decimal values land on
+    // exact .5 round-half boundaries where the engines' double
+    // rounding can disagree; raw integer-division doubles don't.
+    Q("q_quality_score",
+      s"""WITH t AS (SELECT doc_id, $toksDuck AS w FROM documents),
+         |f AS (SELECT doc_id,
+         |  len(w) AS n_tokens,
+         |  len(list_distinct(w)) / len(w) AS ttr_raw,
+         |  len(list_filter(w, x -> x IN ('the', 'a'))) / len(w) AS stop_raw,
+         |  list_sum(list_transform(w, x -> length(x))) / len(w) AS atl_raw
+         |  FROM t WHERE len(w) > 0)
+         |SELECT doc_id, n_tokens, round(ttr_raw, 6) AS ttr,
+         |  round(stop_raw, 6) AS stop_ratio, round(atl_raw, 6) AS avg_token_len,
+         |  round(CAST(0.3 AS DOUBLE) * ttr_raw + CAST(0.4 AS DOUBLE) * (1 - stop_raw)
+         |      + CAST(0.3 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE) / 100, 1.0), 6) AS quality
+         |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("w", expr(toks))
+        .filter(size(col("w")) > 0)
+        .select(col("doc_id"),
+          size(col("w")).as("n_tokens"),
+          expr("size(array_distinct(w)) / size(w)").as("ttr_raw"),
+          expr("size(filter(w, x -> x IN ('the', 'a'))) / size(w)").as("stop_raw"),
+          expr("aggregate(w, 0, (acc, x) -> acc + length(x)) / size(w)").as("atl_raw"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("ttr_raw"), 6).as("ttr"),
+          round(col("stop_raw"), 6).as("stop_ratio"),
+          round(col("atl_raw"), 6).as("avg_token_len"),
+          round(expr("CAST(0.3 AS DOUBLE) * ttr_raw + CAST(0.4 AS DOUBLE) * (1 - stop_raw)" +
+            " + CAST(0.3 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE) / 100, 1.0)"), 6)
+            .as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Token counting: whitespace tokens vs a BPE-ish regex lexer
+    // (letter runs | digit runs | single other char) — the cheap
+    // "how many tokens will the model see" estimator.
+    Q("q_token_count",
+      s"""SELECT doc_id,
+         |  len($toksDuck) AS ws_tokens,
+         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
+         |  length(text) AS len_chars,
+         |  round(length(text) / len($toksDuck), 6) AS chars_per_token
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("w", expr(toks))
+        .select(col("doc_id"),
+          size(col("w")).as("ws_tokens"),
+          expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+            .as("re_tokens"),
+          length(col("text")).as("len_chars"),
+          round(expr("length(text) / size(w)"), 6).as("chars_per_token"))
+        .orderBy("doc_id")
+    },
+  )
+}
