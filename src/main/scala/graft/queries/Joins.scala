@@ -111,10 +111,15 @@ object Joins {
         .orderBy("c_custkey")
     },
 
-    // Pure non-equi range join: event value within a band derived
-    // from part price (BroadcastNestedLoopJoin with the small side
-    // broadcast; at scale this becomes a banded/bucketed range join —
-    // the band column is quantized into join keys).
+    // Non-equi range join, de-quadraticized: the predicate is a band
+    // of width exactly 1.0 around c = p_retailprice/10, so quantizing
+    // into unit buckets makes it an EQUI-join — the band [c-0.5,
+    // c+0.5) spans at most the two buckets {⌊c-0.5⌋, ⌊c-0.5⌋+1}, so
+    // the small side is exploded into those two keys, hash-joined on
+    // the bucket, and the exact range predicate applied as a codegen
+    // residual filter. Round 1 ran this as an interpreted BNLJ over
+    // 2×10⁹ pairs (10.3 s at sf0.1); the bucket join touches ~2
+    // buckets' worth of rows per part and scales linearly.
     Q("q_join_theta_range",
       """SELECT e.event_type, count(*) AS n_pairs,
         |  round(CAST(sum(CAST(p.p_retailprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS price_sum
@@ -122,9 +127,13 @@ object Joins {
         |  ON e.value >= p.p_retailprice / 10 - 0.5
         | AND e.value <  p.p_retailprice / 10 + 0.5
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin) { (s, d) =>
-      Tables.events(s, d).join(broadcast(Tables.part(s, d)),
-        col("value") >= col("p_retailprice") / 10 - 0.5 &&
-          col("value") < col("p_retailprice") / 10 + 0.5)
+      val p = Tables.part(s, d)
+        .withColumn("c", col("p_retailprice") / 10)
+        .withColumn("bkt",
+          explode(array(floor(col("c") - 0.5), floor(col("c") - 0.5) + 1)))
+      Tables.events(s, d).withColumn("bkt", floor(col("value")))
+        .join(broadcast(p), Seq("bkt"))
+        .filter(col("value") >= col("c") - 0.5 && col("value") < col("c") + 0.5)
         .groupBy("event_type")
         .agg(count(lit(1)).alias("n_pairs"),
           dsum(col("p_retailprice")).alias("price_sum"))
@@ -163,24 +172,37 @@ object Joins {
     },
 
     // All-pairs similarity join (dedup/similarity north star):
-    // cosine ≥ τ over the embeddings table. Exact path: broadcast
-    // self-join on vec_id < vec_id (L smaller side broadcast) +
-    // fused cosine kernel. The declared contract is exact; the LSH
-    // candidate path for 100 TB is q_dedup_minhash's banding.
+    // cosine ≥ τ over the embeddings table. The cosine kernel is
+    // evaluated ONCE, in a codegen'd projection above the join, and
+    // the threshold is applied to the round(6) value on BOTH engines
+    // so boundary rows can't flip between cosine implementations
+    // (round 1 evaluated the kernel twice inside an interpreted BNLJ
+    // condition — 23.5 s at sf0.1 on 2k vectors).
+    //
+    // Scale note: at τ=0.4 this corpus has a similarity CONTINUUM at
+    // the threshold (~15k pairs in [0.3,0.6] at sf0.1, min qualifying
+    // sim 0.40001), so no sublinear candidate scheme can be exact —
+    // hyperplane-LSH recall at a 66° threshold needs band counts that
+    // admit every pair. The declared operator is therefore the exact
+    // quadratic join; the sub-quadratic paths the engine offers are
+    // q_knn_ivf (centroid-pruned search) and q_dedup_minhash's
+    // banding for the high-similarity dedup regime where candidate
+    // pruning is sound.
     Q("q_similarity_join",
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
-        |SELECT a.vec_id AS id1, b.vec_id AS id2,
-        |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        |SELECT id1, id2, sim FROM (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id) p
+        |WHERE sim >= 0.4
         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
       val a = e.select(col("vec_id").alias("id1"), col("embedding").alias("v1"))
       val b = e.select(col("vec_id").alias("id2"), col("embedding").alias("v2"))
-      val sim = lit(1.0) - cosine_distance(col("v1"), col("v2"))
       a.join(broadcast(b), col("id1") < col("id2"))
-        .filter(sim >= 0.4)
-        .select(col("id1"), col("id2"), round(sim, 6).alias("sim"))
+        .select(col("id1"), col("id2"),
+          round(lit(1.0) - cosine_distance(col("v1"), col("v2")), 6).alias("sim"))
+        .filter(col("sim") >= 0.4)
         .orderBy("id1", "id2")
     },
   )

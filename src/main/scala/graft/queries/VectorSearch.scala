@@ -56,5 +56,56 @@ object VectorSearch {
     // filter is applied BEFORE distance math and pushed to parquet
     Q("q_knn_filtered", knnOracle(0, "WHERE e.label = 1"))(
       (s, d) => knn(s, d, 0, Some(1))),
+
+    // IVF-pruned approximate k-NN — the 100 TB search path (the
+    // reference's HNSW role, photo_vector_search.py:17-20, re-expressed
+    // as partition pruning): vectors are assigned to their nearest of
+    // C=16 centroid "cells" (codebook = the first 16 vectors, a
+    // deterministic k-means init stand-in); a query probes only the
+    // P=4 cells nearest its own vector, scanning 1/4 of the data. On
+    // a cluster the cell id is the table's partition column, so the
+    // probe IS a partition-pruned scan. Assignment is a broadcast of
+    // the codebook + per-row argmin (min_by) — one partial-aggregated
+    // shuffle, amortized across all queries as a build step. Fully
+    // deterministic, exact-oracled; recall loss is the declared
+    // IVF tradeoff (here the true top-5 sits in probed cells or not —
+    // both engines agree exactly on which).
+    Q("q_knn_ivf",
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |asgn AS (SELECT vec_id, label, v, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY
+         |      round(1 - list_cosine_similarity(v, cv), 6), cid) AS rn
+         |  FROM e CROSS JOIN c),
+         |a2 AS (SELECT vec_id, label, v, cid FROM asgn WHERE rn = 1),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |probe AS (SELECT cid FROM c CROSS JOIN q
+         |          ORDER BY round(1 - list_cosine_similarity(cv, qv), 6), cid
+         |          LIMIT 4)
+         |SELECT vec_id, label, round(1 - list_cosine_similarity(v, qv), 6) AS dist
+         |FROM a2 CROSS JOIN q WHERE cid IN (SELECT cid FROM probe)
+         |ORDER BY dist, vec_id LIMIT $K""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val qv = queryVec(s, d, 0)
+      // argmin over the broadcast codebook via min_by on the rounded
+      // distance (unique (dist, cid) order key → engine-stable).
+      val asgn = e.crossJoin(broadcast(cents))
+        .withColumn("cdist", round(cosine_distance(col("embedding"), col("cv")), 6))
+        .groupBy("vec_id")
+        .agg(expr("min_by(struct(label, embedding, cid), struct(cdist, cid))").as("m"))
+        .select(col("vec_id"), col("m.label").as("label"),
+          col("m.embedding").as("embedding"), col("m.cid").as("cid"))
+      val probes = cents.crossJoin(broadcast(qv))
+        .select(col("cid"),
+          round(cosine_distance(col("cv"), col("qvec")), 6).as("qdist"))
+        .orderBy(col("qdist"), col("cid")).limit(4)
+      asgn.join(broadcast(probes.select("cid")), "cid")
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("label"),
+          round(cosine_distance(col("embedding"), col("qvec")), 6).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(K)
+    },
   )
 }
