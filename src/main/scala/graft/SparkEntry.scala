@@ -11,7 +11,8 @@ object SparkEntry {
     * order; names are the §2 query keys. */
   def registry: Seq[Q] =
     VectorSearch.qs ++ Relational.qs ++ Joins.qs ++
-      Aggregates.qs ++ Windows.qs ++ TextOps.qs ++ DedupSketches.qs
+      Aggregates.qs ++ Windows.qs ++ TextOps.qs ++ DedupSketches.qs ++
+      Embedded.qs ++ Streaming.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q_knn_filtered: scan → pushed filter → codegen cosine distance →

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps.{drain, eventsStream}
+
+/** Streaming queries (SURVEY §2B streaming table) with exact batch
+  * twins as oracles. See graft.streaming.StreamingOps for the
+  * execution harness and the scale rationale.
+  */
+object Streaming {
+
+  val qs: Seq[Q] = Seq(
+
+    // Tumbling 1-hour windows (epoch-aligned, = date_trunc('hour')).
+    Q("q_stream_tumbling",
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) {
+      (s, d) =>
+        val agg = eventsStream(s, d)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+          .select(col("window.start").as("ws"), col("event_type"),
+            col("n"), col("total_value"))
+        drain(s, agg, "update").orderBy("ws", "event_type")
+    },
+
+    // Sliding 1-hour windows every 15 minutes: each event lands in 4
+    // windows; twin unrolls the 4 slide offsets per event.
+    Q("q_stream_sliding",
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |x AS (SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |        - j * INTERVAL '15 minutes' AS ws, event_type, value
+        |      FROM e CROSS JOIN range(4) t(j))
+        |SELECT ws, event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_value
+        |FROM x GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin) {
+      (s, d) =>
+        val agg = eventsStream(s, d)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+          .select(col("window.start").as("ws"), col("event_type"),
+            col("n"), col("total_value"))
+        drain(s, agg, "update").orderBy("ws", "event_type")
+    },
+
+    // Gap-based 30-minute sessions per user. Spark merges an event
+    // into the open session iff its ts is STRICTLY inside
+    // [prev_ts, prev_ts + gap) — the twin's lag-diff uses `<` to
+    // match (SURVEY §7 "session gap-boundary semantics"). Session
+    // windows only support APPEND output, which emits a session once
+    // the watermark passes its end (last_ts + gap) — so the batch
+    // twin applies the SAME watermark cutoff: sessions ending within
+    // 40 minutes (gap + watermark delay) of the stream's max event
+    // time are still open/unemitted and are excluded on both sides.
+    // window.start = first event ts; the end is reported as max(ts)
+    // (an aggregate) because Spark's window.end is last_ts + gap.
+    Q("q_stream_session",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM e),
+        |l AS (SELECT user_id, ts,
+        |        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |               < INTERVAL '30 minutes' THEN 0 ELSE 1 END AS newsess
+        |      FROM e),
+        |g AS (SELECT user_id, ts,
+        |        sum(newsess) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM l),
+        |sess AS (SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+        |           count(*) AS n
+        |         FROM g GROUP BY user_id, sid)
+        |SELECT user_id, session_start, last_ts, n FROM sess, wm
+        |WHERE last_ts + INTERVAL '30 minutes' < wm.w
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("last_ts"),
+          count(lit(1)).as("n"))
+        .select(col("user_id"), col("session_start"), col("last_ts"), col("n"))
+      drain(s, agg, "append").orderBy("user_id", "session_start")
+    },
+
+    // Streaming dedup: distinct (user_id, event_type) pairs within
+    // the watermark via dropDuplicates — state-store dedup keyed on
+    // the projected columns (projection first, so which physical row
+    // survives is irrelevant and the result is deterministic).
+    Q("q_stream_dedup",
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      val deduped = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .dropDuplicates("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+      drain(s, deduped, "append").orderBy("user_id", "event_type")
+    },
+  )
+}
