@@ -1,0 +1,122 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+
+/** Unit fixtures for the codegen vector kernels: hand-computed 2-4
+  * dim values, edge cases (nulls, empty, zero-norm, mismatched
+  * lengths), codegen-vs-interpreted parity, and kernel-vs-HOF parity
+  * (the higher-order formulations in GraftFunctions are the
+  * independent reference implementation). */
+class VectorExpressionsSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+
+  private def df1(a: Seq[java.lang.Double], b: Seq[java.lang.Double]) = {
+    val s = spark
+    import s.implicits._
+    Seq((a, b)).toDF("a", "b")
+  }
+
+  private def evalBoth(a: Seq[java.lang.Double], b: Seq[java.lang.Double],
+      exprSql: String): (Double, Double) = {
+    val base = df1(a, b)
+    val codegen = base.selectExpr(exprSql).head.getDouble(0)
+    // Force the interpreted path: no whole-stage codegen and
+    // interpreted expression evaluation.
+    val conf = spark.conf
+    val ws = conf.get("spark.sql.codegen.wholeStage", "true")
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted =
+      try base.selectExpr(exprSql).head.getDouble(0)
+      finally {
+        conf.set("spark.sql.codegen.wholeStage", ws)
+        conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    (codegen, interpreted)
+  }
+
+  private def d(xs: Double*): Seq[java.lang.Double] = xs.map(Double.box)
+
+  test("dot product: hand-computed, codegen == interpreted") {
+    val (c, i) = evalBoth(d(1, 2), d(3, 4), "dot_product(a, b)")
+    assert(c === 11.0); assert(i === 11.0)
+  }
+
+  test("l2 norm and l2 distance: 3-4-5 triangle") {
+    val base = df1(d(3, 4), d(0, 0))
+    assert(base.selectExpr("l2_norm(a)").head.getDouble(0) === 5.0)
+    assert(base.selectExpr("l2_distance(a, b)").head.getDouble(0) === 5.0)
+  }
+
+  test("cosine distance: orthogonal = 1, identical = 0, opposite = 2") {
+    assert(evalBoth(d(1, 0), d(0, 1), "cosine_distance(a, b)")._1 === 1.0)
+    assert(math.abs(evalBoth(d(0.3, 0.4), d(0.3, 0.4),
+      "cosine_distance(a, b)")._1) < 1e-12)
+    assert(math.abs(evalBoth(d(1, 2), d(-1, -2),
+      "cosine_distance(a, b)")._1 - 2.0) < 1e-12)
+  }
+
+  test("zero-norm vector yields NaN distance (matches DuckDB)") {
+    val (c, i) = evalBoth(d(0, 0), d(1, 2), "cosine_distance(a, b)")
+    assert(c.isNaN); assert(i.isNaN)
+  }
+
+  test("null elements are treated as 0.0") {
+    val (c, _) = evalBoth(Seq(Double.box(1.0), null), d(5, 7), "dot_product(a, b)")
+    assert(c === 5.0)
+  }
+
+  test("mismatched lengths use the common prefix") {
+    val (c, i) = evalBoth(d(1, 2, 3), d(10, 20), "dot_product(a, b)")
+    assert(c === 50.0); assert(i === 50.0)
+  }
+
+  test("null array input yields null output (nullIntolerant)") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((Option.empty[Seq[Double]], Option(Seq(1.0, 2.0))))
+      .toDF("a", "b")
+    assert(base.selectExpr("dot_product(a, b)").head.isNullAt(0))
+  }
+
+  test("kernel == HOF fallback on random vectors (seeded)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(50)((Seq.fill(16)(rnd.nextDouble() - 0.5),
+      Seq.fill(16)(rnd.nextDouble() - 0.5)))
+    val base = rows.toDF("a", "b")
+    val got = base.select(
+      GraftFunctions.dot_product(col("a"), col("b")).as("k"),
+      GraftFunctions.dotProductHof(col("a"), col("b")).as("h"),
+      GraftFunctions.cosine_distance(col("a"), col("b")).as("ck"),
+      GraftFunctions.cosineDistanceHof(col("a"), col("b")).as("ch"),
+      GraftFunctions.l2_norm(col("a")).as("nk"),
+      GraftFunctions.l2NormHof(col("a")).as("nh")).collect()
+    got.foreach { case Row(k: Double, h: Double, ck: Double, ch: Double,
+        nk: Double, nh: Double) =>
+      assert(math.abs(k - h) < 1e-12)
+      assert(math.abs(ck - ch) < 1e-12)
+      assert(math.abs(nk - nh) < 1e-12)
+    }
+  }
+
+  test("distance properties: symmetric, in [0, 2], d(x,x) ~ 0") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(100)((Seq.fill(8)(rnd.nextDouble() - 0.5),
+      Seq.fill(8)(rnd.nextDouble() - 0.5)))
+    val base = rows.toDF("a", "b")
+    base.select(
+      GraftFunctions.cosine_distance(col("a"), col("b")).as("ab"),
+      GraftFunctions.cosine_distance(col("b"), col("a")).as("ba"),
+      GraftFunctions.cosine_distance(col("a"), col("a")).as("aa"))
+      .collect().foreach { case Row(ab: Double, ba: Double, aa: Double) =>
+        assert(ab === ba)
+        assert(ab >= 0.0 && ab <= 2.0 + 1e-12)
+        assert(math.abs(aa) < 1e-12)
+      }
+  }
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Multi-batch streaming semantics the single-batch Verify drain
+  * can't exercise: watermark-based late-data dropping and stateful
+  * dedup across micro-batches (SURVEY §5.5). */
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling window with watermark drops late rows across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val agg = input.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("t_late")
+      .outputMode("update").start()
+    try {
+      // Batch 1: two rows in the 10:00 window, one at 12:00 that
+      // advances the watermark to 11:50.
+      input.addData((ts("2024-01-01 10:00:00"), 1.0),
+        (ts("2024-01-01 10:30:00"), 1.0),
+        (ts("2024-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      // Batch 2: a row at 10:45 — far older than the 11:50 watermark,
+      // must be DROPPED; plus a fresh 12:05 row, must count.
+      input.addData((ts("2024-01-01 10:45:00"), 1.0),
+        (ts("2024-01-01 12:05:00"), 1.0))
+      q.processAllAvailable()
+      val counts = spark.table("t_late").groupBy("ws").agg(max("n").as("n"))
+        .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      assert(counts("2024-01-01 10:00:00.0") === 2L) // late row not applied
+      assert(counts("2024-01-01 12:00:00.0") === 2L) // fresh row applied
+    } finally q.stop()
+  }
+
+  test("dropDuplicates holds dedup state across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val dd = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("k")
+      .select(col("k"))
+    val q = dd.writeStream.format("memory").queryName("t_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:01:00"), 2L))
+      q.processAllAvailable()
+      // k=1 reappears in a later batch: state must suppress it.
+      input.addData((ts("2024-01-01 10:02:00"), 1L), (ts("2024-01-01 10:03:00"), 3L))
+      q.processAllAvailable()
+      val ks = spark.table("t_dedup").collect().map(_.getLong(0)).sorted
+      assert(ks.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("session window merges within gap and splits beyond it") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val sess = input.toDF().toDF("ts", "uid")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("uid"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("uid"), col("session_window.start").as("st"), col("n"))
+    val q = sess.writeStream.format("memory").queryName("t_sess")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L), // session A
+        (ts("2024-01-01 10:20:00"), 1L), // merges (gap 20m < 30m)
+        (ts("2024-01-01 11:30:00"), 1L), // session B (gap 70m)
+        (ts("2024-01-01 23:00:00"), 1L)) // pushes watermark far ahead
+      q.processAllAvailable()
+      // Empty-data batch finalizes watermark-passed sessions.
+      input.addData((ts("2024-01-01 23:59:00"), 2L))
+      q.processAllAvailable()
+      val rows = spark.table("t_sess")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2)))
+        .toSet
+      assert(rows.contains((1L, "2024-01-01 10:00:00.0", 2L)))
+      assert(rows.contains((1L, "2024-01-01 11:30:00.0", 1L)))
+    } finally q.stop()
+  }
+}
