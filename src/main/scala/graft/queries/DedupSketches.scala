@@ -54,7 +54,7 @@ object DedupSketches {
          |                  JOIN sh b ON b.doc_id = c.id2)
          |SELECT id1, id2, jac FROM v WHERE jac >= 0.6
          |ORDER BY id1, id2""".stripMargin) { (s, d) =>
-      val sh = Tables.documents(s, d)
+      val sh = fanout(Tables.documents(s, d))
         .withColumn("w", expr(toks))
         .select(col("doc_id"), expr(shingles3("w")).as("s"))
         .filter(size(col("s")) > 0)
@@ -106,7 +106,7 @@ object DedupSketches {
          |SELECT id1, id2, bit_count(xor(s1, s2)) AS hamming
          |FROM cand WHERE bit_count(xor(s1, s2)) <= 3
          |ORDER BY id1, id2""".stripMargin) { (s, d) =>
-      val tf = Tables.documents(s, d)
+      val tf = fanout(Tables.documents(s, d))
         .select(col("doc_id"), explode(expr(toks)).as("t"))
         .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
         .withColumn("h", expr(h60("t")))
@@ -149,7 +149,7 @@ object DedupSketches {
          |  len(hs) AS n_shingles,
          |  CAST(list_aggregate(hs, 'sum') AS BIGINT) AS fp_sum
          |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
+      fanout(Tables.documents(s, d))
         .filter(length(col("text")) >= 8)
         .withColumn("lt", lower(col("text")))
         .withColumn("hs",

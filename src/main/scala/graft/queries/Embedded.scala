@@ -40,7 +40,7 @@ object Embedded {
          |FROM documents, range($DIM) t(i)
          |ORDER BY doc_id, i""".stripMargin) { (s, d) =>
       import s.implicits._
-      val ds = Tables.documents(s, d)
+      val ds = fanout(Tables.documents(s, d))
         .select(col("doc_id"), col("text")).as[(Long, String)]
       val emb = ds.mapPartitions { rows =>
         val model = new HashTextEmbedder(DIM) // once per partition, reused per row
@@ -63,7 +63,7 @@ object Embedded {
          |FROM documents, range($DIM) t(i)
          |ORDER BY doc_id, i""".stripMargin) { (s, d) =>
       import s.implicits._
-      val bin = Tables.documents(s, d).select(
+      val bin = fanout(Tables.documents(s, d)).select(
         col("doc_id"),
         concat(lit("mem://documents/"), col("doc_id"), lit(".txt")).as("path"),
         col("text").cast("binary").as("content"))
@@ -88,7 +88,7 @@ object Embedded {
          |    || len(w) || ' tokens, starts ''' || coalesce(w[1], '') || '''' AS caption
          |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      val ds = Tables.documents(s, d)
+      val ds = fanout(Tables.documents(s, d))
         .select(col("doc_id"), col("lang"), col("source"), col("text"))
         .as[(Long, String, String, String)]
       ds.mapPartitions { rows =>

@@ -197,7 +197,7 @@ object Joins {
         |WHERE sim >= 0.4
         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
-      val a = e.select(col("vec_id").alias("id1"), col("embedding").alias("v1"))
+      val a = fanout(e).select(col("vec_id").alias("id1"), col("embedding").alias("v1"))
       val b = e.select(col("vec_id").alias("id2"), col("embedding").alias("v2"))
       a.join(broadcast(b), col("id1") < col("id2"))
         .select(col("id1"), col("id2"),

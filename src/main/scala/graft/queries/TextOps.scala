@@ -34,7 +34,7 @@ object TextOps {
       s"""SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
          |FROM (SELECT doc_id, unnest($toksDuck) AS token FROM documents) u
          |GROUP BY token ORDER BY token""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
+      fanout(Tables.documents(s, d))
         .select(col("doc_id"), explode(expr(toks)).as("token"))
         .groupBy("token")
         .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
@@ -57,7 +57,7 @@ object TextOps {
          |SELECT doc_id, token, tf, score FROM r WHERE rn <= 5
          |ORDER BY doc_id, score DESC, token""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val tok = docs.select(col("doc_id"), explode(expr(toks)).as("token"))
+      val tok = fanout(docs).select(col("doc_id"), explode(expr(toks)).as("token"))
       val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val dfq = tok.select("doc_id", "token").distinct()
         .groupBy("token").agg(count(lit(1)).as("df"))
@@ -98,10 +98,17 @@ object TextOps {
         .orderBy("doc_id")
     },
 
-    // Near-dup pairs: word-trigram shingle Jaccard ≥ 0.6. Candidates
-    // via shared-shingle equi-join (complete for τ > 0), then exact
-    // verification on the full shingle sets. Oracle is the O(n²)
-    // brute force — small-sf only; the Spark plan is the scale path.
+    // Near-dup pairs: word-trigram shingle Jaccard ≥ 0.6, found by
+    // PREFIX-FILTERED candidate generation (PPJoin-style, exact):
+    // under a fixed global shingle order (ascending document
+    // frequency, then shingle), two sets with J ≥ τ MUST share an
+    // element inside their first |S| - ⌈τ|S|⌉ + 1 elements — so only
+    // those prefix shingles are indexed for the equi-join, and the
+    // frequent shingles that drive candidate blowup never enter the
+    // index. A size-compatibility filter (τ·|A| ≤ |B| ≤ |A|/τ) prunes
+    // further before the exact array_intersect verification. Oracle
+    // is the O(n²) brute force — small-sf only; the Spark plan is the
+    // scale path.
     Q("q_dedup_near",
       s"""WITH tok AS (SELECT doc_id, $toksDuck AS w FROM documents),
          |sh AS (SELECT doc_id, ${shingles3Duck("w")} AS s FROM tok WHERE len(w) >= 3),
@@ -110,14 +117,22 @@ object TextOps {
          |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |SELECT id1, id2, jac FROM p WHERE jac >= 0.6
          |ORDER BY id1, id2""".stripMargin) { (s, d) =>
-      val sh = Tables.documents(s, d)
+      val sh = fanout(Tables.documents(s, d))
         .withColumn("w", expr(toks))
         .select(col("doc_id"), expr(shingles3("w")).as("s"))
         .filter(size(col("s")) > 0)
-      val ex = sh.select(col("doc_id"), explode(col("s")).as("sh"))
-      val cand = ex.as("a")
-        .join(ex.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .withColumn("n", size(col("s")))
+      val ex = sh.select(col("doc_id"), col("n"), explode(col("s")).as("sh"))
+      val freq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+      val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+      val prefix = ex.join(broadcast(freq), "sh")
+        .withColumn("rk", row_number().over(byRarity))
+        .filter(col("rk") <= col("n") - ceil(col("n") * 0.6) + 1)
+        .select("doc_id", "n", "sh")
+      val cand = prefix.as("a")
+        .join(prefix.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.n") * 0.6 <= col("b.n") && col("b.n") * 0.6 <= col("a.n"))
         .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
         .distinct()
       // Verification joins would be sort-merge on doc_id at scale;
@@ -143,7 +158,7 @@ object TextOps {
          |SELECT doc_id, round(${jaccardDuck("g.g", "q.qg")}, 6) AS jac
          |FROM g, q WHERE doc_id <> 0
          |ORDER BY jac DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
-      val grams = Tables.documents(s, d)
+      val grams = fanout(Tables.documents(s, d))
         .filter(length(col("text")) >= 3)
         .withColumn("lt", lower(col("text")))
         .select(col("doc_id"),
@@ -188,7 +203,7 @@ object TextOps {
          |FROM r JOIN documents dd ON dd.doc_id = r.doc_id
          |WHERE rn = 1 ORDER BY r.doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val tok = docs.select(col("doc_id"), col("lang"), explode(expr(toks)).as("t"))
+      val tok = fanout(docs).select(col("doc_id"), col("lang"), explode(expr(toks)).as("t"))
       val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
       val prof = tok.groupBy("lang", "t").agg(count(lit(1)).as("lcnt"))
       val tot = tok.groupBy("lang").agg(count(lit(1)).as("ltot"))
@@ -238,7 +253,7 @@ object TextOps {
          |  round(CAST(0.3 AS DOUBLE) * ttr_raw + CAST(0.4 AS DOUBLE) * (1 - stop_raw)
          |      + CAST(0.3 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE) / 100, 1.0), 6) AS quality
          |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
+      fanout(Tables.documents(s, d))
         .withColumn("w", expr(toks))
         .filter(size(col("w")) > 0)
         .select(col("doc_id"),
@@ -266,7 +281,7 @@ object TextOps {
          |  length(text) AS len_chars,
          |  round(length(text) / len($toksDuck), 6) AS chars_per_token
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
+      fanout(Tables.documents(s, d))
         .withColumn("w", expr(toks))
         .select(col("doc_id"),
           size(col("w")).as("ws_tokens"),

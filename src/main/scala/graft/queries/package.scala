@@ -20,6 +20,18 @@ package object queries {
   def dsumSql(expr: String): String =
     s"round(CAST(sum(CAST($expr AS DECIMAL(38,6))) AS DOUBLE), 6)"
 
+  /** Spread a small-but-compute-heavy input across the cluster. The
+    * testdata ships each table as a single-row-group parquet file, so
+    * a scan is ONE task and any per-row-expensive pipeline above it
+    * (hashing, shingling, model inference, pairwise kernels) runs
+    * serially regardless of cores. On a real cluster the scan itself
+    * parallelizes (many files / row groups) and this is a no-op in
+    * spirit; here the explicit round-robin costs one tiny shuffle and
+    * buys full-width execution. Results are unaffected: every query
+    * ends in a total-order sort. */
+  def fanout(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** One declared operator from SURVEY.md §2: a Spark builder and an
     * optional DuckDB oracle (ANSI SQL over the same parquet tables).
     * `oracle = None` → driver records a weaker rows-only check
