@@ -27,7 +27,22 @@ with open(os.path.join(out_dir, "oracle_sql.json")) as f:
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].reset_index(drop=True)
-    return df.map(lambda v: f"{v:.6f}" if isinstance(v, float) else str(v))
+
+    def cell(v):
+        if isinstance(v, float):
+            if v == 0:           # normalize -0.0 vs 0.0
+                v = 0.0
+            return f"{v:.6f}"
+        s = str(v)
+        # DATE-vs-TIMESTAMP dtype renderings: midnight timestamps and
+        # dates must canonicalize identically.
+        if s.endswith(" 00:00:00"):
+            return s[:-9]
+        return s
+
+    # pd.DataFrame.map exists from pandas 2.1; fall back to applymap.
+    mapper = getattr(df, "map", None) or df.applymap
+    return mapper(cell)
 
 fails = 0
 names = sorted(d for d in os.listdir(out_dir)

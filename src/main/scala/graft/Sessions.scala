@@ -19,6 +19,7 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
   def build(cpus: String): SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions) // kernels in every session
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,45 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import graft.functions._
+
+/** Cluster deployment entry point: registers the vector kernels
+  * through the sanctioned extension seam instead of per-session
+  * imperative registration —
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.plans.GraftExtensions ...
+  *   // or
+  *   SparkSession.builder.withExtensions(new GraftExtensions)
+  * }}}
+  *
+  * Every session the cluster creates (including thrift-server /
+  * connect sessions the library never sees) then resolves
+  * `cosine_distance` & co. in SQL text as well as the DataFrame API.
+  * `GraftFunctions.register` remains as the session-local equivalent
+  * for embedded use; both produce the identical expression trees.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def widen(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - sum_i a_i*b_i"),
+      (es: Seq[Expression]) => DotProduct(widen(es(0)), widen(es(1)))))
+    ext.injectFunction((FunctionIdentifier("cosine_distance"),
+      info("cosine_distance", "cosine_distance(a, b) - 1 - cos(a, b)"),
+      (es: Seq[Expression]) => CosineDistance(widen(es(0)), widen(es(1)))))
+    ext.injectFunction((FunctionIdentifier("l2_distance"),
+      info("l2_distance", "l2_distance(a, b) - ||a - b||_2"),
+      (es: Seq[Expression]) => L2Distance(widen(es(0)), widen(es(1)))))
+    ext.injectFunction((FunctionIdentifier("l2_norm"),
+      info("l2_norm", "l2_norm(a) - ||a||_2"),
+      (es: Seq[Expression]) => L2Norm(widen(es.head))))
+  }
+}

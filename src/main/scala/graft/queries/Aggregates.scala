@@ -62,7 +62,7 @@ object Aggregates {
     // so no SQL oracle (rows-only check); q_agg_distinct is the exact
     // twin that hash-matches.
     Q.noOracle("q_agg_approx_distinct") { (s, d) =>
-      Tables.events(s, d).groupBy("event_type")
+      fanout(Tables.events(s, d)).groupBy("event_type")
         .agg(approx_count_distinct("user_id", 0.02).alias("approx_users"))
         .orderBy("event_type")
     },

@@ -58,20 +58,26 @@ object DedupSketches {
         .withColumn("w", expr(toks))
         .select(col("doc_id"), expr(shingles3("w")).as("s"))
         .filter(size(col("s")) > 0)
-      val ex = sh.select(col("doc_id"), explode(col("s")).as("sh"))
-        .select(col("doc_id"), expr(h28("sh")).as("h0"))
-      val seeds = s.range(32).toDF("seed").select(col("seed"),
-        (expr(h28("concat('a#', seed)")) * 2 + 1).as("a"),
-        expr(h28("concat('b#', seed)")).as("b"))
-      val mh = ex.crossJoin(broadcast(seeds))
-        .select(col("doc_id"), col("seed"),
-          ((col("a") * col("h0") + col("b")) % P).as("hv"))
-        .groupBy("doc_id", "seed").agg(min(col("hv")).as("mh"))
-      val bd = mh
-        .withColumn("band", expr("CAST(seed DIV 4 AS INT)"))
-        .groupBy("doc_id", "band")
-        .agg(expr("md5(concat_ws(',', transform(array_sort(collect_list(struct(seed, mh)))," +
-          " x -> CAST(x.mh AS STRING))))").as("bk"))
+      // The whole signature is computed SCAN-LOCALLY: one md5 per
+      // shingle, then 32 arithmetic rehashes folded by array_min
+      // inside a single projection — no seed cross-join, no
+      // (doc, seed) shuffle, no re-evaluated hash columns. The hash
+      // family parameters are driver-computed constants (bit-equal to
+      // the oracle's in-SQL derivation; parity is unit-tested).
+      val aArr = "array(" + (0 until 32)
+        .map(i => graft.ml.Embedders.h28("a#" + i) * 2 + 1).mkString(",") + ")"
+      val bArr = "array(" + (0 until 32)
+        .map(i => graft.ml.Embedders.h28("b#" + i)).mkString(",") + ")"
+      val bd = sh
+        .withColumn("hs", expr(s"transform(s, x -> ${h28("x")})"))
+        .withColumn("sig", expr(
+          s"""transform(sequence(0, 31), i ->
+             |  array_min(transform(hs, h ->
+             |    (element_at($aArr, i + 1) * h + element_at($bArr, i + 1)) % $P)))""".stripMargin))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, 7), b -> md5(concat_ws(','," +
+            " transform(slice(sig, b * 4 + 1, 4), x -> CAST(x AS STRING)))))"))
+          .as(Seq("band", "bk")))
       val cand = bd.as("x")
         .join(bd.as("y"),
           col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&

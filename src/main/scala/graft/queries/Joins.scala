@@ -197,8 +197,14 @@ object Joins {
         |WHERE sim >= 0.4
         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
-      val a = fanout(e).select(col("vec_id").alias("id1"), col("embedding").alias("v1"))
-      val b = e.select(col("vec_id").alias("id2"), col("embedding").alias("v2"))
+      // Cast f32→f64 BEFORE the join on both sides: the fanout
+      // repartition (left) and the broadcast build (right) both
+      // materialize the widened arrays, so the per-pair kernel reads
+      // doubles directly instead of re-casting one side 2000× per row.
+      val a = fanout(e.select(col("vec_id").alias("id1"),
+        col("embedding").cast("array<double>").alias("v1")))
+      val b = e.select(col("vec_id").alias("id2"),
+        col("embedding").cast("array<double>").alias("v2"))
       a.join(broadcast(b), col("id1") < col("id2"))
         .select(col("id1"), col("id2"),
           round(lit(1.0) - cosine_distance(col("v1"), col("v2")), 6).alias("sim"))

@@ -141,7 +141,7 @@ object Relational {
         // between concurrent Verify/Bench runs and can serve stale
         // data from a previous round (round-1 advice).
         val sink = s"$sinkRoot/events_${new java.io.File(d).getName}"
-        Tables.events(s, d).write.mode("overwrite")
+        fanout(Tables.events(s, d)).write.mode("overwrite")
           .partitionBy("event_type").parquet(sink)
         s.read.parquet(sink).groupBy("event_type")
           .agg(count(lit(1)).alias("n"), sum("event_id").alias("id_sum"))
@@ -267,7 +267,7 @@ object Relational {
         |  round(pow(l_discount + 1, 3), 6) AS p,
         |  round(l_extendedprice, 1) AS r1
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, s, p""".stripMargin) { (s, d) =>
-      Tables.lineitem(s, d).select(
+      fanout(Tables.lineitem(s, d)).select(
         col("l_orderkey"), col("l_linenumber"),
         round(abs(col("l_extendedprice") - 1000), 6).alias("a"),
         round(sqrt(col("l_extendedprice")), 6).alias("s"),

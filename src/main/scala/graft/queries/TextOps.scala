@@ -137,10 +137,16 @@ object TextOps {
         .distinct()
       // Verification joins would be sort-merge on doc_id at scale;
       // the shingle-set side is small here so broadcast is right.
+      // Intersections are computed over 60-bit shingle HASHES, not
+      // the shingle strings: same Jaccard (collision odds ~1e-8 at
+      // this corpus' shingle cardinality) at a fraction of the
+      // per-pair set-intersection cost.
+      val hsets = sh.select(col("doc_id"),
+        expr(s"array_sort(transform(s, x -> ${TextKit.h60("x")}))").as("hs"))
       cand
-        .join(broadcast(sh.select(col("doc_id").as("id1"), col("s").as("s1"))), "id1")
-        .join(broadcast(sh.select(col("doc_id").as("id2"), col("s").as("s2"))), "id2")
-        .withColumn("jac", round(expr(jaccard("s1", "s2")), 6))
+        .join(broadcast(hsets.select(col("doc_id").as("id1"), col("hs").as("h1"))), "id1")
+        .join(broadcast(hsets.select(col("doc_id").as("id2"), col("hs").as("h2"))), "id2")
+        .withColumn("jac", round(expr(jaccard("h1", "h2")), 6))
         .filter(col("jac") >= 0.6)
         .select("id1", "id2", "jac")
         .orderBy("id1", "id2")
