@@ -143,5 +143,27 @@ object Aggregates {
           / count(lit(1)), 6).alias("c"))
         .orderBy("label", "pos")
     },
+
+    // Same centroid via a custom typed Aggregator (UDAF surface): one
+    // pass over whole vectors, one (sums, count) buffer per group per
+    // partition in the shuffle — dim× less shuffle traffic than the
+    // posexplode plan. Exact integer accumulation (floor(x·2^40)) so
+    // partition order can't move the result; see CentroidAggregator.
+    Q("q_vector_centroid_agg",
+      """SELECT label, CAST(t.i AS INT) AS pos,
+        |  round((CAST(sum(CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 1099511627776)
+        |                       AS BIGINT)) AS DOUBLE) / 1099511627776) / count(*), 6) AS c
+        |FROM embeddings, UNNEST(generate_series(0, len(embedding) - 1)) AS t(i)
+        |GROUP BY label, t.i ORDER BY label, pos""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ds = Tables.embeddings(s, d)
+        .select(col("label"), col("embedding")).as[(Int, Array[Float])]
+      val cent = ds.groupByKey(_._1).mapValues(_._2)
+        .agg(new graft.functions.CentroidAggregator().toColumn.name("cent"))
+        .toDF("label", "cent")
+      cent.select(col("label"), posexplode(col("cent")).as(Seq("pos", "v")))
+        .select(col("label"), col("pos"), round(col("v"), 6).as("c"))
+        .orderBy("label", "pos")
+    },
   )
 }

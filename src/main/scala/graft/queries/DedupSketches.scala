@@ -54,26 +54,32 @@ object DedupSketches {
          |                  JOIN sh b ON b.doc_id = c.id2)
          |SELECT id1, id2, jac FROM v WHERE jac >= 0.6
          |ORDER BY id1, id2""".stripMargin) { (s, d) =>
-      val sh = fanout(Tables.documents(s, d))
-        .withColumn("w", expr(toks))
-        .select(col("doc_id"), expr(shingles3("w")).as("s"))
+      // fanout barriers between the computed array columns (tokens →
+      // shingles → shingle hashes → signature): without them Catalyst
+      // inlines each array expression into the next stage's lambdas
+      // and the interpreted HOF evaluator recomputes it per element
+      // (one md5 per shingle would become 32 md5s per shingle).
+      val tokd = fanout(Tables.documents(s, d).withColumn("w", expr(toks)))
+      val sh = fanout(tokd.select(col("doc_id"), expr(shingles3("w")).as("s")))
         .filter(size(col("s")) > 0)
       // The whole signature is computed SCAN-LOCALLY: one md5 per
       // shingle, then 32 arithmetic rehashes folded by array_min
       // inside a single projection — no seed cross-join, no
-      // (doc, seed) shuffle, no re-evaluated hash columns. The hash
-      // family parameters are driver-computed constants (bit-equal to
-      // the oracle's in-SQL derivation; parity is unit-tested).
+      // (doc, seed) shuffle. The hash family parameters are
+      // driver-computed constants (bit-equal to the oracle's in-SQL
+      // derivation; parity is unit-tested).
       val aArr = "array(" + (0 until 32)
         .map(i => graft.ml.Embedders.h28("a#" + i) * 2 + 1).mkString(",") + ")"
       val bArr = "array(" + (0 until 32)
         .map(i => graft.ml.Embedders.h28("b#" + i)).mkString(",") + ")"
-      val bd = sh
-        .withColumn("hs", expr(s"transform(s, x -> ${h28("x")})"))
-        .withColumn("sig", expr(
-          s"""transform(sequence(0, 31), i ->
-             |  array_min(transform(hs, h ->
-             |    (element_at($aArr, i + 1) * h + element_at($bArr, i + 1)) % $P)))""".stripMargin))
+      val hashed = fanout(sh.select(col("doc_id"),
+        expr(s"transform(s, x -> ${h28("x")})").as("hs")))
+      val sig = fanout(hashed.select(col("doc_id"), expr(
+        s"""transform(sequence(0, 31), i ->
+           |  array_min(transform(hs, h ->
+           |    (element_at($aArr, i + 1) * h + element_at($bArr, i + 1)) % $P)))""".stripMargin)
+        .as("sig")))
+      val bd = sig
         .select(col("doc_id"), posexplode(expr(
           "transform(sequence(0, 7), b -> md5(concat_ws(','," +
             " transform(slice(sig, b * 4 + 1, 4), x -> CAST(x AS STRING)))))"))
@@ -112,10 +118,13 @@ object DedupSketches {
          |SELECT id1, id2, bit_count(xor(s1, s2)) AS hamming
          |FROM cand WHERE bit_count(xor(s1, s2)) <= 3
          |ORDER BY id1, id2""".stripMargin) { (s, d) =>
-      val tf = fanout(Tables.documents(s, d))
+      // Trailing fanout = materialization barrier for h: otherwise
+      // the md5 hash is inlined below the 60-way bit explode and
+      // recomputed per bit.
+      val tf = fanout(fanout(Tables.documents(s, d))
         .select(col("doc_id"), explode(expr(toks)).as("t"))
         .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
-        .withColumn("h", expr(h60("t")))
+        .withColumn("h", expr(h60("t"))))
       val bits = tf
         .select(col("doc_id"), col("cnt"), col("h"),
           explode(expr("sequence(0, 59)")).as("j"))
@@ -155,9 +164,9 @@ object DedupSketches {
          |  len(hs) AS n_shingles,
          |  CAST(list_aggregate(hs, 'sum') AS BIGINT) AS fp_sum
          |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
-      fanout(Tables.documents(s, d))
+      fanout(Tables.documents(s, d)
         .filter(length(col("text")) >= 8)
-        .withColumn("lt", lower(col("text")))
+        .withColumn("lt", lower(col("text"))))
         .withColumn("hs",
           expr(s"array_distinct(transform(sequence(1, length(lt) - 7), i -> ${h28("substr(lt, i, 8)")}))"))
         .select(col("doc_id"),

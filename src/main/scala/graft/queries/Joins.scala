@@ -131,7 +131,7 @@ object Joins {
         .withColumn("c", col("p_retailprice") / 10)
         .withColumn("bkt",
           explode(array(floor(col("c") - 0.5), floor(col("c") - 0.5) + 1)))
-      Tables.events(s, d).withColumn("bkt", floor(col("value")))
+      fanout(Tables.events(s, d)).withColumn("bkt", floor(col("value")))
         .join(broadcast(p), Seq("bkt"))
         .filter(col("value") >= col("c") - 0.5 && col("value") < col("c") + 0.5)
         .groupBy("event_type")

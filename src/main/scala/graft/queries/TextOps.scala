@@ -117,9 +117,11 @@ object TextOps {
          |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |SELECT id1, id2, jac FROM p WHERE jac >= 0.6
          |ORDER BY id1, id2""".stripMargin) { (s, d) =>
-      val sh = fanout(Tables.documents(s, d))
-        .withColumn("w", expr(toks))
-        .select(col("doc_id"), expr(shingles3("w")).as("s"))
+      // fanout barriers after each computed array column: tokens and
+      // shingles are materialized once instead of re-inlined into
+      // every downstream lambda (see fanout's scaladoc).
+      val tokd = fanout(Tables.documents(s, d).withColumn("w", expr(toks)))
+      val sh = fanout(tokd.select(col("doc_id"), expr(shingles3("w")).as("s")))
         .filter(size(col("s")) > 0)
         .withColumn("n", size(col("s")))
       val ex = sh.select(col("doc_id"), col("n"), explode(col("s")).as("sh"))
@@ -140,13 +142,20 @@ object TextOps {
       // Intersections are computed over 60-bit shingle HASHES, not
       // the shingle strings: same Jaccard (collision odds ~1e-8 at
       // this corpus' shingle cardinality) at a fraction of the
-      // per-pair set-intersection cost.
+      // per-pair set-intersection cost. The intersection size is
+      // materialized (fanout barrier) before the Jaccard/filter
+      // expressions so the set intersection runs once per pair, not
+      // once per reference.
       val hsets = sh.select(col("doc_id"),
         expr(s"array_sort(transform(s, x -> ${TextKit.h60("x")}))").as("hs"))
-      cand
+      val pairs = fanout(cand
         .join(broadcast(hsets.select(col("doc_id").as("id1"), col("hs").as("h1"))), "id1")
         .join(broadcast(hsets.select(col("doc_id").as("id2"), col("hs").as("h2"))), "id2")
-        .withColumn("jac", round(expr(jaccard("h1", "h2")), 6))
+        .select(col("id1"), col("id2"),
+          expr("CAST(size(array_intersect(h1, h2)) AS DOUBLE)").as("ix"),
+          size(col("h1")).as("na"), size(col("h2")).as("nb")))
+      pairs
+        .withColumn("jac", round(col("ix") / (col("na") + col("nb") - col("ix")), 6))
         .filter(col("jac") >= 0.6)
         .select("id1", "id2", "jac")
         .orderBy("id1", "id2")
@@ -164,11 +173,11 @@ object TextOps {
          |SELECT doc_id, round(${jaccardDuck("g.g", "q.qg")}, 6) AS jac
          |FROM g, q WHERE doc_id <> 0
          |ORDER BY jac DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
-      val grams = fanout(Tables.documents(s, d))
+      val grams = fanout(fanout(Tables.documents(s, d)
         .filter(length(col("text")) >= 3)
-        .withColumn("lt", lower(col("text")))
+        .withColumn("lt", lower(col("text"))))
         .select(col("doc_id"),
-          expr("array_distinct(transform(sequence(1, length(lt) - 2), i -> substr(lt, i, 3)))").as("g"))
+          expr("array_distinct(transform(sequence(1, length(lt) - 2), i -> substr(lt, i, 3)))").as("g")))
       val q0 = grams.filter(col("doc_id") === 0).select(col("g").as("qg"))
       grams.filter(col("doc_id") =!= 0)
         .crossJoin(broadcast(q0))
@@ -259,8 +268,7 @@ object TextOps {
          |  round(CAST(0.3 AS DOUBLE) * ttr_raw + CAST(0.4 AS DOUBLE) * (1 - stop_raw)
          |      + CAST(0.3 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE) / 100, 1.0), 6) AS quality
          |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
-      fanout(Tables.documents(s, d))
-        .withColumn("w", expr(toks))
+      fanout(Tables.documents(s, d).withColumn("w", expr(toks)))
         .filter(size(col("w")) > 0)
         .select(col("doc_id"),
           size(col("w")).as("n_tokens"),
@@ -287,8 +295,7 @@ object TextOps {
          |  length(text) AS len_chars,
          |  round(length(text) / len($toksDuck), 6) AS chars_per_token
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-      fanout(Tables.documents(s, d))
-        .withColumn("w", expr(toks))
+      fanout(Tables.documents(s, d).withColumn("w", expr(toks)))
         .select(col("doc_id"),
           size(col("w")).as("ws_tokens"),
           expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")

@@ -65,6 +65,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("foreachBatch streaming upsert converges to batch latest-wins (A7 incremental)") {
+    // The reference's per-file add_or_update flow
+    // (photo_vector_search.py:94) as a streaming merge sink: each
+    // micro-batch folds into a keyed store, last writer wins.
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val store = new java.util.concurrent.ConcurrentHashMap[Long, (Long, String)]()
+    val input = MemoryStream[(Long, Long, String)] // (key, version, payload)
+    val q = input.toDF().toDF("k", "ver", "payload").writeStream
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach { r =>
+          val (k, v, p) = (r.getLong(0), r.getLong(1), r.getString(2))
+          store.merge(k, (v, p),
+            (old, nw) => if (nw._1 >= old._1) nw else old)
+        }
+      }.start()
+    try {
+      input.addData((1L, 1L, "a"), (2L, 1L, "b"))
+      q.processAllAvailable()
+      input.addData((1L, 2L, "a2"), (3L, 1L, "c")) // re-index photo 1
+      q.processAllAvailable()
+      assert(store.get(1L) === ((2L, "a2")))
+      assert(store.get(2L) === ((1L, "b")))
+      assert(store.get(3L) === ((1L, "c")))
+    } finally q.stop()
+  }
+
   test("session window merges within gap and splits beyond it") {
     val s = spark
     import s.implicits._
