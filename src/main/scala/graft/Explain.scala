@@ -1,0 +1,24 @@
+package graft
+
+/** Plan-audit main: prints `explain("formatted")` for the given query
+  * keys (default: the plan-shape-critical set) so pushdown, codegen
+  * spans, and join strategies can be reviewed and committed as
+  * evidence (PLANS.md). */
+object Explain {
+  val defaults: Seq[String] = Seq(
+    "q_scan_filter", "q_knn_filtered", "q_knn_ivf", "q_similarity_join",
+    "q_join_broadcast", "q_join_shuffle", "q_join_theta_range", "q_join_asof",
+    "q_agg_hash", "q_vector_centroid_agg", "q_dedup_near", "q_dedup_minhash",
+    "q_tfidf", "q_embed_text")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = Sessions.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    val names = if (args.nonEmpty) args.toSeq else defaults
+    names.foreach { n =>
+      println(s"\n===== $n =====")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -26,6 +26,17 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // InferFiltersFromGenerate synthesizes `size(arr) > 0` below
+      // every explode; PushDownPredicates then drags it to the scan
+      // with the array-building expression INLINED into an
+      // interpreted per-row Filter — for computed arrays (tokens,
+      // shingles) that re-runs the whole tokenize/shingle chain 2-4×
+      // per row before the real projection runs once more (measured:
+      // 12 s → 1 s for a 500k-shingle explode at sf0.1). Empty-array
+      // pruning is worthless for our pipelines (arrays are computed,
+      // never scanned), so the rule is excluded session-wide.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -59,9 +59,11 @@ object DedupSketches {
       // inlines each array expression into the next stage's lambdas
       // and the interpreted HOF evaluator recomputes it per element
       // (one md5 per shingle would become 32 md5s per shingle).
+      // No size filter: pushdown would inline the shingle chain into
+      // a per-row interpreted Filter (see q_dedup_near); empty arrays
+      // hash to no band rows and are dropped by explode/join anyway.
       val tokd = fanout(Tables.documents(s, d).withColumn("w", expr(toks)))
       val sh = fanout(tokd.select(col("doc_id"), expr(shingles3("w")).as("s")))
-        .filter(size(col("s")) > 0)
       // The whole signature is computed SCAN-LOCALLY: one md5 per
       // shingle, then 32 arithmetic rehashes folded by array_min
       // inside a single projection — no seed cross-join, no

@@ -120,9 +120,15 @@ object TextOps {
       // fanout barriers after each computed array column: tokens and
       // shingles are materialized once instead of re-inlined into
       // every downstream lambda (see fanout's scaladoc).
+      // NOTE no `filter(size(s) > 0)` here: predicate pushdown would
+      // drag the whole inlined shingle expression below the barriers
+      // into an interpreted per-row Filter condition (measured ~7 s
+      // at sf0.1 for that alone). Empty shingle arrays are harmless —
+      // explode drops them and empty docs can never become
+      // candidates, which is exactly what the oracle's
+      // `WHERE len(w) >= 3` yields.
       val tokd = fanout(Tables.documents(s, d).withColumn("w", expr(toks)))
       val sh = fanout(tokd.select(col("doc_id"), expr(shingles3("w")).as("s")))
-        .filter(size(col("s")) > 0)
         .withColumn("n", size(col("s")))
       val ex = sh.select(col("doc_id"), col("n"), explode(col("s")).as("sh"))
       val freq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -268,8 +274,12 @@ object TextOps {
          |  round(CAST(0.3 AS DOUBLE) * ttr_raw + CAST(0.4 AS DOUBLE) * (1 - stop_raw)
          |      + CAST(0.3 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE) / 100, 1.0), 6) AS quality
          |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
-      fanout(Tables.documents(s, d).withColumn("w", expr(toks)))
-        .filter(size(col("w")) > 0)
+      // The empty-doc guard tests the RAW text (pushable to the scan
+      // as a cheap predicate) — filtering on size(w) would inline the
+      // tokenizer into a per-row Filter condition below the barrier.
+      fanout(Tables.documents(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .withColumn("w", expr(toks)))
         .select(col("doc_id"),
           size(col("w")).as("n_tokens"),
           expr("size(array_distinct(w)) / size(w)").as("ttr_raw"),

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.GraftFunctions.cosine_distance
+import graft.functions.GraftFunctions.{cosine_distance, l2_distance}
 
 /** k-NN vector search — the reference's core capability
   * (photo_vector_search.py:156-193, A8-A12 in SURVEY §2A).
@@ -56,6 +56,23 @@ object VectorSearch {
     // filter is applied BEFORE distance math and pushed to parquet
     Q("q_knn_filtered", knnOracle(0, "WHERE e.label = 1"))(
       (s, d) => knn(s, d, 0, Some(1))),
+
+    // Metric variant: k-NN under Euclidean distance (the L2Distance
+    // kernel; same TakeOrderedAndProject plan as the cosine path).
+    Q("q_knn_l2",
+      s"""SELECT e.vec_id, e.label,
+         |  round(list_distance(CAST(e.embedding AS DOUBLE[]),
+         |                      CAST(q.qvec AS DOUBLE[])), 6) AS dist
+         |FROM embeddings e
+         |CROSS JOIN (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
+         |ORDER BY dist, e.vec_id LIMIT $K""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .crossJoin(broadcast(queryVec(s, d, 0)))
+        .select(col("vec_id"), col("label"),
+          round(l2_distance(col("embedding"), col("qvec")), 6).alias("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(K)
+    },
 
     // IVF-pruned approximate k-NN — the 100 TB search path (the
     // reference's HNSW role, photo_vector_search.py:17-20, re-expressed
