@@ -37,6 +37,10 @@ object Sessions {
       // never scanned), so the rule is excluded session-wide.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // Catalog tables (bucketed-join demos) land in a per-process
+      // temp warehouse: no repo pollution, no stale cross-run reads.
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse_").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

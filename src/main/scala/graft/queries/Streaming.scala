@@ -84,6 +84,36 @@ object Streaming {
       drain(s, agg, "append").orderBy("user_id", "session_start")
     },
 
+    // Arbitrary stateful processing: a running per-user profile via
+    // mapGroupsWithState (SURVEY §2B "stateful arbitrary" — the
+    // reference's incremental store maintenance generalized). State =
+    // (event count, id checksum, latest event time); all three folds
+    // are order-independent (integer adds + max), so the final state
+    // is deterministic regardless of arrival order and matches the
+    // batch aggregate twin exactly.
+    Q("q_stream_stateful",
+      """SELECT user_id, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  max(CAST(ts AS TIMESTAMP)) AS last_ts
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.GroupStateTimeout
+      val ds = eventsStream(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .as[(Long, Long, java.sql.Timestamp)]
+      val profiles = ds.groupByKey(_._1)
+        .mapGroupsWithState[(Long, Long, java.sql.Timestamp),
+          (Long, Long, Long, java.sql.Timestamp)](GroupStateTimeout.NoTimeout) {
+          case (uid, rows, state) =>
+            var st = state.getOption.getOrElse((0L, 0L, new java.sql.Timestamp(0L)))
+            rows.foreach { case (_, eid, t) =>
+              st = (st._1 + 1, st._2 + eid, if (t.after(st._3)) t else st._3)
+            }
+            state.update(st)
+            (uid, st._1, st._2, st._3)
+        }.toDF("user_id", "n", "id_sum", "last_ts")
+      drain(s, profiles, "update").orderBy("user_id")
+    },
+
     // Streaming dedup: distinct (user_id, event_type) pairs within
     // the watermark via dropDuplicates — state-store dedup keyed on
     // the projected columns (projection first, so which physical row
