@@ -1,0 +1,125 @@
+package graft.queries
+
+import graft.SparkTestBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Properties behind the de-quadraticized plans: the candidate
+  * schemes must be COMPLETE (never lose a qualifying pair) — their
+  * whole correctness story rests on these invariants, so they get
+  * randomized checks beyond the fixed-corpus oracle. */
+class ScalePathSpec extends SparkTestBase {
+
+  test("unit-bucket theta-range candidates cover every qualifying pair (seeded)") {
+    // q_join_theta_range's claim: value ∈ [c-0.5, c+0.5) ⟹
+    // floor(value) ∈ {⌊c-0.5⌋, ⌊c-0.5⌋+1}.
+    val rnd = new scala.util.Random(97)
+    (1 to 20000).foreach { _ =>
+      val c = (rnd.nextDouble() - 0.5) * 400
+      val v = c - 0.5 + rnd.nextDouble() // in [c-0.5, c+0.5)
+      if (v >= c - 0.5 && v < c + 0.5) {
+        val lo = math.floor(c - 0.5)
+        assert(math.floor(v) == lo || math.floor(v) == lo + 1,
+          s"c=$c v=$v floor=${math.floor(v)} lo=$lo")
+      }
+    }
+  }
+
+  test("prefix-filtered candidates contain every Jaccard >= tau pair (seeded)") {
+    // q_dedup_near's claim (PPJoin prefix lemma): under the global
+    // (df, token) order, two sets with J >= 0.6 share an element in
+    // their first |S| - ceil(0.6|S|) + 1 elements.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(5)
+    val alphabet = (0 until 40).map(i => f"t$i%02d")
+    // Even docs are random sets; each odd doc is a near-copy of its
+    // predecessor (one element dropped) so qualifying pairs exist.
+    val docs = (0 until 120).foldLeft(Vector.empty[(Long, Seq[String])]) {
+      case (acc, id) =>
+        val set =
+          if (id % 2 == 1) acc.last._2.toSet -- acc.last._2.headOption
+          else rnd.shuffle(alphabet).take(6 + rnd.nextInt(10)).toSet
+        acc :+ (id.toLong -> set.toSeq.sorted)
+    }
+    val df = docs.toDF("doc_id", "s").withColumn("n", size(col("s")))
+    val ex = df.select(col("doc_id"), col("n"), explode(col("s")).as("sh"))
+    val freq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+    val prefix = ex.join(broadcast(freq), "sh")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+      .filter(col("rk") <= col("n") - ceil(col("n") * 0.6) + 1)
+      .select("doc_id", "sh")
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Ground truth by brute force on the driver.
+    val sets = docs.toMap.view.mapValues(_.toSet).toMap
+    val qualifying = for {
+      i <- docs.map(_._1); j <- docs.map(_._1) if i < j
+      inter = sets(i).intersect(sets(j)).size.toDouble
+      jac = inter / (sets(i).size + sets(j).size - inter)
+      if jac >= 0.6
+    } yield (i, j)
+    assert(qualifying.nonEmpty, "fixture must produce qualifying pairs")
+    qualifying.foreach { p =>
+      assert(cand.contains(p), s"prefix filter lost qualifying pair $p")
+    }
+  }
+
+  test("simhash chunk join is complete for hamming <= 3 (pigeonhole, seeded)") {
+    val rnd = new scala.util.Random(13)
+    (1 to 5000).foreach { _ =>
+      val a = rnd.nextLong() & ((1L << 60) - 1)
+      // flip at most 3 random bits
+      var b = a
+      (0 until rnd.nextInt(4)).foreach(_ => b ^= 1L << rnd.nextInt(60))
+      val chunksA = (0 until 4).map(c => (a >> (15 * c)) & 32767)
+      val chunksB = (0 until 4).map(c => (b >> (15 * c)) & 32767)
+      assert(chunksA.zip(chunksB).exists { case (x, y) => x == y },
+        s"hamming=${java.lang.Long.bitCount(a ^ b)} pair lost")
+    }
+  }
+
+  test("CentroidAggregator is partition-order invariant and matches naive mean") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = Seq.tabulate(300)(i =>
+      (i % 3, Array.fill(8)((rnd.nextFloat() - 0.5f))))
+    def run(data: Seq[(Int, Array[Float])], parts: Int) =
+      data.toDF("label", "emb").repartition(parts)
+        .as[(Int, Array[Float])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(new graft.functions.CentroidAggregator().toColumn.name("c"))
+        .collect().map { case (l, c) => l -> c.toSeq }.toMap
+    val once = run(rows, 1)
+    val wide = run(rnd.shuffle(rows), 7)
+    assert(once === wide) // exact equality — integer accumulation
+    val naive = rows.groupBy(_._1).map { case (l, g) =>
+      l -> (0 until 8).map(i => g.map(_._2(i).toDouble).sum / g.size)
+    }
+    once.foreach { case (l, c) =>
+      c.zip(naive(l)).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    }
+  }
+
+  test("bucketed join plan contains no exchange below the join") {
+    val s = spark
+    import s.implicits._
+    // Sessions.build already points the warehouse at a temp dir.
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .write.mode("overwrite").bucketBy(4, "k").saveAsTable("spec_bkt_l")
+    Seq((1L, 10), (2L, 20)).toDF("k", "n")
+      .write.mode("overwrite").bucketBy(4, "k").saveAsTable("spec_bkt_r")
+    val joined = s.table("spec_bkt_l").hint("merge")
+      .join(s.table("spec_bkt_r"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, plan)
+    assert(!plan.substring(joinIdx).contains("Exchange"),
+      s"shuffle below bucketed join:\n$plan")
+  }
+}
