@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Transparent IVF top-k pruning for IvfIndex-registered tables
+    // (SURVEY §4's optional ANN rewrite).
+    ext.injectOptimizerRule(IvfKnnPruning)
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - sum_i a_i*b_i"),
       (es: Seq[Expression]) => DotProduct(widen(es(0)), widen(es(1)))))

@@ -1,0 +1,47 @@
+package graft.plans
+
+import scala.math.BigDecimal.RoundingMode
+
+/** Driver-side registry of IVF "indexes": catalog tables that carry a
+  * `ivf_cell` partition column (nearest-centroid cell of each row's
+  * embedding) plus the codebook that produced it. Registering a table
+  * here opts it into [[IvfKnnPruning]]'s transparent top-k rewrite —
+  * the engine-side analog of the reference's HNSW collection option
+  * (photo_vector_search.py:17-20: the store owns the index; queries
+  * stay oblivious).
+  *
+  * On a cluster this registry would live in table properties /
+  * catalog metadata; a process-local map carries the same contract
+  * for the single-JVM harness.
+  */
+object IvfIndex {
+  final case class Entry(probes: Int, centroids: Seq[(Long, Array[Double])])
+
+  private val reg = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+
+  def register(table: String, probes: Int,
+      centroids: Seq[(Long, Array[Double])]): Unit =
+    reg.put(table.toLowerCase, Entry(probes, centroids))
+
+  def lookup(table: String): Option[Entry] = Option(reg.get(table.toLowerCase))
+
+  /** round(x, 6) with Spark/DuckDB HALF_UP semantics — probe choice
+    * must rank centroids exactly like the SQL twin does. */
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, RoundingMode.HALF_UP).toDouble
+
+  private def cosineDist(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    1.0 - dot / math.sqrt(na * nb)
+  }
+
+  /** The `probes` nearest cells to the query vector, by
+    * (round6(cosine distance), cid) — identical ordering to the SQL
+    * probe CTE in q_knn_ivf's oracle. */
+  def probeCells(e: Entry, query: Array[Double]): Seq[Long] =
+    e.centroids.map { case (cid, c) => (r6(cosineDist(c, query)), cid) }
+      .sorted.take(e.probes).map(_._2)
+}

@@ -124,5 +124,56 @@ object VectorSearch {
           round(cosine_distance(col("embedding"), col("qvec")), 6).as("dist"))
         .orderBy(col("dist"), col("vec_id")).limit(K)
     },
+
+    // Same IVF semantics, but the pruning is applied by the ENGINE,
+    // not the query: the builder materializes the cell-partitioned
+    // index table + codebook (a build step amortized across queries),
+    // then issues the NAIVE exact top-k. graft.plans.IvfKnnPruning
+    // (injected via GraftExtensions) rewrites it into a probe-pruned
+    // partition scan — the caller-oblivious ANN index the reference
+    // gets from ChromaDB's HNSW (photo_vector_search.py:167-176).
+    // Oracle: identical to q_knn_ivf (same assignment, same probes).
+    Q("q_knn_ivf_rule",
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |asgn AS (SELECT vec_id, label, v, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY
+         |      round(1 - list_cosine_similarity(v, cv), 6), cid) AS rn
+         |  FROM e CROSS JOIN c),
+         |a2 AS (SELECT vec_id, label, v, cid FROM asgn WHERE rn = 1),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |probe AS (SELECT cid FROM c CROSS JOIN q
+         |          ORDER BY round(1 - list_cosine_similarity(cv, qv), 6), cid
+         |          LIMIT 4)
+         |SELECT vec_id, label, round(1 - list_cosine_similarity(v, qv), 6) AS dist
+         |FROM a2 CROSS JOIN q WHERE cid IN (SELECT cid FROM probe)
+         |ORDER BY dist, vec_id LIMIT $K""".stripMargin) { (s, d) =>
+      val tbl = "graft_ivf_" +
+        new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      // Index build: nearest-centroid assignment, written partitioned
+      // by cell so probe filters become partition pruning.
+      e.crossJoin(broadcast(cents))
+        .withColumn("cdist", round(cosine_distance(col("embedding"), col("cv")), 6))
+        .groupBy("vec_id")
+        .agg(expr("min_by(struct(label, embedding, cid), struct(cdist, cid))").as("m"))
+        .select(col("vec_id"), col("m.label").as("label"),
+          col("m.embedding").as("embedding"), col("m.cid").as("ivf_cell"))
+        .write.mode("overwrite").partitionBy("ivf_cell").saveAsTable(tbl)
+      graft.plans.IvfIndex.register(tbl, probes = 4,
+        centroids = cents.collect().map(r =>
+          (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq)
+      // Driver-local query embedding as an array literal (the
+      // reference embeds the query before searching, cli.py:109-121).
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0).toArray
+      s.table(tbl)
+        .select(col("vec_id"), col("label"),
+          round(cosine_distance(col("embedding"), lit(qv)), 6).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(K)
+    },
   )
 }
