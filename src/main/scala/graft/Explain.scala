@@ -9,7 +9,8 @@ object Explain {
     "q_scan_filter", "q_knn_filtered", "q_knn_ivf", "q_similarity_join",
     "q_join_broadcast", "q_join_shuffle", "q_join_theta_range", "q_join_asof",
     "q_agg_hash", "q_vector_centroid_agg", "q_dedup_near", "q_dedup_minhash",
-    "q_tfidf", "q_embed_text")
+    "q_tfidf", "q_embed_text", "q_knn_ivf_rule", "q_join_bucketed",
+    "q_join_salted", "q_pivot")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
