@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ml.{Embedders, SurrogateMediaDecoder}
+import TextKit.h28Duck
+
+/** Multimodal-column operators: media as opaque binary + typed
+  * metadata, with decode / feature-extract / frame-sample running in
+  * the per-partition decoder seam (graft.ml.MediaDecoder). Payloads
+  * in the harness are the documents' text bytes so DuckDB can
+  * reproduce every "decoded" value; a real deployment points the
+  * identical plumbing at image/video files via the binaryFile source
+  * (see EmbeddersSpec's end-to-end binaryFile test).
+  */
+object Multimodal {
+
+  val qs: Seq[Q] = Seq(
+
+    // Decode + feature extraction: binary content → typed media
+    // metadata columns (the A2 preprocess surface as a first-class
+    // operator rather than a hidden step).
+    Q("q_media_meta",
+      s"""SELECT doc_id,
+         |  CAST(${h28Duck("text")} % 1024 + 1 AS INT) AS width,
+         |  CAST((${h28Duck("text")} // 1024) % 1024 + 1 AS INT) AS height,
+         |  CASE WHEN length(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+         |  CAST(length(text) AS BIGINT) AS n_bytes
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val bin = fanout(Tables.documents(s, d))
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+      bin.as[(Long, Array[Byte])].mapPartitions { rows =>
+        val dec = new SurrogateMediaDecoder // once per partition
+        rows.map { case (id, bytes) =>
+          val m = dec.meta(bytes)
+          (id, m.width, m.height, m.format, m.nBytes)
+        }
+      }.toDF("doc_id", "width", "height", "format", "n_bytes")
+        .orderBy("doc_id")
+    },
+
+    // Frame sampling: every 4th complete 32-byte "frame" of the
+    // payload, one output row per sampled frame with its content
+    // hash — the video-pipeline shape (decode → evenly-spaced sample
+    // → per-frame featurize), scan-local until the final sort.
+    Q("q_media_frames",
+      // (range() can't reference lateral columns in DuckDB, so the
+      // index domain is a literal bound filtered per doc.)
+      s"""SELECT doc_id, CAST(i AS INT) AS frame_no,
+         |  ${h28Duck("substr(text, CAST(i AS INT) * 32 + 1, 32)")} AS frame_hash
+         |FROM documents, range(0, 1024, 4) t(i)
+         |WHERE i < length(text) // 32
+         |ORDER BY doc_id, frame_no""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val bin = fanout(Tables.documents(s, d))
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+      bin.as[(Long, Array[Byte])].mapPartitions { rows =>
+        val dec = new SurrogateMediaDecoder
+        rows.flatMap { case (id, bytes) =>
+          dec.sampleFrames(bytes, frameSize = 32, stride = 4)
+            .zipWithIndex.map { case (frame, j) =>
+              (id, j * 4, Embedders.h28(frame))
+            }
+        }
+      }.toDF("doc_id", "frame_no", "frame_hash")
+        .orderBy("doc_id", "frame_no")
+    },
+
+    // Embedding-cosine near-dup DEDUP (not just the pair list): drop
+    // every vector that has a more-canonical (lower-id) neighbor at
+    // sim ≥ 0.4. Pairs from the exact similarity join; the survivors
+    // via anti-join — the A13/A14 delete pattern fused with the
+    // similarity predicate.
+    Q("q_dedup_embed",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |dupes AS (SELECT DISTINCT b.vec_id FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |          WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4)
+        |SELECT em.vec_id, em.label FROM embeddings em
+        |WHERE em.vec_id NOT IN (SELECT vec_id FROM dupes)
+        |ORDER BY em.vec_id""".stripMargin) { (s, d) =>
+      import graft.functions.GraftFunctions.cosine_distance
+      val e = Tables.embeddings(s, d)
+      val a = fanout(e.select(col("vec_id").alias("id1"),
+        col("embedding").cast("array<double>").alias("v1")))
+      val b = e.select(col("vec_id").alias("id2"),
+        col("embedding").cast("array<double>").alias("v2"))
+      val dupes = a.join(broadcast(b), col("id1") < col("id2"))
+        .select(col("id2"),
+          round(lit(1.0) - cosine_distance(col("v1"), col("v2")), 6).alias("sim"))
+        .filter(col("sim") >= 0.4)
+        .select(col("id2").as("vec_id")).distinct()
+      e.join(dupes, Seq("vec_id"), "left_anti")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    },
+  )
+}
