@@ -291,6 +291,44 @@ object Relational {
           .orderBy("event_type")
     },
 
+    // Per-row error handling (the reference's failure model:
+    // photo_vector_search.py:102-112 catches per-image errors into
+    // (False, message) results and never aborts the batch). Ten
+    // percent of the props payloads are deterministically corrupted;
+    // the lenient parse yields NULL + an error flag per row, and the
+    // job reports good/bad counts instead of failing — at 100 TB a
+    // poison record must cost one row, not a stage retry storm.
+    Q("q_ingest_errors",
+      """WITH raw AS (SELECT event_id, event_type,
+        |    CASE WHEN event_id % 10 = 0
+        |         THEN substr(props, 1, length(props) - 1) ELSE props END AS payload
+        |  FROM events),
+        |parsed AS (SELECT event_id, event_type,
+        |    CASE WHEN json_valid(payload)
+        |         THEN json_extract_string(payload, '$.k') END AS k
+        |  FROM raw)
+        |SELECT event_type,
+        |  count(*) AS n_rows,
+        |  count(k) AS n_ok,
+        |  count(*) - count(k) AS n_failed,
+        |  CAST(sum(CAST(k AS BIGINT)) AS BIGINT) AS k_sum
+        |FROM parsed GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+        val corrupted = Tables.events(s, d).select(
+          col("event_id"), col("event_type"),
+          when(col("event_id") % 10 === 0,
+            expr("substr(props, 1, length(props) - 1)"))
+            .otherwise(col("props")).as("payload"))
+        corrupted
+          .withColumn("k", get_json_object(col("payload"), "$.k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("k")).as("n_ok"),
+            (count(lit(1)) - count(col("k"))).as("n_failed"),
+            sum(col("k").cast("long")).as("k_sum"))
+          .orderBy("event_type")
+    },
+
     // Map construction + element access (dynamic-metadata analog of
     // the reference's schemaless dicts, photo_vector_search.py:128-132).
     // Oracle states the semantic result; Spark exercises MapType.
