@@ -41,12 +41,23 @@ object StreamingOps {
     })
 
   /** readStream over the events table with the same nanos→micros
-    * normalization as the batch loader (graft.Tables.events). */
+    * normalization as the batch loader (graft.Tables.events).
+    *
+    * Runs in a CHILD session with fewer shuffle partitions: every
+    * stateful operator materializes one state-store instance and one
+    * task per shuffle partition per micro-batch, so a 32-partition
+    * default spends more on task/state bookkeeping than on the
+    * actual rows at this volume. (On a real cluster this is the
+    * same tuning decision, just with larger numbers.) Results are
+    * partition-count-independent. */
   def eventsStream(s: SparkSession, d: String): DataFrame = {
     Sessions.prepare(s)
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    Sessions.prepare(ss)
     val dir = eventsDir(d)
-    val schema = s.read.parquet(dir).schema // nanos read as LONG
-    s.readStream.schema(schema).parquet(dir)
+    val schema = ss.read.parquet(dir).schema // nanos read as LONG
+    ss.readStream.schema(schema).parquet(dir)
       .withColumn("ts", timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")))
   }
 
@@ -55,6 +66,8 @@ object StreamingOps {
   def drain(s: SparkSession, streamed: DataFrame, mode: String): DataFrame = {
     val out = Files.createTempDirectory("graft_stream_").toString
     val sink = s"$out/data"
+    // The query runs on the child session the stream was built on;
+    // the result is read back on the caller's session.
     val q = streamed.writeStream
       .outputMode(mode)
       .option("checkpointLocation", s"$out/ckpt")
