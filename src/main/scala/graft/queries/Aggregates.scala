@@ -67,6 +67,48 @@ object Aggregates {
         .orderBy("event_type")
     },
 
+    // Moment statistics built from EXACT decimal power sums instead
+    // of the built-in stddev/var (whose float accumulation is
+    // partition-order-dependent and drifts past round(6) across
+    // engines): Σx and Σx² are DECIMAL-exact and associative, the
+    // variance formula is then identical double arithmetic on both
+    // sides. This is also the shuffle-friendly shape: two partial
+    // sums per group, not a per-row sort.
+    Q("q_agg_stats",
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS mean_qty,
+        |  round((CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |         - CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |           * CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*))
+        |        / (count(*) - 1), 6) AS var_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+        val sx = sum(col("l_quantity").cast("decimal(38,6)")).cast("double")
+        val sx2 = sum((col("l_quantity") * col("l_quantity"))
+          .cast("decimal(38,6)")).cast("double")
+        val n = count(lit(1))
+        Tables.lineitem(s, d).groupBy("l_returnflag")
+          .agg(n.as("n"),
+            round(sx / n, 6).as("mean_qty"),
+            round((sx2 - sx * sx / n) / (n - 1), 6).as("var_qty"))
+          .orderBy("l_returnflag")
+    },
+
+    // Interpolated percentiles (median + p90) — order statistics are
+    // input-order independent, and Spark's `percentile` uses the same
+    // p·(n-1) linear interpolation as DuckDB's quantile_cont.
+    Q("q_agg_median",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d).groupBy("l_returnflag")
+          .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"))
+          .orderBy("l_returnflag")
+    },
+
     // Rollup over (returnflag, linestatus).
     Q("q_agg_rollup",
       """SELECT CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
