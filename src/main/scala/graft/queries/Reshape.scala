@@ -48,6 +48,29 @@ object Reshape {
         .orderBy("user_id")
     },
 
+    // Unpivot (melt): the inverse reshape, wide per-type counts back
+    // to long (user_id, event_type, n) rows — schema evolution's
+    // workhorse. Twin is the UNION ALL expansion.
+    Q("q_unpivot",
+      s"""WITH p AS (SELECT user_id,
+         |${EventTypes.map(t => s"  count(CASE WHEN event_type = '$t' THEN 1 END) AS $t")
+            .mkString(",\n")}
+         |FROM events GROUP BY user_id)
+         |${EventTypes.map(t =>
+             s"SELECT user_id, '$t' AS event_type, $t AS n FROM p")
+            .mkString("\nUNION ALL\n")}
+         |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      val wide = Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", EventTypes)
+        .agg(count(lit(1)))
+        .select(col("user_id") +: EventTypes.map(t =>
+          coalesce(col(t), lit(0L)).as(t)): _*)
+      wide.unpivot(Array(col("user_id")), EventTypes.map(col).toArray,
+          "event_type", "n")
+        .orderBy("user_id", "event_type")
+    },
+
     // Skew-salted aggregation join: events.user_id is the hot side.
     // Salt = event_id % 8 (deterministic), dimension replicated 8×,
     // equi-join on (key, salt) → no single reducer owns a hot key.

@@ -295,6 +295,26 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // String-distance / positional functions: edit distance against
+    // a reference phrase plus locate/reverse — the fuzzy-matching
+    // primitives (integer-exact, no float parity concerns).
+    Q("q_str_funcs",
+      """SELECT doc_id,
+        |  levenshtein(substr(lower(text), 1, 20), 'key agg row scan slow') AS lev,
+        |  strpos(lower(text), 'hash') AS hash_pos,
+        |  reverse(substr(lower(text), 1, 12)) AS rev_head,
+        |  upper(substr(text, 1, 8)) AS up_head
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        levenshtein(expr("substr(lower(text), 1, 20)"),
+          lit("key agg row scan slow")).as("lev"),
+        instr(lower(col("text")), "hash").as("hash_pos"),
+        reverse(expr("substr(lower(text), 1, 12)")).as("rev_head"),
+        upper(expr("substr(text, 1, 8)")).as("up_head"))
+        .orderBy("doc_id")
+    },
+
     // Token counting: whitespace tokens vs a BPE-ish regex lexer
     // (letter runs | digit runs | single other char) — the cheap
     // "how many tokens will the model see" estimator.

@@ -100,5 +100,22 @@ object Windows {
         .filter(col("rn") <= 2)
         .orderBy("lang", "rn")
     },
+
+    // Quartile bucketing per priority class (ntile — equal-height
+    // binning for stratified sampling / training-data splits). The
+    // window order carries a unique tiebreak key so bucket boundaries
+    // are engine-stable.
+    Q("q_win_ntile",
+      """SELECT o_orderkey, o_orderpriority,
+        |  ntile(4) OVER (PARTITION BY o_orderpriority
+        |                 ORDER BY o_totalprice, o_orderkey) AS quartile
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).alias("quartile"))
+        .orderBy("o_orderkey")
+    },
   )
 }
