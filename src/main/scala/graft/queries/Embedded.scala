@@ -33,6 +33,45 @@ object Embedded {
 
   val qs: Seq[Q] = Seq(
 
+    // The reference's full user workflow as ONE lazy DataFrame
+    // program (cli.py index-photos + search-photos-by-text end to
+    // end): scan corpus → batch-embed via the mapPartitions model
+    // seam → k-NN against a query document's embedding → join result
+    // metadata back. Embedding inference and search compose into a
+    // single plan — no materialized intermediate store needed (though
+    // A7's upsert provides one when incremental).
+    Q("q_pipeline_e2e",
+      s"""WITH emb AS (SELECT doc_id,
+         |    [${componentDuck("text || '#' || i")} for i in range($DIM)] AS v
+         |  FROM documents),
+         |q AS (SELECT v AS qv FROM emb WHERE doc_id = 0),
+         |knn AS (SELECT e.doc_id,
+         |    round(1 - list_cosine_similarity(e.v, q.qv), 6) AS dist
+         |  FROM emb e, q WHERE e.doc_id <> 0
+         |  ORDER BY dist, e.doc_id LIMIT 5)
+         |SELECT k.doc_id, k.dist, d.lang, d.source
+         |FROM knn k JOIN documents d USING (doc_id)
+         |ORDER BY k.dist, k.doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.functions.GraftFunctions.cosine_distance
+      val ds = fanout(Tables.documents(s, d))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+      val emb = ds.mapPartitions { rows =>
+        val model = new HashTextEmbedder(DIM)
+        rows.map { case (id, t) => (id, model.embed(t)) }
+      }.toDF("doc_id", "emb")
+      val q = emb.filter(col("doc_id") === 0).select(col("emb").as("qv"))
+      emb.filter(col("doc_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("doc_id"),
+          round(cosine_distance(col("emb"), col("qv")), 6).as("dist"))
+        .orderBy(col("dist"), col("doc_id")).limit(5)
+        .join(broadcast(Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"))), "doc_id")
+        .select(col("doc_id"), col("dist"), col("lang"), col("source"))
+        .orderBy(col("dist"), col("doc_id"))
+    },
+
     // A4: text → embedding. One row per (doc, component) so the
     // compare is over scalars, not array renderings.
     Q("q_embed_text",
