@@ -54,7 +54,7 @@ object DedupSketches {
          |                  JOIN sh b ON b.doc_id = c.id2)
          |SELECT id1, id2, jac FROM v WHERE jac >= 0.6
          |ORDER BY id1, id2""".stripMargin) { (s, d) =>
-      // fanout barriers between the computed array columns (tokens →
+      // barriers between the computed array columns (tokens →
       // shingles → shingle hashes → signature): without them Catalyst
       // inlines each array expression into the next stage's lambdas
       // and the interpreted HOF evaluator recomputes it per element
@@ -62,8 +62,8 @@ object DedupSketches {
       // No size filter: pushdown would inline the shingle chain into
       // a per-row interpreted Filter (see q_dedup_near); empty arrays
       // hash to no band rows and are dropped by explode/join anyway.
-      val tokd = fanout(Tables.documents(s, d).withColumn("w", expr(toks)))
-      val sh = fanout(tokd.select(col("doc_id"), expr(shingles3("w")).as("s")))
+      val tokd = barrier(Tables.documents(s, d).withColumn("w", expr(toks)))
+      val sh = barrier(tokd.select(col("doc_id"), expr(shingles3("w")).as("s")))
       // The whole signature is computed SCAN-LOCALLY: one md5 per
       // shingle, then 32 arithmetic rehashes folded by array_min
       // inside a single projection — no seed cross-join, no
@@ -74,9 +74,9 @@ object DedupSketches {
         .map(i => graft.ml.Embedders.h28("a#" + i) * 2 + 1).mkString(",") + ")"
       val bArr = "array(" + (0 until 32)
         .map(i => graft.ml.Embedders.h28("b#" + i)).mkString(",") + ")"
-      val hashed = fanout(sh.select(col("doc_id"),
+      val hashed = barrier(sh.select(col("doc_id"),
         expr(s"transform(s, x -> ${h28("x")})").as("hs")))
-      val sig = fanout(hashed.select(col("doc_id"), expr(
+      val sig = barrier(hashed.select(col("doc_id"), expr(
         s"""transform(sequence(0, 31), i ->
            |  array_min(transform(hs, h ->
            |    (element_at($aArr, i + 1) * h + element_at($bArr, i + 1)) % $P)))""".stripMargin)
@@ -92,9 +92,14 @@ object DedupSketches {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
         .distinct()
+      // Verify join: NO broadcast hint — the full shingle-set table
+      // must never be forced onto every executor (8 GB ceiling at
+      // scale). At this sf Catalyst's size estimate picks broadcast
+      // by itself; at 100 TB it degrades to sort-merge on doc_id,
+      // which is the right plan there.
       cand
-        .join(broadcast(sh.select(col("doc_id").as("id1"), col("s").as("s1"))), "id1")
-        .join(broadcast(sh.select(col("doc_id").as("id2"), col("s").as("s2"))), "id2")
+        .join(sh.select(col("doc_id").as("id1"), col("s").as("s1")), "id1")
+        .join(sh.select(col("doc_id").as("id2"), col("s").as("s2")), "id2")
         .withColumn("jac", round(expr(jaccard("s1", "s2")), 6))
         .filter(col("jac") >= 0.6)
         .select("id1", "id2", "jac")
@@ -120,10 +125,10 @@ object DedupSketches {
          |SELECT id1, id2, bit_count(xor(s1, s2)) AS hamming
          |FROM cand WHERE bit_count(xor(s1, s2)) <= 3
          |ORDER BY id1, id2""".stripMargin) { (s, d) =>
-      // Trailing fanout = materialization barrier for h: otherwise
-      // the md5 hash is inlined below the 60-way bit explode and
-      // recomputed per bit.
-      val tf = fanout(fanout(Tables.documents(s, d))
+      // Trailing barrier = materialization of h: otherwise the md5
+      // hash is inlined below the 60-way bit explode and recomputed
+      // per bit. The inner fanout is parallelism-only (gated).
+      val tf = barrier(fanout(Tables.documents(s, d))
         .select(col("doc_id"), explode(expr(toks)).as("t"))
         .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
         .withColumn("h", expr(h60("t"))))
@@ -166,7 +171,7 @@ object DedupSketches {
          |  len(hs) AS n_shingles,
          |  CAST(list_aggregate(hs, 'sum') AS BIGINT) AS fp_sum
          |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
-      fanout(Tables.documents(s, d)
+      barrier(Tables.documents(s, d)
         .filter(length(col("text")) >= 8)
         .withColumn("lt", lower(col("text"))))
         .withColumn("hs",

@@ -197,15 +197,20 @@ object Joins {
         |WHERE sim >= 0.4
         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
-      // Cast f32→f64 BEFORE the join on both sides: the fanout
-      // repartition (left) and the broadcast build (right) both
-      // materialize the widened arrays, so the per-pair kernel reads
-      // doubles directly instead of re-casting one side 2000× per row.
+      // Cast f32→f64 BEFORE the join on both sides: projections below
+      // a join are evaluated once per input row (never per pair), so
+      // the per-pair kernel reads doubles directly instead of
+      // re-casting one side 2000× per row. NO broadcast hint on the
+      // build side: forcing the whole table onto every executor hits
+      // the 8 GB broadcast ceiling long before 100 TB. At this sf
+      // Catalyst's size estimate picks a broadcast nested-loop join
+      // by itself; past the threshold it degrades to a spillable
+      // cartesian join instead of an executor OOM.
       val a = fanout(e.select(col("vec_id").alias("id1"),
         col("embedding").cast("array<double>").alias("v1")))
       val b = e.select(col("vec_id").alias("id2"),
         col("embedding").cast("array<double>").alias("v2"))
-      a.join(broadcast(b), col("id1") < col("id2"))
+      a.join(b, col("id1") < col("id2"))
         .select(col("id1"), col("id2"),
           round(lit(1.0) - cosine_distance(col("v1"), col("v2")), 6).alias("sim"))
         .filter(col("sim") >= 0.4)

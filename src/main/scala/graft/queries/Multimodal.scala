@@ -81,11 +81,15 @@ object Multimodal {
         |ORDER BY em.vec_id""".stripMargin) { (s, d) =>
       import graft.functions.GraftFunctions.cosine_distance
       val e = Tables.embeddings(s, d)
+      // No broadcast hint (see q_similarity_join): Catalyst picks the
+      // broadcast side at this sf from size estimates; at scale it
+      // falls back to a spillable plan instead of forcing the whole
+      // table through the 8 GB broadcast ceiling.
       val a = fanout(e.select(col("vec_id").alias("id1"),
         col("embedding").cast("array<double>").alias("v1")))
       val b = e.select(col("vec_id").alias("id2"),
         col("embedding").cast("array<double>").alias("v2"))
-      val dupes = a.join(broadcast(b), col("id1") < col("id2"))
+      val dupes = a.join(b, col("id1") < col("id2"))
         .select(col("id2"),
           round(lit(1.0) - cosine_distance(col("v1"), col("v2")), 6).alias("sim"))
         .filter(col("sim") >= 0.4)

@@ -117,9 +117,9 @@ object TextOps {
          |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |SELECT id1, id2, jac FROM p WHERE jac >= 0.6
          |ORDER BY id1, id2""".stripMargin) { (s, d) =>
-      // fanout barriers after each computed array column: tokens and
+      // barriers after each computed array column: tokens and
       // shingles are materialized once instead of re-inlined into
-      // every downstream lambda (see fanout's scaladoc).
+      // every downstream lambda (see barrier's scaladoc).
       // NOTE no `filter(size(s) > 0)` here: predicate pushdown would
       // drag the whole inlined shingle expression below the barriers
       // into an interpreted per-row Filter condition (measured ~7 s
@@ -127,8 +127,8 @@ object TextOps {
       // explode drops them and empty docs can never become
       // candidates, which is exactly what the oracle's
       // `WHERE len(w) >= 3` yields.
-      val tokd = fanout(Tables.documents(s, d).withColumn("w", expr(toks)))
-      val sh = fanout(tokd.select(col("doc_id"), expr(shingles3("w")).as("s")))
+      val tokd = barrier(Tables.documents(s, d).withColumn("w", expr(toks)))
+      val sh = barrier(tokd.select(col("doc_id"), expr(shingles3("w")).as("s")))
         .withColumn("n", size(col("s")))
       val ex = sh.select(col("doc_id"), col("n"), explode(col("s")).as("sh"))
       val freq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -143,8 +143,11 @@ object TextOps {
             col("a.n") * 0.6 <= col("b.n") && col("b.n") * 0.6 <= col("a.n"))
         .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
         .distinct()
-      // Verification joins would be sort-merge on doc_id at scale;
-      // the shingle-set side is small here so broadcast is right.
+      // Verification joins carry NO broadcast hint: a forced
+      // broadcast of the full shingle-set table dies at the 8 GB
+      // broadcast ceiling long before 100 TB. Catalyst's size
+      // estimate picks broadcast at this sf on its own; at scale the
+      // same joins become sort-merge on doc_id — the right plan.
       // Intersections are computed over 60-bit shingle HASHES, not
       // the shingle strings: same Jaccard (collision odds ~1e-8 at
       // this corpus' shingle cardinality) at a fraction of the
@@ -154,9 +157,9 @@ object TextOps {
       // once per reference.
       val hsets = sh.select(col("doc_id"),
         expr(s"array_sort(transform(s, x -> ${TextKit.h60("x")}))").as("hs"))
-      val pairs = fanout(cand
-        .join(broadcast(hsets.select(col("doc_id").as("id1"), col("hs").as("h1"))), "id1")
-        .join(broadcast(hsets.select(col("doc_id").as("id2"), col("hs").as("h2"))), "id2")
+      val pairs = barrier(cand
+        .join(hsets.select(col("doc_id").as("id1"), col("hs").as("h1")), "id1")
+        .join(hsets.select(col("doc_id").as("id2"), col("hs").as("h2")), "id2")
         .select(col("id1"), col("id2"),
           expr("CAST(size(array_intersect(h1, h2)) AS DOUBLE)").as("ix"),
           size(col("h1")).as("na"), size(col("h2")).as("nb")))
@@ -179,7 +182,7 @@ object TextOps {
          |SELECT doc_id, round(${jaccardDuck("g.g", "q.qg")}, 6) AS jac
          |FROM g, q WHERE doc_id <> 0
          |ORDER BY jac DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
-      val grams = fanout(fanout(Tables.documents(s, d)
+      val grams = barrier(barrier(Tables.documents(s, d)
         .filter(length(col("text")) >= 3)
         .withColumn("lt", lower(col("text"))))
         .select(col("doc_id"),
@@ -277,7 +280,7 @@ object TextOps {
       // The empty-doc guard tests the RAW text (pushable to the scan
       // as a cheap predicate) — filtering on size(w) would inline the
       // tokenizer into a per-row Filter condition below the barrier.
-      fanout(Tables.documents(s, d)
+      barrier(Tables.documents(s, d)
         .filter(length(trim(col("text"))) > 0)
         .withColumn("w", expr(toks)))
         .select(col("doc_id"),
@@ -325,7 +328,7 @@ object TextOps {
          |  length(text) AS len_chars,
          |  round(length(text) / len($toksDuck), 6) AS chars_per_token
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-      fanout(Tables.documents(s, d).withColumn("w", expr(toks)))
+      barrier(Tables.documents(s, d).withColumn("w", expr(toks)))
         .select(col("doc_id"),
           size(col("w")).as("ws_tokens"),
           expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")

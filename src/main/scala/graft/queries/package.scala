@@ -20,30 +20,54 @@ package object queries {
   def dsumSql(expr: String): String =
     s"round(CAST(sum(CAST($expr AS DECIMAL(38,6))) AS DOUBLE), 6)"
 
-  /** Spread a small-but-compute-heavy input across the cluster AND
-    * materialize its computed columns.
+  /** HOF-materialization BARRIER: an exchange placed after an
+    * expensive computed-array column so downstream lambdas read the
+    * materialized value instead of re-evaluating the expression.
     *
-    * Two jobs in one exchange:
-    *  - The testdata ships each table as a single-row-group parquet
-    *    file, so a scan is ONE task and any per-row-expensive
-    *    pipeline above it (hashing, shingling, model inference,
-    *    pairwise kernels) runs serially regardless of cores. On a
-    *    real cluster the scan itself parallelizes (many files / row
-    *    groups); here the explicit round-robin costs one tiny
-    *    shuffle and buys full-width execution.
-    *  - It is a CollapseProject BARRIER. Catalyst inlines adjacent
-    *    projections, and higher-order-function lambdas are evaluated
-    *    interpreted — so an inlined array-building expression
-    *    (`w = filter(split(lower(text)))`) referenced inside a
-    *    `transform(..., i -> element_at(w, i))` lambda re-tokenizes
-    *    the document PER ELEMENT (measured: 5000 docs' shingling
-    *    went from ~9 s to ~0.2 s with the barrier). Placing fanout
-    *    AFTER an expensive withColumn writes the column into the
-    *    exchange once and every downstream reference reads it.
+    * Catalyst's CollapseProject inlines adjacent projections, and
+    * higher-order-function lambdas are evaluated interpreted — so an
+    * inlined array-building expression (`w = filter(split(lower(
+    * text)))`) referenced inside a `transform(..., i ->
+    * element_at(w, i))` lambda re-tokenizes the document PER ELEMENT
+    * (measured: 5000 docs' shingling went from ~9 s to ~0.2 s with
+    * the barrier). Placing the barrier AFTER the withColumn writes
+    * the column into the exchange once and every downstream
+    * reference reads it.
+    *
+    * This is a real cost-model win at ANY scale — the shuffle writes
+    * each row once; the inlined alternative recomputes an O(|doc|)
+    * expression per array element. Unconditional by design. (It also
+    * buys local scan parallelism as a side effect, like [[fanout]].)
     *
     * Results are unaffected: every query ends in a total-order sort. */
-  def fanout(df: DataFrame): DataFrame =
+  def barrier(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** PARALLELISM-ONLY fanout, gated on actual scan parallelism.
+    *
+    * The testdata ships each table as a single-row-group parquet
+    * file, so a scan is ONE task and any per-row-expensive pipeline
+    * above it (hashing, model inference, pairwise kernels) runs
+    * serially regardless of cores; the explicit round-robin costs
+    * one tiny shuffle and buys full-width execution. On a real
+    * cluster the scan itself parallelizes (many files / row groups)
+    * and this round-robin would be a full shuffle of a fact table
+    * for nothing — so it only fires when the input's planned
+    * partition count is under half the cluster parallelism, i.e.
+    * exactly the single-file/local situation. `spark.graft.fanout`
+    * overrides: `on` (always), `off` (never — the 100 TB plan),
+    * `auto` (default, the partition-count gate). */
+  def fanout(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    lazy val width = s.sparkContext.defaultParallelism
+    s.conf.get("spark.graft.fanout", "auto") match {
+      case "off" => df
+      case "on" => df.repartition(width)
+      case _ =>
+        if (df.rdd.getNumPartitions * 2 >= width) df
+        else df.repartition(width)
+    }
+  }
 
   /** One declared operator from SURVEY.md §2: a Spark builder and an
     * optional DuckDB oracle (ANSI SQL over the same parquet tables).
