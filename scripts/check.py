@@ -28,21 +28,25 @@ with open(os.path.join(out_dir, "oracle_sql.json")) as f:
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].reset_index(drop=True)
 
-    def cell(v):
+    def cell(v, is_dt=False):
         if isinstance(v, float):
             if v == 0:           # normalize -0.0 vs 0.0
                 v = 0.0
             return f"{v:.6f}"
         s = str(v)
         # DATE-vs-TIMESTAMP dtype renderings: midnight timestamps and
-        # dates must canonicalize identically.
-        if s.endswith(" 00:00:00"):
+        # dates must canonicalize identically — but ONLY for datetime
+        # columns: a STRING cell genuinely ending in " 00:00:00" must
+        # not silently compare equal to its prefix.
+        if is_dt and s.endswith(" 00:00:00"):
             return s[:-9]
         return s
 
-    # pd.DataFrame.map exists from pandas 2.1; fall back to applymap.
-    mapper = getattr(df, "map", None) or df.applymap
-    return mapper(cell)
+    out = pd.DataFrame(index=df.index)
+    for c in df.columns:
+        is_dt = pd.api.types.is_datetime64_any_dtype(df[c])
+        out[c] = df[c].map(lambda v: cell(v, is_dt))
+    return out
 
 fails = 0
 names = sorted(d for d in os.listdir(out_dir)

@@ -18,6 +18,23 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
   def build(cpus: String): SparkSession = {
+    // getOrCreate() silently ignores every builder config (extensions,
+    // excludedRules, warehouse dir, nanosAsLong) when a session is
+    // already active — which would disable the IVF rule and kernel
+    // registration with no error, and leak a temp warehouse dir per
+    // call. Detect that case, say so loudly, and skip the dir.
+    val existing = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .filterNot(_.sparkContext.isStopped)
+    existing.foreach { s =>
+      System.err.println("[graft] Sessions.build: a SparkSession is already " +
+        "active — reusing it; builder-time configs (GraftExtensions, " +
+        "excludedRules, warehouse.dir, nanosAsLong) were NOT applied here. " +
+        "If this session was not built by Sessions.build, the IVF rule and " +
+        "SQL kernels may be missing.")
+      prepare(s)
+      return s
+    }
     val s = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions) // kernels in every session
       .master(s"local[$cpus]")

@@ -19,10 +19,6 @@ object GraftFunctions {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
-    // Idempotent: re-registering on every query floods the log with
-    // "replacing temp function" warnings (round-1 verdict item 8).
-    if (spark.sessionState.functionRegistry
-        .functionExists(FunctionIdentifier(names.head))) return
     // Widen any numeric array (parquet ARRAY<FLOAT>) to ARRAY<DOUBLE>
     // before the kernel — f32→f64 widening is exact, keeping parity
     // with the DuckDB oracle (SURVEY §7 "ARRAY<FLOAT> interop").
@@ -30,14 +26,17 @@ object GraftFunctions {
     // touching e.dataType keeps the builder safe on unresolved children.
     def d(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "dot_product", es => DotProduct(d(es(0)), d(es(1))), "built-in")
-    reg.createOrReplaceTempFunction(
-      "cosine_distance", es => CosineDistance(d(es(0)), d(es(1))), "built-in")
-    reg.createOrReplaceTempFunction(
-      "l2_distance", es => L2Distance(d(es(0)), d(es(1))), "built-in")
-    reg.createOrReplaceTempFunction(
-      "l2_norm", es => L2Norm(d(es.head)), "built-in")
+    // Idempotence is PER NAME (not a single head-name sentinel): if a
+    // session somehow carries a partial registration — or a foreign
+    // function squatting on one name — the remaining kernels must
+    // still land instead of silently failing at resolution later.
+    def ensure(name: String)(builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    ensure("dot_product")(es => DotProduct(d(es(0)), d(es(1))))
+    ensure("cosine_distance")(es => CosineDistance(d(es(0)), d(es(1))))
+    ensure("l2_distance")(es => L2Distance(d(es(0)), d(es(1))))
+    ensure("l2_norm")(es => L2Norm(d(es.head)))
   }
 
   def dot_product(a: Column, b: Column): Column =

@@ -25,11 +25,21 @@ object IvfIndex {
 
   def lookup(table: String): Option[Entry] = Option(reg.get(table.toLowerCase))
 
-  /** round(x, 6) with Spark/DuckDB HALF_UP semantics — probe choice
-    * must rank centroids exactly like the SQL twin does. */
-  private def r6(x: Double): Double =
+  /** round(x, 6) — ONE rounding implementation shared with the
+    * engine: `scala.math.BigDecimal(x)` decodes the double through
+    * `Double.toString` (decimal semantics, NOT the exact binary
+    * expansion of `new java.math.BigDecimal(double)`), then HALF_UP —
+    * which is precisely what Spark's own `Round` expression does for
+    * DoubleType. Driver-side probe ranking is therefore bit-identical
+    * to `round(cdist, 6)` evaluated by the engine (asserted in
+    * IvfKnnPruningSpec); any residual DuckDB-vs-Spark divergence is
+    * the same systemic round(6) parity every oracled query relies on. */
+  def r6(x: Double): Double =
     BigDecimal(x).setScale(6, RoundingMode.HALF_UP).toDouble
 
+  /** Mirrors graft.functions.CosineDistance's loop exactly (same
+    * accumulation order, same `1 - dot / sqrt(na * nb)` final form)
+    * so driver-side distances are bit-identical to the kernel's. */
   private def cosineDist(a: Array[Double], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0

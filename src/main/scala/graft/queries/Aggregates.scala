@@ -58,12 +58,15 @@ object Aggregates {
     },
 
     // HLL++ sketch distinct — THE distinct for 100 TB (associative
-    // partial merge, fixed memory). Algorithms differ across engines,
-    // so no SQL oracle (rows-only check); q_agg_distinct is the exact
-    // twin that hash-matches.
+    // partial merge, fixed memory). Sketch algorithms differ across
+    // engines, so no SQL oracle for the approx column (rows-only
+    // check) — but the query carries its OWN correctness signal: the
+    // exact distinct is computed alongside, and AggregatesSpec bounds
+    // the relative error at 3× the declared rsd (0.02) per group.
     Q.noOracle("q_agg_approx_distinct") { (s, d) =>
       fanout(Tables.events(s, d)).groupBy("event_type")
-        .agg(approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .agg(approx_count_distinct("user_id", 0.02).alias("approx_users"),
+          countDistinct("user_id").alias("exact_users"))
         .orderBy("event_type")
     },
 

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.streaming.StreamingOps.{drain, eventsStream}
+import graft.streaming.StreamingOps.{drain, drainUpsert, eventsStream}
 
 /** Streaming queries (SURVEY §2B streaming table) with exact batch
   * twins as oracles. See graft.streaming.StreamingOps for the
@@ -112,6 +112,32 @@ object Streaming {
             (uid, st._1, st._2, st._3)
         }.toDF("user_id", "n", "id_sum", "last_ts")
       drain(s, profiles, "update").orderBy("user_id")
+    },
+
+    // Incremental upsert — the reference's ingest loop
+    // (add_or_update_photo per new file, photo_vector_search.py:94 +
+    // A7) as a first-class streaming operator: micro-batches fold
+    // into a keyed snapshot via the foreachBatch latest-wins merge
+    // (StreamingOps.drainUpsert). The batch twin is A7's
+    // q_upsert_latest_wins window — on single-batch testdata they
+    // coincide exactly; multi-batch convergence is unit-tested
+    // (StreamingSpec "drainUpsert folds multiple micro-batches").
+    Q("q_stream_upsert",
+      """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |       round(value, 6) AS value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                                   ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      val snap = drainUpsert(s,
+        eventsStream(s, d)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            col("ts"), col("value")),
+        keys = Seq("user_id", "event_type"),
+        ord = Seq("ts", "event_id"))
+      snap.select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), round(col("value"), 6).as("value"))
+        .orderBy("user_id", "event_type")
     },
 
     // Streaming dedup: distinct (user_id, event_type) pairs within

@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.Sessions
@@ -62,21 +63,91 @@ object StreamingOps {
   }
 
   /** Run a streaming DataFrame to completion on currently-available
-    * input and return the materialized result. */
+    * input and return the materialized result.
+    *
+    * In `update` mode the append-parquet sink is only correct when
+    * exactly ONE micro-batch fires (re-emitted keys from a second
+    * batch would silently duplicate) — so multi-batch update drains
+    * FAIL LOUDLY instead of corrupting; a merge-per-batch sink for
+    * the genuinely incremental path is q_stream_upsert's foreachBatch
+    * (latest-wins merge, safe at any batch count). A zero-batch drain
+    * returns an empty frame with the stream's schema instead of
+    * throwing on a missing sink dir. */
   def drain(s: SparkSession, streamed: DataFrame, mode: String): DataFrame = {
     val out = Files.createTempDirectory("graft_stream_").toString
     val sink = s"$out/data"
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
     // The query runs on the child session the stream was built on;
     // the result is read back on the caller's session.
     val q = streamed.writeStream
       .outputMode(mode)
       .option("checkpointLocation", s"$out/ckpt")
       .foreachBatch { (df: DataFrame, _: Long) =>
-        df.write.mode("append").parquet(sink)
+        // Count only batches that EMIT rows: AvailableNow fires a
+        // trailing empty batch to finalize watermark state, which is
+        // harmless to an append sink. Two EMITTING batches in update
+        // mode are not — that's the corruption case.
+        if (!df.isEmpty) {
+          batches.incrementAndGet()
+          df.write.mode("append").parquet(sink)
+        }
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(sink)
+    val n = batches.get()
+    if (n > 1 && mode == "update")
+      throw new IllegalStateException(
+        s"drain: $n emitting micro-batches in update mode — the append " +
+          "sink would duplicate re-emitted keys; use a merge sink " +
+          "(q_stream_upsert) or a single-batch source")
+    if (n == 0)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        streamed.schema)
+    else s.read.parquet(sink)
+  }
+
+  /** foreachBatch MERGE sink — the reference's actual ingest loop
+    * (add_or_update_photo per new file, photo_vector_search.py:94)
+    * as a streaming latest-wins upsert: each micro-batch is folded
+    * into a keyed parquet snapshot (snapshot ∪ batch, ranked by `ord`
+    * descending per `keys`, rank-1 survives). Correct at ANY number
+    * of micro-batches — this is the incremental path [[drain]]'s
+    * append sink can't provide. Snapshots are written generationally
+    * (snap_1, snap_2, …) so a batch never reads the files it is
+    * overwriting; on a cluster the same foreachBatch body would be a
+    * MERGE INTO on a transactional table, with identical semantics
+    * and one shuffle per batch keyed on `keys`. */
+  def drainUpsert(s: SparkSession, streamed: DataFrame,
+      keys: Seq[String], ord: Seq[String]): DataFrame = {
+    val root = Files.createTempDirectory("graft_upsert_")
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = streamed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val ss = df.sparkSession
+        val g = gen.get()
+        val base =
+          if (g == 0) df
+          else ss.read.parquet(root.resolve(s"snap_$g").toString)
+            .unionByName(df)
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(ord.map(c => col(c).desc): _*)
+        base.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .write.mode("overwrite")
+          .parquet(root.resolve(s"snap_${g + 1}").toString)
+        gen.incrementAndGet()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val g = gen.get()
+    if (g == 0)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        streamed.schema)
+    else s.read.parquet(root.resolve(s"snap_$g").toString)
   }
 }

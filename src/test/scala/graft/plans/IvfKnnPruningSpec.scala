@@ -28,6 +28,42 @@ class IvfKnnPruningSpec extends SparkTestBase {
     assert(df.collect().map(_.toSeq).toSeq === explicit)
   }
 
+  test("the memoized index build runs once — repeat invocations reuse the table") {
+    assume(new java.io.File(s"$sf/embeddings.parquet").exists())
+    SparkEntry.queries("q_knn_ivf_rule")(spark, sf).collect() // ensures built
+    val t0 = System.nanoTime()
+    SparkEntry.queries("q_knn_ivf_rule")(spark, sf).collect()
+    val warmSec = (System.nanoTime() - t0) / 1e9
+    // A rebuild would saveAsTable + collect centroids (~seconds); the
+    // probe-only path must be well under that even on a cold JIT.
+    assert(warmSec < 2.0, s"probe-only invocation took $warmSec s — index rebuilt?")
+  }
+
+  test("driver-side r6 matches the engine's round(x, 6) bit-for-bit") {
+    import org.apache.spark.sql.functions.{col, round}
+    val s = spark
+    import s.implicits._
+    // Adversarial values: 6-decimal boundaries, doubles whose binary
+    // expansion sits just under/over a half boundary, plus the actual
+    // centroid distances from the registered index if present.
+    val base = Seq(0.0000005, 0.0000015, 0.1234565, 0.9999995, 1.0000005,
+      0.3333335, 2.0 / 3.0, 1.0 / 3.0, 0.1 + 0.2, 0.4999995)
+    val reg = IvfIndex.lookup("graft_ivf_sf0_001").toSeq.flatMap { e =>
+      val q = e.centroids.head._2
+      e.centroids.map { case (_, c) =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < c.length) { dot += c(i) * q(i); na += c(i) * c(i); nb += q(i) * q(i); i += 1 }
+        1.0 - dot / math.sqrt(na * nb)
+      }
+    }
+    val xs = base ++ reg
+    val engine = xs.toDF("x").select(round(col("x"), 6)).as[Double].collect()
+    val driver = xs.map(IvfIndex.r6)
+    assert(engine.toSeq === driver,
+      "IvfIndex.r6 diverged from Spark's Round expression")
+  }
+
   test("the rule leaves unregistered tables and non-knn sorts alone") {
     assume(new java.io.File(s"$sf/embeddings.parquet").exists())
     val plain = SparkEntry.queries("q_knn_image")(spark, sf)

@@ -65,6 +65,52 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("drainUpsert folds multiple micro-batches into the batch latest-wins result") {
+    // Two parquet files + maxFilesPerTrigger=1 force TWO micro-batches
+    // through the foreachBatch merge: the later file re-keys (1,'a')
+    // and must overwrite batch 1's row, exactly like the batch window.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_src_")
+    Seq((1L, "a", 10L, 1.0), (2L, "b", 11L, 2.0))
+      .toDF("k", "g", "ver", "v").write.parquet(dir.resolve("f1").toString)
+    Seq((1L, "a", 20L, 9.0), (3L, "c", 12L, 3.0))
+      .toDF("k", "g", "ver", "v").write.parquet(dir.resolve("f2").toString)
+    // Stage both files into one watched directory.
+    val watched = java.nio.file.Files.createTempDirectory("graft_upsert_watch_")
+    Seq("f1", "f2").foreach { f =>
+      val src = s.read.parquet(dir.resolve(f).toString)
+      src.coalesce(1).write.mode("append").parquet(watched.toString)
+    }
+    val schema = s.read.parquet(watched.toString).schema
+    val streamed = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(watched.toString)
+    val got = StreamingOps.drainUpsert(s, streamed,
+      keys = Seq("k", "g"), ord = Seq("ver"))
+      .orderBy("k").collect().map(r =>
+        (r.getAs[Long]("k"), r.getAs[Long]("ver"), r.getAs[Double]("v")))
+    assert(got.toSeq === Seq((1L, 20L, 9.0), (2L, 11L, 2.0), (3L, 12L, 3.0)))
+  }
+
+  test("drain fails loudly on multi-batch update mode instead of duplicating") {
+    val s = spark
+    import s.implicits._
+    val watched = java.nio.file.Files.createTempDirectory("graft_drain_guard_")
+    Seq((ts("2024-01-01 10:00:00"), 1.0)).toDF("ts", "value")
+      .coalesce(1).write.mode("append").parquet(watched.toString)
+    Seq((ts("2024-01-01 10:30:00"), 2.0)).toDF("ts", "value")
+      .coalesce(1).write.mode("append").parquet(watched.toString)
+    val schema = s.read.parquet(watched.toString).schema
+    val agg = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(watched.toString)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+    val e = intercept[IllegalStateException] {
+      StreamingOps.drain(s, agg, "update").collect()
+    }
+    assert(e.getMessage.contains("update mode"))
+  }
+
   test("foreachBatch streaming upsert converges to batch latest-wins (A7 incremental)") {
     // The reference's per-file add_or_update flow
     // (photo_vector_search.py:94) as a streaming merge sink: each
