@@ -19,6 +19,12 @@ import java.security.MessageDigest
 trait TextEmbedder extends Serializable {
   def dim: Int
   def embed(text: String): Array[Float]
+  /** Batch seam for remote/accelerated models: the whole partition
+    * iterator goes in, embeddings come out IN ORDER, lazily — an
+    * implementation may group rows into request batches
+    * (HttpTextEmbedder does). Default: row-at-a-time. */
+  def embedAll(texts: Iterator[String]): Iterator[Array[Float]] =
+    texts.map(embed)
 }
 
 trait ImageEmbedder extends Serializable {

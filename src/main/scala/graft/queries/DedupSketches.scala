@@ -1,8 +1,88 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import TextKit._
+
+/** Candidate-generation stages of the dedup operators, factored out
+  * so the scale stress tests (ScalePathSpec) drive the SAME pipeline
+  * the declared queries run — on adversarial corpora (hot shingles,
+  * duplicate-heavy) where the 100 TB claims must hold: band-key
+  * candidates ~linear in corpus size, prefix filtering pruning the
+  * shared-shingle blowup. Inputs are any (doc_id, text) frame. */
+object DedupStages {
+  private val P = 2147483647L // 2^31 - 1; (29-bit a)·(28-bit h) + b < 2^58
+
+  /** (doc_id, s): distinct word-trigram shingle sets. */
+  def shingleSets(docs: DataFrame): DataFrame = {
+    val tokd = barrier(docs.withColumn("w", expr(toks)))
+    barrier(tokd.select(col("doc_id"), expr(shingles3("w")).as("s")))
+  }
+
+  /** (doc_id, band, bk): 8 bands × 4 rows of 32 minhash permutations,
+    * computed scan-locally (one md5 per shingle + arithmetic rehash,
+    * see q_dedup_minhash's notes). */
+  def bandKeys(sh: DataFrame): DataFrame = {
+    val aArr = "array(" + (0 until 32)
+      .map(i => graft.ml.Embedders.h28("a#" + i) * 2 + 1).mkString(",") + ")"
+    val bArr = "array(" + (0 until 32)
+      .map(i => graft.ml.Embedders.h28("b#" + i)).mkString(",") + ")"
+    val hashed = barrier(sh.select(col("doc_id"),
+      expr(s"transform(s, x -> ${h28("x")})").as("hs")))
+    val sig = barrier(hashed.select(col("doc_id"), expr(
+      s"""transform(sequence(0, 31), i ->
+         |  array_min(transform(hs, h ->
+         |    (element_at($aArr, i + 1) * h + element_at($bArr, i + 1)) % $P)))""".stripMargin)
+      .as("sig")))
+    sig.select(col("doc_id"), posexplode(expr(
+      "transform(sequence(0, 7), b -> md5(concat_ws(','," +
+        " transform(slice(sig, b * 4 + 1, 4), x -> CAST(x AS STRING)))))"))
+      .as(Seq("band", "bk")))
+  }
+
+  /** Distinct (id1, id2) band-collision candidates: the equi-join
+    * that replaces the all-pairs scan. */
+  def bandCandidates(bd: DataFrame): DataFrame =
+    bd.as("x")
+      .join(bd.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .distinct()
+
+  /** PPJoin-style prefix-filtered candidates with size-compat
+    * pruning — exact for Jaccard ≥ tau (prefix lemma, property-tested
+    * in ScalePathSpec). */
+  def prefixCandidates(shRaw: DataFrame, tau: Double = 0.6): DataFrame = {
+    val sh = shRaw.withColumn("n", size(col("s")))
+    val ex = sh.select(col("doc_id"), col("n"), explode(col("s")).as("sh"))
+    val freq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+    val prefix = ex.join(broadcast(freq), "sh")
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= col("n") - ceil(col("n") * tau) + 1)
+      .select("doc_id", "n", "sh")
+    prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * tau <= col("b.n") && col("b.n") * tau <= col("a.n"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+  }
+
+  /** Naive share-any-shingle candidates — the baseline the prefix
+    * filter prunes. Test-only: a production plan never runs this. */
+  def naiveCandidates(shRaw: DataFrame): DataFrame = {
+    val ex = shRaw.select(col("doc_id"), explode(col("s")).as("sh"))
+    ex.as("a")
+      .join(ex.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+  }
+}
 
 /** Sketch-based near-dup detection — the 100 TB dedup paths.
   *
@@ -54,44 +134,23 @@ object DedupSketches {
          |                  JOIN sh b ON b.doc_id = c.id2)
          |SELECT id1, id2, jac FROM v WHERE jac >= 0.6
          |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      // Stages shared with the scale stress tests (DedupStages):
       // barriers between the computed array columns (tokens →
-      // shingles → shingle hashes → signature): without them Catalyst
-      // inlines each array expression into the next stage's lambdas
-      // and the interpreted HOF evaluator recomputes it per element
-      // (one md5 per shingle would become 32 md5s per shingle).
-      // No size filter: pushdown would inline the shingle chain into
-      // a per-row interpreted Filter (see q_dedup_near); empty arrays
-      // hash to no band rows and are dropped by explode/join anyway.
-      val tokd = barrier(Tables.documents(s, d).withColumn("w", expr(toks)))
-      val sh = barrier(tokd.select(col("doc_id"), expr(shingles3("w")).as("s")))
-      // The whole signature is computed SCAN-LOCALLY: one md5 per
-      // shingle, then 32 arithmetic rehashes folded by array_min
-      // inside a single projection — no seed cross-join, no
-      // (doc, seed) shuffle. The hash family parameters are
+      // shingles → shingle hashes → signature) stop Catalyst from
+      // inlining each array expression into the next stage's lambdas
+      // (the interpreted HOF evaluator would recompute it per
+      // element — one md5 per shingle would become 32 md5s per
+      // shingle). The whole signature is computed SCAN-LOCALLY: one
+      // md5 per shingle, then 32 arithmetic rehashes folded by
+      // array_min inside a single projection — no seed cross-join,
+      // no (doc, seed) shuffle. Hash family parameters are
       // driver-computed constants (bit-equal to the oracle's in-SQL
-      // derivation; parity is unit-tested).
-      val aArr = "array(" + (0 until 32)
-        .map(i => graft.ml.Embedders.h28("a#" + i) * 2 + 1).mkString(",") + ")"
-      val bArr = "array(" + (0 until 32)
-        .map(i => graft.ml.Embedders.h28("b#" + i)).mkString(",") + ")"
-      val hashed = barrier(sh.select(col("doc_id"),
-        expr(s"transform(s, x -> ${h28("x")})").as("hs")))
-      val sig = barrier(hashed.select(col("doc_id"), expr(
-        s"""transform(sequence(0, 31), i ->
-           |  array_min(transform(hs, h ->
-           |    (element_at($aArr, i + 1) * h + element_at($bArr, i + 1)) % $P)))""".stripMargin)
-        .as("sig")))
-      val bd = sig
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0, 7), b -> md5(concat_ws(','," +
-            " transform(slice(sig, b * 4 + 1, 4), x -> CAST(x AS STRING)))))"))
-          .as(Seq("band", "bk")))
-      val cand = bd.as("x")
-        .join(bd.as("y"),
-          col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
-        .distinct()
+      // derivation; parity is unit-tested). No size filter: pushdown
+      // would inline the shingle chain into a per-row interpreted
+      // Filter (see q_dedup_near); empty arrays hash to no band rows
+      // and are dropped by explode/join anyway.
+      val sh = DedupStages.shingleSets(Tables.documents(s, d))
+      val cand = DedupStages.bandCandidates(DedupStages.bandKeys(sh))
       // Verify join: NO broadcast hint — the full shingle-set table
       // must never be forced onto every executor (8 GB ceiling at
       // scale). At this sf Catalyst's size estimate picks broadcast

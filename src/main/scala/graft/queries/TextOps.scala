@@ -117,32 +117,19 @@ object TextOps {
          |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |SELECT id1, id2, jac FROM p WHERE jac >= 0.6
          |ORDER BY id1, id2""".stripMargin) { (s, d) =>
-      // barriers after each computed array column: tokens and
-      // shingles are materialized once instead of re-inlined into
-      // every downstream lambda (see barrier's scaladoc).
-      // NOTE no `filter(size(s) > 0)` here: predicate pushdown would
-      // drag the whole inlined shingle expression below the barriers
-      // into an interpreted per-row Filter condition (measured ~7 s
-      // at sf0.1 for that alone). Empty shingle arrays are harmless —
-      // explode drops them and empty docs can never become
-      // candidates, which is exactly what the oracle's
-      // `WHERE len(w) >= 3` yields.
-      val tokd = barrier(Tables.documents(s, d).withColumn("w", expr(toks)))
-      val sh = barrier(tokd.select(col("doc_id"), expr(shingles3("w")).as("s")))
-        .withColumn("n", size(col("s")))
-      val ex = sh.select(col("doc_id"), col("n"), explode(col("s")).as("sh"))
-      val freq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
-      val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
-      val prefix = ex.join(broadcast(freq), "sh")
-        .withColumn("rk", row_number().over(byRarity))
-        .filter(col("rk") <= col("n") - ceil(col("n") * 0.6) + 1)
-        .select("doc_id", "n", "sh")
-      val cand = prefix.as("a")
-        .join(prefix.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
-            col("a.n") * 0.6 <= col("b.n") && col("b.n") * 0.6 <= col("a.n"))
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .distinct()
+      // Stages shared with the scale stress tests (DedupStages):
+      // barriers after each computed array column materialize tokens
+      // and shingles once instead of re-inlining them into every
+      // downstream lambda (see barrier's scaladoc).
+      // NOTE no `filter(size(s) > 0)` inside the stages: predicate
+      // pushdown would drag the whole inlined shingle expression
+      // below the barriers into an interpreted per-row Filter
+      // condition (measured ~7 s at sf0.1 for that alone). Empty
+      // shingle arrays are harmless — explode drops them and empty
+      // docs can never become candidates, which is exactly what the
+      // oracle's `WHERE len(w) >= 3` yields.
+      val sh = DedupStages.shingleSets(Tables.documents(s, d))
+      val cand = DedupStages.prefixCandidates(sh, tau = 0.6)
       // Verification joins carry NO broadcast hint: a forced
       // broadcast of the full shingle-set table dies at the 8 GB
       // broadcast ceiling long before 100 TB. Catalyst's size

@@ -1,0 +1,119 @@
+package graft.ml
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+import java.util.concurrent.atomic.AtomicInteger
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import scala.collection.mutable.ArrayBuffer
+import graft.SparkTestBase
+
+/** Integration proof for the HTTP embedder's operational contract
+  * (round-2 verdict "What's missing" #2): a local in-process model
+  * endpoint serving the SAME hash-surrogate math, so the HTTP path
+  * must reproduce the verified surrogate bit-for-bit while the
+  * harness observes batching, retry, and rate-limit behavior. */
+class HttpEmbedderSpec extends SparkTestBase {
+
+  private val surrogate = new HashTextEmbedder(16)
+
+  /** (server, port, requestLog); handler fails the first `failures`
+    * requests with HTTP 503, then serves surrogate embeddings. */
+  private def startServer(failures: Int): (HttpServer, Int, ArrayBuffer[(Long, Int)]) = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val remainingFailures = new AtomicInteger(failures)
+    val log = ArrayBuffer[(Long, Int)]() // (arrival ms, batch size)
+    server.createContext("/embed", (ex: HttpExchange) => {
+      val lines = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        .split("\n", -1).filter(_.nonEmpty)
+      log.synchronized { log += ((System.currentTimeMillis(), lines.length)) }
+      if (remainingFailures.getAndDecrement() > 0) {
+        ex.sendResponseHeaders(503, -1)
+        ex.close()
+      } else {
+        val body = lines.map { l =>
+          val text = new String(Base64.getDecoder.decode(l), UTF_8)
+          surrogate.embed(text).mkString(",")
+        }.mkString("\n").getBytes(UTF_8)
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body)
+        ex.close()
+      }
+    })
+    server.start()
+    (server, server.getAddress.getPort, log)
+  }
+
+  private def texts(n: Int): Seq[String] = (0 until n).map(i => s"doc $i payload")
+
+  test("embedAll batches the partition into batchSize requests, preserving order") {
+    val (server, port, log) = startServer(failures = 0)
+    try {
+      val emb = new HttpTextEmbedder(s"http://127.0.0.1:$port/embed",
+        dim = 16, batchSize = 4)
+      val got = emb.embedAll(texts(10).iterator).toSeq
+      assert(got.length === 10)
+      got.zip(texts(10)).foreach { case (v, t) =>
+        assert(v.toSeq === surrogate.embed(t).toSeq) // bit-equal to the surrogate
+      }
+      assert(log.map(_._2).toSeq === Seq(4, 4, 2)) // 10 rows → 3 requests
+    } finally server.stop(0)
+  }
+
+  test("transient 503s are retried with backoff and the result is unaffected") {
+    val (server, port, log) = startServer(failures = 2)
+    try {
+      val emb = new HttpTextEmbedder(s"http://127.0.0.1:$port/embed",
+        dim = 16, batchSize = 8, maxRetries = 3, initialBackoffMs = 1)
+      val got = emb.embedAll(texts(6).iterator).toSeq
+      assert(got.length === 6)
+      assert(got.head.toSeq === surrogate.embed(texts(6).head).toSeq)
+      assert(log.length === 3) // 2 failed attempts + 1 success for the single batch
+    } finally server.stop(0)
+  }
+
+  test("a poison endpoint fails loudly after the retry budget, never hangs") {
+    val (server, port, _) = startServer(failures = Int.MaxValue)
+    try {
+      val emb = new HttpTextEmbedder(s"http://127.0.0.1:$port/embed",
+        dim = 16, maxRetries = 2, initialBackoffMs = 1)
+      val e = intercept[java.io.IOException] { emb.embed("x") }
+      assert(e.getMessage.contains("after 2 retries"))
+    } finally server.stop(0)
+  }
+
+  test("rate limiting spaces requests by at least minIntervalMs") {
+    val (server, port, log) = startServer(failures = 0)
+    try {
+      val emb = new HttpTextEmbedder(s"http://127.0.0.1:$port/embed",
+        dim = 16, batchSize = 2, minIntervalMs = 60)
+      emb.embedAll(texts(6).iterator).toSeq // 3 batches
+      val arrivals = log.map(_._1).toSeq
+      assert(arrivals.length === 3)
+      arrivals.sliding(2).foreach { case Seq(a, b) =>
+        assert(b - a >= 45, s"requests ${b - a} ms apart, wanted >= ~60")
+      }
+    } finally server.stop(0)
+  }
+
+  test("mapPartitions e2e: the HTTP path reproduces the verified surrogate exactly") {
+    val s = spark
+    import s.implicits._
+    val (server, port, log) = startServer(failures = 1) // one transient failure en route
+    try {
+      val endpoint = s"http://127.0.0.1:$port/embed"
+      val docs = texts(20).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val viaHttp = s.createDataset(docs).repartition(2)
+        .mapPartitions { rows =>
+          val model = new HttpTextEmbedder(endpoint, dim = 16,
+            batchSize = 8, initialBackoffMs = 1) // once per partition
+          val (ids, ts) = rows.toSeq.unzip
+          ids.iterator.zip(model.embedAll(ts.iterator))
+        }.collect().toMap
+      val expected = docs.map { case (i, t) => i -> surrogate.embed(t) }.toMap
+      assert(viaHttp.keySet === expected.keySet)
+      expected.foreach { case (i, v) => assert(viaHttp(i).toSeq === v.toSeq) }
+      assert(log.map(_._2).sum >= 20) // all rows travelled over HTTP
+    } finally server.stop(0)
+  }
+}

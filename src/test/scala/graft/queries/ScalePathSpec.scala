@@ -106,6 +106,65 @@ class ScalePathSpec extends SparkTestBase {
     }
   }
 
+  /** Adversarial corpus for the dedup-at-scale proofs: EVERY doc
+    * starts with the same hot 6-word phrase (4 hot shingles with
+    * df = N — the skew that blows up naive shared-shingle joins),
+    * followed by a deterministic unique tail; every 5th doc is an
+    * exact duplicate of the doc 4 earlier (the qualifying pairs). */
+  private def skewedCorpus(n: Int): Seq[(Long, String)] = {
+    val hot = "the quick brown fox jumps over"
+    def tail(i: Int): String =
+      (0 until 10).map(j => f"w${(i * 31 + j * 7) % 9973}%04d").mkString(" ")
+    (0 until n).map { i =>
+      val body = if (i % 5 == 4) tail(i - 4) else tail(i)
+      (i.toLong, s"$hot $body")
+    }
+  }
+
+  test("minhash band candidates grow ~linearly on a duplicate-heavy skewed corpus") {
+    val s = spark
+    import s.implicits._
+    def candidates(n: Int): Long = {
+      val docs = skewedCorpus(n).toDF("doc_id", "text")
+      DedupStages.bandCandidates(
+        DedupStages.bandKeys(DedupStages.shingleSets(docs))).count()
+    }
+    val c300 = candidates(300)
+    val c600 = candidates(600)
+    val dup300 = 300 / 5 // qualifying duplicate pairs at n=300
+    // Every duplicate pair MUST collide (identical signatures)…
+    assert(c300 >= dup300, s"band join lost duplicate pairs: $c300 < $dup300")
+    // …the candidate volume stays far from quadratic despite the hot
+    // shingles (banding keys on whole-signature chunks, which the
+    // unique tails differentiate)…
+    assert(c300 <= 0.05 * (300L * 299 / 2),
+      s"candidates ~quadratic at n=300: $c300")
+    // …and doubling the corpus at fixed dup-rate ~doubles candidates.
+    assert(c600 <= 3 * c300 + 50,
+      s"superlinear candidate growth: n=300→$c300, n=600→$c600")
+  }
+
+  test("prefix filtering prunes >=90% of naive shared-shingle candidates under skew") {
+    val s = spark
+    import s.implicits._
+    val docs = skewedCorpus(300).toDF("doc_id", "text")
+    val sh = DedupStages.shingleSets(docs)
+    val naive = DedupStages.naiveCandidates(sh).count()
+    val pref = DedupStages.prefixCandidates(sh, tau = 0.6).count()
+    // The hot shingle makes naive candidates ~all-pairs…
+    assert(naive >= 0.9 * (300L * 299 / 2), s"fixture not adversarial: naive=$naive")
+    // …and the globally-rarest-prefix index must refuse to index it.
+    assert(pref <= 0.1 * naive, s"prefix filter pruned too little: $pref of $naive")
+    // Completeness on the same corpus: every exact-duplicate pair
+    // (Jaccard 1.0 ≥ τ) survives the pruning.
+    val pairs = DedupStages.prefixCandidates(sh, tau = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (4 until 300 by 5).foreach { i =>
+      assert(pairs.contains(((i - 4).toLong, i.toLong)),
+        s"lost duplicate pair (${i - 4}, $i)")
+    }
+  }
+
   test("bucketed join plan contains no exchange below the join") {
     val s = spark
     import s.implicits._
