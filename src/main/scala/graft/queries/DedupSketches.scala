@@ -72,6 +72,28 @@ object DedupStages {
       .distinct()
   }
 
+  /** Verified near-dup pairs (id1, id2, jac): prefix-filtered
+    * candidates + exact Jaccard over 60-bit shingle hashes, jac ≥
+    * tau. The full q_dedup_near pipeline minus presentation —
+    * shared by q_dup_clusters. See q_dedup_near's notes for the
+    * hash-intersection and barrier rationale. */
+  def nearDupPairs(docs: DataFrame, tau: Double): DataFrame = {
+    val sh = shingleSets(docs)
+    val cand = prefixCandidates(sh, tau)
+    val hsets = sh.select(col("doc_id"),
+      expr(s"array_sort(transform(s, x -> ${TextKit.h60("x")}))").as("hs"))
+    val pairs = barrier(cand
+      .join(hsets.select(col("doc_id").as("id1"), col("hs").as("h1")), "id1")
+      .join(hsets.select(col("doc_id").as("id2"), col("hs").as("h2")), "id2")
+      .select(col("id1"), col("id2"),
+        expr("CAST(size(array_intersect(h1, h2)) AS DOUBLE)").as("ix"),
+        size(col("h1")).as("na"), size(col("h2")).as("nb")))
+    pairs
+      .withColumn("jac", round(col("ix") / (col("na") + col("nb") - col("ix")), 6))
+      .filter(col("jac") >= tau)
+      .select("id1", "id2", "jac")
+  }
+
   /** Naive share-any-shingle candidates — the baseline the prefix
     * filter prunes. Test-only: a production plan never runs this. */
   def naiveCandidates(shRaw: DataFrame): DataFrame = {

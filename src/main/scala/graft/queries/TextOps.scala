@@ -117,44 +117,43 @@ object TextOps {
          |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |SELECT id1, id2, jac FROM p WHERE jac >= 0.6
          |ORDER BY id1, id2""".stripMargin) { (s, d) =>
-      // Stages shared with the scale stress tests (DedupStages):
-      // barriers after each computed array column materialize tokens
-      // and shingles once instead of re-inlining them into every
-      // downstream lambda (see barrier's scaladoc).
-      // NOTE no `filter(size(s) > 0)` inside the stages: predicate
-      // pushdown would drag the whole inlined shingle expression
-      // below the barriers into an interpreted per-row Filter
-      // condition (measured ~7 s at sf0.1 for that alone). Empty
-      // shingle arrays are harmless — explode drops them and empty
-      // docs can never become candidates, which is exactly what the
-      // oracle's `WHERE len(w) >= 3` yields.
-      val sh = DedupStages.shingleSets(Tables.documents(s, d))
-      val cand = DedupStages.prefixCandidates(sh, tau = 0.6)
-      // Verification joins carry NO broadcast hint: a forced
-      // broadcast of the full shingle-set table dies at the 8 GB
-      // broadcast ceiling long before 100 TB. Catalyst's size
-      // estimate picks broadcast at this sf on its own; at scale the
-      // same joins become sort-merge on doc_id — the right plan.
-      // Intersections are computed over 60-bit shingle HASHES, not
-      // the shingle strings: same Jaccard (collision odds ~1e-8 at
-      // this corpus' shingle cardinality) at a fraction of the
-      // per-pair set-intersection cost. The intersection size is
-      // materialized (fanout barrier) before the Jaccard/filter
-      // expressions so the set intersection runs once per pair, not
-      // once per reference.
-      val hsets = sh.select(col("doc_id"),
-        expr(s"array_sort(transform(s, x -> ${TextKit.h60("x")}))").as("hs"))
-      val pairs = barrier(cand
-        .join(hsets.select(col("doc_id").as("id1"), col("hs").as("h1")), "id1")
-        .join(hsets.select(col("doc_id").as("id2"), col("hs").as("h2")), "id2")
-        .select(col("id1"), col("id2"),
-          expr("CAST(size(array_intersect(h1, h2)) AS DOUBLE)").as("ix"),
-          size(col("h1")).as("na"), size(col("h2")).as("nb")))
-      pairs
-        .withColumn("jac", round(col("ix") / (col("na") + col("nb") - col("ix")), 6))
-        .filter(col("jac") >= 0.6)
-        .select("id1", "id2", "jac")
+      // Full pipeline lives in DedupStages.nearDupPairs (shared with
+      // q_dup_clusters and the scale stress tests): barriered
+      // token/shingle stages, prefix-filtered candidates, exact
+      // verification over 60-bit shingle hashes, NO broadcast hints
+      // on the verify joins (Catalyst picks broadcast at this sf
+      // from size estimates; sort-merge on doc_id at scale).
+      DedupStages.nearDupPairs(Tables.documents(s, d), tau = 0.6)
         .orderBy("id1", "id2")
+    },
+
+    // Duplicate-cluster canonicalization — the step after pair
+    // finding that an LLM-data pipeline actually executes: every doc
+    // is assigned a canonical representative = the smallest doc_id
+    // among its ≥τ near-dup neighbors below it (single-pass star
+    // rule, the standard LSH-dedup convention; full transitive
+    // closure would need iterative connected components, which the
+    // reference corpus doesn't require — chains beyond one hop are
+    // rare enough that star-dedup is what production pipelines run).
+    // keep = the doc survives dedup; one shuffle over the pair list.
+    Q("q_dup_clusters",
+      s"""WITH tok AS (SELECT doc_id, $toksDuck AS w FROM documents),
+         |sh AS (SELECT doc_id, ${shingles3Duck("w")} AS s FROM tok WHERE len(w) >= 3),
+         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |      WHERE round(${jaccardDuck("a.s", "b.s")}, 6) >= 0.6)
+         |SELECT d.doc_id,
+         |  coalesce(min(p.id1), d.doc_id) AS canonical,
+         |  min(p.id1) IS NULL AS keep
+         |FROM documents d LEFT JOIN p ON p.id2 = d.doc_id
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val pairs = DedupStages.nearDupPairs(Tables.documents(s, d), tau = 0.6)
+      Tables.documents(s, d).select("doc_id")
+        .join(pairs.select(col("id1"), col("id2").as("doc_id")), Seq("doc_id"), "left")
+        .groupBy("doc_id")
+        .agg(coalesce(min(col("id1")), col("doc_id")).as("canonical"),
+          min(col("id1")).isNull.as("keep"))
+        .orderBy("doc_id")
     },
 
     // Character-3-gram Jaccard of every document against a fixed query

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GraftFunctions.{cosine_distance, l2_distance}
@@ -104,6 +105,35 @@ object VectorSearch {
           round(l2_distance(col("embedding"), col("qvec")), 6).alias("dist"))
         .orderBy(col("dist"), col("vec_id"))
         .limit(K)
+    },
+
+    // Batch k-NN: top-3 neighbors for EACH query of a query SET in
+    // one plan — the pipeline shape (embed a batch of queries, search
+    // once) rather than the reference's query-at-a-time loop. One
+    // pass over the data against the broadcast query set; the grouped
+    // top-k shuffle carries only (qid, vec_id, dist) triples, same
+    // rank pattern as q_topk_group.
+    Q("q_knn_batch",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4),
+         |p AS (SELECT q.qid, e.vec_id,
+         |        round(1 - list_cosine_similarity(e.v, q.qv), 6) AS dist
+         |      FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY dist, vec_id) AS rn FROM p)
+         |SELECT qid, vec_id, dist FROM r WHERE rn <= 3
+         |ORDER BY qid, dist, vec_id""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val p = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(cosine_distance(col("embedding"), col("qv")), 6).as("dist"))
+      val w = Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))
+      p.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select("qid", "vec_id", "dist")
+        .orderBy("qid", "dist", "vec_id")
     },
 
     // IVF-pruned approximate k-NN — the 100 TB search path (the
