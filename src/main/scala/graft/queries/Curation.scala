@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import TextKit._
+
+/** Training-data CURATION operators over `documents` — the
+  * corpus-hygiene passes a 100 TB LLM pipeline runs between ingest
+  * and training (reference analog: the per-photo description corpus,
+  * photo_vector_search.py:128-140, is exactly the kind of scraped
+  * text these passes clean):
+  *
+  *  - PII redaction (q_text_redact): scrub emails/phones before the
+  *    corpus leaves the ingest boundary.
+  *  - Benchmark decontamination (q_decontaminate): drop training
+  *    docs that share long n-grams with an eval/benchmark set.
+  *  - Repetition scoring (q_repetition): the classic repeated-n-gram
+  *    quality gate (Gopher-style rules) — high duplicate-trigram
+  *    fraction marks boilerplate/spam.
+  *
+  * Scale design: all three are scan-local per document except the
+  * decontamination join, whose build side (the benchmark n-gram set)
+  * is tiny by construction — benchmarks are MBs while the corpus is
+  * TBs — so it broadcasts and the corpus side never shuffles. No
+  * UDFs: regexes and n-gram builders are codegen'd built-ins.
+  */
+object Curation {
+
+  /** Portable (Java regex ∩ RE2) PII patterns. Kept deliberately
+    * simple: the operator contract is "same matches on both engines",
+    * not full RFC 5322. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** The corpus carries no real PII, so each doc is augmented with a
+    * deterministic synthetic email + phone (derived from doc_id,
+    * identically on both engines) — the redactor then has a known
+    * non-zero workload whose output is hash-compared. */
+  private val AugSpark =
+    "concat(text, ' contact u', CAST(doc_id AS STRING), " +
+      "'@mail.example.com or 555-', " +
+      "lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-0199')"
+  private val AugDuck =
+    "text || ' contact u' || CAST(doc_id AS VARCHAR) || " +
+      "'@mail.example.com or 555-' || " +
+      "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'"
+
+  val qs: Seq[Q] = Seq(
+
+    // PII redaction: count matches, then scrub with placeholder
+    // tokens. Scan-local; the hash compare covers the full redacted
+    // text via md5.
+    Q("q_text_redact",
+      s"""WITH a AS (SELECT doc_id, $AugDuck AS aug FROM documents),
+         |r AS (SELECT doc_id,
+         |    len(regexp_extract_all(aug, '$EmailRe')) AS n_email,
+         |    len(regexp_extract_all(aug, '$PhoneRe')) AS n_phone,
+         |    regexp_replace(regexp_replace(aug, '$EmailRe', '<EMAIL>', 'g'),
+         |                   '$PhoneRe', '<PHONE>', 'g') AS red
+         |  FROM a)
+         |SELECT doc_id, n_email, n_phone,
+         |  length(red) AS red_len, md5(red) AS red_md5
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // functions-API regexes (NOT expr()): Spark SQL string literals
+      // process backslash escapes, so '\\b' in SQL text would become a
+      // backspace char; Column-API patterns are raw Java regexes.
+      val aug = Tables.documents(s, d).select(col("doc_id"),
+        expr(AugSpark).as("aug"))
+      val red = aug.select(col("doc_id"),
+        size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0))).as("n_email"),
+        size(regexp_extract_all(col("aug"), lit(PhoneRe), lit(0))).as("n_phone"),
+        regexp_replace(regexp_replace(col("aug"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>").as("red"))
+      red.select(col("doc_id"), col("n_email"), col("n_phone"),
+          length(col("red")).as("red_len"), md5(col("red")).as("red_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Benchmark decontamination: originals with doc_id % 97 == 0 play
+    // the held-out benchmark; the TRAINING corpus is a re-crawl of
+    // the whole collection (ids shifted +100000, the A7 re-ingest
+    // scenario) — so it verbatim-contains every benchmark doc, which
+    // is precisely the leakage this pass exists to catch. Each corpus
+    // doc is scored by how many of its distinct word-8-grams appear
+    // in the benchmark set (the 13-gram GPT-3 rule scaled to this
+    // corpus's short docs). The benchmark n-gram set is tiny by
+    // construction (benchmarks are MBs, corpora TBs) → broadcast;
+    // the corpus side stays shuffle-free up to the per-doc count.
+    Q("q_decontaminate",
+      s"""WITH corpus_docs AS (SELECT doc_id + 100000 AS doc_id, text FROM documents),
+         |w AS (SELECT doc_id, $toksDuck AS w FROM corpus_docs),
+         |g AS (SELECT doc_id, ${shinglesNDuck("w", 8, distinct = true)} AS g FROM w),
+         |bw AS (SELECT doc_id, $toksDuck AS w FROM documents WHERE doc_id % 97 = 0),
+         |bg AS (SELECT ${shinglesNDuck("w", 8, distinct = true)} AS g FROM bw),
+         |bench AS (SELECT DISTINCT unnest(g) AS gram FROM bg),
+         |cg AS (SELECT doc_id, unnest(g) AS gram FROM g),
+         |hits AS (SELECT doc_id, count(*) AS n_hits
+         |         FROM cg JOIN bench USING (gram) GROUP BY 1)
+         |SELECT c.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+         |  CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+         |FROM g c LEFT JOIN hits h ON c.doc_id = h.doc_id
+         |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      def grams(df: org.apache.spark.sql.DataFrame) =
+        barrier(barrier(df.withColumn("w", expr(toks)))
+          .withColumn("g", expr(shinglesN("w", 8, distinct = true)))
+          .select("doc_id", "g"))
+      val docs = Tables.documents(s, d)
+      val corpus = grams(docs.select(
+        (col("doc_id") + 100000).as("doc_id"), col("text")))
+      val bench = grams(docs.filter(col("doc_id") % 97 === 0))
+        .select(explode(col("g")).as("gram")).distinct()
+      val hits = corpus.select(col("doc_id"), explode(col("g")).as("gram"))
+        .join(broadcast(bench), "gram")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      corpus.select("doc_id").join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("contaminated", (col("n_hits") > 0).cast("int"))
+        .orderBy("doc_id")
+    },
+
+    // Repetition quality gate: duplicate word-trigram fraction per
+    // doc (non-distinct shingles — the duplicates ARE the signal).
+    // Pure integer counts until one double division, so the round(6)
+    // value is bit-identical across engines; the flag compares the
+    // ROUNDED fraction on both sides (no boundary flake). The 0.03
+    // threshold sits inside this corpus's observed range (max ≈ 0.07)
+    // so the gate actually fires.
+    Q("q_repetition",
+      s"""WITH w AS (SELECT doc_id, $toksDuck AS w FROM documents),
+         |t AS (SELECT doc_id, ${shinglesNDuck("w", 3, distinct = false)} AS tri FROM w),
+         |m AS (SELECT doc_id, len(tri) AS n_tri, len(list_distinct(tri)) AS n_uniq,
+         |    round(CASE WHEN len(tri) = 0 THEN 0.0
+         |      ELSE (len(tri) - len(list_distinct(tri)))::DOUBLE / len(tri)
+         |    END, 6) AS dup_frac
+         |  FROM t)
+         |SELECT doc_id, n_tri, n_uniq, dup_frac,
+         |  CASE WHEN dup_frac > 0.03 THEN 1 ELSE 0 END AS flagged
+         |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = barrier(barrier(Tables.documents(s, d)
+          .withColumn("w", expr(toks)))
+        .withColumn("tri", expr(shinglesN("w", 3, distinct = false)))
+        .select("doc_id", "tri"))
+      t.select(col("doc_id"),
+          size(col("tri")).as("n_tri"),
+          expr("size(array_distinct(tri))").as("n_uniq"))
+        .withColumn("dup_frac",
+          round(when(col("n_tri") === 0, 0.0)
+            .otherwise((col("n_tri") - col("n_uniq")).cast("double") / col("n_tri")), 6))
+        .withColumn("flagged", (col("dup_frac") > 0.03).cast("int"))
+        .orderBy("doc_id")
+    },
+  )
+}

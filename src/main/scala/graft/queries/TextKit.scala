@@ -32,6 +32,28 @@ object TextKit {
   def shingles3Duck(w: String): String =
     s"list_distinct([$w[i]||' '||$w[i+1]||' '||$w[i+2] for i in range(1, len($w) - 1)])"
 
+  /** Word n-gram shingles over a token-array column `w`, generalized
+    * form of [[shingles3]] (kept verbatim for the queries that cite
+    * its measured doc-frequency). `distinct = false` keeps duplicate
+    * grams — required by repetition scoring, where the duplicate
+    * count IS the signal. */
+  def shinglesN(w: String, n: Int, distinct: Boolean): String = {
+    val parts = (0 until n)
+      .map(j => if (j == 0) s"element_at($w, i)" else s"element_at($w, i + $j)")
+      .mkString(", ")
+    val core = s"if(size($w) < $n, array(), " +
+      s"transform(sequence(1, size($w) - ${n - 1}), i -> concat_ws(' ', $parts)))"
+    if (distinct) s"array_distinct($core)" else core
+  }
+  def shinglesNDuck(w: String, n: Int, distinct: Boolean): String = {
+    val parts = (0 until n)
+      .map(j => if (j == 0) s"$w[i]" else s"$w[i + $j]")
+      .mkString(" || ' ' || ")
+    // duckdb range(1, hi) is empty when hi <= 1, covering len(w) < n.
+    val core = s"[$parts for i in range(1, len($w) - ${n - 2})]"
+    if (distinct) s"list_distinct($core)" else core
+  }
+
   /** 28-bit base hash (7 md5 hex chars). */
   def h28(e: String): String = s"CAST(conv(substr(md5($e), 1, 7), 16, 10) AS BIGINT)"
   def h28Duck(e: String): String = s"('0x' || substr(md5($e), 1, 7))::BIGINT"
