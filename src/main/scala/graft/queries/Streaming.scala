@@ -140,6 +140,48 @@ object Streaming {
         .orderBy("user_id", "event_type")
     },
 
+    // Stream-stream INNER join with watermarks + a time-range
+    // condition: click→purchase attribution within 1 hour, the
+    // canonical two-feed streaming join. Both sides carry a
+    // watermark and the join predicate bounds p_ts to
+    // [c_ts, c_ts + 1h], so the state store only retains each side
+    // until the other's watermark passes the range (bounded state —
+    // the property that makes the join runnable forever). Inner
+    // joins emit in the processing batch (no watermark wait), so the
+    // AvailableNow drain sees every pair and the batch twin is the
+    // plain interval join. Both sides derive from ONE readStream
+    // (Spark plans a dual scan); at 100 TB each side is its own
+    // topic/feed and the same plan holds.
+    Q("q_stream_join",
+      """WITH c AS (SELECT user_id, event_id AS click_id,
+        |             CAST(ts AS TIMESTAMP) AS c_ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id,
+        |        CAST(ts AS TIMESTAMP) AS p_ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, click_id, purchase_id, c_ts, p_ts
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL '1 hour'
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin) { (s, d) =>
+      val src = eventsStream(s, d)
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("c_user").as("user_id"), col("click_id"),
+          col("purchase_id"), col("c_ts"), col("p_ts"))
+      drain(s, joined, "append")
+        .orderBy("user_id", "click_id", "purchase_id")
+    },
+
     // Streaming dedup: distinct (user_id, event_type) pairs within
     // the watermark via dropDuplicates — state-store dedup keyed on
     // the projected columns (projection first, so which physical row

@@ -169,4 +169,47 @@ class StreamingSpec extends SparkTestBase {
       assert(rows.contains((1L, "2024-01-01 11:30:00.0", 1L)))
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches across batches, expires past watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val clicksIn = MemoryStream[(Timestamp, Long, Long)] // (ts, user, id)
+    val purchIn = MemoryStream[(Timestamp, Long, Long)]
+    val clicks = clicksIn.toDF().toDF("c_ts", "c_user", "click_id")
+      .withWatermark("c_ts", "10 minutes")
+    val purch = purchIn.toDF().toDF("p_ts", "p_user", "purchase_id")
+      .withWatermark("p_ts", "10 minutes")
+    val joined = clicks.join(purch,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("c_user").as("uid"), col("click_id"), col("purchase_id"))
+    val q = joined.writeStream.format("memory").queryName("t_ssj")
+      .outputMode("append").start()
+    try {
+      // Batch 1: a click with no purchase yet — no output, state held.
+      clicksIn.addData((ts("2024-01-01 10:00:00"), 1L, 100L))
+      q.processAllAvailable()
+      assert(spark.table("t_ssj").count() === 0)
+      // Batch 2: purchase 40 min later on the other feed → joins with
+      // the click retained in the state store from batch 1.
+      purchIn.addData((ts("2024-01-01 10:40:00"), 1L, 900L))
+      q.processAllAvailable()
+      assert(spark.table("t_ssj").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ===
+        Set((1L, 100L, 900L)))
+      // Batch 3: advance both watermarks far past the click's join
+      // range (c_ts + 1h + 10m delay), evicting its state...
+      clicksIn.addData((ts("2024-01-01 23:00:00"), 2L, 101L))
+      purchIn.addData((ts("2024-01-01 23:00:30"), 3L, 901L))
+      q.processAllAvailable()
+      // ...then a purchase inside the old click's window arrives
+      // LATE: past the watermark the state is gone — no new match.
+      purchIn.addData((ts("2024-01-01 10:50:00"), 1L, 902L))
+      q.processAllAvailable()
+      assert(spark.table("t_ssj").count() === 1,
+        "late purchase matched an evicted click — join state not bounded")
+    } finally q.stop()
+  }
 }
