@@ -224,5 +224,69 @@ object VectorSearch {
           round(cosine_distance(col("embedding"), lit(qv)), 6).as("dist"))
         .orderBy(col("dist"), col("vec_id")).limit(K)
     },
+
+    // Product-quantization ANN — the memory-side scale path (IVF
+    // prunes WHICH vectors are scanned; PQ shrinks WHAT is scanned).
+    // The 64-dim embedding splits into M=8 subspaces of 8 dims; each
+    // subspace gets a K=16-entry codebook (sub-slices of the first 16
+    // vectors — the same deterministic k-means-init stand-in as the
+    // IVF codebook). Encoding a vector = 8 nearest-code ids = 8 bytes
+    // vs 256 (32× compression — at 100 TB the encoded table fits a
+    // cluster's memory). Search is ADC: the query precomputes an
+    // 8×16 distance table (broadcast), each encoded row sums 8 table
+    // lookups — no float math against raw vectors at scan time.
+    // Encode = one min_by shuffle (a build step in a real deployment,
+    // like the IVF assignment); distances pre-rounded to 6dp then
+    // DECIMAL-summed so the ADC total is order-independent and
+    // engine-exact. Top-k recall loss vs exact kNN is the declared
+    // PQ tradeoff — both engines agree exactly on codes and sums.
+    Q("q_knn_pq",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |ms AS (SELECT unnest(range(8)) AS m),
+         |codes AS (SELECT c.cid, ms.m, c.cv[ms.m*8+1 : ms.m*8+8] AS cs
+         |          FROM c CROSS JOIN ms),
+         |asg0 AS (SELECT e.vec_id, cd.m, cd.cid,
+         |    round(list_distance(e.v[cd.m*8+1 : cd.m*8+8], cd.cs), 6) AS dist
+         |  FROM e CROSS JOIN codes cd),
+         |asg AS (SELECT vec_id, m, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY dist, cid) AS rn FROM asg0) WHERE rn = 1),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |dt AS (SELECT cd.m, cd.cid,
+         |    round(list_distance(q.qv[cd.m*8+1 : cd.m*8+8], cd.cs), 6) AS d
+         |  FROM codes cd CROSS JOIN q),
+         |adc AS (SELECT a.vec_id,
+         |    round(CAST(sum(CAST(dt.d AS DECIMAL(38,6))) AS DOUBLE), 6) AS adist
+         |  FROM asg a JOIN dt ON a.m = dt.m AND a.cid = dt.cid
+         |  GROUP BY a.vec_id)
+         |SELECT vec_id, adist FROM adc
+         |ORDER BY adist, vec_id LIMIT $K""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val ed = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val codes = ed.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+        .select(col("cid"), explode(expr("sequence(0, 7)")).as("m"), col("cv"))
+        .select(col("cid"), col("m"), expr("slice(cv, m*8+1, 8)").as("cs"))
+      // Encode: per (vector, subspace) nearest code — min_by on the
+      // rounded subspace L2 with cid tiebreak (engine-stable).
+      val asg = fanout(ed).crossJoin(broadcast(codes))
+        .select(col("vec_id"), col("m"), col("cid"),
+          round(l2_distance(expr("slice(v, m*8+1, 8)"), col("cs")), 6).as("dist"))
+        .groupBy("vec_id", "m")
+        .agg(expr("min_by(cid, struct(dist, cid))").as("cid"))
+      // ADC table: 8×16 query-to-code distances, broadcast to every
+      // encoded row.
+      val qv = ed.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val dt = codes.crossJoin(broadcast(qv))
+        .select(col("m"), col("cid"),
+          round(l2_distance(expr("slice(qv, m*8+1, 8)"), col("cs")), 6).as("d"))
+      asg.join(broadcast(dt), Seq("m", "cid"))
+        .groupBy("vec_id")
+        .agg(round(sum(col("d").cast(DecimalType(38, 6))).cast("double"), 6)
+          .as("adist"))
+        .orderBy(col("adist"), col("vec_id")).limit(K)
+    },
   )
 }

@@ -25,4 +25,16 @@ class GoldenSpec extends SparkTestBase {
     assume(new java.io.File(s"$sf/embeddings.parquet").exists())
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q_knn_pq: the query vector self-encodes (ADC 0, rank 1), distances ascend") {
+    assume(new java.io.File(s"$sf/embeddings.parquet").exists())
+    // vec_id 0 is both the query and a codebook entry: every subspace's
+    // nearest code to its own sub-slice is itself at distance 0, so its
+    // ADC total must be exactly 0.0 and it must rank first.
+    val rows = SparkEntry.queries("q_knn_pq")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows.head === ((0L, 0.0)))
+    assert(rows.map(_._2) === rows.map(_._2).sorted)
+    assert(rows.size === 5)
+  }
 }
