@@ -70,6 +70,29 @@ object Aggregates {
         .orderBy("event_type")
     },
 
+    // Quantile sketch — the percentile for 100 TB: approx_percentile
+    // (Greenwald-Khanna summaries) merges associatively in fixed
+    // memory, where exact percentile must materialize the whole group.
+    // Same correctness contract as the HLL query above: sketch
+    // internals aren't engine-portable (rows-only check), so the
+    // exact interpolated percentile rides along in the same row and
+    // AggregatesSpec bounds the sketch's RANK error at the declared
+    // 1/accuracy.
+    Q.noOracle("q_agg_approx_quantile") { (s, d) =>
+      fanout(Tables.events(s, d)).groupBy("event_type")
+        .agg(expr("approx_percentile(value, array(0.5, 0.9), 1000)")
+            .alias("approx_p"),
+          expr("percentile(value, array(0.5, 0.9))").alias("exact_p"),
+          count(lit(1)).alias("n"))
+        .select(col("event_type"),
+          round(element_at(col("approx_p"), 1), 6).alias("approx_p50"),
+          round(element_at(col("approx_p"), 2), 6).alias("approx_p90"),
+          round(element_at(col("exact_p"), 1), 6).alias("exact_p50"),
+          round(element_at(col("exact_p"), 2), 6).alias("exact_p90"),
+          col("n"))
+        .orderBy("event_type")
+    },
+
     // Moment statistics built from EXACT decimal power sums instead
     // of the built-in stddev/var (whose float accumulation is
     // partition-order-dependent and drifts past round(6) across

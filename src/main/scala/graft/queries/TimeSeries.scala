@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Time-series resampling over `events` — the regularization pass
+  * between raw event feeds and anything windowed/trained downstream
+  * (the reference's ingest timeline is exactly such a feed: one
+  * event per photo add/update, photo_vector_search.py:94).
+  *
+  * Scale design: the per-user hourly grid is generated from each
+  * user's own [min, max] span (sequence + explode — rows appear only
+  * where a user has history, not a global cross join), the fill is a
+  * running `last(ignoreNulls)` over a user-partitioned window (one
+  * shuffle keyed on user, state = one row per partition frame), and
+  * everything else is scan-local. At 100 TB the same plan holds:
+  * grid size is O(users × active-span), never O(users × calendar).
+  */
+object TimeSeries {
+
+  val qs: Seq[Q] = Seq(
+
+    // Hourly resample + forward fill: per (user < 100) hourly value
+    // sums on a gap-free hour grid, missing hours carry the last
+    // observed value forward; `filled` marks synthesized rows.
+    Q("q_ts_gapfill",
+      """WITH e AS (SELECT user_id,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, value
+        |  FROM events WHERE user_id < 100),
+        |hourly AS (SELECT user_id, h,
+        |    round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS v
+        |  FROM e GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+        |         FROM hourly GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |    unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h
+        |  FROM span),
+        |j AS (SELECT g.user_id, g.h, hr.v
+        |      FROM grid g LEFT JOIN hourly hr
+        |        ON g.user_id = hr.user_id AND g.h = hr.h)
+        |SELECT user_id, h,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+        |  CASE WHEN v IS NULL THEN 1 ELSE 0 END AS filled
+        |FROM j ORDER BY user_id, h""".stripMargin) { (s, d) =>
+      val hourly = Tables.events(s, d).filter(col("user_id") < 100)
+        .withColumn("h", date_trunc("hour", col("ts")))
+        .groupBy("user_id", "h").agg(dsum(col("value")).as("v"))
+      val grid = hourly.groupBy("user_id")
+        .agg(min("h").as("h0"), max("h").as("h1"))
+        .select(col("user_id"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val w = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+        .withColumn("filled", col("v").isNull.cast("int"))
+        .select("user_id", "h", "v_filled", "filled")
+        .orderBy("user_id", "h")
+    },
+  )
+}

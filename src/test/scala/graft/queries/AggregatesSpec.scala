@@ -23,4 +23,27 @@ class AggregatesSpec extends SparkTestBase {
         s"event_type=${r.get(0)}: approx=$approx exact=$exact relErr=$relErr > 0.06")
     }
   }
+
+  test("approx_percentile sits within the declared rank error of the exact value") {
+    assume(new java.io.File(s"$sf/events.parquet").exists())
+    // accuracy=1000 bounds the RANK error at n/1000; converting rank
+    // tolerance to value space, the approx p-quantile must lie
+    // between the exact (p−ε) and (p+ε) quantiles with ε = 5/1000
+    // (5× the bound — generous against interpolation differences,
+    // still catches a broken sketch outright).
+    val rows = SparkEntry.queries("q_agg_approx_quantile")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions._
+    val bounds = graft.Tables.events(spark, sf).groupBy("event_type")
+      .agg(expr("percentile(value, array(0.495, 0.505, 0.895, 0.905))").as("b"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val Seq(lo50, hi50, lo90, hi90) = bounds(et)
+      val a50 = r.getAs[Double]("approx_p50")
+      val a90 = r.getAs[Double]("approx_p90")
+      assert(a50 >= lo50 && a50 <= hi50, s"$et p50: $a50 outside [$lo50, $hi50]")
+      assert(a90 >= lo90 && a90 <= hi90, s"$et p90: $a90 outside [$lo90, $hi90]")
+    }
+  }
 }
