@@ -13,7 +13,8 @@ object SparkEntry {
     VectorSearch.qs ++ Relational.qs ++ Joins.qs ++
       Aggregates.qs ++ Windows.qs ++ TextOps.qs ++ DedupSketches.qs ++
       Embedded.qs ++ Streaming.qs ++ ArrayOps.qs ++ Reshape.qs ++
-      Multimodal.qs ++ Sampling.qs ++ Curation.qs ++ TimeSeries.qs
+      Multimodal.qs ++ Sampling.qs ++ Curation.qs ++ TimeSeries.qs ++
+      Sources.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q_knn_filtered: scan → pushed filter → codegen cosine distance →
@@ -38,7 +39,8 @@ object SparkEntry {
     * build cost as query latency — on a cluster these builds are
     * catalog-lifetime investments (the reference's collection
     * creation, photo_vector_search.py:17-20), not per-query work. */
-  def buildSteps: Seq[String] = Seq("q_knn_ivf_rule", "q_join_bucketed")
+  def buildSteps: Seq[String] = Seq("q_knn_ivf_rule", "q_join_bucketed",
+    "q_source_csv", "q_source_json")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

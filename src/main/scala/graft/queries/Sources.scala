@@ -1,0 +1,75 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Source-format coverage beyond parquet/binaryFile/streaming-files:
+  * CSV and JSON-lines readers with explicit schemas. The reference's
+  * store is format-opaque to its callers (photos in, vectors out);
+  * an engine replacing it must ingest whatever the lake serves —
+  * and at 100 TB that means schema-ON-READ with an EXPLICIT schema:
+  * schema inference is a full extra pass over the data, so both
+  * readers here take the canonical schema and never infer.
+  *
+  * Each query stages the events table into the text format ONCE per
+  * JVM (a memoized export, like the streaming source staging), then
+  * the declared operator is the read + aggregation. Timestamps
+  * round-trip through an explicit micros-precision format — the
+  * default CSV/JSON timestamp pattern only carries millis, which
+  * would silently corrupt micro-precision event times.
+  *
+  * The oracle reads the SAME rows from the parquet table: a
+  * hash-match proves the text round-trip is lossless (doubles via
+  * Java's shortest-round-trip formatting, timestamps via the
+  * explicit pattern).
+  */
+object Sources {
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stage(fmt: String, s: SparkSession, d: String): String =
+    staged.computeIfAbsent(s"$fmt:$d", { _ =>
+      val dir = Files.createTempDirectory(s"graft_src_$fmt").toString + "/events"
+      Tables.events(s, d)
+        .write.mode("overwrite")
+        .option("header", "true").option("timestampFormat", TsFmt)
+        .format(fmt).save(dir)
+      dir
+    })
+
+  private def agg(df: DataFrame): DataFrame =
+    df.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("value")).as("total_value"),
+        min("ts").as("min_ts"), max("ts").as("max_ts"))
+      .orderBy("event_type")
+
+  private val aggSql =
+    s"""SELECT event_type, count(*) AS n,
+       |  ${dsumSql("value")} AS total_value,
+       |  min(CAST(ts AS TIMESTAMP)) AS min_ts,
+       |  max(CAST(ts AS TIMESTAMP)) AS max_ts
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+
+    Q("q_source_csv", aggSql) { (s, d) =>
+      val dir = stage("csv", s, d)
+      agg(s.read
+        .schema(Tables.events(s, d).schema)
+        .option("header", "true").option("timestampFormat", TsFmt)
+        .csv(dir))
+    },
+
+    Q("q_source_json", aggSql) { (s, d) =>
+      val dir = stage("json", s, d)
+      agg(s.read
+        .schema(Tables.events(s, d).schema)
+        .option("timestampFormat", TsFmt)
+        .json(dir))
+    },
+  )
+}
