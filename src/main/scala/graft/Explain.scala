@@ -10,7 +10,11 @@ object Explain {
     "q_join_broadcast", "q_join_shuffle", "q_join_theta_range", "q_join_asof",
     "q_agg_hash", "q_vector_centroid_agg", "q_dedup_near", "q_dedup_minhash",
     "q_tfidf", "q_embed_text", "q_knn_ivf_rule", "q_join_bucketed",
-    "q_join_salted", "q_pivot")
+    "q_join_salted", "q_pivot",
+    // round-3 additions
+    "q_knn_pq", "q_decontaminate", "q_repetition", "q_text_redact",
+    "q_ts_gapfill", "q_sample_hash", "q_zorder_layout", "q_dup_clusters",
+    "q_source_csv", "q_agg_approx_quantile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
