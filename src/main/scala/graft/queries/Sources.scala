@@ -71,5 +71,50 @@ object Sources {
         .option("timestampFormat", TsFmt)
         .json(dir))
     },
+
+    // ORC — the other native columnar format (binary, so no
+    // timestamp-format concerns; predicate pushdown and column
+    // pruning work like parquet's).
+    Q("q_source_orc", aggSql) { (s, d) =>
+      val dir = stage("orc", s, d)
+      agg(s.read.schema(Tables.events(s, d).schema).orc(dir))
+    },
+
+    // Schema evolution: a table directory whose files disagree on
+    // schema — older files lack a later-added column — read with
+    // mergeSchema, absent columns NULL-filled. This is the lake's
+    // steady state at 100 TB (schemas change mid-corpus; a re-write
+    // of history is a 100 TB job you don't run). The aggregation
+    // groups by the evolved column, exercising the NULL fill.
+    Q("q_schema_evolution",
+      s"""WITH a AS (SELECT event_id, user_id, value, NULL AS source_tag
+         |           FROM events WHERE event_id % 2 = 0),
+         |b AS (SELECT event_id, user_id, value,
+         |        's' || CAST(user_id % 3 AS VARCHAR) AS source_tag
+         |      FROM events WHERE event_id % 2 = 1),
+         |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+         |SELECT source_tag, count(*) AS n,
+         |  ${dsumSql("value")} AS total_value
+         |FROM u GROUP BY source_tag
+         |ORDER BY source_tag NULLS FIRST""".stripMargin) { (s, d) =>
+      val dir = staged.computeIfAbsent(s"evo:$d", { _ =>
+        val out = Files.createTempDirectory("graft_src_evo").toString + "/events"
+        val e = Tables.events(s, d)
+        // generation 1: no source_tag column yet
+        e.filter(col("event_id") % 2 === 0)
+          .select("event_id", "user_id", "value")
+          .write.mode("overwrite").parquet(out)
+        // generation 2: schema grew a column; append alongside gen 1
+        e.filter(col("event_id") % 2 === 1)
+          .select(col("event_id"), col("user_id"), col("value"),
+            concat(lit("s"), (col("user_id") % 3).cast("string")).as("source_tag"))
+          .write.mode("append").parquet(out)
+        out
+      })
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .groupBy("source_tag")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy(col("source_tag").asc_nulls_first)
+    },
   )
 }
