@@ -18,6 +18,38 @@ object Joins {
 
   val qs: Seq[Q] = Seq(
 
+    // Runtime bloom-filter join: a selective filter on the BUILD side
+    // (orders, o_totalprice > 400k keeps ~2%) is turned by Catalyst's
+    // InjectRuntimeFilter into a bloom filter EVALUATED INSIDE THE
+    // FACT SCAN — lineitem rows whose orderkey can't join are dropped
+    // before the shuffle. At 100 TB this is the difference between
+    // shuffling the whole fact table and shuffling the ~2% that can
+    // match. Broadcast is disabled in a child session to model the
+    // big-×-big case where the runtime filter is the only pre-shuffle
+    // pruning available (with broadcast on, Spark 4 prefers the
+    // equivalent DPP-style reuse). Plan shape (bloom_filter_might_
+    // contain under the lineitem scan's Filter) is asserted in
+    // ScalePathSpec; results are identical to the plain join, which
+    // is the oracle.
+    Q("q_join_runtime_bloom",
+      """SELECT o.o_orderstatus, count(*) AS n,
+        |  round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice > 400000
+        |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin) { (s, d) =>
+      val ss = s.newSession()
+      graft.Sessions.prepare(ss)
+      ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      Tables.lineitem(ss, d)
+        .join(Tables.orders(ss, d).filter(col("o_totalprice") > 400000),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("o_orderstatus")
+    },
+
     // Fact × small dim — broadcast hash join, no shuffle of lineitem.
     Q("q_join_broadcast",
       """SELECT p.p_brand, count(*) AS n,

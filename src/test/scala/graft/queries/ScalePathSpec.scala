@@ -181,4 +181,16 @@ class ScalePathSpec extends SparkTestBase {
     assert(!plan.substring(joinIdx).contains("Exchange"),
       s"shuffle below bucketed join:\n$plan")
   }
+
+  test("runtime bloom filter lands inside the fact scan's filter") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/lineitem.parquet").exists())
+    val df = graft.SparkEntry.queries("q_join_runtime_bloom")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"no runtime bloom filter injected:\n$plan")
+    // And it prunes the APPLICATION side (lineitem's key), not the
+    // already-filtered build side.
+    assert(plan.contains("l_orderkey"), plan)
+  }
 }
