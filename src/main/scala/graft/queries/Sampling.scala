@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import TextKit.{h28, h28Duck}
+import TextKit.{h28, h28Duck, toks, toksDuck}
 
 /** Sampling + physical-layout operators — the corpus-curation verbs
   * of a training-data pipeline (subsample for ablations, stratify
@@ -85,6 +85,68 @@ object Sampling {
           min("l_partkey").as("p_min"), max("l_partkey").as("p_max"),
           min("l_suppkey").as("s_min"), max("l_suppkey").as("s_max"))
         .orderBy("zbucket")
+    },
+
+    // Training-shard export: every doc hashes to one of 16 shards
+    // (salted key hash — stable across runs/retries, like the
+    // Bernoulli sample above), the table repartitions on the shard id
+    // (the exchange IS the export layout: one writer task group per
+    // shard), and the result is the per-shard manifest a trainer
+    // consumes — row count, corpus bytes, an order-independent
+    // content checksum. The groupBy reuses the repartition's hash
+    // layout, so assignment + manifest cost ONE shuffle total.
+    Q("q_export_shards",
+      s"""WITH a AS (SELECT
+         |    ${h28Duck("'shard#' || CAST(doc_id AS VARCHAR)")} % 16 AS shard,
+         |    n_chars, ${h28Duck("text")} AS h
+         |  FROM documents)
+         |SELECT shard, count(*) AS n,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(sum(h) AS BIGINT) AS checksum
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+      fanout(Tables.documents(s, d))
+        .withColumn("shard",
+          expr(h28("concat('shard#', CAST(doc_id AS STRING))")) % 16)
+        .withColumn("h", expr(h28("text")))
+        .repartition(col("shard"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n"),
+          sum("n_chars").as("total_chars"),
+          sum("h").as("checksum"))
+        .orderBy("shard")
+    },
+
+    // Mixture weights: temperature-scaled (τ = 0.7) per-language
+    // sampling weights over token counts — the knob that rebalances
+    // a multilingual corpus before training (raw proportions
+    // over-sample the head language; τ < 1 flattens). Token counts
+    // are exact integers; pow() runs on both engines and its result
+    // is pinned through DECIMAL(38,12) so the normalizing sum is
+    // order-independent; the final weight divides as double and
+    // rounds to 6dp. Weights sum to 1 (asserted in tests).
+    Q("q_mixture_weights",
+      s"""WITH t AS (SELECT lang, len($toksDuck) AS n_tok FROM documents),
+         |pl AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS toks,
+         |         count(*) AS n_docs FROM t GROUP BY lang),
+         |sc AS (SELECT *, CAST(pow(CAST(toks AS DOUBLE), 0.7)
+         |                      AS DECIMAL(38,12)) AS p FROM pl),
+         |tt AS (SELECT sum(p) AS ptot FROM sc)
+         |SELECT lang, toks, n_docs,
+         |  round(CAST(p AS DOUBLE) / CAST(ptot AS DOUBLE), 6) AS weight
+         |FROM sc, tt ORDER BY lang""".stripMargin) { (s, d) =>
+      val t = barrier(Tables.documents(s, d).withColumn("w", expr(toks)))
+        .select(col("lang"), size(col("w")).as("n_tok"))
+      val perLang = t.groupBy("lang")
+        .agg(sum("n_tok").as("toks"), count(lit(1)).as("n_docs"))
+        .withColumn("p",
+          pow(col("toks").cast("double"), 0.7)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+      val tot = perLang.agg(sum("p").as("ptot"))
+      perLang.crossJoin(broadcast(tot))
+        .select(col("lang"), col("toks"), col("n_docs"),
+          round(col("p").cast("double") / col("ptot").cast("double"), 6)
+            .as("weight"))
+        .orderBy("lang")
     },
   )
 }
