@@ -84,6 +84,27 @@ object Windows {
         .orderBy("user_id", "event_id")
     },
 
+    // Time-RANGE window frame: trailing-1-hour sum per user, ordered
+    // by event time. Unlike the ROWS frames above, the frame is
+    // defined in VALUE space (ts intervals), so tied timestamps are
+    // peers and the result is order-independent within ties — the
+    // frame type streaming-adjacent analytics actually need. DECIMAL
+    // accumulation keeps the sliding sum exact on both engines.
+    Q("q_win_range_frame",
+      """SELECT event_id, user_id,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,6)))
+        |    OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+        |          RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE), 6) AS trail_1h
+        |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d).selectExpr("event_id", "user_id",
+        """round(CAST(sum(CAST(value AS DECIMAL(38,6)))
+          |  OVER (PARTITION BY user_id ORDER BY ts
+          |        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+          |  AS DOUBLE), 6) AS trail_1h""".stripMargin)
+        .orderBy("user_id", "event_id")
+    },
+
     // Grouped top-k: 2 longest docs per language (A11 per aspect).
     Q("q_topk_group",
       """SELECT * FROM (
