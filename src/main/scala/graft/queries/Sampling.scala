@@ -116,6 +116,46 @@ object Sampling {
         .orderBy("shard")
     },
 
+    // Sequence packing: concatenate-then-chunk the corpus into
+    // fixed-length (512-token) training sequences — each doc's token
+    // span maps onto a running offset, and the 512-boundary chunking
+    // assigns its first/last sequence ids plus how many boundaries
+    // cut through it. Pure integer window math (exact on both
+    // engines); the running offset is a prefix sum over a canonical
+    // doc order, which at 100 TB is the one global-ordering step the
+    // trainer needs anyway (shard-local prefix sums + one pass of
+    // shard offsets — the same pattern as q_export_shards).
+    Q("q_pack_sequences",
+      s"""WITH t AS (SELECT doc_id, len($toksDuck) AS n_tok FROM documents),
+         |o AS (SELECT doc_id, n_tok,
+         |    CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS start_off
+         |  FROM t)
+         |SELECT doc_id, n_tok, start_off,
+         |  start_off // 512 AS seq_first,
+         |  CAST(CASE WHEN n_tok = 0 THEN start_off // 512
+         |       ELSE (start_off + n_tok - 1) // 512 END AS BIGINT) AS seq_last,
+         |  CAST(CASE WHEN n_tok = 0 THEN 0
+         |       ELSE (start_off + n_tok - 1) // 512 - start_off // 512
+         |       END AS BIGINT) AS n_splits
+         |FROM o ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      barrier(Tables.documents(s, d).withColumn("tk", expr(toks)))
+        .select(col("doc_id"), size(col("tk")).cast("bigint").as("n_tok"))
+        .withColumn("start_off", coalesce(sum("n_tok").over(w), lit(0L)))
+        .select(col("doc_id"), col("n_tok"), col("start_off"),
+          expr("start_off DIV 512").as("seq_first"),
+          expr("""CASE WHEN n_tok = 0 THEN start_off DIV 512
+                 |ELSE (start_off + n_tok - 1) DIV 512 END""".stripMargin)
+            .as("seq_last"))
+        .withColumn("n_splits",
+          when(col("n_tok") === 0, 0L)
+            .otherwise(col("seq_last") - col("seq_first")))
+        .orderBy("doc_id")
+    },
+
     // Mixture weights: temperature-scaled (τ = 0.7) per-language
     // sampling weights over token counts — the knob that rebalances
     // a multilingual corpus before training (raw proportions

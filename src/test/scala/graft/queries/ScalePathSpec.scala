@@ -182,6 +182,20 @@ class ScalePathSpec extends SparkTestBase {
       s"shuffle below bucketed join:\n$plan")
   }
 
+  test("fanout honors spark.graft.fanout=off — the 100 TB plan has no round-robin") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 64L).toDF("x")
+    def plan(mode: String): String = {
+      s.conf.set("spark.graft.fanout", mode)
+      try fanout(df).queryExecution.executedPlan.toString
+      finally s.conf.unset("spark.graft.fanout")
+    }
+    assert(!plan("off").contains("RoundRobinPartitioning"),
+      "fanout=off must be a no-op (a cluster gets scan parallelism from file splits)")
+    assert(plan("on").contains("RoundRobinPartitioning"))
+  }
+
   test("runtime bloom filter lands inside the fact scan's filter") {
     val sf = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$sf/lineitem.parquet").exists())
