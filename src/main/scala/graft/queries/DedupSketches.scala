@@ -13,7 +13,13 @@ import TextKit._
   * candidates ~linear in corpus size, prefix filtering pruning the
   * shared-shingle blowup. Inputs are any (doc_id, text) frame. */
 object DedupStages {
-  private val P = 2147483647L // 2^31 - 1; (29-bit a)·(28-bit h) + b < 2^58
+  val P = 2147483647L // 2^31 - 1; (29-bit a)·(28-bit h) + b < 2^58
+
+  /** The 32 universal-family permutation coefficients, shared by
+    * bandKeys, MinHashUnionAggregator, and every oracle twin (one
+    * definition → one hash family across engines). */
+  def aCoef(i: Int): Long = graft.ml.Embedders.h28("a#" + i) * 2 + 1
+  def bCoef(i: Int): Long = graft.ml.Embedders.h28("b#" + i)
 
   /** (doc_id, s): distinct word-trigram shingle sets. */
   def shingleSets(docs: DataFrame): DataFrame = {
@@ -25,10 +31,8 @@ object DedupStages {
     * computed scan-locally (one md5 per shingle + arithmetic rehash,
     * see q_dedup_minhash's notes). */
   def bandKeys(sh: DataFrame): DataFrame = {
-    val aArr = "array(" + (0 until 32)
-      .map(i => graft.ml.Embedders.h28("a#" + i) * 2 + 1).mkString(",") + ")"
-    val bArr = "array(" + (0 until 32)
-      .map(i => graft.ml.Embedders.h28("b#" + i)).mkString(",") + ")"
+    val aArr = "array(" + (0 until 32).map(aCoef).mkString(",") + ")"
+    val bArr = "array(" + (0 until 32).map(bCoef).mkString(",") + ")"
     val hashed = barrier(sh.select(col("doc_id"),
       expr(s"transform(s, x -> ${h28("x")})").as("hs")))
     val sig = barrier(hashed.select(col("doc_id"), expr(
@@ -262,6 +266,43 @@ object DedupSketches {
           size(col("hs")).as("n_shingles"),
           expr("aggregate(hs, CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("fp_sum"))
         .orderBy("doc_id")
+    },
+
+    // Corpus sketch profile via the custom MinHash-UNION UDAF: one
+    // 32-perm signature per language, built by folding raw shingle
+    // hashes inside the aggregation (no per-doc signature arrays
+    // materialize; the shuffle carries one 32-long buffer per lang —
+    // map-side combined, associative). The oracle replays the union
+    // as explode + per-perm min + ordered re-collect: same family
+    // (DedupStages.aCoef/bCoef), same values, exact hash match.
+    Q("q_minhash_profile", {
+      val aList = "[" + (0 until 32).map(DedupStages.aCoef).mkString(",") + "]"
+      val bList = "[" + (0 until 32).map(DedupStages.bCoef).mkString(",") + "]"
+      s"""WITH w AS (SELECT doc_id, lang, $toksDuck AS w FROM documents),
+         |s AS (SELECT doc_id, lang, ${shinglesNDuck("w", 3, distinct = true)} AS s FROM w),
+         |h AS (SELECT lang, ${h28Duck("x")} AS h
+         |      FROM (SELECT lang, unnest(s) AS x FROM s)),
+         |p AS (SELECT lang, i,
+         |        min(($aList[i + 1] * h + $bList[i + 1]) % ${DedupStages.P}) AS mh
+         |      FROM h CROSS JOIN range(0, 32) t(i)
+         |      GROUP BY lang, i),
+         |d AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+         |SELECT p.lang, d.n_docs, list(mh ORDER BY i) AS sig
+         |FROM p JOIN d ON p.lang = d.lang
+         |GROUP BY p.lang, d.n_docs ORDER BY p.lang""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val mhUnion = udaf(new graft.functions.MinHashUnionAggregator())
+      val docs = Tables.documents(s, d)
+      val hs = barrier(barrier(docs.withColumn("w", expr(toks)))
+        .withColumn("sset", expr(shinglesN("w", 3, distinct = true)))
+        .select(col("doc_id"), col("lang"),
+          expr(s"transform(sset, x -> ${h28("x")})").as("hs")))
+      val sigs = hs.groupBy("lang").agg(mhUnion(col("hs")).as("sig"))
+      val nd = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      sigs.join(nd, "lang")
+        .select("lang", "n_docs", "sig")
+        .orderBy("lang")
     },
   )
 }

@@ -64,4 +64,20 @@ object KernelProps extends Properties("graft.kernels") {
       val lo = math.floor(c - 0.5)
       math.floor(v) == lo || math.floor(v) == lo + 1
     }
+
+  private val hashSeq = Gen.containerOf[Seq, Long](Gen.choose(0L, (1L << 28) - 1))
+
+  property("minhash union is associative/commutative and merge == reduce-all") =
+    forAll(hashSeq, hashSeq, hashSeq) { (x, y, z) =>
+      val agg = new graft.functions.MinHashUnionAggregator()
+      def unionOf(parts: Seq[Seq[Long]]): Seq[Long] =
+        agg.finish(parts.map(p => agg.reduce(agg.zero, p))
+          .foldLeft(agg.zero)(agg.merge))
+      // any grouping/order of partial merges yields the signature of
+      // the flattened input — the property map-side combine rests on
+      val whole = agg.finish(agg.reduce(agg.zero, x ++ y ++ z))
+      unionOf(Seq(x, y, z)) == whole &&
+        unionOf(Seq(z, x, y)) == whole &&
+        unionOf(Seq(x ++ y, z)) == whole
+    }
 }
