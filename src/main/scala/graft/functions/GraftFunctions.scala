@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   */
 object GraftFunctions {
   val names: Seq[String] =
-    Seq("dot_product", "cosine_distance", "l2_distance", "l2_norm")
+    Seq("dot_product", "cosine_distance", "l2_distance", "l2_norm",
+      "char_shingles")
 
   def register(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -37,6 +38,7 @@ object GraftFunctions {
     ensure("cosine_distance")(es => CosineDistance(d(es(0)), d(es(1))))
     ensure("l2_distance")(es => L2Distance(d(es(0)), d(es(1))))
     ensure("l2_norm")(es => L2Norm(d(es.head)))
+    ensure("char_shingles")(es => CharShingles(es(0), es(1)))
   }
 
   def dot_product(a: Column, b: Column): Column =

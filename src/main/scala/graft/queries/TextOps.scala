@@ -41,6 +41,25 @@ object TextOps {
         .orderBy("token")
     },
 
+    // Custom-UDTF tokenizer: positional char-3-grams via the
+    // CharShingles Generator (functions/ShingleGenerator.scala) — a
+    // true streaming 1-row→N-rows expansion with no intermediate
+    // array and no barrier (contrast q_ngram_jaccard's
+    // explode(transform(sequence)) composition, which needs both).
+    Q("q_udtf_shingles",
+      """SELECT * FROM (
+        |  SELECT doc_id,
+        |    unnest([{'pos': i, 'gram': substr(lt, i, 3)}
+        |            for i in range(1, length(lt) - 1)], recursive := true)
+        |  FROM (SELECT doc_id, lower(text) AS lt FROM documents
+        |        WHERE doc_id < 20))
+        |ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).filter(col("doc_id") < 20)
+        .withColumn("lt", lower(col("text")))
+        .select(col("doc_id"), expr("char_shingles(lt, 3)"))
+        .orderBy("doc_id", "pos")
+    },
+
     // tf-idf top-5 terms per document: two aggregations + a broadcast
     // join on the (tiny) per-token document-frequency side + windowed
     // top-k. Rank on the round(6) score so tie order is engine-stable.
