@@ -50,6 +50,34 @@ object Joins {
         .orderBy("o_orderstatus")
     },
 
+    // LATERAL correlated subquery: each customer's most recent order
+    // (top-1 per outer row). Written as the per-row subquery users
+    // write; Catalyst DE-CORRELATES it (DecorrelateInnerQuery) into a
+    // set-based plan instead of executing the inner query per row —
+    // the difference between O(n) subquery executions and one
+    // windowed pass at 100 TB. Unique (date desc, orderkey desc)
+    // order key keeps the top-1 engine-stable; customers without
+    // orders drop out (inner lateral).
+    Q("q_join_lateral",
+      """SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_orderdate,
+        |  o.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o
+        |ORDER BY c.c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("graft_lat_cust")
+      Tables.orders(s, d).createOrReplaceTempView("graft_lat_ord")
+      s.sql("""SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey,
+              |  o.o_orderdate, o.o_totalprice
+              |FROM graft_lat_cust c, LATERAL (
+              |  SELECT o_orderkey, o_orderdate, o_totalprice
+              |  FROM graft_lat_ord
+              |  WHERE o_custkey = c.c_custkey
+              |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o
+              |ORDER BY c.c_custkey""".stripMargin)
+    },
+
     // Fact × small dim — broadcast hash join, no shuffle of lineitem.
     Q("q_join_broadcast",
       """SELECT p.p_brand, count(*) AS n,
