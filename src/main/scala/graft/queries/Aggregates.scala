@@ -70,6 +70,30 @@ object Aggregates {
         .orderBy("event_type")
     },
 
+    // Deterministic grouped MODE: each user cohort's most frequent
+    // event type. Both engines' built-in mode() breaks frequency
+    // ties arbitrarily, so the operator pins the tiebreak (highest
+    // count, then lexicographically first value) via max_by over a
+    // (count, reversed-tiebreak) struct — two partial-aggregated
+    // shuffles, deterministic everywhere.
+    Q("q_agg_mode",
+      """WITH c AS (SELECT user_id % 10 AS cohort, event_type,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |r AS (SELECT cohort, event_type, cnt, row_number() OVER (
+        |    PARTITION BY cohort ORDER BY cnt DESC, event_type) AS rn
+        |  FROM c)
+        |SELECT cohort, event_type AS mode_type, cnt
+        |FROM r WHERE rn = 1 ORDER BY cohort""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy((col("user_id") % 10).as("cohort"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("cohort")
+        .agg(expr("min_by(struct(event_type, cnt), struct(-cnt, event_type))").as("m"))
+        .select(col("cohort"), col("m.event_type").as("mode_type"),
+          col("m.cnt").as("cnt"))
+        .orderBy("cohort")
+    },
+
     // Quantile sketch — the percentile for 100 TB: approx_percentile
     // (Greenwald-Khanna summaries) merges associatively in fixed
     // memory, where exact percentile must materialize the whole group.

@@ -67,6 +67,35 @@ object Multimodal {
         .orderBy("doc_id", "frame_no")
     },
 
+    // Audio-shape feature extraction, completing the multimodal
+    // triad (image metadata above, video frames above, audio here):
+    // the payload is treated as fixed-rate PCM, split into
+    // non-overlapping 64-byte windows ("10 ms" each), and each window
+    // yields a surrogate energy level — the decode step is the same
+    // per-partition seam, so a real PCM/opus decoder slots in with
+    // identical plumbing. A per-doc summary row count = the clip's
+    // duration in windows.
+    Q("q_media_audio",
+      s"""SELECT doc_id, CAST(i AS INT) AS win_no,
+         |  CAST(${h28Duck("substr(text, CAST(i AS INT) * 64 + 1, 64)")} % 10000 AS BIGINT) AS energy
+         |FROM documents, range(0, 256) t(i)
+         |WHERE i < length(text) // 64
+         |ORDER BY doc_id, win_no""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val bin = fanout(Tables.documents(s, d))
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+      bin.as[(Long, Array[Byte])].mapPartitions { rows =>
+        val dec = new SurrogateMediaDecoder // once per partition
+        rows.flatMap { case (id, bytes) =>
+          dec.sampleFrames(bytes, frameSize = 64, stride = 1)
+            .zipWithIndex.map { case (win, j) =>
+              (id, j, Embedders.h28(win) % 10000)
+            }
+        }
+      }.toDF("doc_id", "win_no", "energy")
+        .orderBy("doc_id", "win_no")
+    },
+
     // Embedding-cosine near-dup DEDUP (not just the pair list): drop
     // every vector that has a more-canonical (lower-id) neighbor at
     // sim ≥ 0.4. Pairs from the exact similarity join; the survivors
