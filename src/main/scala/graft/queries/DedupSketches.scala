@@ -98,6 +98,48 @@ object DedupStages {
       .select("id1", "id2", "jac")
   }
 
+  /** Bounded iterative MIN-LABEL PROPAGATION with pointer jumping —
+    * connected components over a near-dup pair list. Each round:
+    * (1) propagate: lab(v) ← min(lab(v), min over neighbors u of
+    * lab(u)) — one edge join + one min-groupBy; (2) jump:
+    * lab(v) ← lab(lab(v)) — one self-join (every label IS a node id,
+    * so the join is total). Propagate extends reach by one hop and
+    * jump doubles it, so covered component diameter after r rounds
+    * is 2^(r+1) - 1 ≥ 15 at the default r = 4 — far beyond any
+    * near-dup clique chain (convergence on a 12-hop path graph is
+    * pinned in ScalePathSpec). Each round's n_docs-row label frame
+    * is localCheckpoint'ed: without lineage truncation the jump
+    * self-join DOUBLES the logical plan per round (the analyzed-plan
+    * string hit the 2 GiB cap at 4 rounds) and every round would
+    * re-derive the pair list; with it, a round's plan is two joins
+    * over materialized partitions. Total work is rounds ×
+    * O(|V| + |E|) shuffles of tiny frames — the MapReduce CC recipe
+    * that holds at any corpus size (cf. Kiveris et al., "Connected
+    * Components in MapReduce and Beyond").
+    */
+  def minLabelPropagate(nodes: DataFrame, pairs: DataFrame,
+      rounds: Int = 4): DataFrame = {
+    // Self-loops fold "min over self AND neighbors" into ONE
+    // edge join + groupBy per round (no union with the label frame —
+    // a union whose second child joins through the first trips
+    // UnionBase.rewriteConstraints' attribute mapping).
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .unionByName(nodes.select(col("node").as("a"), col("node").as("b")))
+      .localCheckpoint()
+    val init = nodes.select(col("node"), col("node").as("lab"))
+    (1 to rounds).foldLeft(init) { (l, _) =>
+      val prop = edges.join(l, col("a") === col("node"))
+        .groupBy("b").agg(min("lab").as("lab"))
+        .select(col("b").as("node"), col("lab"))
+      prop.as("x")
+        .join(prop.select(col("node").as("ln"), col("lab").as("lab2")).as("y"),
+          col("x.lab") === col("y.ln"))
+        .select(col("x.node").as("node"), col("y.lab2").as("lab"))
+        .localCheckpoint()
+    }
+  }
+
   /** Naive share-any-shingle candidates — the baseline the prefix
     * filter prunes. Test-only: a production plan never runs this. */
   def naiveCandidates(shRaw: DataFrame): DataFrame = {
@@ -273,8 +315,12 @@ object DedupSketches {
     // hashes inside the aggregation (no per-doc signature arrays
     // materialize; the shuffle carries one 32-long buffer per lang —
     // map-side combined, associative). The oracle replays the union
-    // as explode + per-perm min + ordered re-collect: same family
-    // (DedupStages.aCoef/bCoef), same values, exact hash match.
+    // as explode + per-perm min: same family (DedupStages.aCoef/
+    // bCoef), same values, exact hash match. Output is one SCALAR
+    // row per (lang, perm) — the signature is posexploded after the
+    // aggregation (cost: 32 rows per group) so every cell the
+    // harness hashes is a scalar; the aggregation itself still
+    // carries exactly one 32-long buffer per lang on the shuffle.
     Q("q_minhash_profile", {
       val aList = "[" + (0 until 32).map(DedupStages.aCoef).mkString(",") + "]"
       val bList = "[" + (0 until 32).map(DedupStages.bCoef).mkString(",") + "]"
@@ -287,9 +333,9 @@ object DedupSketches {
          |      FROM h CROSS JOIN range(0, 32) t(i)
          |      GROUP BY lang, i),
          |d AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
-         |SELECT p.lang, d.n_docs, list(mh ORDER BY i) AS sig
+         |SELECT p.lang, d.n_docs, p.i AS perm_i, p.mh AS mh
          |FROM p JOIN d ON p.lang = d.lang
-         |GROUP BY p.lang, d.n_docs ORDER BY p.lang""".stripMargin
+         |ORDER BY p.lang, p.i""".stripMargin
     }) { (s, d) =>
       import s.implicits._
       val mhUnion = udaf(new graft.functions.MinHashUnionAggregator())
@@ -301,8 +347,10 @@ object DedupSketches {
       val sigs = hs.groupBy("lang").agg(mhUnion(col("hs")).as("sig"))
       val nd = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
       sigs.join(nd, "lang")
-        .select("lang", "n_docs", "sig")
-        .orderBy("lang")
+        .select(col("lang"), col("n_docs"), posexplode(col("sig")))
+        .select(col("lang"), col("n_docs"),
+          col("pos").cast("long").as("perm_i"), col("col").as("mh"))
+        .orderBy("lang", "perm_i")
     },
   )
 }

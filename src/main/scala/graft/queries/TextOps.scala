@@ -147,31 +147,44 @@ object TextOps {
     },
 
     // Duplicate-cluster canonicalization — the step after pair
-    // finding that an LLM-data pipeline actually executes: every doc
-    // is assigned a canonical representative = the smallest doc_id
-    // among its ≥τ near-dup neighbors below it (single-pass star
-    // rule, the standard LSH-dedup convention; full transitive
-    // closure would need iterative connected components, which the
-    // reference corpus doesn't require — chains beyond one hop are
-    // rare enough that star-dedup is what production pipelines run).
-    // keep = the doc survives dedup; one shuffle over the pair list.
+    // finding that an LLM-data pipeline actually executes: CONNECTED
+    // COMPONENTS over the ≥τ near-dup pair graph via bounded
+    // iterative min-label propagation with pointer jumping
+    // (DedupStages.minLabelPropagate — 4 rounds cover component
+    // diameter 15; convergence pinned in ScalePathSpec, including a
+    // (3,9),(5,9)-shaped transitive component where every member
+    // canonicalizes to 3). canonical = the component's minimum
+    // doc_id; keep = the doc IS its component minimum, so exactly
+    // one doc survives per duplicate cluster even when members are
+    // connected only transitively. The pair list is cached once;
+    // each round shuffles only n_docs-row label frames. Oracle =
+    // full-fixpoint WITH RECURSIVE min-label walk (UNION-deduped
+    // reachability), which equals the bounded engine result for any
+    // diameter ≤ 15 — growth past that fails the hash loudly.
     Q("q_dup_clusters",
-      s"""WITH tok AS (SELECT doc_id, $toksDuck AS w FROM documents),
+      s"""WITH RECURSIVE
+         |tok AS (SELECT doc_id, $toksDuck AS w FROM documents),
          |sh AS (SELECT doc_id, ${shingles3Duck("w")} AS s FROM tok WHERE len(w) >= 3),
          |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
          |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |      WHERE round(${jaccardDuck("a.s", "b.s")}, 6) >= 0.6)
-         |SELECT d.doc_id,
-         |  coalesce(min(p.id1), d.doc_id) AS canonical,
-         |  min(p.id1) IS NULL AS keep
-         |FROM documents d LEFT JOIN p ON p.id2 = d.doc_id
-         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, d) =>
-      val pairs = DedupStages.nearDupPairs(Tables.documents(s, d), tau = 0.6)
-      Tables.documents(s, d).select("doc_id")
-        .join(pairs.select(col("id1"), col("id2").as("doc_id")), Seq("doc_id"), "left")
-        .groupBy("doc_id")
-        .agg(coalesce(min(col("id1")), col("doc_id")).as("canonical"),
-          min(col("id1")).isNull.as("keep"))
+         |      WHERE round(${jaccardDuck("a.s", "b.s")}, 6) >= 0.6),
+         |e AS (SELECT id1 AS a, id2 AS b FROM p
+         |      UNION ALL SELECT id2, id1 FROM p),
+         |walk(node, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, w.lab FROM walk w JOIN e ON e.a = w.node),
+         |cc AS (SELECT node AS doc_id, min(lab) AS canonical
+         |       FROM walk GROUP BY node)
+         |SELECT doc_id, canonical, canonical = doc_id AS keep
+         |FROM cc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = DedupStages.nearDupPairs(docs, tau = 0.6)
+        .select("id1", "id2")
+      val lab = DedupStages.minLabelPropagate(
+        docs.select(col("doc_id").as("node")), pairs)
+      lab.select(col("node").as("doc_id"), col("lab").as("canonical"),
+          (col("lab") === col("node")).as("keep"))
         .orderBy("doc_id")
     },
 

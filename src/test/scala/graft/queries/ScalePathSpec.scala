@@ -165,6 +165,28 @@ class ScalePathSpec extends SparkTestBase {
     }
   }
 
+  test("min-label propagation converges: transitive star and a 12-hop path") {
+    val s = spark
+    import s.implicits._
+    // (3,9),(5,9): 3 and 5 are connected only THROUGH 9 — the shape
+    // the single-pass star rule gets wrong (it keeps both 3 and 5).
+    // Plus a 12-hop path 100–112 (diameter 12 ≤ the 15 the 4-round
+    // propagate+jump schedule covers) and isolated node 50.
+    val pairs = (Seq((3L, 9L), (5L, 9L)) ++
+      (100L until 112L).map(i => (i, i + 1))).toDF("id1", "id2")
+    val nodes = (Seq(3L, 5L, 9L, 50L) ++ (100L to 112L)).toDF("node")
+    val lab = DedupStages.minLabelPropagate(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab(3L) == 3L && lab(5L) == 3L && lab(9L) == 3L,
+      s"transitive component not canonicalized to 3: $lab")
+    (100L to 112L).foreach(n =>
+      assert(lab(n) == 100L, s"path node $n got label ${lab(n)}, want 100"))
+    assert(lab(50L) == 50L)
+    // Exactly one survivor per component.
+    val survivors = lab.filter { case (n, l) => n == l }.keySet
+    assert(survivors == Set(3L, 50L, 100L), survivors)
+  }
+
   test("bucketed join plan contains no exchange below the join") {
     val s = spark
     import s.implicits._
