@@ -52,6 +52,34 @@ object Embedders {
   def h28(bytes: Array[Byte]): Long =
     java.lang.Long.parseLong(md5hex(bytes).substring(0, 7), 16)
   def h28(s: String): Long = h28(s.getBytes(UTF_8))
+
+  /** Conf-switched embedder selection — the production seam the
+    * embedding queries compose (reference boundary: the Ollama HTTP
+    * client, photo_vector_search.py:42-82). The factory is resolved
+    * ON THE DRIVER at plan-build time from session conf and returns
+    * a serializable constructor invoked once per partition:
+    *
+    *   spark.graft.embedder              surrogate (default) | http
+    *   spark.graft.embedder.endpoint     required for http
+    *   spark.graft.embedder.batchSize    rows per HTTP request (32)
+    *   spark.graft.embedder.minIntervalMs per-partition rate limit (0)
+    *
+    * Default is the verified hash surrogate, so CORRECTNESS output
+    * is unchanged unless a user opts into a real endpoint
+    * (HttpEmbedderSpec drives q_embed_text through a live local
+    * server to prove the http path composes into the same plan). */
+  def textEmbedderFactory(s: org.apache.spark.sql.SparkSession,
+      dim: Int): () => TextEmbedder =
+    s.conf.get("spark.graft.embedder", "surrogate") match {
+      case "http" =>
+        val endpoint = s.conf.get("spark.graft.embedder.endpoint")
+        val batch = s.conf.get("spark.graft.embedder.batchSize", "32").toInt
+        val interval = s.conf.get("spark.graft.embedder.minIntervalMs", "0").toLong
+        () => new HttpTextEmbedder(endpoint, dim, batch, minIntervalMs = interval)
+      case "surrogate" => () => new HashTextEmbedder(dim)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.embedder must be surrogate|http, got '$other'")
+    }
 }
 
 /** Deterministic text-embedding surrogate: component i is a

@@ -91,7 +91,14 @@ final class HttpTextEmbedder(
       if (lines.length != batch.length)
         throw new IOException(
           s"embed endpoint returned ${lines.length} rows for ${batch.length} inputs")
-      lines.toSeq.map(_.split(",").map(_.toFloat))
+      val vecs = lines.toSeq.map(_.split(",").map(_.toFloat))
+      // A wrong-dimension vector must fail HERE (retryable + loud),
+      // not flow silently into downstream distance kernels.
+      vecs.foreach { v =>
+        if (v.length != dim) throw new IOException(
+          s"embed endpoint returned a dim-${v.length} vector, expected $dim")
+      }
+      vecs
     } finally conn.disconnect()
   }
 }

@@ -1,8 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ml.{HashImageEmbedder, HashTextEmbedder, TemplateCaptioner}
+import graft.ml.{Embedders, HashImageEmbedder, TemplateCaptioner}
 
 /** Batch embedding generation + captioning (SURVEY §2A A3/A4/A5) —
   * the reference's actual core pipeline (photo_vector_search.py:30-40
@@ -31,6 +32,24 @@ object Embedded {
 
   private val DIM = 64
 
+  /** Shared text-embed stage: scan → mapPartitions with the
+    * conf-selected model (surrogate default, HTTP when
+    * `spark.graft.embedder=http` — Embedders.textEmbedderFactory),
+    * one instance per partition, rows batched through `embedAll`.
+    * `Iterator.duplicate` feeds ids and texts in lockstep — the
+    * buffered gap is bounded by the embedder's batch size. */
+  private def embedText(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val mkModel = Embedders.textEmbedderFactory(s, DIM)
+    val ds = fanout(Tables.documents(s, d))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    ds.mapPartitions { rows =>
+      val model = mkModel() // once per partition, reused per row
+      val (ids, texts) = rows.duplicate
+      ids.map(_._1).zip(model.embedAll(texts.map(_._2)))
+    }.toDF("doc_id", "emb")
+  }
+
   val qs: Seq[Q] = Seq(
 
     // The reference's full user workflow as ONE lazy DataFrame
@@ -52,14 +71,8 @@ object Embedded {
          |SELECT k.doc_id, k.dist, d.lang, d.source
          |FROM knn k JOIN documents d USING (doc_id)
          |ORDER BY k.dist, k.doc_id""".stripMargin) { (s, d) =>
-      import s.implicits._
       import graft.functions.GraftFunctions.cosine_distance
-      val ds = fanout(Tables.documents(s, d))
-        .select(col("doc_id"), col("text")).as[(Long, String)]
-      val emb = ds.mapPartitions { rows =>
-        val model = new HashTextEmbedder(DIM)
-        rows.map { case (id, t) => (id, model.embed(t)) }
-      }.toDF("doc_id", "emb")
+      val emb = embedText(s, d)
       val q = emb.filter(col("doc_id") === 0).select(col("emb").as("qv"))
       emb.filter(col("doc_id") =!= 0)
         .crossJoin(broadcast(q))
@@ -78,14 +91,8 @@ object Embedded {
       s"""SELECT doc_id, i, ${componentDuck("text || '#' || i")} AS val
          |FROM documents, range($DIM) t(i)
          |ORDER BY doc_id, i""".stripMargin) { (s, d) =>
-      import s.implicits._
-      val ds = fanout(Tables.documents(s, d))
-        .select(col("doc_id"), col("text")).as[(Long, String)]
-      val emb = ds.mapPartitions { rows =>
-        val model = new HashTextEmbedder(DIM) // once per partition, reused per row
-        rows.map { case (id, t) => (id, model.embed(t)) }
-      }.toDF("doc_id", "emb")
-      emb.select(col("doc_id"), posexplode(col("emb")).as(Seq("i", "v")))
+      embedText(s, d)
+        .select(col("doc_id"), posexplode(col("emb")).as(Seq("i", "v")))
         .select(col("doc_id"), col("i").cast("long").as("i"),
           col("v").cast("double").as("val"))
         .orderBy("doc_id", "i")

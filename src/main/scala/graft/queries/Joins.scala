@@ -256,25 +256,60 @@ object Joins {
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id) p
         |WHERE sim >= 0.4
         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
-      val e = Tables.embeddings(s, d)
-      // Cast f32→f64 BEFORE the join on both sides: projections below
-      // a join are evaluated once per input row (never per pair), so
-      // the per-pair kernel reads doubles directly instead of
-      // re-casting one side 2000× per row. NO broadcast hint on the
-      // build side: forcing the whole table onto every executor hits
-      // the 8 GB broadcast ceiling long before 100 TB. At this sf
-      // Catalyst's size estimate picks a broadcast nested-loop join
-      // by itself; past the threshold it degrades to a spillable
-      // cartesian join instead of an executor OOM.
-      val a = fanout(e.select(col("vec_id").alias("id1"),
-        col("embedding").cast("array<double>").alias("v1")))
-      val b = e.select(col("vec_id").alias("id2"),
-        col("embedding").cast("array<double>").alias("v2"))
-      a.join(b, col("id1") < col("id2"))
-        .select(col("id1"), col("id2"),
-          round(lit(1.0) - cosine_distance(col("v1"), col("v2")), 6).alias("sim"))
-        .filter(col("sim") >= 0.4)
+      SimilarityStages.allPairsSim(Tables.embeddings(s, d), tau = 0.4)
         .orderBy("id1", "id2")
     },
   )
+}
+
+/** The exact all-pairs cosine stage shared by q_similarity_join and
+  * q_dedup_embed — BLOCK-CHUNKED so the quadratic pair volume is
+  * processed in bounded slices at any scale.
+  *
+  * Why exact at all: at τ=0.4 this corpus has a similarity CONTINUUM
+  * at the threshold (~15k pairs in [0.3,0.6] at sf0.1, min qualifying
+  * sim 0.40001), so no sublinear candidate scheme can be exact —
+  * hyperplane-LSH recall at a 66° threshold needs band counts that
+  * admit every pair. The declared operator is therefore the exact
+  * quadratic join; the sub-quadratic paths the engine offers are
+  * q_knn_ivf (centroid-pruned search) and q_dedup_minhash's banding
+  * for the high-similarity dedup regime where pruning is sound.
+  *
+  * Why chunked: one all-pairs join materializes the FULL build side
+  * per task (broadcast or buffered cartesian block) and its peak pair
+  * volume grows n² with no knob. Hash-bucketing the build side into B
+  * blocks (pmod on vec_id) and unioning the per-block joins keeps
+  * every individual join's build side at n/B rows — peak memory and
+  * per-stage pair volume are bounded by CHOOSING B ∝ n, while the
+  * union of disjoint blocks keeps the result exactly the all-pairs
+  * set (partition-of-unity over id2; ScalePathSpec pins both
+  * properties). `spark.graft.simjoin.blocks` tunes B (default 4;
+  * 1 = the single-join plan for small inputs).
+  */
+object SimilarityStages {
+  def allPairsSim(e: org.apache.spark.sql.DataFrame, tau: Double)
+      : org.apache.spark.sql.DataFrame = {
+    val blocks = e.sparkSession.conf.get("spark.graft.simjoin.blocks", "4").toInt
+    // Cast f32→f64 BEFORE the join on both sides: projections below
+    // a join are evaluated once per input row (never per pair), so
+    // the per-pair kernel reads doubles directly instead of
+    // re-casting one side 2000× per row. NO broadcast hint on the
+    // build side: forcing a whole-table block onto every executor
+    // hits the 8 GB broadcast ceiling long before 100 TB. At this sf
+    // Catalyst's size estimate picks a broadcast nested-loop join by
+    // itself; past the threshold it degrades to a spillable
+    // cartesian join instead of an executor OOM.
+    val a = fanout(e.select(col("vec_id").alias("id1"),
+      col("embedding").cast("array<double>").alias("v1")))
+    val bAll = e.select(col("vec_id").alias("id2"),
+      col("embedding").cast("array<double>").alias("v2"))
+    (0 until blocks).map { k =>
+      val b = if (blocks == 1) bAll
+              else bAll.filter(pmod(col("id2"), lit(blocks)) === k)
+      a.join(b, col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          round(lit(1.0) - cosine_distance(col("v1"), col("v2")), 6).alias("sim"))
+        .filter(col("sim") >= tau)
+    }.reduce(_ unionByName _)
+  }
 }

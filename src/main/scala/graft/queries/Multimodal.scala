@@ -108,20 +108,11 @@ object Multimodal {
         |SELECT em.vec_id, em.label FROM embeddings em
         |WHERE em.vec_id NOT IN (SELECT vec_id FROM dupes)
         |ORDER BY em.vec_id""".stripMargin) { (s, d) =>
-      import graft.functions.GraftFunctions.cosine_distance
+      // Pair finding = the block-chunked exact stage shared with
+      // q_similarity_join (SimilarityStages.allPairsSim — bounded
+      // per-block build sides at any scale, no broadcast hint).
       val e = Tables.embeddings(s, d)
-      // No broadcast hint (see q_similarity_join): Catalyst picks the
-      // broadcast side at this sf from size estimates; at scale it
-      // falls back to a spillable plan instead of forcing the whole
-      // table through the 8 GB broadcast ceiling.
-      val a = fanout(e.select(col("vec_id").alias("id1"),
-        col("embedding").cast("array<double>").alias("v1")))
-      val b = e.select(col("vec_id").alias("id2"),
-        col("embedding").cast("array<double>").alias("v2"))
-      val dupes = a.join(b, col("id1") < col("id2"))
-        .select(col("id2"),
-          round(lit(1.0) - cosine_distance(col("v1"), col("v2")), 6).alias("sim"))
-        .filter(col("sim") >= 0.4)
+      val dupes = SimilarityStages.allPairsSim(e, tau = 0.4)
         .select(col("id2").as("vec_id")).distinct()
       e.join(dupes, Seq("vec_id"), "left_anti")
         .select("vec_id", "label")

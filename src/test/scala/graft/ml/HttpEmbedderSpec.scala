@@ -18,8 +18,11 @@ class HttpEmbedderSpec extends SparkTestBase {
   private val surrogate = new HashTextEmbedder(16)
 
   /** (server, port, requestLog); handler fails the first `failures`
-    * requests with HTTP 503, then serves surrogate embeddings. */
-  private def startServer(failures: Int): (HttpServer, Int, ArrayBuffer[(Long, Int)]) = {
+    * requests with HTTP 503, then serves surrogate embeddings of
+    * `dim` components. */
+  private def startServer(failures: Int, dim: Int = 16)
+      : (HttpServer, Int, ArrayBuffer[(Long, Int)]) = {
+    val sur = new HashTextEmbedder(dim)
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     val remainingFailures = new AtomicInteger(failures)
     val log = ArrayBuffer[(Long, Int)]() // (arrival ms, batch size)
@@ -33,7 +36,7 @@ class HttpEmbedderSpec extends SparkTestBase {
       } else {
         val body = lines.map { l =>
           val text = new String(Base64.getDecoder.decode(l), UTF_8)
-          surrogate.embed(text).mkString(",")
+          sur.embed(text).mkString(",")
         }.mkString("\n").getBytes(UTF_8)
         ex.sendResponseHeaders(200, body.length)
         ex.getResponseBody.write(body)
@@ -94,6 +97,38 @@ class HttpEmbedderSpec extends SparkTestBase {
         assert(b - a >= 45, s"requests ${b - a} ms apart, wanted >= ~60")
       }
     } finally server.stop(0)
+  }
+
+  test("a wrong-dimension response fails loudly instead of flowing downstream") {
+    val (server, port, _) = startServer(failures = 0, dim = 16)
+    try {
+      val emb = new HttpTextEmbedder(s"http://127.0.0.1:$port/embed",
+        dim = 8, maxRetries = 0, initialBackoffMs = 1) // endpoint serves 16
+      val e = intercept[java.io.IOException] { emb.embed("x") }
+      assert(e.getCause.getMessage.contains("dim-16"), e.getCause.getMessage)
+    } finally server.stop(0)
+  }
+
+  test("q_embed_text composes the HTTP embedder when spark.graft.embedder=http") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    val s = spark
+    // Surrogate baseline first (default conf) — the verified path.
+    val expected = graft.SparkEntry.queries("q_embed_text")(s, sf).collect()
+    val (server, port, log) = startServer(failures = 0, dim = 64)
+    try {
+      s.conf.set("spark.graft.embedder", "http")
+      s.conf.set("spark.graft.embedder.endpoint", s"http://127.0.0.1:$port/embed")
+      val viaHttp = graft.SparkEntry.queries("q_embed_text")(s, sf).collect()
+      assert(viaHttp.length === expected.length)
+      viaHttp.zip(expected).foreach { case (a, b) => assert(a === b) }
+      assert(log.nonEmpty && log.map(_._2).sum >= expected.length / 64,
+        s"rows did not travel over HTTP: $log") // one request log entry per batch
+    } finally {
+      s.conf.unset("spark.graft.embedder")
+      s.conf.unset("spark.graft.embedder.endpoint")
+      server.stop(0)
+    }
   }
 
   test("mapPartitions e2e: the HTTP path reproduces the verified surrogate exactly") {

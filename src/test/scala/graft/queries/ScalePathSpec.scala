@@ -187,6 +187,33 @@ class ScalePathSpec extends SparkTestBase {
     assert(survivors == Set(3L, 50L, 100L), survivors)
   }
 
+  test("block-chunked similarity join partitions the pair set with bounded build sides") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val emb = Seq.tabulate(97)(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() - 0.5f), s"l${i % 3}"))
+      .toDF("vec_id", "embedding", "label")
+    def run(blocks: Int): Set[(Long, Long)] = {
+      s.conf.set("spark.graft.simjoin.blocks", blocks.toString)
+      try SimilarityStages.allPairsSim(emb, tau = 0.2)
+        .select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally s.conf.unset("spark.graft.simjoin.blocks")
+    }
+    val single = run(1)
+    assert(single.nonEmpty, "fixture must produce qualifying pairs")
+    // Chunked result is EXACTLY the single-join pair set…
+    assert(run(5) === single)
+    // …because pmod blocks partition id2 space: every block's build
+    // side is ~n/B rows (dense ids → exact bound ⌈n/B⌉), which is
+    // the per-stage memory bound the chunking exists to provide.
+    val blockSizes = (0 until 5).map(k =>
+      emb.filter(pmod(col("vec_id"), lit(5)) === k).count())
+    assert(blockSizes.sum == 97L)
+    assert(blockSizes.max <= math.ceil(97.0 / 5).toLong)
+  }
+
   test("bucketed join plan contains no exchange below the join") {
     val s = spark
     import s.implicits._
