@@ -1,8 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import TextKit.{h28, h28Duck}
 
 /** Aggregation surface (SURVEY §2B): hash aggregate (TPC-H Q1 shape),
   * exact + approximate distinct, rollup/cube/grouping sets, and the
@@ -13,9 +15,11 @@ import graft.Tables
   * aggregate — the shuffle carries one row per (partition, group),
   * not the data. Averages are written sum/count with DECIMAL
   * accumulation (see `dsum`) so results are order-independent.
-  * approx_count_distinct is the one declared sketch: HLL++ partials
-  * merge associatively, the 100 TB-friendly distinct; its exact twin
-  * q_agg_distinct is the oracle-checked variant.
+  * The declared sketches (KMV distinct, histogram quantiles) are
+  * deterministic md5-derived algorithms whose partials merge
+  * associatively in fixed memory — 100 TB-friendly AND exactly
+  * reproducible in the DuckDB oracle, so even the approximate
+  * values are hash-checked.
   */
 object Aggregates {
 
@@ -57,16 +61,50 @@ object Aggregates {
           .orderBy("l_partkey")
     },
 
-    // HLL++ sketch distinct — THE distinct for 100 TB (associative
-    // partial merge, fixed memory). Sketch algorithms differ across
-    // engines, so no SQL oracle for the approx column (rows-only
-    // check) — but the query carries its OWN correctness signal: the
-    // exact distinct is computed alongside, and AggregatesSpec bounds
-    // the relative error at 3× the declared rsd (0.02) per group.
-    Q.noOracle("q_agg_approx_distinct") { (s, d) =>
-      fanout(Tables.events(s, d)).groupBy("event_type")
-        .agg(approx_count_distinct("user_id", 0.02).alias("approx_users"),
-          countDistinct("user_id").alias("exact_users"))
+    // Approximate distinct via a KMV (k-minimum-values) sketch
+    // (Bar-Yossef et al., RANDOM 2002): hash every user id with the
+    // md5-derived h28, keep the k = 64 smallest DISTINCT hash values
+    // per group, estimate D ≈ (k−1)·M / h_(k) (M = 2^28). Fully
+    // deterministic and engine-portable, so unlike HLL++ (whose
+    // sketch internals differ per engine) the approximate VALUE
+    // itself is hash-oracled — no rows-only escape hatch; the error
+    // bound (rsd ≈ 1/√(k−2)) is separately pinned in AggregatesSpec
+    // against the exact twin carried in-row. Scale shape: the
+    // rank ≤ k filter becomes a WindowGroupLimit (partial per-map
+    // top-k BEFORE the shuffle — asserted on the plan in
+    // AggregatesSpec), so the shuffle carries ≤ k rows per group per
+    // map task, the same fixed-memory merge posture as HLL.
+    Q("q_agg_approx_distinct",
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |        ${h28Duck("user_id::VARCHAR")} AS h FROM events),
+         |r AS (SELECT event_type, h, row_number() OVER (
+         |        PARTITION BY event_type ORDER BY h) AS rk FROM h),
+         |tk AS (SELECT event_type, count(*) AS nh, max(h) AS kth
+         |       FROM r WHERE rk <= 64 GROUP BY 1),
+         |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+         |       FROM events GROUP BY 1)
+         |SELECT t.event_type,
+         |  CASE WHEN t.nh < 64 THEN t.nh
+         |       ELSE CAST(round(63 * 268435456.0 / t.kth, 0) AS BIGINT)
+         |  END AS approx_users,
+         |  e.exact_users
+         |FROM tk t JOIN ex e USING (event_type)
+         |ORDER BY t.event_type""".stripMargin) { (s, d) =>
+      val ev = fanout(Tables.events(s, d))
+      val hashes = ev.select(col("event_type"),
+        expr(h28("CAST(user_id AS STRING)")).as("h")).distinct()
+      val w = Window.partitionBy("event_type").orderBy("h")
+      val tk = hashes.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 64)
+        .groupBy("event_type").agg(count(lit(1)).as("nh"), max("h").as("kth"))
+      val ex = ev.groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_users"))
+      tk.join(ex, "event_type")
+        .select(col("event_type"),
+          when(col("nh") < 64, col("nh"))
+            .otherwise(round(lit(63 * 268435456.0) / col("kth"), 0).cast("long"))
+            .as("approx_users"),
+          col("exact_users"))
         .orderBy("event_type")
     },
 
@@ -94,26 +132,67 @@ object Aggregates {
         .orderBy("cohort")
     },
 
-    // Quantile sketch — the percentile for 100 TB: approx_percentile
-    // (Greenwald-Khanna summaries) merges associatively in fixed
-    // memory, where exact percentile must materialize the whole group.
-    // Same correctness contract as the HLL query above: sketch
-    // internals aren't engine-portable (rows-only check), so the
-    // exact interpolated percentile rides along in the same row and
-    // AggregatesSpec bounds the sketch's RANK error at the declared
-    // 1/accuracy.
-    Q.noOracle("q_agg_approx_quantile") { (s, d) =>
-      fanout(Tables.events(s, d)).groupBy("event_type")
-        .agg(expr("approx_percentile(value, array(0.5, 0.9), 1000)")
-            .alias("approx_p"),
-          expr("percentile(value, array(0.5, 0.9))").alias("exact_p"),
-          count(lit(1)).alias("n"))
+    // Approximate quantiles via a fixed-width HISTOGRAM sketch:
+    // B = 128 equi-width buckets over [min, max] per group, the
+    // p-quantile estimated as the midpoint of the bucket where the
+    // cumulative count crosses p·n. Counts merge associatively in
+    // fixed memory (the 100 TB property approx_percentile's GK
+    // summaries buy) while staying fully deterministic and
+    // engine-portable — so the approximate VALUES are hash-oracled,
+    // unlike GK/t-digest internals. The value error is bounded by
+    // one bucket width ((max−min)/B); AggregatesSpec pins that
+    // against the exact interpolated percentile carried in-row
+    // (percentile ↔ quantile_cont, portable per q_agg_median).
+    Q("q_agg_approx_quantile",
+      """WITH st AS (SELECT event_type, count(*) AS n,
+        |        min(value) AS mn, max(value) AS mx FROM events GROUP BY 1),
+        |bk AS (SELECT e.event_type,
+        |         CASE WHEN s.mx = s.mn THEN 0
+        |              ELSE least(127, CAST(floor((e.value - s.mn)
+        |                     / (s.mx - s.mn) * 128) AS INT)) END AS b
+        |       FROM events e JOIN st s USING (event_type)),
+        |c AS (SELECT event_type, b, count(*) AS c FROM bk GROUP BY 1, 2),
+        |cm AS (SELECT event_type, b, sum(c) OVER (
+        |         PARTITION BY event_type ORDER BY b) AS cum FROM c),
+        |qb AS (SELECT cm.event_type,
+        |         min(CASE WHEN cm.cum >= s.n * 0.5 THEN cm.b END) AS b50,
+        |         min(CASE WHEN cm.cum >= s.n * 0.9 THEN cm.b END) AS b90
+        |       FROM cm JOIN st s USING (event_type) GROUP BY 1),
+        |ex AS (SELECT event_type,
+        |         round(quantile_cont(value, 0.5), 6) AS exact_p50,
+        |         round(quantile_cont(value, 0.9), 6) AS exact_p90
+        |       FROM events GROUP BY 1)
+        |SELECT q.event_type,
+        |  round(s.mn + (q.b50 + 0.5) * (s.mx - s.mn) / 128, 6) AS approx_p50,
+        |  round(s.mn + (q.b90 + 0.5) * (s.mx - s.mn) / 128, 6) AS approx_p90,
+        |  e.exact_p50, e.exact_p90, s.n
+        |FROM qb q JOIN st s USING (event_type) JOIN ex e USING (event_type)
+        |ORDER BY q.event_type""".stripMargin) { (s, d) =>
+      val ev = fanout(Tables.events(s, d)).select("event_type", "value")
+      val st = ev.groupBy("event_type").agg(count(lit(1)).as("n"),
+        min("value").as("mn"), max("value").as("mx"))
+      val bkt = ev.join(broadcast(st), "event_type")
         .select(col("event_type"),
-          round(element_at(col("approx_p"), 1), 6).alias("approx_p50"),
-          round(element_at(col("approx_p"), 2), 6).alias("approx_p90"),
-          round(element_at(col("exact_p"), 1), 6).alias("exact_p50"),
-          round(element_at(col("exact_p"), 2), 6).alias("exact_p90"),
-          col("n"))
+          when(col("mx") === col("mn"), lit(0)).otherwise(
+            least(lit(127), floor((col("value") - col("mn"))
+              / (col("mx") - col("mn")) * 128).cast("int"))).as("b"))
+        .groupBy("event_type", "b").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("b")
+      val cum = bkt.withColumn("cum", sum("c").over(w))
+      val qb = cum.join(broadcast(st), "event_type")
+        .groupBy("event_type")
+        .agg(min(when(col("cum") >= col("n") * 0.5, col("b"))).as("b50"),
+          min(when(col("cum") >= col("n") * 0.9, col("b"))).as("b90"))
+      val ex = ev.groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("exact_p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("exact_p90"))
+      qb.join(broadcast(st), "event_type").join(ex, "event_type")
+        .select(col("event_type"),
+          round(col("mn") + (col("b50") + lit(0.5))
+            * (col("mx") - col("mn")) / lit(128), 6).as("approx_p50"),
+          round(col("mn") + (col("b90") + lit(0.5))
+            * (col("mx") - col("mn")) / lit(128), 6).as("approx_p90"),
+          col("exact_p50"), col("exact_p90"), col("n"))
         .orderBy("event_type")
     },
 
