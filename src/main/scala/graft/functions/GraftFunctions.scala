@@ -31,9 +31,16 @@ object GraftFunctions {
     // session somehow carries a partial registration — or a foreign
     // function squatting on one name — the remaining kernels must
     // still land instead of silently failing at resolution later.
+    // A kept pre-existing registration is WARNED about: a foreign
+    // function shadowing a graft kernel would otherwise surface only
+    // as a resolution-time type error far from the cause.
     def ensure(name: String)(builder: Seq[Expression] => Expression): Unit =
       if (!reg.functionExists(FunctionIdentifier(name)))
         reg.createOrReplaceTempFunction(name, builder, "built-in")
+      else
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"graft kernel '$name' not registered: a function with that " +
+            "name already exists in this session and is being kept")
     ensure("dot_product")(es => DotProduct(d(es(0)), d(es(1))))
     ensure("cosine_distance")(es => CosineDistance(d(es(0)), d(es(1))))
     ensure("l2_distance")(es => L2Distance(d(es(0)), d(es(1))))

@@ -44,6 +44,11 @@ object Multimodal {
     // payload, one output row per sampled frame with its content
     // hash — the video-pipeline shape (decode → evenly-spaced sample
     // → per-frame featurize), scan-local until the final sort.
+    // DECLARED clip bound: both sides sample the first 32 KiB
+    // (1024 frames) of the payload — the engine truncates its input
+    // to the same literal the oracle's range() domain encodes, so a
+    // longer future corpus keeps the two in lockstep instead of
+    // silently hash-diverging.
     Q("q_media_frames",
       // (range() can't reference lateral columns in DuckDB, so the
       // index domain is a literal bound filtered per doc.)
@@ -54,7 +59,8 @@ object Multimodal {
          |ORDER BY doc_id, frame_no""".stripMargin) { (s, d) =>
       import s.implicits._
       val bin = fanout(Tables.documents(s, d))
-        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .select(col("doc_id"),
+          substring(col("text"), 1, 1024 * 32).cast("binary").as("content"))
       bin.as[(Long, Array[Byte])].mapPartitions { rows =>
         val dec = new SurrogateMediaDecoder
         rows.flatMap { case (id, bytes) =>
@@ -74,7 +80,9 @@ object Multimodal {
     // yields a surrogate energy level — the decode step is the same
     // per-partition seam, so a real PCM/opus decoder slots in with
     // identical plumbing. A per-doc summary row count = the clip's
-    // duration in windows.
+    // duration in windows. DECLARED clip bound: both sides window the
+    // first 16 KiB (256 windows) — engine-side truncation mirrors the
+    // oracle's range() literal (see q_media_frames).
     Q("q_media_audio",
       s"""SELECT doc_id, CAST(i AS INT) AS win_no,
          |  CAST(${h28Duck("substr(text, CAST(i AS INT) * 64 + 1, 64)")} % 10000 AS BIGINT) AS energy
@@ -83,7 +91,8 @@ object Multimodal {
          |ORDER BY doc_id, win_no""".stripMargin) { (s, d) =>
       import s.implicits._
       val bin = fanout(Tables.documents(s, d))
-        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .select(col("doc_id"),
+          substring(col("text"), 1, 256 * 64).cast("binary").as("content"))
       bin.as[(Long, Array[Byte])].mapPartitions { rows =>
         val dec = new SurrogateMediaDecoder // once per partition
         rows.flatMap { case (id, bytes) =>

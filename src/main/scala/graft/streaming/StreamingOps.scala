@@ -86,11 +86,16 @@ object StreamingOps {
         // Count only batches that EMIT rows: AvailableNow fires a
         // trailing empty batch to finalize watermark state, which is
         // harmless to an append sink. Two EMITTING batches in update
-        // mode are not — that's the corruption case.
-        if (!df.isEmpty) {
-          batches.incrementAndGet()
-          df.write.mode("append").parquet(sink)
-        }
+        // mode are not — that's the corruption case. persist() keeps
+        // the isEmpty probe + write pair from computing the batch
+        // plan (stateful aggregations included) twice.
+        df.persist()
+        try {
+          if (!df.isEmpty) {
+            batches.incrementAndGet()
+            df.write.mode("append").parquet(sink)
+          }
+        } finally df.unpersist()
       }
       .trigger(Trigger.AvailableNow())
       .start()
