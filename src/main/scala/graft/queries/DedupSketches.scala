@@ -129,9 +129,13 @@ object DedupStages {
       .localCheckpoint()
     val init = nodes.select(col("node"), col("node").as("lab"))
     (1 to rounds).foldLeft(init) { (l, _) =>
+      // prop is checkpointed BEFORE the jump self-join references it
+      // twice — otherwise both join sides recompute the propagate
+      // stage (measured ~2× the per-round cost).
       val prop = edges.join(l, col("a") === col("node"))
         .groupBy("b").agg(min("lab").as("lab"))
         .select(col("b").as("node"), col("lab"))
+        .localCheckpoint()
       prop.as("x")
         .join(prop.select(col("node").as("ln"), col("lab").as("lab2")).as("y"),
           col("x.lab") === col("y.ln"))
