@@ -150,5 +150,33 @@ object Curation {
         .withColumn("flagged", (col("dup_frac") > 0.03).cast("int"))
         .orderBy("doc_id")
     },
+
+    // WINSORIZATION: clip per-language outlier doc lengths at that
+    // language's p95 (the curation guard against length-skewed
+    // batches — one pathological 10 MB doc otherwise dominates a
+    // packed sequence). Two-pass broadcast shape: pass 1 computes
+    // the tiny per-group threshold frame (|langs| rows — exact
+    // interpolated percentile, portable per q_agg_median), pass 2 is
+    // a scan-local clip against the broadcast thresholds. At 100 TB
+    // the corpus side never shuffles; for regimes where even pass 1
+    // is too hot, q_agg_approx_quantile's histogram sketch is the
+    // drop-in threshold source.
+    Q("q_winsorize",
+      """WITH th AS (SELECT lang,
+        |    round(quantile_cont(n_chars, 0.95), 6) AS p95 FROM documents GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.n_chars, th.p95,
+        |  round(least(CAST(d.n_chars AS DOUBLE), th.p95), 6) AS clipped,
+        |  CASE WHEN CAST(d.n_chars AS DOUBLE) > th.p95 THEN 1 ELSE 0 END AS was_clipped
+        |FROM documents d JOIN th USING (lang)
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val th = docs.groupBy("lang")
+        .agg(round(expr("percentile(n_chars, 0.95)"), 6).as("p95"))
+      docs.join(broadcast(th), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("p95"),
+          round(least(col("n_chars").cast("double"), col("p95")), 6).as("clipped"),
+          (col("n_chars").cast("double") > col("p95")).cast("int").as("was_clipped"))
+        .orderBy("doc_id")
+    },
   )
 }

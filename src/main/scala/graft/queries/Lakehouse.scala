@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Lakehouse TABLE-MAINTENANCE operators — the verbs that keep a
+  * 100 TB table usable between queries. The reference mutates its
+  * store in place (upsert/delete, photo_vector_search.py:94-118); a
+  * lake can't rewrite history cheaply, so the same intents become
+  * versioned merges and compaction plans over immutable files:
+  *
+  *  - SCD2 merge (q_merge_scd2): apply a change batch to a keyed
+  *    dimension, keeping every version with a validity interval —
+  *    the audit-preserving form of A7's latest-wins upsert.
+  *  - Compaction planning (q_compact_plan): group small files into
+  *    target-size rewrite bins — the small-file problem is the #1
+  *    operational tax of high-frequency ingest at scale.
+  *
+  * Scale design: the SCD2 merge is one union (scan-local) plus one
+  * window keyed on the dimension key — a single exchange no matter
+  * how many versions accumulate. The compaction planner works on the
+  * FILE MANIFEST (metadata: one row per file), never the data — at
+  * 100 TB the manifest is ~10⁶ rows while the table is ~10¹² — so
+  * planning cost is independent of data volume; the plan's bins then
+  * drive the actual rewrite as per-bin coalesced reads.
+  */
+object Lakehouse {
+
+  val qs: Seq[Q] = Seq(
+
+    // SCD2 MERGE: customer is the base dimension (all rows valid
+    // from the epoch t0); the change batch is deterministic —
+    // every 7th key upgrades its market segment (UPDATE case) and
+    // every 97th key arrives as a brand-new customer (INSERT case)
+    // at t1. Result: one row per (key, version) with
+    // [valid_from, valid_to) intervals; the open interval is the
+    // current row. lead() over the per-key version timeline closes
+    // the intervals — ONE exchange on the key, the union above it is
+    // scan-local, so the merge cost is a single shuffle of
+    // |dim| + |batch| rows at any scale.
+    Q("q_merge_scd2",
+      """WITH base AS (SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal,
+        |    TIMESTAMP '2024-01-01 00:00:00' AS eff FROM customer),
+        |changes AS (
+        |  SELECT c_custkey, 'UPGRADED' AS c_mktsegment,
+        |      round(c_acctbal + 100.0, 2) AS acctbal,
+        |      TIMESTAMP '2024-06-01 00:00:00' AS eff
+        |    FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'NEWCOMER', 0.00,
+        |      TIMESTAMP '2024-06-01 00:00:00'
+        |    FROM customer WHERE c_custkey % 97 = 0),
+        |merged AS (SELECT * FROM base UNION ALL SELECT * FROM changes)
+        |SELECT c_custkey, c_mktsegment, acctbal,
+        |  eff AS valid_from,
+        |  lead(eff) OVER (PARTITION BY c_custkey ORDER BY eff) AS valid_to,
+        |  CASE WHEN lead(eff) OVER (PARTITION BY c_custkey ORDER BY eff) IS NULL
+        |       THEN 1 ELSE 0 END AS is_current
+        |FROM merged ORDER BY c_custkey, valid_from""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val base = cust.select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal"), 2).as("acctbal"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("eff"))
+      val updates = cust.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), lit("UPGRADED").as("c_mktsegment"),
+          round(col("c_acctbal") + 100.0, 2).as("acctbal"),
+          lit("2024-06-01 00:00:00").cast("timestamp").as("eff"))
+      val inserts = cust.filter(col("c_custkey") % 97 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          lit("NEWCOMER").as("c_mktsegment"), lit(0.0).as("acctbal"),
+          lit("2024-06-01 00:00:00").cast("timestamp").as("eff"))
+      val byKey = Window.partitionBy("c_custkey").orderBy("eff")
+      base.unionByName(updates).unionByName(inserts)
+        .withColumn("valid_to", lead("eff", 1).over(byKey))
+        .select(col("c_custkey"), col("c_mktsegment"), col("acctbal"),
+          col("eff").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.cast("int").as("is_current"))
+        .orderBy("c_custkey", "valid_from")
+    },
+
+    // COMPACTION PLAN: the synthetic manifest is one "file" per
+    // (event_type, ingest hour) with bytes ∝ row count — exactly the
+    // layout a per-hour micro-batch ingest leaves behind. Within each
+    // table partition (event_type), files pack sequentially (hour
+    // order, so compaction preserves time locality) into 64 KiB
+    // bins: bin = floor(running-bytes-before-this-file / target) —
+    // the deterministic prefix-sum form of first-fit packing (a bin
+    // may overflow by at most one file, which a rewrite absorbs;
+    // in exchange the plan is a pure window expression with no
+    // sequential driver loop). Output is one row per rewrite bin.
+    Q("q_compact_plan",
+      """WITH manifest AS (SELECT event_type,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |    count(*) * 120 AS bytes
+        |  FROM events GROUP BY 1, 2),
+        |packed AS (SELECT event_type, h, bytes,
+        |    CAST(floor((sum(bytes) OVER (PARTITION BY event_type ORDER BY h)
+        |                - bytes) / 65536.0) AS BIGINT) AS bin
+        |  FROM manifest)
+        |SELECT event_type, bin,
+        |  count(*) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS tot_bytes,
+        |  min(h) AS first_hour, max(h) AS last_hour
+        |FROM packed GROUP BY event_type, bin
+        |ORDER BY event_type, bin""".stripMargin) { (s, d) =>
+      val manifest = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg((count(lit(1)) * 120).as("bytes"))
+      val byType = Window.partitionBy("event_type").orderBy("h")
+      manifest
+        .withColumn("bin",
+          floor((sum("bytes").over(byType) - col("bytes")) / 65536.0))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n_files"), sum("bytes").as("tot_bytes"),
+          min("h").as("first_hour"), max("h").as("last_hour"))
+        .orderBy("event_type", "bin")
+    },
+  )
+}

@@ -59,5 +59,45 @@ object TimeSeries {
         .select("user_id", "h", "v_filled", "filled")
         .orderBy("user_id", "h")
     },
+
+    // Batch SESSIONIZATION: a >30-min silence starts a new session
+    // per user (the batch twin of q_stream_session's event-time
+    // session windows — this is the shape you run over the HISTORY
+    // while streaming handles the live tail). One shuffle total:
+    // the lag window hashes on user_id and the (user_id, session_no)
+    // aggregation reuses that clustering (hash on a subset of the
+    // group keys satisfies the aggregation's distribution), so at
+    // 100 TB this is scan → one exchange → window + partial/final
+    // agg. Ordering ties broken by event_id on both engines.
+    Q("q_sessionize",
+      """WITH x AS (SELECT user_id, ts, event_id, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |f AS (SELECT user_id, ts, event_id, value,
+        |    CASE WHEN prev IS NULL
+        |           OR ts > prev + INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        |  FROM x),
+        |s AS (SELECT user_id, ts, event_id, value,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_no
+        |  FROM f)
+        |SELECT user_id, session_no,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_value
+        |FROM s GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin) { (s, d) =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("prev", lag("ts", 1).over(byUser))
+        .withColumn("brk",
+          when(col("prev").isNull ||
+            col("ts") > col("prev") + expr("INTERVAL '30' MINUTE"), 1)
+            .otherwise(0))
+        .withColumn("session_no", sum("brk").over(byUser))
+        .groupBy("user_id", "session_no")
+        .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+          count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .orderBy("user_id", "session_no")
+    },
   )
 }
