@@ -356,5 +356,50 @@ object DedupSketches {
           col("pos").cast("long").as("perm_i"), col("col").as("mh"))
         .orderBy("lang", "perm_i")
     },
+
+    // SUBSTRING-SPAN DEDUP: documents can share long verbatim spans
+    // (boilerplate, licenses, quoted passages) without being
+    // near-dups as WHOLE documents — the case doc-level Jaccard
+    // misses and suffix-array dedup (Lee et al., "Deduplicating
+    // Training Data Makes Language Models Better") targets. The
+    // scalable approximation: stride-16 character 64-grams per doc,
+    // a span is DUPLICATED when its hash occurs in ≥2 distinct docs;
+    // report each doc's duplicated-span fraction (the strided grid
+    // detects any shared run ≥ 79 chars — window + stride − 1 —
+    // wherever it starts; a true suffix array is exact but needs a
+    // global sort of every suffix, ~20× the data in intermediate
+    // state). Plan: scan-local explode (≤ len/16 spans/doc), one
+    // hash-keyed count for span doc-frequency, one join back on the
+    // span hash, one per-doc aggregation — all partial-aggregated
+    // equi-shuffles on high-cardinality keys; nothing quadratic,
+    // nothing broadcast-unbounded.
+    Q("q_span_dedup",
+      s"""WITH sp AS (SELECT doc_id,
+         |    ${TextKit.h60Duck("substr(text, CAST(i AS INT), 64)")} AS h
+         |  FROM documents,
+         |    unnest(range(1, greatest(length(text) - 63, 1) + 1, 16)) AS t(i)),
+         |dfh AS (SELECT h, count(*) AS df
+         |        FROM (SELECT DISTINCT doc_id, h FROM sp) GROUP BY h)
+         |SELECT sp.doc_id, count(*) AS n_spans,
+         |  CAST(sum(CASE WHEN dfh.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+         |  round(sum(CASE WHEN dfh.df >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         |    AS dup_frac
+         |FROM sp JOIN dfh USING (h)
+         |GROUP BY sp.doc_id ORDER BY sp.doc_id""".stripMargin) { (s, d) =>
+      val sp = fanout(Tables.documents(s, d))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, greatest(length(text) - 63, 1), 16)," +
+            " i -> substring(text, CAST(i AS INT), 64))")).as("w"))
+        .select(col("doc_id"), expr(TextKit.h60("w")).as("h"))
+      val dfh = sp.select("doc_id", "h").distinct()
+        .groupBy("h").agg(count(lit(1)).as("df"))
+      sp.join(dfh, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum((col("df") >= 2).cast("int")).cast("long").as("n_dup_spans"),
+          round(sum((col("df") >= 2).cast("int")).cast("double") / count(lit(1)), 6)
+            .as("dup_frac"))
+        .orderBy("doc_id")
+    },
   )
 }

@@ -368,5 +368,58 @@ object TextOps {
           round(expr("length(text) / size(w)"), 6).as("chars_per_token"))
         .orderBy("doc_id")
     },
+
+    // BM25 RELEVANCE (k1=1.2, b=0.75): the full-text ranking sibling
+    // of q_tfidf — idf × saturated-tf × length normalization. The
+    // "query" is a deterministic 8-term set (document-frequency ranks
+    // 10-17 — past the stopword head, still corpus-wide) so the
+    // workload is self-contained. Plan shape at 100 TB: the term set
+    // and the (N, avgdl) scalar frame broadcast; the tf side is
+    // pruned to the 8 query terms BEFORE its join with per-doc
+    // lengths (both sides hashed on doc_id — one co-keyed shuffle);
+    // per-term contributions are rounded then decimal-summed so the
+    // 8-way sum is order-independent across engines.
+    Q("q_bm25",
+      s"""WITH tok AS (SELECT doc_id, unnest($toksDuck) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY 1),
+         |dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         |terms AS (SELECT token, df FROM (SELECT token, df,
+         |      row_number() OVER (ORDER BY df DESC, token) AS r FROM dfq)
+         |    WHERE r BETWEEN 10 AND 17),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |sc AS (SELECT tf.doc_id,
+         |    round(ln(1 + (st.n - t.df + 0.5) / (t.df + 0.5))
+         |      * (tf.tf * 2.2)
+         |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) AS s
+         |  FROM tf JOIN terms t USING (token)
+         |  JOIN dl USING (doc_id) CROSS JOIN st)
+         |SELECT doc_id, count(*) AS n_hit,
+         |  round(CAST(sum(CAST(s AS DECIMAL(38,6))) AS DOUBLE), 6) AS score
+         |FROM sc GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tok = fanout(docs).select(col("doc_id"), explode(expr(toks)).as("token"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).cast("double").as("dl"))
+      val dfq = tok.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val terms = dfq
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("df").desc, col("token"))))
+        .filter(col("r").between(10, 17)).select("token", "df")
+      val st = dl.agg((sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+        .crossJoin(docs.agg(count(lit(1)).as("n")))
+      tf.join(broadcast(terms), "token")
+        .join(dl, "doc_id").crossJoin(broadcast(st))
+        .withColumn("s", round(
+          log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+            * (col("tf") * 2.2)
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hit"), dsum(col("s")).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(100)
+    },
   )
 }
