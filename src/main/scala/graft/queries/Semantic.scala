@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions.cosine_distance
+
+/** SEMANTIC (clustered) embedding dedup — the SemDeDup recipe
+  * (Abbas et al. 2023): k-means the embedding space, then look for
+  * near-duplicates ONLY within a cluster. Clustering bounds the pair
+  * volume at Σ|cluster|²/2 ≈ n²/k for balanced clusters — choose
+  * k ∝ n (fixed target cluster size) and the quadratic stage stays a
+  * constant factor per cluster while everything else is linear scans
+  * and broadcast argmins. This is the scale path that complements
+  * the engine's exact stance elsewhere: q_dedup_embed /
+  * q_similarity_join stay exact-by-declaration (block-chunked),
+  * q_knn_ivf prunes the SEARCH regime, and this operator prunes the
+  * DEDUP regime the way production corpus pipelines actually do —
+  * accepting that cross-cluster pairs are unseen (recall vs the
+  * exact join is measured in SemanticSpec, not hand-waved).
+  *
+  * Determinism across engines (the oracle replays the SAME
+  * algorithm): seeds are the 16 vectors with the smallest md5-derived
+  * id hash (hash-ranked, not rand()); every Lloyd assignment key is
+  * round(dist, 6) + cid·1e-8 — the rounded distance grain (1e-6)
+  * dominates the cid tie-break (≤ 1.6e-7), and both engines evaluate
+  * the identical double expression; every centroid mean is an exact
+  * DECIMAL(38,12) sum over doubles divided by the count, rounded to
+  * 6 — associative, so partition order can't move it (the
+  * q_vector_centroid recipe). At 100 TB the seed ranking runs over a
+  * SAMPLE and k grows with n; the per-iteration shape is unchanged:
+  * broadcast k centroids, scan-local argmin, one (cid, pos)-keyed
+  * partial+final aggregation.
+  *
+  * Reference analog: the store's embedding column is the input
+  * (photo_vector_search.py:128-140 keeps one CLIP vector per photo);
+  * dedup over it is the capability extension SURVEY §2B declares.
+  */
+object Semantic {
+
+  private val K = 16
+  private val Tau = 0.4
+
+  val qs: Seq[Q] = Seq(
+
+    Q("q_semdedup",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |seeds AS (SELECT CAST(row_number() OVER (
+        |      ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,7))::BIGINT, vec_id) - 1
+        |    AS INT) AS cid, v AS c
+        |  FROM e QUALIFY row_number() OVER (
+        |      ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,7))::BIGINT, vec_id) <= 16),
+        |a0 AS (SELECT e.vec_id,
+        |    arg_min(s.cid, round(1 - list_cosine_similarity(e.v, s.c), 6) + s.cid * 1e-8) AS cid
+        |  FROM e, seeds s GROUP BY e.vec_id),
+        |c1m AS (SELECT a0.cid, t.i,
+        |    round(CAST(sum(CAST(e.v[CAST(t.i AS INT)] AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS m
+        |  FROM a0 JOIN e USING (vec_id), UNNEST(generate_series(1, len(e.v))) AS t(i)
+        |  GROUP BY a0.cid, t.i),
+        |c1 AS (SELECT cid, list(m ORDER BY i) AS c FROM c1m GROUP BY cid),
+        |a1 AS (SELECT e.vec_id,
+        |    arg_min(s.cid, round(1 - list_cosine_similarity(e.v, s.c), 6) + s.cid * 1e-8) AS cid
+        |  FROM e, c1 s GROUP BY e.vec_id),
+        |c2m AS (SELECT a1.cid, t.i,
+        |    round(CAST(sum(CAST(e.v[CAST(t.i AS INT)] AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS m
+        |  FROM a1 JOIN e USING (vec_id), UNNEST(generate_series(1, len(e.v))) AS t(i)
+        |  GROUP BY a1.cid, t.i),
+        |c2 AS (SELECT cid, list(m ORDER BY i) AS c FROM c2m GROUP BY cid),
+        |a2 AS (SELECT e.vec_id,
+        |    arg_min(s.cid, round(1 - list_cosine_similarity(e.v, s.c), 6) + s.cid * 1e-8) AS cid
+        |  FROM e, c2 s GROUP BY e.vec_id),
+        |m AS (SELECT a2.vec_id, a2.cid, e.v FROM a2 JOIN e USING (vec_id)),
+        |dup AS (SELECT DISTINCT b.vec_id FROM m a JOIN m b
+        |  ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4)
+        |SELECT m.vec_id, m.cid AS cluster,
+        |  CASE WHEN dup.vec_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+        |FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id
+        |ORDER BY m.vec_id""".stripMargin) { (s, d) =>
+      val e = fanout(Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+        .localCheckpoint()
+      val assigned = (1 to 2).foldLeft(assign(e, seedCentroids(e))) { (a, _) =>
+        assign(e, lloydCentroids(e, a))
+      }
+      val m = assigned.join(e, "vec_id").localCheckpoint()
+      val dup = m.as("a")
+        .join(m.as("b"),
+          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+        .filter(round(lit(1.0) - cosine_distance(col("a.v"), col("b.v")), 6) >= Tau)
+        .select(col("b.vec_id")).distinct()
+        .withColumn("is_dup", lit(1))
+      m.join(dup, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid").as("cluster"),
+          coalesce(col("is_dup"), lit(0)).as("is_dup"))
+        .orderBy("vec_id")
+    },
+  )
+
+  /** Hash-ranked seed pick: the K vectors with the smallest
+    * md5-derived id hash become centroids 0..K-1. The global window
+    * is K rows of state over one pass; at scale the same ranking
+    * runs over a sample (seeds need only be spread, not exact). */
+  private def seedCentroids(e: DataFrame): DataFrame = {
+    val byHash = Window.orderBy(
+      expr(TextKit.h28("CAST(vec_id AS STRING)")), col("vec_id"))
+    e.withColumn("r", row_number().over(byHash)).filter(col("r") <= K)
+      .select((col("r") - 1).cast("int").as("cid"), col("v").as("c"))
+  }
+
+  /** One Lloyd assignment: broadcast the ≤K-row centroid frame,
+    * scan-local distance argmin per vector — no shuffle of the
+    * embedding side beyond the K-way fanout's partial aggregation. */
+  private def assign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("key",
+        round(cosine_distance(col("v"), col("c")), 6) + col("cid") * lit(1e-8))
+      .groupBy("vec_id").agg(min_by(col("cid"), col("key")).as("cid"))
+
+  /** Exact-decimal elementwise centroid means (the q_vector_centroid
+    * recipe): one (cid, pos)-keyed partial+final aggregation, then a
+    * K-row re-collect into ordered arrays. */
+  private def lloydCentroids(e: DataFrame, a: DataFrame): DataFrame =
+    a.join(e, "vec_id")
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos")
+      .agg(round(sum(col("x").cast("decimal(38,12)")).cast("double")
+        / count(lit(1)), 6).as("m"))
+      .groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .as("c"))
+}
