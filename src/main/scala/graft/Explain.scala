@@ -14,7 +14,10 @@ object Explain {
     // round-3 additions
     "q_knn_pq", "q_decontaminate", "q_repetition", "q_text_redact",
     "q_ts_gapfill", "q_sample_hash", "q_zorder_layout", "q_dup_clusters",
-    "q_source_csv", "q_agg_approx_quantile")
+    "q_source_csv", "q_agg_approx_quantile",
+    // round-4 additions
+    "q_sessionize", "q_merge_scd2", "q_compact_plan", "q_winsorize",
+    "q_bm25", "q_span_dedup", "q_semdedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
