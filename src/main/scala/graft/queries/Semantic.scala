@@ -81,10 +81,16 @@ object Semantic {
       val e = fanout(Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
         .localCheckpoint()
-      val assigned = (1 to 2).foldLeft(assign(e, seedCentroids(e))) { (a, _) =>
-        assign(e, lloydCentroids(e, a))
+      // MLlib-style iteration: the k centroids round-trip through the
+      // driver each round (k × dim doubles — the same tiny-frame
+      // driver read the IVF codebook uses), so an ASSIGNMENT is a
+      // scan-local literal-argmin projection, never a join or a
+      // groupBy(vec_id) shuffle. Per round the cluster pays exactly
+      // one (cid, pos)-keyed aggregation job over n·dim rows.
+      val cents2 = (1 to 2).foldLeft(seedCentroids(e)) { (cents, _) =>
+        lloydCentroids(e.withColumn("cid", assignExpr(cents)))
       }
-      val m = assigned.join(e, "vec_id").localCheckpoint()
+      val m = e.withColumn("cid", assignExpr(cents2))
       val dup = m.as("a")
         .join(m.as("b"),
           col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
@@ -102,32 +108,40 @@ object Semantic {
     * md5-derived id hash become centroids 0..K-1. The global window
     * is K rows of state over one pass; at scale the same ranking
     * runs over a sample (seeds need only be spread, not exact). */
-  private def seedCentroids(e: DataFrame): DataFrame = {
+  private def seedCentroids(e: DataFrame): Seq[(Int, Array[Double])] = {
     val byHash = Window.orderBy(
       expr(TextKit.h28("CAST(vec_id AS STRING)")), col("vec_id"))
     e.withColumn("r", row_number().over(byHash)).filter(col("r") <= K)
       .select((col("r") - 1).cast("int").as("cid"), col("v").as("c"))
+      .collect().toSeq
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
   }
 
-  /** One Lloyd assignment: broadcast the ≤K-row centroid frame,
-    * scan-local distance argmin per vector — no shuffle of the
-    * embedding side beyond the K-way fanout's partial aggregation. */
-  private def assign(e: DataFrame, cents: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cents))
-      .withColumn("key",
-        round(cosine_distance(col("v"), col("c")), 6) + col("cid") * lit(1e-8))
-      .groupBy("vec_id").agg(min_by(col("cid"), col("key")).as("cid"))
+  /** Scan-local literal argmin over the ≤K driver-held centroids:
+    * key_i = round(dist(v, c_i), 6) + i·1e-8 (rounding grain
+    * dominates the tie-break; identical expression in the oracle),
+    * array_min over the (key, cid) structs picks the cluster. */
+  private def assignExpr(cents: Seq[(Int, Array[Double])]):
+      org.apache.spark.sql.Column =
+    array_min(array(cents.map { case (cid, c) =>
+      struct(
+        (round(cosine_distance(col("v"), typedLit(c)), 6) +
+          lit(cid) * lit(1e-8)).as("key"),
+        lit(cid).as("cid"))
+    }: _*)).getField("cid")
 
   /** Exact-decimal elementwise centroid means (the q_vector_centroid
-    * recipe): one (cid, pos)-keyed partial+final aggregation, then a
-    * K-row re-collect into ordered arrays. */
-  private def lloydCentroids(e: DataFrame, a: DataFrame): DataFrame =
-    a.join(e, "vec_id")
-      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+    * recipe): one (cid, pos)-keyed partial+final aggregation, with
+    * the ≤K×dim result collected back to the driver for the next
+    * round's literal assignment. */
+  private def lloydCentroids(a: DataFrame): Seq[(Int, Array[Double])] =
+    a.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("cid", "pos")
       .agg(round(sum(col("x").cast("decimal(38,12)")).cast("double")
         / count(lit(1)), 6).as("m"))
       .groupBy("cid")
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
         .as("c"))
+      .collect().toSeq
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
 }

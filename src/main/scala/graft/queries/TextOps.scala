@@ -401,10 +401,13 @@ object TextOps {
          |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val tok = fanout(docs).select(col("doc_id"), explode(expr(toks)).as("token"))
+      // ONE tokenize+explode pass: dl and df both derive from tf
+      // (dl = Σtf per doc, df = row count per token), so the three
+      // tf references share one identical exchange subtree and
+      // ReuseExchange runs the explode+shuffle once.
       val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val dl = tok.groupBy("doc_id").agg(count(lit(1)).cast("double").as("dl"))
-      val dfq = tok.select("doc_id", "token").distinct()
-        .groupBy("token").agg(count(lit(1)).as("df"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").cast("double").as("dl"))
+      val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val terms = dfq
         .withColumn("r", row_number().over(
           Window.orderBy(col("df").desc, col("token"))))
