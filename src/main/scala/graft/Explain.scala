@@ -17,7 +17,8 @@ object Explain {
     "q_source_csv", "q_agg_approx_quantile",
     // round-4 additions
     "q_sessionize", "q_merge_scd2", "q_compact_plan", "q_winsorize",
-    "q_bm25", "q_span_dedup", "q_semdedup")
+    "q_bm25", "q_span_dedup", "q_semdedup", "q_partition_pruned",
+    "q_agg_cms", "q_analyze_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

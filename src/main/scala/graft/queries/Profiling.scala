@@ -99,5 +99,98 @@ object Profiling {
           col("n"))
         .orderBy("pair")
     },
+
+    // COUNT-MIN SKETCH: depth-4 × width-256 counter grid over
+    // event user_ids, probed for users 0-9 with the exact count
+    // riding along. The sketch is pure integer work on md5-derived
+    // hashes (deterministic — both engines build the identical
+    // grid), the counter update is a partial-aggregated groupBy on
+    // (depth, bucket) — 1024 counters on the shuffle no matter how
+    // many rows flow in — and estimates never undercount (CMS
+    // guarantee, asserted in ProfilingSpec-style test via the
+    // overcount column). This is the mergeable-sketch shape for
+    // frequency estimation at 100 TB, complementing KMV
+    // (q_agg_approx_distinct) and the histogram quantile sketch
+    // (q_agg_approx_quantile).
+    Q("q_agg_cms",
+      s"""WITH g AS (SELECT d, ${TextKit.h28Duck(
+           "('cms#' || CAST(d AS VARCHAR) || '#' || CAST(user_id AS VARCHAR))")} % 256 AS b,
+         |    count(*) AS cnt
+         |  FROM events, unnest(range(0, 4)) AS t(d) GROUP BY 1, 2),
+         |probe AS (SELECT user_id, count(*) AS exact_n FROM events
+         |          WHERE user_id < 10 GROUP BY 1),
+         |pd AS (SELECT p.user_id, p.exact_n, t.d, ${TextKit.h28Duck(
+           "('cms#' || CAST(t.d AS VARCHAR) || '#' || CAST(p.user_id AS VARCHAR))")} % 256 AS b
+         |  FROM probe p, unnest(range(0, 4)) AS t(d))
+         |SELECT pd.user_id, min(g.cnt) AS est_n, pd.exact_n,
+         |  CAST(min(g.cnt) - pd.exact_n AS BIGINT) AS overcount
+         |FROM pd JOIN g USING (d, b)
+         |GROUP BY pd.user_id, pd.exact_n ORDER BY pd.user_id""".stripMargin) {
+      (s, d) =>
+        val hashOf = (dd: String, u: String) => TextKit.h28(
+          s"concat('cms#', CAST($dd AS STRING), '#', CAST($u AS STRING))")
+        val ev = Tables.events(s, d)
+        val grid = fanout(ev)
+          .select(col("user_id"), explode(expr("sequence(0, 3)")).as("d"))
+          .select(col("d"), expr(s"${hashOf("d", "user_id")} % 256").as("b"))
+          .groupBy("d", "b").agg(count(lit(1)).as("cnt"))
+        val probe = ev.filter(col("user_id") < 10)
+          .groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+        probe
+          .select(col("user_id"), col("exact_n"),
+            explode(expr("sequence(0, 3)")).as("d"))
+          .withColumn("b", expr(s"${hashOf("d", "user_id")} % 256"))
+          .join(broadcast(grid), Seq("d", "b"))
+          .groupBy("user_id", "exact_n").agg(min("cnt").as("est_n"))
+          .select(col("user_id"), col("est_n"), col("exact_n"),
+            (col("est_n") - col("exact_n")).cast("long").as("overcount"))
+          .orderBy("user_id")
+    },
+
+    // ANALYZE-style per-column statistics over lineitem's measures —
+    // the stats a cost-based optimizer eats (row count, NDV, null
+    // count, min/max). ONE scan: Spark expands the multi-distinct
+    // aggregation (Expand ×5 under partial+final agg) and the
+    // per-column rows come from a constant-size stack of the single
+    // result row — no per-column passes. At 100 TB the exact NDVs
+    // swap for the engine's own KMV sketch (q_agg_approx_distinct);
+    // the plan shape is unchanged.
+    Q("q_analyze_stats",
+      """WITH s AS (SELECT count(*) AS n,
+        |    count(l_quantity) AS c1, count(DISTINCT l_quantity) AS d1,
+        |      round(min(l_quantity), 6) AS mn1, round(max(l_quantity), 6) AS mx1,
+        |    count(l_extendedprice) AS c2, count(DISTINCT l_extendedprice) AS d2,
+        |      round(min(l_extendedprice), 6) AS mn2, round(max(l_extendedprice), 6) AS mx2,
+        |    count(l_discount) AS c3, count(DISTINCT l_discount) AS d3,
+        |      round(min(l_discount), 6) AS mn3, round(max(l_discount), 6) AS mx3,
+        |    count(l_tax) AS c4, count(DISTINCT l_tax) AS d4,
+        |      round(min(l_tax), 6) AS mn4, round(max(l_tax), 6) AS mx4,
+        |    count(l_partkey) AS c5, count(DISTINCT l_partkey) AS d5,
+        |      round(CAST(min(l_partkey) AS DOUBLE), 6) AS mn5,
+        |      round(CAST(max(l_partkey) AS DOUBLE), 6) AS mx5
+        |  FROM lineitem)
+        |SELECT u.* FROM s, LATERAL (
+        |  SELECT 'l_quantity' AS column_name, n, d1 AS ndv, n - c1 AS n_null,
+        |         mn1 AS vmin, mx1 AS vmax
+        |  UNION ALL SELECT 'l_extendedprice', n, d2, n - c2, mn2, mx2
+        |  UNION ALL SELECT 'l_discount', n, d3, n - c3, mn3, mx3
+        |  UNION ALL SELECT 'l_tax', n, d4, n - c4, mn4, mx4
+        |  UNION ALL SELECT 'l_partkey', n, d5, n - c5, mn5, mx5) u
+        |ORDER BY column_name""".stripMargin) { (s, d) =>
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_partkey")
+      val aggs = count(lit(1)).as("n") +: cols.flatMap { c =>
+        Seq(count(col(c)).as(s"c_$c"), countDistinct(col(c)).as(s"d_$c"),
+          round(min(col(c)).cast("double"), 6).as(s"mn_$c"),
+          round(max(col(c)).cast("double"), 6).as(s"mx_$c"))
+      }
+      val one = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+      val stack = cols.map { c =>
+        s"'$c', n, d_$c, n - c_$c, mn_$c, mx_$c"
+      }.mkString(", ")
+      one.selectExpr(s"stack(${cols.size}, $stack) AS " +
+          "(column_name, n, ndv, n_null, vmin, vmax)")
+        .orderBy("column_name")
+    },
   )
 }

@@ -116,5 +116,34 @@ object Sources {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
         .orderBy(col("source_tag").asc_nulls_first)
     },
+
+    // PARTITION-PRUNED SCAN: events staged once as a hive-layout
+    // directory partitioned by event_type; the declared query filters
+    // one partition value and aggregates. The filter resolves against
+    // DIRECTORY NAMES at planning time — the scan's PartitionFilters
+    // carries it and the other partitions' files are never opened
+    // (file-count pruning asserted in SourcesSpec-style test). THE
+    // first-line data-skipping mechanism at 100 TB: partition on the
+    // dominant predicate column and a selective query reads 1/N of
+    // the lake. The oracle reads the same rows from the unpartitioned
+    // parquet — a hash match proves pruning lost nothing.
+    Q("q_partition_pruned",
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_value
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val dir = staged.computeIfAbsent(s"hive:$d", { _ =>
+        val out = Files.createTempDirectory("graft_src_hive").toString + "/events"
+        Tables.events(s, d).write.mode("overwrite")
+          .partitionBy("event_type").parquet(out)
+        out
+      })
+      s.read.parquet(dir)
+        .filter(col("event_type") === "click")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy("h")
+    },
   )
 }

@@ -136,4 +136,37 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"),
       "within-cluster pair join degraded to a cartesian product")
   }
+
+  test("partition-pruned scan: the event_type filter resolves at planning time") {
+    val df = SparkEntry.queries("q_partition_pruned")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters:[^\\]]*event_type#\\d+ = click".r
+      .findFirstIn(plan).isDefined,
+      s"no partition filter in scan:\n${plan.take(2000)}")
+    // the pruned scan reads only the click partition's files, and the
+    // result still covers every click row
+    val clicks = Tables.events(spark, sf)
+      .filter(col("event_type") === "click").count()
+    assert(df.agg(sum("n")).head.getLong(0) === clicks)
+  }
+
+  test("count-min sketch never undercounts and estimates are grid minima") {
+    val out = SparkEntry.queries("q_agg_cms")(spark, sf).collect()
+    assert(out.length === 10)
+    assert(out.forall(_.getAs[Long]("overcount") >= 0),
+      "CMS undercounted — the one thing it must never do")
+    assert(out.forall(r => r.getAs[Long]("est_n") >= r.getAs[Long]("exact_n")))
+  }
+
+  test("analyze stats: one row per column with sane bounds") {
+    val out = SparkEntry.queries("q_analyze_stats")(spark, sf).collect()
+    assert(out.length === 5)
+    val n = Tables.lineitem(spark, sf).count()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Long]("ndv") <= n && r.getAs[Long]("ndv") > 0)
+      assert(r.getAs[Long]("n_null") === 0)
+      assert(r.getAs[Double]("vmin") <= r.getAs[Double]("vmax"))
+    }
+  }
 }
