@@ -336,5 +336,27 @@ object Aggregates {
         .select(col("label"), col("pos"), round(col("v"), 6).as("c"))
         .orderBy("label", "pos")
     },
+
+    // EXACT distinct counting via bitmap aggregation (Spark 4's
+    // bitmap_construct_agg): each (group, 32k-bucket) pair folds its
+    // ids into a fixed 4 KiB bitmap — partial-aggregated, so the
+    // shuffle carries one bounded buffer per (group, bucket) no
+    // matter how many input rows — then per-bucket popcounts sum.
+    // The dense-int-domain EXACT counterpart of the KMV estimate
+    // (q_agg_approx_distinct): same two-level shape, zero error,
+    // memory ∝ id-range/8 bytes instead of k hashes. The oracle is
+    // plain COUNT(DISTINCT) — bitmaps are exact, so they hash-match.
+    Q("q_agg_bitmap_distinct",
+      """SELECT event_type, count(DISTINCT user_id) AS ndv
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("event_type"),
+            expr("bitmap_bucket_number(user_id)").as("bkt"))
+          .agg(expr("bitmap_count(bitmap_construct_agg(" +
+            "bitmap_bit_position(user_id)))").as("cnt"))
+          .groupBy("event_type").agg(sum("cnt").as("ndv"))
+          .orderBy("event_type")
+    },
   )
 }

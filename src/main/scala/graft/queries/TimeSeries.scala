@@ -99,5 +99,34 @@ object TimeSeries {
           count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
         .orderBy("user_id", "session_no")
     },
+
+    // TIME-DECAYED AGGREGATE: recency-weighted engagement per user —
+    // each event contributes value · 2^(-age/half-life) with a
+    // 30-day half-life against a fixed reference instant. The decay
+    // factor is PER-ROW scan-local math (unlike a recursive EWMA, no
+    // sequential dependency), so the whole operator is one
+    // partial-aggregated groupBy at any scale; per-term weights are
+    // rounded then decimal-summed, making the sum order-independent
+    // across engines. Ages are computed on whole-second epochs
+    // (both engines floor the micros identically) so the exp()
+    // argument is integer-derived and bit-identical. Reference
+    // epoch 1735689600 = 2025-01-01 00:00:00 UTC, after the event
+    // span.
+    Q("q_ts_decay",
+      """SELECT user_id, count(*) AS n_events,
+        |  round(CAST(sum(CAST(
+        |    round(value * exp(
+        |      -(1735689600 - epoch(date_trunc('second', CAST(ts AS TIMESTAMP))))
+        |        * ln(2) / 2592000.0), 6)
+        |  AS DECIMAL(38,6))) AS DOUBLE), 6) AS decayed_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("term", round(
+          col("value") * exp((unix_timestamp(col("ts")) - lit(1735689600L))
+            * lit(math.log(2)) / lit(2592000.0)), 6))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), dsum(col("term")).as("decayed_value"))
+        .orderBy("user_id")
+    },
   )
 }

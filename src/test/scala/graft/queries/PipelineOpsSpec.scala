@@ -158,6 +158,34 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out.forall(r => r.getAs[Long]("est_n") >= r.getAs[Long]("exact_n")))
   }
 
+  test("bitmap distinct: map-side combined and equal to the naive count") {
+    val df = SparkEntry.queries("q_agg_bitmap_distinct")(spark, sf)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("partial_bitmap_construct_agg"),
+      "bitmap aggregation is not map-side combined")
+    val naive = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("x"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    df.collect().foreach(r =>
+      assert(r.getAs[Long]("ndv") === naive(r.getAs[String]("event_type"))))
+  }
+
+  test("time decay: newer events outweigh older ones at equal value") {
+    val s = spark
+    import s.implicits._
+    // two synthetic users, same values, shifted 60 days apart
+    val base = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val old = java.sql.Timestamp.valueOf("2024-04-02 00:00:00")
+    val ev = Seq((1L, base, 10.0), (2L, old, 10.0)).toDF("user_id", "ts", "value")
+    val decayed = ev.withColumn("term",
+        col("value") * exp((unix_timestamp(col("ts")) - lit(1735689600L))
+          * lit(math.log(2)) / lit(2592000.0)))
+      .groupBy("user_id").agg(sum("term").as("dv"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(decayed(1L) > decayed(2L) * 3.9 && decayed(1L) < decayed(2L) * 4.1,
+      s"60 days = 2 half-lives should quarter the weight: $decayed")
+  }
+
   test("analyze stats: one row per column with sane bounds") {
     val out = SparkEntry.queries("q_analyze_stats")(spark, sf).collect()
     assert(out.length === 5)
