@@ -188,5 +188,57 @@ object Sampling {
             .as("weight"))
         .orderBy("lang")
     },
+
+    // MIXTURE APPLICATION: materialize the training mix the τ=0.7
+    // weights prescribe — a budget of 40% of the corpus, each
+    // language contributing floor(weight·budget + 0.5) documents
+    // (floor(x+0.5) rounds identically on both engines; round()
+    // half-up vs half-even would not), chosen by md5-hash rank so
+    // the SAME docs are selected on any engine, any run, any
+    // partitioning. Temperature flattening makes head languages'
+    // quotas bind (undersampled) while tail languages keep more of
+    // their docs — the point of the mix. The
+    // quota window is one shuffle keyed on lang; at 100 TB the
+    // row_number quota swaps for a per-language hash THRESHOLD
+    // (select h < quantile(h, target/n) — scan-local, no global
+    // per-group sort) with the same determinism; the declared
+    // semantics here is the exact-count quota.
+    Q("q_mixture_apply",
+      s"""WITH t AS (SELECT doc_id, lang, len($toksDuck) AS n_tok FROM documents),
+         |pl AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS toks FROM t GROUP BY lang),
+         |sc AS (SELECT lang, CAST(pow(CAST(toks AS DOUBLE), 0.7)
+         |                         AS DECIMAL(38,12)) AS p FROM pl),
+         |tt AS (SELECT sum(p) AS ptot FROM sc),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) * 0.4 AS budget FROM documents),
+         |tgt AS (SELECT lang, CAST(floor(CAST(p AS DOUBLE) / CAST(ptot AS DOUBLE)
+         |                               * budget + 0.5) AS BIGINT) AS quota
+         |        FROM sc, tt, nn),
+         |rk AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |         ORDER BY ${h28Duck("CAST(doc_id AS VARCHAR)")}, doc_id) AS r
+         |       FROM documents)
+         |SELECT rk.doc_id, rk.lang, rk.r AS pick_rank
+         |FROM rk JOIN tgt USING (lang) WHERE rk.r <= tgt.quota
+         |ORDER BY rk.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val t = barrier(docs.withColumn("w", expr(toks)))
+        .select(col("lang"), size(col("w")).as("n_tok"))
+      val perLang = t.groupBy("lang")
+        .agg(sum("n_tok").cast("long").as("toks"))
+        .withColumn("p", pow(col("toks").cast("double"), 0.7)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+      val tot = perLang.agg(sum("p").as("ptot"))
+      val nn = docs.agg((count(lit(1)).cast("double") * 0.4).as("budget"))
+      val tgt = perLang.crossJoin(broadcast(tot)).crossJoin(broadcast(nn))
+        .select(col("lang"),
+          floor(col("p").cast("double") / col("ptot").cast("double")
+            * col("budget") + 0.5).cast("long").as("quota"))
+      val byLang = Window.partitionBy("lang")
+        .orderBy(expr(h28("CAST(doc_id AS STRING)")), col("doc_id"))
+      docs.withColumn("r", row_number().over(byLang))
+        .join(broadcast(tgt), "lang")
+        .filter(col("r") <= col("quota"))
+        .select(col("doc_id"), col("lang"), col("r").as("pick_rank"))
+        .orderBy("doc_id")
+    },
   )
 }
