@@ -18,7 +18,7 @@ object Explain {
     // round-4 additions
     "q_sessionize", "q_merge_scd2", "q_compact_plan", "q_winsorize",
     "q_bm25", "q_span_dedup", "q_semdedup", "q_partition_pruned",
-    "q_agg_cms", "q_analyze_stats", "q_agg_bitmap_distinct", "q_ts_decay", "q_mixture_apply")
+    "q_agg_cms", "q_analyze_stats", "q_agg_bitmap_distinct", "q_ts_decay", "q_mixture_apply", "q_doc_entropy")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

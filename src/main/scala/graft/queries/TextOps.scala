@@ -424,5 +424,39 @@ object TextOps {
         .agg(count(lit(1)).as("n_hit"), dsum(col("s")).as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(100)
     },
+
+    // TOKEN ENTROPY per document: H = −Σ p·ln p over the doc's token
+    // distribution — low entropy marks template/boilerplate text the
+    // repetition gate (q_repetition) can miss when the repeats aren't
+    // adjacent. Per-term contributions are computed from exact
+    // integer (tf, dl) pairs — the division and log evaluate
+    // identically on both engines — then rounded and decimal-summed
+    // so the per-doc total is order-independent. Shape: one explode +
+    // (doc, token) aggregation; the doc-length window rides a
+    // hash(doc_id) exchange; the final rollup reuses that clustering.
+    Q("q_doc_entropy",
+      s"""WITH tok AS (SELECT doc_id, unnest($toksDuck) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |wd AS (SELECT doc_id, token, tf,
+         |    CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl FROM tf),
+         |t AS (SELECT doc_id, dl,
+         |    round(-(CAST(tf AS DOUBLE) / dl) * ln(CAST(tf AS DOUBLE) / dl), 9) AS h
+         |  FROM wd)
+         |SELECT doc_id, max(dl) AS n_tok, count(*) AS n_types,
+         |  round(CAST(sum(CAST(h AS DECIMAL(38,9))) AS DOUBLE), 6) AS entropy
+         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tok = fanout(Tables.documents(s, d))
+        .select(col("doc_id"), explode(expr(toks)).as("token"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val byDoc = Window.partitionBy("doc_id")
+      tf.withColumn("dl", sum("tf").over(byDoc).cast("long"))
+        .withColumn("h", round(-(col("tf").cast("double") / col("dl"))
+          * log(col("tf").cast("double") / col("dl")), 9))
+        .groupBy("doc_id")
+        .agg(max("dl").as("n_tok"), count(lit(1)).as("n_types"),
+          round(sum(col("h").cast(DecimalType(38, 9))).cast("double"), 6)
+            .as("entropy"))
+        .orderBy("doc_id")
+    },
   )
 }
