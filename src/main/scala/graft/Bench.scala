@@ -28,15 +28,31 @@ object Bench {
         ()
       }
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: $e"); false
-        }
-      val sec = (System.nanoTime() - t0) / 1e9
-      (name, if (ok) sec else -1.0, ok)
+    // SPARK_GRAFT_BENCH_REPS=k (default 1) runs the WHOLE sweep k
+    // times and reports each query's minimum — one noisy box window
+    // during a single pass (round-4 driver bench: a contiguous
+    // alphabetical band 2-30× inflated by transient contention) can't
+    // fake a regression. min, not mean: external contention only ever
+    // adds time. A query that fails in ANY rep stays failed — flaky
+    // must not look fast.
+    val reps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt)
+    val sweeps = (1 to reps).map { _ =>
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e"); false
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        (name, if (ok) sec else -1.0, ok)
+      }
+    }
+    val results = sweeps.transpose.map { runs =>
+      val (name, _, _) = runs.head
+      val ok = runs.forall(_._3)
+      (name, if (ok) runs.map(_._2).min else -1.0, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

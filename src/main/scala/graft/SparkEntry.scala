@@ -41,7 +41,8 @@ object SparkEntry {
     * catalog-lifetime investments (the reference's collection
     * creation, photo_vector_search.py:17-20), not per-query work. */
   def buildSteps: Seq[String] = Seq("q_knn_ivf_rule", "q_join_bucketed",
-    "q_source_csv", "q_source_json", "q_source_orc", "q_schema_evolution")
+    "q_source_csv", "q_source_json", "q_source_orc", "q_schema_evolution",
+    "q_partition_pruned")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

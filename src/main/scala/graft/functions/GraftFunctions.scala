@@ -16,6 +16,27 @@ object GraftFunctions {
     Seq("dot_product", "cosine_distance", "l2_distance", "l2_norm",
       "char_shingles")
 
+  // Names graft itself registered, per session (weak keys — a closed
+  // session drops its entry). A foreign squatter is also recorded
+  // here once warned, so the warning fires at most once per
+  // (session, name); `registeredBy` distinguishes the two for tests.
+  private val owned = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap.KeySetView[String, java.lang.Boolean]]())
+  private val foreign = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap.KeySetView[String, java.lang.Boolean]]())
+
+  /** Test/diagnostic hook: which kernel names this session resolved to
+    * graft's own registration vs a kept pre-existing foreign one. */
+  def registeredBy(spark: SparkSession): (Set[String], Set[String]) = {
+    import scala.jdk.CollectionConverters._
+    def get(m: java.util.Map[SparkSession,
+        java.util.concurrent.ConcurrentHashMap.KeySetView[String, java.lang.Boolean]]) =
+      Option(m.get(spark)).map(_.asScala.toSet).getOrElse(Set.empty[String])
+    (get(owned), get(foreign))
+  }
+
   def register(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
@@ -31,16 +52,36 @@ object GraftFunctions {
     // session somehow carries a partial registration — or a foreign
     // function squatting on one name — the remaining kernels must
     // still land instead of silently failing at resolution later.
-    // A kept pre-existing registration is WARNED about: a foreign
-    // function shadowing a graft kernel would otherwise surface only
+    // The session-keyed `owned` set distinguishes graft's OWN prior
+    // registrations (silent skip — register() runs per query, so
+    // anything else spams thousands of log lines per bench) from a
+    // genuinely FOREIGN function shadowing a kernel name, which is
+    // warned about ONCE per session: it would otherwise surface only
     // as a resolution-time type error far from the cause.
+    val mine = owned.computeIfAbsent(spark,
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+    val kept = foreign.computeIfAbsent(spark,
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+    // A pre-existing registration whose ExpressionInfo traces to a
+    // graft class is OURS — GraftExtensions injects the vector
+    // kernels into every session the extended builder creates, and
+    // register() must not mistake that for a squatter.
+    def isGrafts(name: String): Boolean =
+      reg.lookupFunction(FunctionIdentifier(name))
+        .exists(i => Option(i.getClassName).exists(_.startsWith("graft.")))
     def ensure(name: String)(builder: Seq[Expression] => Expression): Unit =
-      if (!reg.functionExists(FunctionIdentifier(name)))
+      if (!reg.functionExists(FunctionIdentifier(name))) {
         reg.createOrReplaceTempFunction(name, builder, "built-in")
-      else
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"graft kernel '$name' not registered: a function with that " +
-            "name already exists in this session and is being kept")
+        mine.add(name)
+      } else if (!mine.contains(name)) {
+        if (isGrafts(name)) mine.add(name)
+        else if (kept.add(name))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"graft kernel '$name' not registered: a foreign function " +
+              "with that name already exists in this session and is " +
+              "being kept (its semantics will be used wherever the " +
+              "kernel is called)")
+      }
     ensure("dot_product")(es => DotProduct(d(es(0)), d(es(1))))
     ensure("cosine_distance")(es => CosineDistance(d(es(0)), d(es(1))))
     ensure("l2_distance")(es => L2Distance(d(es(0)), d(es(1))))

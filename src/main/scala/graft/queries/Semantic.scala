@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GraftFunctions.cosine_distance
@@ -21,15 +20,26 @@ import graft.functions.GraftFunctions.cosine_distance
   * exact join is measured in SemanticSpec, not hand-waved).
   *
   * Determinism across engines (the oracle replays the SAME
-  * algorithm): seeds are the 16 vectors with the smallest md5-derived
+  * algorithm): seeds are the k vectors with the smallest md5-derived
   * id hash (hash-ranked, not rand()); every Lloyd assignment key is
   * round(dist, 6) + cid·1e-8 — the rounded distance grain (1e-6)
-  * dominates the cid tie-break (≤ 1.6e-7), and both engines evaluate
-  * the identical double expression; every centroid mean is an exact
-  * DECIMAL(38,12) sum over doubles divided by the count, rounded to
-  * 6 — associative, so partition order can't move it (the
-  * q_vector_centroid recipe). At 100 TB the seed ranking runs over a
-  * SAMPLE and k grows with n; the per-iteration shape is unchanged:
+  * dominates the cid tie-break (< 1e-6 while k ≤ 100; the derived
+  * default crosses 100 only past ~51k vectors per the formula below,
+  * where an explicit `spark.graft.semdedup.k` with a finer tie-break
+  * would be set anyway), and both engines evaluate the identical
+  * double expression; every centroid mean is an exact DECIMAL(38,12)
+  * sum over doubles divided by the count, rounded to 6 — associative,
+  * so partition order can't move it (the q_vector_centroid recipe).
+  *
+  * k IS SCALE-REAL: `spark.graft.semdedup.k` if set, else
+  * max(16, ceil(n / 512)) — k ∝ n with a ~512-vector target cluster,
+  * so the within-cluster pair stage stays a constant factor per
+  * cluster as the corpus grows. The oracle twin derives the SAME k
+  * with a scalar subquery over the table, so engine and oracle agree
+  * at every sf without re-templating the SQL. Seed ranking is a
+  * TakeOrderedAndProject top-k (per-partition heaps merged on the
+  * driver — k rows of state per task, no partition-less window, no
+  * sample needed). The per-iteration shape is unchanged at 100 TB:
   * broadcast k centroids, scan-local argmin, one (cid, pos)-keyed
   * partial+final aggregation.
   *
@@ -39,18 +49,21 @@ import graft.functions.GraftFunctions.cosine_distance
   */
 object Semantic {
 
-  private val K = 16
+  private val MinK = 16
+  private val TargetClusterSize = 512
   private val Tau = 0.4
 
   val qs: Seq[Q] = Seq(
 
     Q("q_semdedup",
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |kk AS (SELECT GREATEST(16, CAST(ceil(count(*) / 512.0) AS INT)) AS k FROM e),
         |seeds AS (SELECT CAST(row_number() OVER (
         |      ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,7))::BIGINT, vec_id) - 1
         |    AS INT) AS cid, v AS c
         |  FROM e QUALIFY row_number() OVER (
-        |      ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,7))::BIGINT, vec_id) <= 16),
+        |      ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,7))::BIGINT, vec_id)
+        |    <= (SELECT k FROM kk)),
         |a0 AS (SELECT e.vec_id,
         |    arg_min(s.cid, round(1 - list_cosine_similarity(e.v, s.c), 6) + s.cid * 1e-8) AS cid
         |  FROM e, seeds s GROUP BY e.vec_id),
@@ -81,13 +94,19 @@ object Semantic {
       val e = fanout(Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
         .localCheckpoint()
+      // k ∝ n unless pinned by conf — same derivation as the oracle's
+      // `kk` CTE (the count rides the localCheckpoint materialization,
+      // so it isn't an extra table scan).
+      val k = s.conf.getOption("spark.graft.semdedup.k").map(_.toInt)
+        .getOrElse(math.max(MinK,
+          math.ceil(e.count() / TargetClusterSize.toDouble).toInt))
       // MLlib-style iteration: the k centroids round-trip through the
       // driver each round (k × dim doubles — the same tiny-frame
       // driver read the IVF codebook uses), so an ASSIGNMENT is a
       // scan-local literal-argmin projection, never a join or a
       // groupBy(vec_id) shuffle. Per round the cluster pays exactly
       // one (cid, pos)-keyed aggregation job over n·dim rows.
-      val cents2 = (1 to 2).foldLeft(seedCentroids(e)) { (cents, _) =>
+      val cents2 = (1 to 2).foldLeft(seedCentroids(e, k)) { (cents, _) =>
         lloydCentroids(e.withColumn("cid", assignExpr(cents)))
       }
       val m = e.withColumn("cid", assignExpr(cents2))
@@ -104,18 +123,21 @@ object Semantic {
     },
   )
 
-  /** Hash-ranked seed pick: the K vectors with the smallest
-    * md5-derived id hash become centroids 0..K-1. The global window
-    * is K rows of state over one pass; at scale the same ranking
-    * runs over a sample (seeds need only be spread, not exact). */
-  private def seedCentroids(e: DataFrame): Seq[(Int, Array[Double])] = {
-    val byHash = Window.orderBy(
-      expr(TextKit.h28("CAST(vec_id AS STRING)")), col("vec_id"))
-    e.withColumn("r", row_number().over(byHash)).filter(col("r") <= K)
-      .select((col("r") - 1).cast("int").as("cid"), col("v").as("c"))
-      .collect().toSeq
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-  }
+  /** Hash-ranked seed pick: the k vectors with the smallest
+    * md5-derived id hash become centroids 0..k-1. orderBy().limit(k)
+    * plans as TakeOrderedAndProject — each task keeps a k-row heap
+    * and the driver merges, so there is no partition-less window and
+    * no single-task global sort at any n (asserted in ScalePathSpec).
+    * The rows arrive already ordered; cid is the arrival rank. */
+  private[queries] def seedFrame(e: DataFrame, k: Int): DataFrame =
+    e.select(expr(TextKit.h28("CAST(vec_id AS STRING)")).as("hk"),
+        col("vec_id"), col("v"))
+      .orderBy(col("hk"), col("vec_id")).limit(k)
+      .select(col("v").as("c"))
+
+  private def seedCentroids(e: DataFrame, k: Int): Seq[(Int, Array[Double])] =
+    seedFrame(e, k).collect().toSeq.zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Double](0).toArray }
 
   /** Scan-local literal argmin over the ≤K driver-held centroids:
     * key_i = round(dist(v, c_i), 6) + i·1e-8 (rounding grain

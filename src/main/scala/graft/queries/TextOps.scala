@@ -408,10 +408,19 @@ object TextOps {
       val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val dl = tf.groupBy("doc_id").agg(sum("tf").cast("double").as("dl"))
       val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      val terms = dfq
-        .withColumn("r", row_number().over(
-          Window.orderBy(col("df").desc, col("token"))))
-        .filter(col("r").between(10, 17)).select("token", "df")
+      // Terms ranked 10-17 by document frequency WITHOUT a
+      // partition-less window (which would serialize the whole
+      // vocabulary through one task at scale): two orderBy().limit()
+      // top-k's — each a TakeOrderedAndProject with per-partition
+      // 17/9-row heaps — and an anti-join drops ranks 1-9. Token is
+      // unique in dfq and the sort key is total, so the two prefixes
+      // nest exactly. Both limits hang off the same dfq exchange
+      // (ReuseExchange runs the tokenize+shuffle once).
+      val top17 = dfq.orderBy(col("df").desc, col("token")).limit(17)
+      val top9 = dfq.orderBy(col("df").desc, col("token")).limit(9)
+        .select("token")
+      val terms = top17.join(top9, Seq("token"), "left_anti")
+        .select("token", "df")
       val st = dl.agg((sum("dl").cast("double") / count(lit(1))).as("avgdl"))
         .crossJoin(docs.agg(count(lit(1)).as("n")))
       tf.join(broadcast(terms), "token")

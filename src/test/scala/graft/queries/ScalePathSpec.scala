@@ -245,6 +245,56 @@ class ScalePathSpec extends SparkTestBase {
     assert(plan("on").contains("RoundRobinPartitioning"))
   }
 
+  test("no partition-less windows: bm25 terms and semdedup seeds are top-k heaps") {
+    // A Window with an empty partitionSpec serializes the whole input
+    // through ONE task — the round-4 verdict's last single-task scale
+    // hazards. Both sites now plan as TakeOrderedAndProject
+    // (per-partition k-row heaps): assert the shape so a regression
+    // back to a global window fails here, not at 100 TB.
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    def globalWindows(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+    val bm25 = graft.SparkEntry.queries("q_bm25")(spark, sf)
+    assert(globalWindows(bm25).isEmpty,
+      s"q_bm25 still has a partition-less window:\n${bm25.queryExecution.optimizedPlan}")
+    assert(bm25.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"), "bm25 term top-k not heap-planned")
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val seeds = Semantic.seedFrame(e, 16)
+    assert(globalWindows(seeds).isEmpty, "semdedup seed frame has a global window")
+    assert(seeds.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"), "semdedup seeds not heap-planned")
+    // The full operator keeps the invariant too (its driver-side
+    // iteration executes eagerly while building).
+    val sem = graft.SparkEntry.queries("q_semdedup")(spark, sf)
+    assert(globalWindows(sem).isEmpty,
+      s"q_semdedup plan has a partition-less window")
+  }
+
+  test("semdedup k derivation: conf override wins, default is max(16, n/512)") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/embeddings.parquet").exists())
+    // Default at test scale (n << 16*512) must be the floor of 16
+    // clusters: cluster ids in the result stay within [0, 16).
+    val sem = graft.SparkEntry.queries("q_semdedup")(spark, sf)
+    val cids = sem.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(cids.nonEmpty && cids.forall(c => c >= 0 && c < 16), cids.toString)
+    // Conf-pinned k changes the clustering width accordingly.
+    spark.conf.set("spark.graft.semdedup.k", "4")
+    try {
+      val sem4 = graft.SparkEntry.queries("q_semdedup")(spark, sf)
+      val cids4 = sem4.select("cluster").distinct()
+        .collect().map(_.getInt(0)).toSet
+      assert(cids4.nonEmpty && cids4.forall(c => c >= 0 && c < 4), cids4.toString)
+    } finally spark.conf.unset("spark.graft.semdedup.k")
+  }
+
   test("runtime bloom filter lands inside the fact scan's filter") {
     val sf = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$sf/lineitem.parquet").exists())
