@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.lake.ManifestTable
 
 /** Lakehouse TABLE-MAINTENANCE operators — the verbs that keep a
   * 100 TB table usable between queries. The reference mutates its
@@ -115,6 +116,39 @@ object Lakehouse {
         .agg(count(lit(1)).as("n_files"), sum("bytes").as("tot_bytes"),
           min("h").as("first_hour"), max("h").as("last_hour"))
         .orderBy("event_type", "bin")
+    },
+
+    // TRANSACTIONAL COMMIT under the mutation verbs: the A7/A13
+    // intents (latest-wins upsert, then delete-by-predicate) applied
+    // as two serializable ManifestTable commits — immutable filesets
+    // plus an atomically-swapped manifest, so a reader at ANY instant
+    // resolves a complete snapshot (v1, v2, or v3) and never a
+    // half-applied mutation (raced + proven in ManifestTableSpec; the
+    // read-own-commits proof here is the hash match: the final read
+    // resolves version 3 through the manifest chain and must equal
+    // the oracle's direct computation of upsert∘delete over the base
+    // table). `version` in the output is the read snapshot's id.
+    Q("q_table_commit",
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'recrawl' ELSE source END AS source,
+        |  CASE WHEN doc_id % 5 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars,
+        |  CAST(3 AS INT) AS version
+        |FROM documents WHERE lang <> 'fr' ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+          .select("doc_id", "lang", "source", "n_chars")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_mtable_").toString
+        val t = ManifestTable.create(s, root, docs) // v1: initial snapshot
+        t.commit { snap => // v2: latest-wins upsert of a recrawl batch
+          val batch = snap.filter(col("doc_id") % 5 === 0)
+            .withColumn("source", lit("recrawl"))
+            .withColumn("n_chars", col("n_chars") + 1)
+          snap.join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
+            .unionByName(batch)
+        }
+        val v = t.commit(_.filter(col("lang") =!= "fr")) // v3: delete by pred
+        t.read().withColumn("version", lit(v).cast("int")).orderBy("doc_id")
     },
   )
 }

@@ -198,11 +198,10 @@ object Sampling {
     // partitioning. Temperature flattening makes head languages'
     // quotas bind (undersampled) while tail languages keep more of
     // their docs — the point of the mix. The
-    // quota window is one shuffle keyed on lang; at 100 TB the
-    // row_number quota swaps for a per-language hash THRESHOLD
-    // (select h < quantile(h, target/n) — scan-local, no global
-    // per-group sort) with the same determinism; the declared
-    // semantics here is the exact-count quota.
+    // quota window is one shuffle keyed on lang; the 100 TB form of
+    // the SAME selection — hash threshold + histogram boundary, no
+    // per-language global rank — is q_mixture_apply_threshold below
+    // (set equality between the two is pinned in ScalePathSpec).
     Q("q_mixture_apply",
       s"""WITH t AS (SELECT doc_id, lang, len($toksDuck) AS n_tok FROM documents),
          |pl AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS toks FROM t GROUP BY lang),
@@ -239,6 +238,86 @@ object Sampling {
         .filter(col("r") <= col("quota"))
         .select(col("doc_id"), col("lang"), col("r").as("pick_rank"))
         .orderBy("doc_id")
+    },
+
+    // MIXTURE APPLICATION, 100 TB PATH: the SAME selected set as
+    // q_mixture_apply (hash-smallest `quota` docs per language)
+    // computed WITHOUT ranking every row — the per-lang global
+    // row_number above shuffles and sorts the whole corpus per
+    // language; this variant is the declared scale form:
+    //   1. bucket each doc's 28-bit hash into 2^16 coarse buckets
+    //      (bucket = h >> 12, monotone in h);
+    //   2. one (lang, bucket) COUNT — a metadata-sized histogram
+    //      (≤ langs × 65536 rows however big the corpus), whose
+    //      cumulative window costs nothing at any n;
+    //   3. per lang, the BOUNDARY bucket where the cumulative count
+    //      crosses the quota, and the residual still owed there;
+    //   4. scan-local keep of every doc below the boundary bucket
+    //      (a pushable h < threshold predicate — the "hash
+    //      threshold"), plus a rank over ONLY the boundary bucket's
+    //      rows (expected n/2^16 per lang) for the residual.
+    // The set is EXACTLY the quota path's — bucket order is a prefix
+    // of the (h, doc_id) order — so the count delta per language is
+    // 0, asserted in ScalePathSpec; the oracle is the quota
+    // semantics directly.
+    Q("q_mixture_apply_threshold",
+      s"""WITH t AS (SELECT doc_id, lang, len($toksDuck) AS n_tok FROM documents),
+         |pl AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS toks FROM t GROUP BY lang),
+         |sc AS (SELECT lang, CAST(pow(CAST(toks AS DOUBLE), 0.7)
+         |                         AS DECIMAL(38,12)) AS p FROM pl),
+         |tt AS (SELECT sum(p) AS ptot FROM sc),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) * 0.4 AS budget FROM documents),
+         |tgt AS (SELECT lang, CAST(floor(CAST(p AS DOUBLE) / CAST(ptot AS DOUBLE)
+         |                               * budget + 0.5) AS BIGINT) AS quota
+         |        FROM sc, tt, nn),
+         |rk AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |         ORDER BY ${h28Duck("CAST(doc_id AS VARCHAR)")}, doc_id) AS r
+         |       FROM documents)
+         |SELECT rk.doc_id, rk.lang
+         |FROM rk JOIN tgt USING (lang) WHERE rk.r <= tgt.quota
+         |ORDER BY rk.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val t = barrier(docs.withColumn("w", expr(toks)))
+        .select(col("lang"), size(col("w")).as("n_tok"))
+      val perLang = t.groupBy("lang")
+        .agg(sum("n_tok").cast("long").as("toks"))
+        .withColumn("p", pow(col("toks").cast("double"), 0.7)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+      val tot = perLang.agg(sum("p").as("ptot"))
+      val nn = docs.agg((count(lit(1)).cast("double") * 0.4).as("budget"))
+      val tgt = perLang.crossJoin(broadcast(tot)).crossJoin(broadcast(nn))
+        .select(col("lang"),
+          floor(col("p").cast("double") / col("ptot").cast("double")
+            * col("budget") + 0.5).cast("long").as("quota"))
+      val withH = docs.select(col("doc_id"), col("lang"),
+          expr(h28("CAST(doc_id AS STRING)")).as("h"))
+        .withColumn("bkt", shiftright(col("h"), 12))
+      // (lang, bucket) histogram + its cumulative prefix: the window
+      // runs over histogram rows, bounded by langs × 2^16 at any
+      // corpus size.
+      val hist = withH.groupBy("lang", "bkt").agg(count(lit(1)).as("cnt"))
+      val wcum = Window.partitionBy("lang").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = hist.withColumn("below",
+        coalesce(sum("cnt").over(wcum), lit(0L)))
+      // Boundary bucket = last bucket whose prefix is short of the
+      // quota; residual = what the prefix still owes there.
+      val bound = cum.join(broadcast(tgt), "lang")
+        .filter(col("below") < col("quota"))
+        .groupBy("lang")
+        .agg(max(struct(col("bkt"), col("below"))).as("m"))
+        .join(broadcast(tgt), "lang")
+        .select(col("lang"), col("m.bkt").as("bbkt"),
+          (col("quota") - col("m.below")).as("resid"))
+      val flagged = withH.join(broadcast(bound), "lang")
+      val belowSel = flagged.filter(col("bkt") < col("bbkt"))
+        .select("doc_id", "lang")
+      val wEdge = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      val edgeSel = flagged.filter(col("bkt") === col("bbkt"))
+        .withColumn("r", row_number().over(wEdge))
+        .filter(col("r") <= col("resid"))
+        .select("doc_id", "lang")
+      belowSel.unionByName(edgeSel).orderBy("doc_id")
     },
   )
 }

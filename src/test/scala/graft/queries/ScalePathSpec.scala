@@ -295,6 +295,29 @@ class ScalePathSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.semdedup.k")
   }
 
+  test("mixture threshold path selects exactly the quota path's set") {
+    // q_mixture_apply_threshold's claim: histogram-boundary + hash
+    // threshold reproduces the per-lang hash-smallest quota set with
+    // ZERO delta (bucket order is a prefix of the (h, doc_id) rank
+    // order), while never ranking more than one bucket's rows.
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    val quota = graft.SparkEntry.queries("q_mixture_apply")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val thresh = graft.SparkEntry.queries("q_mixture_apply_threshold")(spark, sf)
+    val got = thresh.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == quota,
+      s"delta: +${(got -- quota).size} -${(quota -- got).size} of ${quota.size}")
+    // And the plan keeps every window partitioned (the histogram
+    // cumulative and the boundary-bucket residual rank) — no global
+    // per-language sort of the data.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val global = thresh.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, "threshold path has a partition-less window")
+  }
+
   test("runtime bloom filter lands inside the fact scan's filter") {
     val sf = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$sf/lineitem.parquet").exists())
