@@ -28,15 +28,21 @@ object Bench {
         ()
       }
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
-    // SPARK_GRAFT_BENCH_REPS=k (default 1) runs the WHOLE sweep k
+    // SPARK_GRAFT_BENCH_REPS=k (default 2) runs the WHOLE sweep k
     // times and reports each query's minimum — one noisy box window
     // during a single pass (round-4 driver bench: a contiguous
     // alphabetical band 2-30× inflated by transient contention) can't
     // fake a regression. min, not mean: external contention only ever
     // adds time. A query that fails in ANY rep stays failed — flaky
-    // must not look fast.
-    val reps = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt)
+    // must not look fast. A malformed env value falls back to the
+    // default loudly instead of aborting the sweep.
+    val reps = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap { v =>
+        val p = scala.util.Try(v.trim.toInt).toOption
+        if (p.isEmpty)
+          System.err.println(s"[bench] bad SPARK_GRAFT_BENCH_REPS='$v', using 2")
+        p
+      }.getOrElse(2))
     val sweeps = (1 to reps).map { _ =>
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -120,11 +120,18 @@ object Sampling {
     // fixed-length (512-token) training sequences — each doc's token
     // span maps onto a running offset, and the 512-boundary chunking
     // assigns its first/last sequence ids plus how many boundaries
-    // cut through it. Pure integer window math (exact on both
-    // engines); the running offset is a prefix sum over a canonical
-    // doc order, which at 100 TB is the one global-ordering step the
-    // trainer needs anyway (shard-local prefix sums + one pass of
-    // shard offsets — the same pattern as q_export_shards).
+    // cut through it. Pure integer math (exact on both engines).
+    //
+    // The running offset is the DISTRIBUTED PREFIX SUM, not a global
+    // window: docs range-bucket into ≤1024 shards by a monotone
+    // doc_id split (integer DIV, so shard order ⊆ doc order), each
+    // shard prefix-sums locally under a PARTITIONED window, and the
+    // shard base offsets come from a triangular join over the
+    // ≤1024-row per-shard totals frame — metadata-sized at any
+    // corpus size. No partition-less window anywhere in the plan
+    // (asserted in ScalePathSpec); one task never absorbs the
+    // corpus. The oracle states the same prefix sum as one global
+    // window — DuckDB's single-node planner is welcome to it.
     Q("q_pack_sequences",
       s"""WITH t AS (SELECT doc_id, len($toksDuck) AS n_tok FROM documents),
          |o AS (SELECT doc_id, n_tok,
@@ -140,11 +147,33 @@ object Sampling {
          |       ELSE (start_off + n_tok - 1) // 512 - start_off // 512
          |       END AS BIGINT) AS n_splits
          |FROM o ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val w = Window.orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      barrier(Tables.documents(s, d).withColumn("tk", expr(toks)))
+      val docs = Tables.documents(s, d)
+      // Shard split: bkt = (doc_id - lo) DIV width with
+      // width = (hi - lo) DIV 1024 + 1 — monotone in doc_id, all
+      // integer (no float drift), values in [0, 1024) for any id
+      // range. min/max is a column-pruned scan-local aggregate.
+      val mm = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      val t = barrier(docs.withColumn("tk", expr(toks)))
         .select(col("doc_id"), size(col("tk")).cast("bigint").as("n_tok"))
-        .withColumn("start_off", coalesce(sum("n_tok").over(w), lit(0L)))
+        .crossJoin(broadcast(mm))
+        .withColumn("bkt",
+          expr("(doc_id - lo) DIV ((hi - lo) DIV 1024 + 1)"))
+      // Per-shard token totals (≤1024 rows); each shard's base offset
+      // is the sum of all earlier shards' totals — a triangular join
+      // on the metadata-sized frame, not a window over data.
+      val tot = t.groupBy("bkt").agg(sum("n_tok").as("btot"))
+      val off = tot
+        .join(broadcast(tot.select(col("bkt").as("obkt"),
+          col("btot").as("obtot"))), col("obkt") < col("bkt"), "left")
+        .groupBy("bkt")
+        .agg(coalesce(sum("obtot"), lit(0L)).as("boff"))
+      // Shard-local prefix sum under a PARTITIONED window + the
+      // broadcast base offset = the exact global running offset.
+      val w = Window.partitionBy("bkt").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t.join(broadcast(off), "bkt")
+        .withColumn("start_off",
+          col("boff") + coalesce(sum("n_tok").over(w), lit(0L)))
         .select(col("doc_id"), col("n_tok"), col("start_off"),
           expr("start_off DIV 512").as("seq_first"),
           expr("""CASE WHEN n_tok = 0 THEN start_off DIV 512
@@ -285,10 +314,17 @@ object Sampling {
           .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
       val tot = perLang.agg(sum("p").as("ptot"))
       val nn = docs.agg((count(lit(1)).cast("double") * 0.4).as("budget"))
+      // localCheckpoint: tgt rides on the tokenize pass (the expensive
+      // subtree) and is referenced twice below; materializing its
+      // ≤|langs| rows once pins ONE tokenize pass regardless of how
+      // many consumers the selection plan has (asserted in
+      // ScalePathSpec — without it the noop sink re-derived the quota
+      // subtree per reference, ~10× this query's real cost).
       val tgt = perLang.crossJoin(broadcast(tot)).crossJoin(broadcast(nn))
         .select(col("lang"),
           floor(col("p").cast("double") / col("ptot").cast("double")
             * col("budget") + 0.5).cast("long").as("quota"))
+        .localCheckpoint()
       val withH = docs.select(col("doc_id"), col("lang"),
           expr(h28("CAST(doc_id AS STRING)")).as("h"))
         .withColumn("bkt", shiftright(col("h"), 12))
@@ -301,7 +337,9 @@ object Sampling {
       val cum = hist.withColumn("below",
         coalesce(sum("cnt").over(wcum), lit(0L)))
       // Boundary bucket = last bucket whose prefix is short of the
-      // quota; residual = what the prefix still owes there.
+      // quota; residual = what the prefix still owes there. Also
+      // checkpointed (≤|langs| rows): both selection branches below
+      // join against it.
       val bound = cum.join(broadcast(tgt), "lang")
         .filter(col("below") < col("quota"))
         .groupBy("lang")
@@ -309,6 +347,7 @@ object Sampling {
         .join(broadcast(tgt), "lang")
         .select(col("lang"), col("m.bkt").as("bbkt"),
           (col("quota") - col("m.below")).as("resid"))
+        .localCheckpoint()
       val flagged = withH.join(broadcast(bound), "lang")
       val belowSel = flagged.filter(col("bkt") < col("bbkt"))
         .select("doc_id", "lang")

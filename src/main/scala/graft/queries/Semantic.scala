@@ -22,26 +22,35 @@ import graft.functions.GraftFunctions.cosine_distance
   * Determinism across engines (the oracle replays the SAME
   * algorithm): seeds are the k vectors with the smallest md5-derived
   * id hash (hash-ranked, not rand()); every Lloyd assignment key is
-  * round(dist, 6) + cid·1e-8 — the rounded distance grain (1e-6)
-  * dominates the cid tie-break (< 1e-6 while k ≤ 100; the derived
-  * default crosses 100 only past ~51k vectors per the formula below,
-  * where an explicit `spark.graft.semdedup.k` with a finer tie-break
-  * would be set anyway), and both engines evaluate the identical
-  * double expression; every centroid mean is an exact DECIMAL(38,12)
-  * sum over doubles divided by the count, rounded to 6 — associative,
-  * so partition order can't move it (the q_vector_centroid recipe).
+  * round(dist, 6) + cid·ε with ε = 1e-6/(2k) — the tie-break SCALES
+  * with k, so the whole cid term stays < 0.5·1e-6 (strictly inside
+  * the rounded-distance grain) at ANY k in the derived range, and
+  * distinct cids stay ≥ ε ≈ 5e-12 apart at the clamp — far above
+  * ulp(2.0) ≈ 4.4e-16, so no two keys can collapse to the same
+  * double. Both engines evaluate the identical double expression
+  * (1e-6 / (2·k) is one IEEE division of the same operands); every
+  * centroid mean is an exact DECIMAL(38,12) sum over doubles divided
+  * by the count, rounded to 6 — associative, so partition order
+  * can't move it (the q_vector_centroid recipe).
   *
   * k IS SCALE-REAL: `spark.graft.semdedup.k` if set, else
-  * max(16, ceil(n / 512)) — k ∝ n with a ~512-vector target cluster,
-  * so the within-cluster pair stage stays a constant factor per
-  * cluster as the corpus grows. The oracle twin derives the SAME k
+  * min(100000, max(16, ceil(n / 512))) — k ∝ n with a ~512-vector
+  * target cluster, so the within-cluster pair stage stays a constant
+  * factor per cluster as the corpus grows. The 1e5 clamp is the
+  * dominance invariant's guardrail (above it ε would approach the
+  * double grain of distances near 2.0); past ~51M vectors a
+  * deployment sets the conf explicitly — and accepts the documented
+  * tie-break contract. The oracle twin derives the SAME clamped k
   * with a scalar subquery over the table, so engine and oracle agree
   * at every sf without re-templating the SQL. Seed ranking is a
   * TakeOrderedAndProject top-k (per-partition heaps merged on the
   * driver — k rows of state per task, no partition-less window, no
-  * sample needed). The per-iteration shape is unchanged at 100 TB:
-  * broadcast k centroids, scan-local argmin, one (cid, pos)-keyed
-  * partial+final aggregation.
+  * sample needed; [[seedFrame]] raises
+  * spark.sql.execution.topKSortFallbackThreshold above k so the heap
+  * plan survives derived k past the 10000 default). The
+  * per-iteration shape is unchanged at 100 TB: broadcast k
+  * centroids, scan-local argmin, one (cid, pos)-keyed partial+final
+  * aggregation.
   *
   * Reference analog: the store's embedding column is the input
   * (photo_vector_search.py:128-140 keeps one CLIP vector per photo);
@@ -50,6 +59,7 @@ import graft.functions.GraftFunctions.cosine_distance
 object Semantic {
 
   private val MinK = 16
+  private val MaxK = 100000
   private val TargetClusterSize = 512
   private val Tau = 0.4
 
@@ -57,7 +67,7 @@ object Semantic {
 
     Q("q_semdedup",
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |kk AS (SELECT GREATEST(16, CAST(ceil(count(*) / 512.0) AS INT)) AS k FROM e),
+        |kk AS (SELECT LEAST(100000, GREATEST(16, CAST(ceil(count(*) / 512.0) AS INT))) AS k FROM e),
         |seeds AS (SELECT CAST(row_number() OVER (
         |      ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,7))::BIGINT, vec_id) - 1
         |    AS INT) AS cid, v AS c
@@ -65,7 +75,7 @@ object Semantic {
         |      ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,7))::BIGINT, vec_id)
         |    <= (SELECT k FROM kk)),
         |a0 AS (SELECT e.vec_id,
-        |    arg_min(s.cid, round(1 - list_cosine_similarity(e.v, s.c), 6) + s.cid * 1e-8) AS cid
+        |    arg_min(s.cid, round(1 - list_cosine_similarity(e.v, s.c), 6) + s.cid * (1e-6 / (2 * (SELECT k FROM kk)))) AS cid
         |  FROM e, seeds s GROUP BY e.vec_id),
         |c1m AS (SELECT a0.cid, t.i,
         |    round(CAST(sum(CAST(e.v[CAST(t.i AS INT)] AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS m
@@ -73,7 +83,7 @@ object Semantic {
         |  GROUP BY a0.cid, t.i),
         |c1 AS (SELECT cid, list(m ORDER BY i) AS c FROM c1m GROUP BY cid),
         |a1 AS (SELECT e.vec_id,
-        |    arg_min(s.cid, round(1 - list_cosine_similarity(e.v, s.c), 6) + s.cid * 1e-8) AS cid
+        |    arg_min(s.cid, round(1 - list_cosine_similarity(e.v, s.c), 6) + s.cid * (1e-6 / (2 * (SELECT k FROM kk)))) AS cid
         |  FROM e, c1 s GROUP BY e.vec_id),
         |c2m AS (SELECT a1.cid, t.i,
         |    round(CAST(sum(CAST(e.v[CAST(t.i AS INT)] AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS m
@@ -81,7 +91,7 @@ object Semantic {
         |  GROUP BY a1.cid, t.i),
         |c2 AS (SELECT cid, list(m ORDER BY i) AS c FROM c2m GROUP BY cid),
         |a2 AS (SELECT e.vec_id,
-        |    arg_min(s.cid, round(1 - list_cosine_similarity(e.v, s.c), 6) + s.cid * 1e-8) AS cid
+        |    arg_min(s.cid, round(1 - list_cosine_similarity(e.v, s.c), 6) + s.cid * (1e-6 / (2 * (SELECT k FROM kk)))) AS cid
         |  FROM e, c2 s GROUP BY e.vec_id),
         |m AS (SELECT a2.vec_id, a2.cid, e.v FROM a2 JOIN e USING (vec_id)),
         |dup AS (SELECT DISTINCT b.vec_id FROM m a JOIN m b
@@ -94,12 +104,13 @@ object Semantic {
       val e = fanout(Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
         .localCheckpoint()
-      // k ∝ n unless pinned by conf — same derivation as the oracle's
-      // `kk` CTE (the count rides the localCheckpoint materialization,
-      // so it isn't an extra table scan).
+      // k ∝ n unless pinned by conf — same clamped derivation as the
+      // oracle's `kk` CTE (the count rides the localCheckpoint
+      // materialization, so it isn't an extra table scan). MaxK keeps
+      // ε = 1e-6/(2k) far above the double grain (scaladoc above).
       val k = s.conf.getOption("spark.graft.semdedup.k").map(_.toInt)
-        .getOrElse(math.max(MinK,
-          math.ceil(e.count() / TargetClusterSize.toDouble).toInt))
+        .getOrElse(math.min(MaxK, math.max(MinK,
+          math.ceil(e.count() / TargetClusterSize.toDouble).toInt)))
       // MLlib-style iteration: the k centroids round-trip through the
       // driver each round (k × dim doubles — the same tiny-frame
       // driver read the IVF codebook uses), so an ASSIGNMENT is a
@@ -107,9 +118,9 @@ object Semantic {
       // groupBy(vec_id) shuffle. Per round the cluster pays exactly
       // one (cid, pos)-keyed aggregation job over n·dim rows.
       val cents2 = (1 to 2).foldLeft(seedCentroids(e, k)) { (cents, _) =>
-        lloydCentroids(e.withColumn("cid", assignExpr(cents)))
+        lloydCentroids(e.withColumn("cid", assignExpr(cents, k)))
       }
-      val m = e.withColumn("cid", assignExpr(cents2))
+      val m = e.withColumn("cid", assignExpr(cents2, k))
       val dup = m.as("a")
         .join(m.as("b"),
           col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
@@ -128,29 +139,46 @@ object Semantic {
     * plans as TakeOrderedAndProject — each task keeps a k-row heap
     * and the driver merges, so there is no partition-less window and
     * no single-task global sort at any n (asserted in ScalePathSpec).
+    * That heap plan only exists while
+    * k < spark.sql.execution.topKSortFallbackThreshold (default
+    * 10000; past it Spark silently falls back to a single-task global
+    * sort) — and derived k crosses 10000 at ~5.1M vectors — so the
+    * threshold is RAISED to k+1 first whenever it wouldn't clear k.
+    * Monotone raise only, asserted in ScalePathSpec: the session never
+    * gets a lower threshold than it started with, and a k-row
+    * per-task heap is exactly the memory this operator budgets anyway.
     * The rows arrive already ordered; cid is the arrival rank. */
-  private[queries] def seedFrame(e: DataFrame, k: Int): DataFrame =
+  private[queries] def seedFrame(e: DataFrame, k: Int): DataFrame = {
+    val conf = e.sparkSession.conf
+    val key = "spark.sql.execution.topKSortFallbackThreshold"
+    if (conf.get(key, "10000").toInt <= k) conf.set(key, (k + 1).toString)
     e.select(expr(TextKit.h28("CAST(vec_id AS STRING)")).as("hk"),
         col("vec_id"), col("v"))
       .orderBy(col("hk"), col("vec_id")).limit(k)
       .select(col("v").as("c"))
+  }
 
   private def seedCentroids(e: DataFrame, k: Int): Seq[(Int, Array[Double])] =
     seedFrame(e, k).collect().toSeq.zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Double](0).toArray }
 
-  /** Scan-local literal argmin over the ≤K driver-held centroids:
-    * key_i = round(dist(v, c_i), 6) + i·1e-8 (rounding grain
-    * dominates the tie-break; identical expression in the oracle),
-    * array_min over the (key, cid) structs picks the cluster. */
-  private def assignExpr(cents: Seq[(Int, Array[Double])]):
-      org.apache.spark.sql.Column =
+  /** Scan-local literal argmin over the ≤k driver-held centroids:
+    * key_i = round(dist(v, c_i), 6) + i·ε with ε = 1e-6/(2k) — the
+    * tie-break scales with k so the rounded-distance grain dominates
+    * it at any derived k (see the object scaladoc; identical
+    * expression in the oracle, one IEEE division of the same
+    * operands). array_min over the (key, cid) structs picks the
+    * cluster. */
+  private def assignExpr(cents: Seq[(Int, Array[Double])], k: Int):
+      org.apache.spark.sql.Column = {
+    val eps = 1e-6 / (2.0 * k)
     array_min(array(cents.map { case (cid, c) =>
       struct(
         (round(cosine_distance(col("v"), typedLit(c)), 6) +
-          lit(cid) * lit(1e-8)).as("key"),
+          lit(cid) * lit(eps)).as("key"),
         lit(cid).as("cid"))
     }: _*)).getField("cid")
+  }
 
   /** Exact-decimal elementwise centroid means (the q_vector_centroid
     * recipe): one (cid, pos)-keyed partial+final aggregation, with

@@ -276,6 +276,30 @@ class ScalePathSpec extends SparkTestBase {
       s"q_semdedup plan has a partition-less window")
   }
 
+  test("q_pack_sequences: sharded prefix sum, no partition-less window, exact offsets") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = graft.SparkEntry.queries("q_pack_sequences")(spark, sf)
+    val global = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty,
+      s"q_pack_sequences still has a partition-less window:\n${df.queryExecution.optimizedPlan}")
+    // The shard-local prefix sums + shard offsets must reproduce the
+    // single global running sum exactly: offsets are contiguous
+    // (each start_off = previous start_off + previous n_tok) from 0.
+    val rows = df.select("doc_id", "n_tok", "start_off")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.head._3 == 0L, s"first offset not 0: ${rows.head}")
+    rows.sliding(2).foreach {
+      case Array((_, n1, o1), (id2, _, o2)) =>
+        assert(o2 == o1 + n1, s"offset gap at doc $id2: $o1+$n1 != $o2")
+      case _ =>
+    }
+  }
+
   test("semdedup k derivation: conf override wins, default is max(16, n/512)") {
     val sf = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$sf/embeddings.parquet").exists())
@@ -293,6 +317,31 @@ class ScalePathSpec extends SparkTestBase {
         .collect().map(_.getInt(0)).toSet
       assert(cids4.nonEmpty && cids4.forall(c => c >= 0 && c < 4), cids4.toString)
     } finally spark.conf.unset("spark.graft.semdedup.k")
+  }
+
+  test("semdedup seeds stay heap-planned when k crosses the topK fallback threshold") {
+    // Derived k grows ∝ n and would cross Spark's
+    // topKSortFallbackThreshold (default 10000) at ~5.1M vectors,
+    // silently reintroducing the single-task global sort. seedFrame
+    // must raise the threshold above k BEFORE planning.
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/embeddings.parquet").exists())
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val key = "spark.sql.execution.topKSortFallbackThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "5") // simulate k >= threshold without 5M rows
+    try {
+      val seeds = Semantic.seedFrame(e, 16)
+      assert(spark.conf.get(key).toInt > 16,
+        "seedFrame did not raise the fallback threshold above k")
+      assert(seeds.queryExecution.executedPlan.toString
+        .contains("TakeOrderedAndProject"),
+        s"seed frame fell back to a global sort:\n${seeds.queryExecution.executedPlan}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("mixture threshold path selects exactly the quota path's set") {
