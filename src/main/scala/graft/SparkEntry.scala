@@ -42,7 +42,7 @@ object SparkEntry {
     * creation, photo_vector_search.py:17-20), not per-query work. */
   def buildSteps: Seq[String] = Seq("q_knn_ivf_rule", "q_join_bucketed",
     "q_source_csv", "q_source_json", "q_source_orc", "q_schema_evolution",
-    "q_partition_pruned")
+    "q_partition_pruned", "q_table_commit")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

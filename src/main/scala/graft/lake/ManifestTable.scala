@@ -2,7 +2,7 @@ package graft.lake
 
 import java.io.File
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{FileAlreadyExistsException, Files, Paths}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -26,9 +26,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    the new current snapshot, re-applies its transform, and retries
   *    at N+1 — so commits are serializable transforms, never
   *    lost-update blind writes.
+  *  - RETENTION is explicit: [[vacuum]] drops manifests older than
+  *    the newest `keepLast` versions and deletes every data fileset
+  *    no retained manifest references — which collects both expired
+  *    snapshots and the orphaned filesets of lost commit races.
+  *
+  * Manifests store paths RELATIVE to the table root (committed tables
+  * are relocatable — move the directory, open it elsewhere), JSON
+  * string-escaped, and are read back by a real string-literal
+  * tokenizer — a root containing `"`/`,`/`\` round-trips intact.
   *
   * On a real cluster the same protocol runs against an object store
-  * with a conditional-put (the rename here) and the data writes are
+  * with a conditional-put (the link here) and the data writes are
   * distributed parquet jobs — nothing in the shape is driver-sized:
   * the manifest is O(files), not O(rows), and each commit's data job
   * is an ordinary Spark write. Readers pay zero coordination.
@@ -47,15 +56,15 @@ final class ManifestTable private (val root: String, spark: SparkSession) {
     if (vs.isEmpty) 0 else vs.max
   }
 
+  /** Absolute file paths of snapshot `v`. Manifest entries are
+    * root-relative (absolute entries from pre-relocatable manifests
+    * still resolve, so old tables stay readable). */
   private def manifestFiles(v: Int): Seq[String] = {
-    val txt = new String(
-      Files.readAllBytes(manifestDir.resolve(s"v$v.json")), UTF_8)
-    // {"version":N,"files":["p1","p2",...]} — no nesting, so a split
-    // on quoted list entries is a full parser for what we write.
-    val start = txt.indexOf("[")
-    val end = txt.lastIndexOf("]")
-    txt.substring(start + 1, end).split(",").toSeq
-      .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+    val m = manifestDir.resolve(s"v$v.json")
+    require(Files.exists(m),
+      s"no manifest for version $v at $root (vacuumed or never committed)")
+    ManifestTable.parseStrings(new String(Files.readAllBytes(m), UTF_8))
+      .map(p => if (p.startsWith("/")) p else s"$root/$p")
   }
 
   /** Snapshot read at the current version — a plain parquet scan of
@@ -65,7 +74,10 @@ final class ManifestTable private (val root: String, spark: SparkSession) {
 
   def readAt(v: Int): DataFrame = {
     require(v >= 1, s"no committed version at $root")
-    spark.read.parquet(manifestFiles(v): _*)
+    // spark.read treats paths as Hadoop GLOBS (`\*?[]{}` are
+    // metacharacters — a literal '\' in a directory name silently
+    // matches nothing); escape so the manifest's exact files are read.
+    spark.read.parquet(manifestFiles(v).map(ManifestTable.globEsc): _*)
   }
 
   /** Serializable commit: `transform` maps the current snapshot to
@@ -84,16 +96,17 @@ final class ManifestTable private (val root: String, spark: SparkSession) {
       val v = currentVersion()
       val next = make(v)
       val nonce = java.util.UUID.randomUUID().toString.take(8)
-      val dataDir = s"$root/data/commit-${v + 1}-$nonce"
-      next.write.mode("overwrite").parquet(dataDir)
-      val parts = Option(new File(dataDir).listFiles()).getOrElse(Array.empty)
+      val rel = s"data/commit-${v + 1}-$nonce"
+      next.write.mode("overwrite").parquet(s"$root/$rel")
+      val parts = Option(new File(s"$root/$rel").listFiles())
+        .getOrElse(Array.empty)
         .filter(f => f.getName.startsWith("part-") &&
           f.getName.endsWith(".parquet"))
-        .map(_.getAbsolutePath).sorted
+        .map(f => s"$rel/${f.getName}").sorted
       if (tryPublish(v + 1, parts.toSeq)) return v + 1
       // else: another writer claimed v+1 first — loop re-reads and
-      // re-applies; our orphaned fileset is unreachable garbage a
-      // vacuum would collect (never visible to any reader).
+      // re-applies; our orphaned fileset is unreachable garbage that
+      // vacuum() collects (never visible to any reader).
     }
     -1 // unreachable
   }
@@ -109,7 +122,7 @@ final class ManifestTable private (val root: String, spark: SparkSession) {
     * unchanged. */
   private def tryPublish(v: Int, files: Seq[String]): Boolean = {
     Files.createDirectories(manifestDir)
-    val body = files.map("\"" + _ + "\"").mkString(
+    val body = files.map(f => "\"" + ManifestTable.esc(f) + "\"").mkString(
       s"""{"version":$v,"files":[""", ",", "]}")
     val tmp = Files.createTempFile(manifestDir, s".v$v-", ".tmp")
     Files.write(tmp, body.getBytes(UTF_8))
@@ -119,6 +132,47 @@ final class ManifestTable private (val root: String, spark: SparkSession) {
     } catch {
       case _: FileAlreadyExistsException => false
     } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Retention + garbage collection: keep the newest `keepLast`
+    * committed versions; delete every older manifest, then every
+    * `data/commit-*` fileset that no RETAINED manifest references —
+    * which collects expired snapshots AND the orphaned filesets of
+    * lost commit races (commitLoop losers write data nobody links).
+    *
+    * Filesets whose version tag is ABOVE the current version are
+    * never touched: they belong to in-flight writers that have not
+    * reached their CAS yet. Within the horizon the standard retention
+    * contract applies (as in Delta/Iceberg): don't vacuum while a
+    * writer is mid-commit at a version you're collecting, and readers
+    * of vacuumed versions fail loudly on the missing manifest rather
+    * than seeing partial data.
+    *
+    * Returns (manifests deleted, data directories deleted). */
+  def vacuum(keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "vacuum must keep at least the current version")
+    val cur = currentVersion()
+    if (cur == 0) return (0, 0)
+    val keepFrom = math.max(1, cur - keepLast + 1)
+    val referenced: Set[String] = (keepFrom to cur).iterator
+      .filter(v => Files.exists(manifestDir.resolve(s"v$v.json")))
+      .flatMap(v => manifestFiles(v))
+      .map(f => Paths.get(f).getParent.toAbsolutePath.toString)
+      .toSet
+    val manifestsGone = (1 until keepFrom).count { v =>
+      Files.deleteIfExists(manifestDir.resolve(s"v$v.json"))
+    }
+    val dataDirs = Option(Paths.get(root, "data").toFile.listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("commit-"))
+    val dirsGone = dataDirs.count { dir =>
+      val ver = dir.getName.stripPrefix("commit-").takeWhile(_.isDigit)
+      val collectable = ver.nonEmpty && ver.toInt <= cur &&
+        !referenced.contains(dir.getAbsolutePath)
+      if (collectable) ManifestTable.deleteRecursively(dir.toPath)
+      collectable
+    }
+    (manifestsGone, dirsGone)
   }
 }
 
@@ -133,4 +187,65 @@ object ManifestTable {
 
   def open(spark: SparkSession, root: String): ManifestTable =
     new ManifestTable(root, spark)
+
+  /** JSON string-escape: backslash, quote, and control chars — the
+    * full set a filesystem path can smuggle into the manifest. */
+  private[lake] def esc(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  /** Tokenize the string literals of the manifest's `files` array —
+    * a real escape-aware walk (split-on-comma corrupts any path
+    * containing ',' or '"'; this is the reader `esc` is written for). */
+  private[lake] def parseStrings(txt: String): Seq[String] = {
+    val start = txt.indexOf('[')
+    val end = txt.lastIndexOf(']')
+    require(start >= 0 && end > start, s"malformed manifest: $txt")
+    val out = Seq.newBuilder[String]
+    var i = start + 1
+    while (i < end) {
+      if (txt(i) == '"') {
+        val b = new StringBuilder
+        i += 1
+        var closed = false
+        while (!closed) {
+          txt(i) match {
+            case '\\' if txt(i + 1) == 'u' =>
+              b.append(Integer.parseInt(txt.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case '\\' =>
+              b.append(txt(i + 1)); i += 2
+            case '"' =>
+              closed = true; i += 1
+            case c =>
+              b.append(c); i += 1
+          }
+        }
+        out += b.toString
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** Escape Hadoop glob metacharacters so a manifest path is read as
+    * the literal file it names. */
+  private[lake] def globEsc(p: String): String =
+    p.flatMap {
+      case c @ ('\\' | '*' | '?' | '[' | ']' | '{' | '}') => s"\\$c"
+      case c => c.toString
+    }
+
+  private[graft] def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Option(p.toFile.listFiles()).getOrElse(Array.empty)
+        .foreach(f => deleteRecursively(f.toPath))
+    Files.deleteIfExists(p)
+  }
 }

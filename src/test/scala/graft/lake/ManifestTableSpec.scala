@@ -82,4 +82,57 @@ class ManifestTableSpec extends SparkTestBase {
     assert(t.read().select(max("gen")).collect().head.getInt(0) == 5)
     assert(snapshots > 0)
   }
+
+  test("vacuum collects expired snapshots and race orphans; current read survives") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    val t = ManifestTable.create(s, root,
+      (1 to 20).map(i => (i.toLong, 0)).toDF("id", "gen"))
+    (1 to 3).foreach(g => t.commit(_.withColumn("gen", lit(g))))
+    assert(t.currentVersion() == 4)
+    // Deterministic race orphan: a loser's fileset is a commit-tagged
+    // data dir no manifest ever linked (commitLoop writes data BEFORE
+    // the CAS; the loser's dir is exactly this).
+    val orphan = java.nio.file.Paths.get(root, "data", "commit-2-deadbeef")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("part-00000-x.parquet"),
+      Array[Byte](1, 2, 3))
+    // An in-flight writer's dir (version ABOVE current) must survive.
+    val inflight = java.nio.file.Paths.get(root, "data", "commit-5-aaaaaaaa")
+    java.nio.file.Files.createDirectories(inflight)
+    val (manifestsGone, dirsGone) = t.vacuum(keepLast = 2)
+    assert(manifestsGone == 2, s"expected manifests v1,v2 gone, got $manifestsGone")
+    assert(!java.nio.file.Files.exists(orphan), "race orphan not collected")
+    assert(java.nio.file.Files.exists(inflight), "in-flight fileset deleted")
+    // v1's and v2's filesets + the orphan are collectable (3 dirs).
+    assert(dirsGone == 3, s"expected 3 data dirs gone, got $dirsGone")
+    // Retained versions still read; vacuumed ones fail loudly.
+    assert(t.read().select(max("gen")).collect().head.getInt(0) == 3)
+    assert(t.readAt(3).count() == 20)
+    intercept[IllegalArgumentException](t.readAt(2))
+  }
+
+  test("manifest format survives hostile roots and tables are relocatable") {
+    val s = spark
+    import s.implicits._
+    // A root containing the exact characters the old split-on-comma
+    // parser corrupted: quote, comma, backslash.
+    val base = java.nio.file.Files.createTempDirectory("graft_mtable_host_")
+    val hostile = base.resolve("we\"ird,di\\r")
+    java.nio.file.Files.createDirectories(hostile)
+    val t = ManifestTable.create(s, hostile.toString,
+      (1 to 7).map(i => (i.toLong, i * 3)).toDF("id", "x"))
+    t.commit(_.withColumn("x", col("x") + 1))
+    assert(t.read().orderBy("id").collect().map(_.getInt(1)).toSeq ==
+      (1 to 7).map(_ * 3 + 1))
+    // Relocate: manifests store root-relative paths, so a moved table
+    // opens anywhere.
+    val moved = base.resolve("relocated")
+    java.nio.file.Files.move(hostile, moved)
+    val t2 = ManifestTable.open(s, moved.toString)
+    assert(t2.currentVersion() == 2)
+    assert(t2.read().orderBy("id").collect().map(_.getInt(1)).toSeq ==
+      (1 to 7).map(_ * 3 + 1))
+  }
 }
