@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.Sessions
+import graft.lake.ManifestTable
 
 /** Structured Streaming harness for the q_stream_* queries.
   *
@@ -115,44 +116,56 @@ object StreamingOps {
   /** foreachBatch MERGE sink — the reference's actual ingest loop
     * (add_or_update_photo per new file, photo_vector_search.py:94)
     * as a streaming latest-wins upsert: each micro-batch is folded
-    * into a keyed parquet snapshot (snapshot ∪ batch, ranked by `ord`
+    * into a keyed snapshot (snapshot ∪ batch, ranked by `ord`
     * descending per `keys`, rank-1 survives). Correct at ANY number
     * of micro-batches — this is the incremental path [[drain]]'s
-    * append sink can't provide. Snapshots are written generationally
-    * (snap_1, snap_2, …) so a batch never reads the files it is
-    * overwriting; on a cluster the same foreachBatch body would be a
-    * MERGE INTO on a transactional table, with identical semantics
-    * and one shuffle per batch keyed on `keys`. */
+    * append sink can't provide.
+    *
+    * Each fold is a TRANSACTIONAL [[graft.lake.ManifestTable]] commit:
+    * batch N's merge writes an immutable fileset and publishes it with
+    * an atomic manifest CAS, so a concurrent reader mid-stream sees
+    * either snapshot N or snapshot N+1 — never a half-written merge —
+    * and the ingest loop is atomic end-to-end (this is foreachBatch as
+    * MERGE INTO on a real table format, exactly what the body would be
+    * on a cluster: one shuffle per batch keyed on `keys`, plus an
+    * O(files) manifest write). `vacuumKeep` bounds the commit chain:
+    * after each commit, manifests older than the newest `vacuumKeep`
+    * versions and their unreferenced filesets are collected, so an
+    * unbounded stream holds bounded storage. */
   def drainUpsert(s: SparkSession, streamed: DataFrame,
-      keys: Seq[String], ord: Seq[String]): DataFrame = {
+      keys: Seq[String], ord: Seq[String],
+      vacuumKeep: Int = 2, tableRootOpt: Option[String] = None): DataFrame = {
     val root = Files.createTempDirectory("graft_upsert_")
-    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tableRoot = tableRootOpt.getOrElse(root.resolve("table").toString)
+    val committed = new java.util.concurrent.atomic.AtomicInteger(0)
     val q = streamed.writeStream
       .outputMode("append")
       .option("checkpointLocation", root.resolve("ckpt").toString)
       .foreachBatch { (df: DataFrame, _: Long) =>
         val ss = df.sparkSession
-        val g = gen.get()
-        val base =
-          if (g == 0) df
-          else ss.read.parquet(root.resolve(s"snap_$g").toString)
-            .unionByName(df)
         val w = Window.partitionBy(keys.map(col): _*)
           .orderBy(ord.map(c => col(c).desc): _*)
-        base.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-          .write.mode("overwrite")
-          .parquet(root.resolve(s"snap_${g + 1}").toString)
-        gen.incrementAndGet()
+        def merge(base: DataFrame): DataFrame =
+          base.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+        val t =
+          if (committed.get() == 0)
+            ManifestTable.create(ss, tableRoot, merge(df))
+          else {
+            val t0 = ManifestTable.open(ss, tableRoot)
+            t0.commit(snap => merge(snap.unionByName(df)))
+            t0
+          }
+        t.vacuum(vacuumKeep)
+        committed.incrementAndGet()
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val g = gen.get()
-    if (g == 0)
+    if (committed.get() == 0)
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         streamed.schema)
-    else s.read.parquet(root.resolve(s"snap_$g").toString)
+    else ManifestTable.open(s, tableRoot).read()
   }
 }

@@ -92,6 +92,80 @@ class StreamingSpec extends SparkTestBase {
     assert(got.toSeq === Seq((1L, 20L, 9.0), (2L, 11L, 2.0), (3L, 12L, 3.0)))
   }
 
+  test("drainUpsert commits each batch transactionally; mid-stream readers " +
+      "see only complete snapshots and vacuum bounds the chain") {
+    val s = spark
+    import s.implicits._
+    val watched = java.nio.file.Files.createTempDirectory("graft_upsert_tx_")
+    // Four single-file micro-batches; later batches re-key earlier rows.
+    Seq(Seq((1L, "a", 10L, 1.0), (2L, "b", 11L, 2.0)),
+        Seq((1L, "a", 20L, 9.0), (3L, "c", 12L, 3.0)),
+        Seq((2L, "b", 21L, 8.0)),
+        Seq((4L, "d", 13L, 4.0), (3L, "c", 22L, 7.0))).foreach { rows =>
+      rows.toDF("k", "g", "ver", "v")
+        .coalesce(1).write.mode("append").parquet(watched.toString)
+    }
+    val schema = s.read.parquet(watched.toString).schema
+    val streamed = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(watched.toString)
+    val tableRoot = java.nio.file.Files
+      .createTempDirectory("graft_upsert_tbl_").toString
+    // Expected latest-wins state after each committed version: a
+    // concurrent reader must observe one of these EXACTLY — a partial
+    // merge (e.g. half a fileset) would surface as a set none of the
+    // versions produce.
+    val states: Seq[Set[(Long, Long)]] = Seq(
+      Set((1L, 10L), (2L, 11L)),
+      Set((1L, 20L), (2L, 11L), (3L, 12L)),
+      Set((1L, 20L), (2L, 21L), (3L, 12L)),
+      Set((1L, 20L), (2L, 21L), (3L, 22L), (4L, 13L)))
+    // Concurrent reader: poll the table while the stream commits.
+    // Every successful read must be a complete committed snapshot.
+    val observed = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[Set[(Long, Long)], java.lang.Boolean]())
+    val badReads = new java.util.concurrent.CopyOnWriteArrayList[Set[(Long, Long)]]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      val t = graft.lake.ManifestTable.open(s, tableRoot)
+      while (!stop.get()) {
+        try {
+          val got = t.read().select("k", "ver").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          if (states.contains(got)) observed.add(got)
+          else badReads.add(got)
+        } catch {
+          // Before v1 exists, or when the polled version is vacuumed
+          // out from under the scan, the read fails LOUDLY — the
+          // contract — rather than returning partial data. Only a
+          // SUCCESSFUL read with non-snapshot content (badReads)
+          // violates atomicity.
+          case scala.util.control.NonFatal(_) =>
+        }
+      }
+    })
+    reader.start()
+    val got = try {
+      StreamingOps.drainUpsert(s, streamed,
+        keys = Seq("k", "g"), ord = Seq("ver"),
+        vacuumKeep = 2, tableRootOpt = Some(tableRoot))
+        .select("k", "ver").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    } finally { stop.set(true); reader.join() }
+    assert(got === states.last)
+    assert(badReads.isEmpty,
+      s"mid-stream reader saw non-snapshot states: $badReads")
+    assert(observed.contains(states.last)) // reader saw ≥ the final commit
+    // vacuum(keepLast=2) ran after every commit: only the 2 newest
+    // manifests and their filesets remain — the chain is bounded even
+    // though 4 batches committed.
+    val manifests = new java.io.File(s"$tableRoot/_manifests").listFiles()
+      .map(_.getName).filter(n => n.startsWith("v") && n.endsWith(".json"))
+    assert(manifests.toSet === Set("v3.json", "v4.json"))
+    val filesets = new java.io.File(s"$tableRoot/data").listFiles()
+      .map(_.getName).filter(_.startsWith("commit-"))
+    assert(filesets.forall(n => n.startsWith("commit-3-") || n.startsWith("commit-4-")),
+      s"vacuum left expired filesets: ${filesets.mkString(",")}")
+  }
+
   test("drain fails loudly on multi-batch update mode instead of duplicating") {
     val s = spark
     import s.implicits._
