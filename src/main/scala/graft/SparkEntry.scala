@@ -40,7 +40,8 @@ object SparkEntry {
     * build cost as query latency — on a cluster these builds are
     * catalog-lifetime investments (the reference's collection
     * creation, photo_vector_search.py:17-20), not per-query work. */
-  def buildSteps: Seq[String] = Seq("q_knn_ivf_rule", "q_join_bucketed",
+  def buildSteps: Seq[String] = Seq("q_knn_ivf_rule", "q_knn_ivf_rule_l2",
+    "q_join_bucketed",
     "q_source_csv", "q_source_json", "q_source_orc", "q_schema_evolution",
     "q_partition_pruned", "q_table_commit")
 

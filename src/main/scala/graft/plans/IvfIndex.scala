@@ -37,6 +37,16 @@ object IvfIndex {
   def r6(x: Double): Double =
     BigDecimal(x).setScale(6, RoundingMode.HALF_UP).toDouble
 
+  /** The distance metrics [[IvfKnnPruning]] can rewrite under. Probe
+    * ranking must use the QUERY's metric (an L2 top-k probes the
+    * L2-nearest cells), independent of the cosine metric that
+    * assigned rows to cells at build time — standard IVF practice:
+    * the coarse quantizer is fixed, the probe order follows the
+    * query. */
+  sealed trait Metric
+  case object Cosine extends Metric
+  case object L2 extends Metric
+
   /** Mirrors graft.functions.CosineDistance's loop exactly (same
     * accumulation order, same `1 - dot / sqrt(na * nb)` final form)
     * so driver-side distances are bit-identical to the kernel's. */
@@ -48,10 +58,26 @@ object IvfIndex {
     1.0 - dot / math.sqrt(na * nb)
   }
 
+  /** Mirrors graft.functions.L2Distance's loop (same accumulation
+    * order, `sqrt(Σ (x-y)²)`) for the same bit-parity contract. */
+  private def l2Dist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+
   /** The `probes` nearest cells to the query vector, by
-    * (round6(cosine distance), cid) — identical ordering to the SQL
-    * probe CTE in q_knn_ivf's oracle. */
-  def probeCells(e: Entry, query: Array[Double]): Seq[Long] =
-    e.centroids.map { case (cid, c) => (r6(cosineDist(c, query)), cid) }
+    * (round6(distance), cid) under the query's metric — identical
+    * ordering to the SQL probe CTE in the q_knn_ivf* oracles. */
+  def probeCells(e: Entry, query: Array[Double],
+      metric: Metric = Cosine): Seq[Long] = {
+    val dist: (Array[Double], Array[Double]) => Double = metric match {
+      case Cosine => cosineDist
+      case L2 => l2Dist
+    }
+    e.centroids.map { case (cid, c) => (r6(dist(c, query)), cid) }
       .sorted.take(e.probes).map(_._2)
+  }
 }

@@ -7,12 +7,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
-import graft.functions.CosineDistance
+import graft.functions.{CosineDistance, L2Distance}
 
 /** The optional ANN rewrite from SURVEY §4: a logical optimizer rule
   * that turns an EXACT top-k —
   *
   *   ORDER BY cosine_distance(embedding, <literal query vector>) LIMIT k
+  *   (or l2_distance — probe cells are ranked under the QUERY's metric)
   *
   * over an [[IvfIndex]]-registered table into a probe-pruned scan:
   * a `ivf_cell IN (<nearest probe cells>)` filter is planted directly
@@ -25,7 +26,8 @@ import graft.functions.CosineDistance
   *
   * Scope guards (the rule must never touch anything else):
   *  - only fires on GlobalLimit ∘ LocalLimit ∘ global Sort whose
-  *    primary key contains a CosineDistance against an array literal;
+  *    primary key contains a CosineDistance or L2Distance against an
+  *    array literal;
   *  - only when the subtree scans exactly one catalog table that has
   *    an `ivf_cell` column AND is registered in IvfIndex;
   *  - idempotent: skips subtrees already carrying an ivf_cell filter
@@ -48,8 +50,11 @@ case class IvfKnnPruning(spark: SparkSession) extends Rule[LogicalPlan] {
 
     for {
       dist <- distanceExpr(sort)
-      cd <- dist.collectFirst { case c: CosineDistance => c }
-      query <- literalVector(cd)
+      (kernel, metric) <- dist.collectFirst {
+        case c: CosineDistance => (c: Expression, IvfIndex.Cosine: IvfIndex.Metric)
+        case l: L2Distance => (l: Expression, IvfIndex.L2: IvfIndex.Metric)
+      }
+      query <- literalVector(kernel)
       rel <- sort.child.collectFirst {
         case lr: LogicalRelation
             if lr.catalogTable.isDefined &&
@@ -58,7 +63,7 @@ case class IvfKnnPruning(spark: SparkSession) extends Rule[LogicalPlan] {
       entry <- IvfIndex.lookup(rel.catalogTable.get.identifier.table)
     } yield {
       val cell = rel.output.find(_.name == "ivf_cell").get
-      val probes = IvfIndex.probeCells(entry, query)
+      val probes = IvfIndex.probeCells(entry, query, metric)
       val pruned = sort.child.transformUp {
         case r: LogicalRelation if r eq rel =>
           Filter(In(cell, probes.map(Literal(_))), r)
@@ -79,7 +84,7 @@ case class IvfKnnPruning(spark: SparkSession) extends Rule[LogicalPlan] {
       case e => Some(e)
     }
 
-  private def literalVector(cd: CosineDistance): Option[Array[Double]] =
+  private def literalVector(cd: Expression): Option[Array[Double]] =
     cd.collectFirst {
       case Literal(a: ArrayData, ArrayType(DoubleType, _)) => a.toDoubleArray()
       case Literal(a: ArrayData, ArrayType(FloatType, _)) =>

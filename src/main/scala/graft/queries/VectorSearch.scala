@@ -225,6 +225,38 @@ object VectorSearch {
         .orderBy(col("dist"), col("vec_id")).limit(K)
     },
 
+    // The rule under the L2 metric: the SAME cell-partitioned index
+    // (cells are assigned by the build-time cosine quantizer — fixed,
+    // as in any IVF deployment) probed by a naive L2 top-k. The rule
+    // ranks probe cells under the QUERY's metric (L2 distance to the
+    // codebook), so one index serves both metrics — the standard
+    // multi-metric IVF contract. Oracle: cosine assignment, L2 probes,
+    // L2 final distances.
+    Q("q_knn_ivf_rule_l2",
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |asgn AS (SELECT vec_id, label, v, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY
+         |      round(1 - list_cosine_similarity(v, cv), 6), cid) AS rn
+         |  FROM e CROSS JOIN c),
+         |a2 AS (SELECT vec_id, label, v, cid FROM asgn WHERE rn = 1),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |probe AS (SELECT cid FROM c CROSS JOIN q
+         |          ORDER BY round(list_distance(cv, qv), 6), cid
+         |          LIMIT 4)
+         |SELECT vec_id, label, round(list_distance(v, qv), 6) AS dist
+         |FROM a2 CROSS JOIN q WHERE cid IN (SELECT cid FROM probe)
+         |ORDER BY dist, vec_id LIMIT $K""".stripMargin) { (s, d) =>
+      val tbl = ensureIvfIndex(s, d)
+      val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0).toArray
+      s.table(tbl)
+        .select(col("vec_id"), col("label"),
+          round(l2_distance(col("embedding"), lit(qv)), 6).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(K)
+    },
+
     // Product-quantization ANN — the memory-side scale path (IVF
     // prunes WHICH vectors are scanned; PQ shrinks WHAT is scanned).
     // The 64-dim embedding splits into M=8 subspaces of 8 dims; each

@@ -28,6 +28,31 @@ class IvfKnnPruningSpec extends SparkTestBase {
     assert(df.collect().map(_.toSeq).toSeq === explicit)
   }
 
+  test("an L2 top-k over the same index gets probe-pruned under the L2 metric") {
+    assume(new java.io.File(s"$sf/embeddings.parquet").exists())
+    val df = SparkEntry.queries("q_knn_ivf_rule_l2")(spark, sf)
+    val cellFilter = df.queryExecution.optimizedPlan.collectFirst {
+      case f: Filter if f.condition.references.exists(_.name == "ivf_cell") =>
+        f.condition
+    }
+    assert(cellFilter.isDefined,
+      "IvfKnnPruning did not fire on the L2 sort:\n" +
+        df.queryExecution.optimizedPlan)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [ivf_cell"))
+    // The planted cells must be the L2-ranked probes (the failure
+    // message shows the cosine set so a metric mix-up is diagnosable).
+    val entry = IvfIndex.lookup("graft_ivf_sf0_001").get
+    val q = entry.centroids.find(_._1 == 0L).get._2
+    val l2Probes = IvfIndex.probeCells(entry, q, IvfIndex.L2).toSet
+    val cosProbes = IvfIndex.probeCells(entry, q, IvfIndex.Cosine).toSet
+    val planted = cellFilter.get.collect {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+    }.toSet
+    assert(planted === l2Probes,
+      s"planted cells $planted != L2 probes $l2Probes (cosine: $cosProbes)")
+  }
+
   test("the memoized index build runs once — repeat invocations reuse the table") {
     assume(new java.io.File(s"$sf/embeddings.parquet").exists())
     SparkEntry.queries("q_knn_ivf_rule")(spark, sf).collect() // ensures built
