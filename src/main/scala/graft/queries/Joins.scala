@@ -244,10 +244,11 @@ object Joins {
     // sim 0.40001), so no sublinear candidate scheme can be exact —
     // hyperplane-LSH recall at a 66° threshold needs band counts that
     // admit every pair. The declared operator is therefore the exact
-    // quadratic join; the sub-quadratic paths the engine offers are
-    // q_knn_ivf (centroid-pruned search) and q_dedup_minhash's
-    // banding for the high-similarity dedup regime where candidate
-    // pruning is sound.
+    // quadratic join; `spark.graft.simjoin.mode=ann` switches the
+    // pair stage to IVF multi-probe candidates + exact verify (the
+    // 100 TB route, sub-quadratic with cells ∝ n; set-equal to the
+    // exact form at the test sfs — ScalePathSpec), and q_knn_ivf /
+    // q_dedup_minhash remain the dedicated search/dedup regimes.
     Q("q_similarity_join",
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
         |SELECT id1, id2, sim FROM (
@@ -287,8 +288,71 @@ object Joins {
   * 1 = the single-join plan for small inputs).
   */
 object SimilarityStages {
-  def allPairsSim(e: org.apache.spark.sql.DataFrame, tau: Double)
-      : org.apache.spark.sql.DataFrame = {
+
+  /** Pair stage dispatcher. `spark.graft.simjoin.mode`:
+    *  - `exact` (default, the declared/oracled semantics): the
+    *    block-chunked exact all-pairs join below;
+    *  - `ann`: the 100 TB route — IVF-style multi-probe candidate
+    *    generation (each vector joins only vectors sharing one of its
+    *    `spark.graft.simjoin.ann.probes` nearest codebook cells, cell
+    *    count `spark.graft.simjoin.ann.cells`) followed by the SAME
+    *    exact cosine verify. Precision is always exact; recall is
+    *    governed by probes/cells. With cells ∝ n the candidate volume
+    *    is ~n²·P²/C — sub-quadratic — while at the test sfs the
+    *    default P=6 of 16 cells has TOTAL recall, so ScalePathSpec
+    *    pins ann ≡ exact by set equality (the
+    *    q_mixture_apply_threshold precedent: declared form stays the
+    *    oracle, scale form proven equivalent where recall allows).
+    */
+  def allPairsSim(e: DataFrame, tau: Double): DataFrame = {
+    val mode = e.sparkSession.conf.get("spark.graft.simjoin.mode", "exact")
+    mode match {
+      case "exact" => exactSim(e, tau)
+      case "ann" => annSim(e, tau)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.simjoin.mode must be exact|ann, got '$other'")
+    }
+  }
+
+  /** Multi-probe IVF candidates: pairs sharing ≥1 of each side's
+    * `probes` nearest cells (deterministic codebook = vec_id < cells,
+    * as q_knn_ivf). One broadcast of the codebook, one keyed window
+    * for the top-P assignment, one equi-join per shared cell —
+    * never an all-pairs comparison. */
+  def annCandidates(e: DataFrame, cells: Int, probes: Int): DataFrame = {
+    val cents = e.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cid"),
+        col("embedding").cast("array<double>").as("cv"))
+    val asg = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdist", round(cosine_distance(col("v"), col("cv")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cdist"), col("cid"))))
+      .filter(col("rn") <= probes)
+      .select(col("vec_id"), col("cid"))
+    asg.select(col("vec_id").as("id1"), col("cid"))
+      .join(asg.select(col("vec_id").as("id2"), col("cid")), "cid")
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  private def annSim(e: DataFrame, tau: Double): DataFrame = {
+    val conf = e.sparkSession.conf
+    val cells = conf.get("spark.graft.simjoin.ann.cells", "16").toInt
+    val probes = conf.get("spark.graft.simjoin.ann.probes", "6").toInt
+    val cand = annCandidates(e, cells, probes)
+    val v1 = e.select(col("vec_id").as("id1"),
+      col("embedding").cast("array<double>").as("v1"))
+    val v2 = e.select(col("vec_id").as("id2"),
+      col("embedding").cast("array<double>").as("v2"))
+    cand.join(v1, "id1").join(v2, "id2")
+      .select(col("id1"), col("id2"),
+        round(lit(1.0) - cosine_distance(col("v1"), col("v2")), 6).alias("sim"))
+      .filter(col("sim") >= tau)
+  }
+
+  private def exactSim(e: DataFrame, tau: Double): DataFrame = {
     val blocks = e.sparkSession.conf.get("spark.graft.simjoin.blocks", "4").toInt
     // Cast f32→f64 BEFORE the join on both sides: projections below
     // a join are evaluated once per input row (never per pair), so

@@ -107,9 +107,12 @@ object Multimodal {
 
     // Embedding-cosine near-dup DEDUP (not just the pair list): drop
     // every vector that has a more-canonical (lower-id) neighbor at
-    // sim ≥ 0.4. Pairs from the exact similarity join; the survivors
-    // via anti-join — the A13/A14 delete pattern fused with the
-    // similarity predicate.
+    // sim ≥ 0.4. Pairs from the shared SimilarityStages stage (exact
+    // by default; `spark.graft.simjoin.mode=ann` routes candidates
+    // through IVF multi-probe cells + exact verify — the sub-quadratic
+    // 100 TB path, set-equal at the test sfs per ScalePathSpec); the
+    // survivors via anti-join — the A13/A14 delete pattern fused with
+    // the similarity predicate.
     Q("q_dedup_embed",
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
         |dupes AS (SELECT DISTINCT b.vec_id FROM e a JOIN e b ON a.vec_id < b.vec_id

@@ -214,6 +214,39 @@ class ScalePathSpec extends SparkTestBase {
     assert(blockSizes.max <= math.ceil(97.0 / 5).toLong)
   }
 
+  test("simjoin ann mode: set-equal to exact at total-recall sfs, sub-all-pairs candidates") {
+    // The `spark.graft.simjoin.mode=ann` route's claim: IVF
+    // multi-probe candidates + exact verify reproduce the exact
+    // all-pairs result wherever recall is total (it is at the test
+    // sfs with the default 6 probes of 16 cells — measured, not
+    // assumed), while never comparing the full pair set.
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/embeddings.parquet").exists())
+    def pairs(): Set[(Long, Long, Double)] =
+      graft.SparkEntry.queries("q_similarity_join")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exactPairs = pairs()
+    val exactSurvivors = graft.SparkEntry.queries("q_dedup_embed")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    spark.conf.set("spark.graft.simjoin.mode", "ann")
+    val (annPairs, annSurvivors) =
+      try (pairs(),
+        graft.SparkEntry.queries("q_dedup_embed")(spark, sf)
+          .select("vec_id").collect().map(_.getLong(0)).toSet)
+      finally spark.conf.unset("spark.graft.simjoin.mode")
+    assert(annPairs === exactPairs,
+      s"ann pair delta: +${(annPairs -- exactPairs).size} " +
+        s"-${(exactPairs -- annPairs).size} of ${exactPairs.size}")
+    assert(annSurvivors === exactSurvivors)
+    // The candidate stage genuinely prunes (strictly fewer than
+    // all-pairs) — the plan is cell-join + verify, not a cartesian.
+    val e = graft.Tables.embeddings(spark, sf)
+    val n = e.count()
+    val cand = SimilarityStages.annCandidates(e, cells = 16, probes = 6).count()
+    assert(cand < n * (n - 1) / 2,
+      s"ann candidates $cand not below all-pairs ${n * (n - 1) / 2}")
+  }
+
   test("bucketed join plan contains no exchange below the join") {
     val s = spark
     import s.implicits._
