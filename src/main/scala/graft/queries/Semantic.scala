@@ -45,8 +45,10 @@ import graft.functions.GraftFunctions.cosine_distance
   * at every sf without re-templating the SQL. Seed ranking is a
   * TakeOrderedAndProject top-k (per-partition heaps merged on the
   * driver — k rows of state per task, no partition-less window, no
-  * sample needed; [[seedFrame]] raises
-  * spark.sql.execution.topKSortFallbackThreshold above k so the heap
+  * sample needed; [[withTopKClearance]] raises
+  * spark.sql.execution.topKSortFallbackThreshold above k around the
+  * seed plan+collect ONLY — saved and restored, so the session's
+  * plan shapes for unrelated queries are untouched — and the heap
   * plan survives derived k past the 10000 default). The
   * per-iteration shape is unchanged at 100 TB: broadcast k
   * centroids, scan-local argmin, one (cid, pos)-keyed partial+final
@@ -139,28 +141,45 @@ object Semantic {
     * plans as TakeOrderedAndProject — each task keeps a k-row heap
     * and the driver merges, so there is no partition-less window and
     * no single-task global sort at any n (asserted in ScalePathSpec).
-    * That heap plan only exists while
-    * k < spark.sql.execution.topKSortFallbackThreshold (default
-    * 10000; past it Spark silently falls back to a single-task global
-    * sort) — and derived k crosses 10000 at ~5.1M vectors — so the
-    * threshold is RAISED to k+1 first whenever it wouldn't clear k.
-    * Monotone raise only, asserted in ScalePathSpec: the session never
-    * gets a lower threshold than it started with, and a k-row
-    * per-task heap is exactly the memory this operator budgets anyway.
-    * The rows arrive already ordered; cid is the arrival rank. */
-  private[queries] def seedFrame(e: DataFrame, k: Int): DataFrame = {
-    val conf = e.sparkSession.conf
-    val key = "spark.sql.execution.topKSortFallbackThreshold"
-    if (conf.get(key, "10000").toInt <= k) conf.set(key, (k + 1).toString)
+    * A pure plan builder: the topK-threshold clearance that keeps the
+    * heap plan alive at large derived k is applied by the CALLER
+    * around planning+collect ([[withTopKClearance]]) so nothing
+    * session-global leaks. The rows arrive already ordered; cid is
+    * the arrival rank. */
+  private[queries] def seedFrame(e: DataFrame, k: Int): DataFrame =
     e.select(expr(TextKit.h28("CAST(vec_id AS STRING)")).as("hk"),
         col("vec_id"), col("v"))
       .orderBy(col("hk"), col("vec_id")).limit(k)
       .select(col("v").as("c"))
+
+  /** Scoped raise of spark.sql.execution.topKSortFallbackThreshold:
+    * the TakeOrderedAndProject heap plan only exists while
+    * k < threshold (default 10000; past it Spark silently falls back
+    * to a single-task global sort), and derived k crosses 10000 at
+    * ~5.1M vectors. The threshold is raised to k+1 for exactly the
+    * duration of `body` (which must both PLAN and EXECUTE the seed
+    * frame — physical planning reads the conf at action time), then
+    * restored — no session-global plan-shape coupling for unrelated
+    * queries (asserted in ScalePathSpec). A k-row per-task heap is
+    * exactly the memory this operator budgets anyway. */
+  private[queries] def withTopKClearance[T](
+      s: org.apache.spark.sql.SparkSession, k: Int)(body: => T): T = {
+    val conf = s.conf
+    val key = "spark.sql.execution.topKSortFallbackThreshold"
+    val saved = conf.getOption(key)
+    if (conf.get(key, "10000").toInt <= k) conf.set(key, (k + 1).toString)
+    try body
+    finally saved match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
   }
 
   private def seedCentroids(e: DataFrame, k: Int): Seq[(Int, Array[Double])] =
-    seedFrame(e, k).collect().toSeq.zipWithIndex
-      .map { case (r, i) => i -> r.getSeq[Double](0).toArray }
+    withTopKClearance(e.sparkSession, k) {
+      seedFrame(e, k).collect().toSeq.zipWithIndex
+        .map { case (r, i) => i -> r.getSeq[Double](0).toArray }
+    }
 
   /** Scan-local literal argmin over the ≤k driver-held centroids:
     * key_i = round(dist(v, c_i), 6) + i·ε with ε = 1e-6/(2k) — the

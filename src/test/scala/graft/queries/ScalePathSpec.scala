@@ -355,8 +355,10 @@ class ScalePathSpec extends SparkTestBase {
   test("semdedup seeds stay heap-planned when k crosses the topK fallback threshold") {
     // Derived k grows ∝ n and would cross Spark's
     // topKSortFallbackThreshold (default 10000) at ~5.1M vectors,
-    // silently reintroducing the single-task global sort. seedFrame
-    // must raise the threshold above k BEFORE planning.
+    // silently reintroducing the single-task global sort. The raise
+    // is SCOPED (withTopKClearance): active while the seed frame is
+    // planned and executed, restored after — a later orderBy().limit
+    // in the same session must see the original threshold.
     val sf = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$sf/embeddings.parquet").exists())
     val e = graft.Tables.embeddings(spark, sf)
@@ -365,12 +367,22 @@ class ScalePathSpec extends SparkTestBase {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "5") // simulate k >= threshold without 5M rows
     try {
-      val seeds = Semantic.seedFrame(e, 16)
-      assert(spark.conf.get(key).toInt > 16,
-        "seedFrame did not raise the fallback threshold above k")
-      assert(seeds.queryExecution.executedPlan.toString
-        .contains("TakeOrderedAndProject"),
-        s"seed frame fell back to a global sort:\n${seeds.queryExecution.executedPlan}")
+      Semantic.withTopKClearance(spark, 16) {
+        assert(spark.conf.get(key).toInt > 16,
+          "withTopKClearance did not raise the fallback threshold above k")
+        val seeds = Semantic.seedFrame(e, 16)
+        assert(seeds.queryExecution.executedPlan.toString
+          .contains("TakeOrderedAndProject"),
+          s"seed frame fell back to a global sort:\n${seeds.queryExecution.executedPlan}")
+      }
+      assert(spark.conf.get(key) === "5",
+        "withTopKClearance leaked the raised threshold into the session")
+      // The full operator path restores too: q_semdedup runs its
+      // seed collect under the clearance and must leave the session
+      // conf exactly as it found it.
+      graft.SparkEntry.queries("q_semdedup")(spark, sf).collect()
+      assert(spark.conf.get(key) === "5",
+        "q_semdedup left a mutated topKSortFallbackThreshold behind")
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
