@@ -148,14 +148,22 @@ object Sampling {
          |       END AS BIGINT) AS n_splits
          |FROM o ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
+      // ONE tokenize pass: the (doc_id, n_tok) projection is
+      // localCheckpointed (16 B/row — doc-count-sized, never
+      // corpus-sized) so all three downstream consumers (min/max,
+      // shard totals, final join) read the materialized frame instead
+      // of re-running the tokenize or relying on exchange reuse,
+      // which AQE can fail to canonicalize (the q_mixture precedent).
+      val t0 = barrier(docs.withColumn("tk", expr(toks)))
+        .select(col("doc_id"), size(col("tk")).cast("bigint").as("n_tok"))
+        .localCheckpoint()
       // Shard split: bkt = (doc_id - lo) DIV width with
       // width = (hi - lo) DIV 1024 + 1 — monotone in doc_id, all
       // integer (no float drift), values in [0, 1024) for any id
-      // range. min/max is a column-pruned scan-local aggregate.
-      val mm = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
-      val t = barrier(docs.withColumn("tk", expr(toks)))
-        .select(col("doc_id"), size(col("tk")).cast("bigint").as("n_tok"))
-        .crossJoin(broadcast(mm))
+      // range. min/max rides the checkpointed frame — no separate
+      // scan job.
+      val mm = t0.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      val t = t0.crossJoin(broadcast(mm))
         .withColumn("bkt",
           expr("(doc_id - lo) DIV ((hi - lo) DIV 1024 + 1)"))
       // Per-shard token totals (≤1024 rows); each shard's base offset
