@@ -64,7 +64,7 @@ final class ManifestTable private (val root: String, spark: SparkSession) {
     require(Files.exists(m),
       s"no manifest for version $v at $root (vacuumed or never committed)")
     ManifestTable.parseStrings(new String(Files.readAllBytes(m), UTF_8))
-      .map(p => if (p.startsWith("/")) p else s"$root/$p")
+      .map(p => if (Paths.get(p).isAbsolute) p else s"$root/$p")
   }
 
   /** Snapshot read at the current version — a plain parquet scan of
@@ -166,8 +166,11 @@ final class ManifestTable private (val root: String, spark: SparkSession) {
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("commit-"))
     val dirsGone = dataDirs.count { dir =>
-      val ver = dir.getName.stripPrefix("commit-").takeWhile(_.isDigit)
-      val collectable = ver.nonEmpty && ver.toInt <= cur &&
+      // Unparseable/overflowing version tags are foreign dirs — skip
+      // them rather than aborting the whole vacuum.
+      val ver = scala.util.Try(
+        dir.getName.stripPrefix("commit-").takeWhile(_.isDigit).toLong)
+      val collectable = ver.toOption.exists(_ <= cur) &&
         !referenced.contains(dir.getAbsolutePath)
       if (collectable) ManifestTable.deleteRecursively(dir.toPath)
       collectable
@@ -208,6 +211,12 @@ object ManifestTable {
     val start = txt.indexOf('[')
     val end = txt.lastIndexOf(']')
     require(start >= 0 && end > start, s"malformed manifest: $txt")
+    // Escape lookaheads are bounds-checked so a truncated/corrupted
+    // manifest fails with the same 'malformed manifest' contract
+    // instead of a StringIndexOutOfBoundsException.
+    def malformed(): Nothing =
+      throw new IllegalArgumentException(
+        s"requirement failed: malformed manifest (truncated string literal): $txt")
     val out = Seq.newBuilder[String]
     var i = start + 1
     while (i < end) {
@@ -216,11 +225,17 @@ object ManifestTable {
         i += 1
         var closed = false
         while (!closed) {
+          if (i >= end) malformed()
           txt(i) match {
-            case '\\' if txt(i + 1) == 'u' =>
-              b.append(Integer.parseInt(txt.substring(i + 2, i + 6), 16).toChar)
+            case '\\' if i + 1 < end && txt(i + 1) == 'u' =>
+              if (i + 6 > end) malformed()
+              val code =
+                try Integer.parseInt(txt.substring(i + 2, i + 6), 16)
+                catch { case _: NumberFormatException => malformed() }
+              b.append(code.toChar)
               i += 6
             case '\\' =>
+              if (i + 1 >= end) malformed()
               b.append(txt(i + 1)); i += 2
             case '"' =>
               closed = true; i += 1

@@ -113,6 +113,58 @@ class ManifestTableSpec extends SparkTestBase {
     intercept[IllegalArgumentException](t.readAt(2))
   }
 
+  test("truncated and corrupted manifests fail with the malformed-manifest contract") {
+    // Every truncation point of a valid manifest must raise the
+    // loud 'malformed manifest' error, never an index exception.
+    val full = """{"version":1,"files":["data/a.parquet","b\\c","d\"e"]}"""
+    assert(ManifestTable.parseStrings(full) ===
+      Seq("data/a.parquet", "b\\c", "d\"e"))
+    (0 until full.length).foreach { cut =>
+      val t = full.substring(0, cut)
+      try { ManifestTable.parseStrings(t); () }
+      catch {
+        case e: IllegalArgumentException =>
+          assert(e.getMessage.contains("malformed manifest"), s"cut=$cut: $e")
+        case other: Throwable =>
+          fail(s"cut=$cut raised ${other.getClass.getSimpleName}: $other")
+      }
+    }
+    // Corruptions that keep the brackets but break a literal — these
+    // hit the inner lookahead guards, not the outer require.
+    Seq(
+      """{"files":["abc]}""", // unclosed literal
+      """{"files":["a\"]}""", // escape eats the closing quote
+      "{\"files\":[\"a\\u12]}", // truncated \u escape
+      """{"files":["a\]}""", // trailing backslash at the bracket
+      "{\"files\":[\"a\\uZZZZ\"]}" // non-hex \u payload
+    ).foreach { bad =>
+      val e = intercept[IllegalArgumentException](
+        ManifestTable.parseStrings(bad))
+      assert(e.getMessage.contains("malformed manifest"), s"input: $bad")
+    }
+  }
+
+  test("vacuum skips foreign data dirs with unparseable or overflowing version tags") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mtable_vac_")
+    val t = ManifestTable.create(s, root.toString,
+      (1 to 5).map(i => (i.toLong, 1)).toDF("id", "gen"))
+    t.commit(_.withColumn("gen", lit(2)))
+    // An alien dir whose digit run overflows Long, and one with no
+    // digits at all: vacuum must skip both and still collect v1.
+    val overflow = root.resolve("data/commit-99999999999999999999999999-x")
+    val alien = root.resolve("data/commit-notaversion")
+    java.nio.file.Files.createDirectories(overflow)
+    java.nio.file.Files.createDirectories(alien)
+    val (manifestsGone, dirsGone) = t.vacuum(keepLast = 1)
+    assert(manifestsGone == 1 && dirsGone == 1)
+    assert(java.nio.file.Files.exists(overflow) &&
+      java.nio.file.Files.exists(alien),
+      "vacuum collected a dir whose version tag it could not parse")
+    assert(t.read().select(max("gen")).collect().head.getInt(0) == 2)
+  }
+
   test("manifest format survives hostile roots and tables are relocatable") {
     val s = spark
     import s.implicits._
