@@ -59,10 +59,11 @@ object Embedders {
     * ON THE DRIVER at plan-build time from session conf and returns
     * a serializable constructor invoked once per partition:
     *
-    *   spark.graft.embedder              surrogate (default) | http
+    *   spark.graft.embedder              surrogate (default) | http | onnx
     *   spark.graft.embedder.endpoint     required for http
     *   spark.graft.embedder.batchSize    rows per HTTP request (32)
     *   spark.graft.embedder.minIntervalMs per-partition rate limit (0)
+    *   spark.graft.embedder.model        required for onnx (model path)
     *
     * Default is the verified hash surrogate, so CORRECTNESS output
     * is unchanged unless a user opts into a real endpoint
@@ -76,9 +77,12 @@ object Embedders {
         val batch = s.conf.get("spark.graft.embedder.batchSize", "32").toInt
         val interval = s.conf.get("spark.graft.embedder.minIntervalMs", "0").toLong
         () => new HttpTextEmbedder(endpoint, dim, batch, minIntervalMs = interval)
+      case "onnx" =>
+        val model = s.conf.get("spark.graft.embedder.model")
+        () => new OnnxTextEmbedder(model, dim)
       case "surrogate" => () => new HashTextEmbedder(dim)
       case other => throw new IllegalArgumentException(
-        s"spark.graft.embedder must be surrogate|http, got '$other'")
+        s"spark.graft.embedder must be surrogate|http|onnx, got '$other'")
     }
 }
 
