@@ -467,5 +467,37 @@ object TextOps {
             .as("entropy"))
         .orderBy("doc_id")
     },
+
+    // CORPUS N-GRAM COUNTS: the 100 most frequent word trigrams —
+    // the frequency table behind n-gram LMs, contamination screens
+    // (q_decontaminate broadcasts exactly such a set), and
+    // boilerplate detection. Scale: trigram generation is a
+    // scan-local transform over the tokenized array (the barrier
+    // materializes the tokenize once), the count is one
+    // partial-aggregated groupBy whose key space is the distinct
+    // trigram vocabulary (zipfian — partial aggregation absorbs the
+    // head), and the top-100 is TakeOrderedAndProject (per-task
+    // heaps, no global sort). Ties broken by the ngram string on
+    // both engines.
+    Q("q_ngram_counts",
+      s"""WITH w AS (SELECT $toksDuck AS w FROM documents),
+         |g AS (SELECT unnest(list_transform(range(1, len(w) - 1),
+         |        j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2])) AS ngram
+         |      FROM w)
+         |SELECT ngram, count(*) AS cnt FROM g
+         |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 100""".stripMargin) {
+      (s, d) =>
+      barrier(Tables.documents(s, d).withColumn("w", expr(toks)))
+        .select(explode(expr(
+          """CASE WHEN size(w) >= 3 THEN
+            |  transform(sequence(1, size(w) - 2),
+            |    j -> concat_ws(' ', element_at(w, j),
+            |                   element_at(w, j + 1), element_at(w, j + 2)))
+            |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+          .as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("ngram"))
+        .limit(100)
+    },
   )
 }

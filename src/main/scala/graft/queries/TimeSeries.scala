@@ -128,5 +128,121 @@ object TimeSeries {
         .agg(count(lit(1)).as("n_events"), dsum(col("term")).as("decayed_value"))
         .orderBy("user_id")
     },
+
+    // ORDERED FUNNEL: users who viewed, then clicked AFTER their
+    // first view, then purchased AFTER that click — the product-
+    // analytics conversion verb (strict event-time ordering, not
+    // mere co-occurrence). All three stage marks are min-over-
+    // partition windows with the SAME user_id partitioning, so they
+    // ride ONE hash exchange; the final count-distinct trio is a
+    // constant-size global aggregate. No self-joins — the naive
+    // 3-way event self-join this replaces is quadratic in events
+    // per user.
+    Q("q_funnel",
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+        |         OVER (PARTITION BY user_id) AS t1 FROM e),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+        |                          THEN ts END)
+        |         OVER (PARTITION BY user_id) AS t2 FROM w1),
+        |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+        |                          THEN ts END)
+        |         OVER (PARTITION BY user_id) AS t3 FROM w2)
+        |SELECT
+        |  count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS viewed,
+        |  count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS clicked,
+        |  count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS purchased
+        |FROM w3""".stripMargin) { (s, d) =>
+      val byUser = Window.partitionBy("user_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts"))).over(byUser))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("ts") > col("t1"),
+            col("ts"))).over(byUser))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+            col("ts"))).over(byUser))
+        .agg(
+          countDistinct(when(col("t1").isNotNull, col("user_id"))).as("viewed"),
+          countDistinct(when(col("t2").isNotNull, col("user_id"))).as("clicked"),
+          countDistinct(when(col("t3").isNotNull, col("user_id"))).as("purchased"))
+    },
+
+    // COHORT RETENTION: users bucketed by signup week (their first
+    // 'signup' event), activity counted per whole-week offset from
+    // the cohort — the (cohort × week) engagement matrix, emitted as
+    // flat rows. Scale: the signup aggregation and the activity join
+    // both key on user_id (one co-located exchange pair); the final
+    // (cohort, offset) count-distinct is partial-aggregated over a
+    // calendar-bounded key space. Both engines truncate weeks to
+    // Monday in UTC, so the day delta is always a multiple of 7 and
+    // the integer division is exact.
+    Q("q_retention",
+      """WITH su AS (SELECT user_id,
+        |    CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS DATE) AS cohort
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1)
+        |SELECT su.cohort,
+        |  date_diff('day', su.cohort,
+        |    CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS DATE)) // 7
+        |    AS week_offset,
+        |  count(DISTINCT e.user_id) AS active_users
+        |FROM su JOIN events e USING (user_id)
+        |WHERE CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS DATE) >= su.cohort
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t0"))
+        .select(col("user_id"), date_trunc("week", col("t0")).cast("date").as("cohort"))
+      su.join(ev.select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk")), "user_id")
+        .filter(col("wk") >= col("cohort"))
+        .withColumn("week_offset", expr("CAST(datediff(wk, cohort) DIV 7 AS BIGINT)"))
+        .groupBy("cohort", "week_offset")
+        .agg(countDistinct("user_id").as("active_users"))
+        .orderBy("cohort", "week_offset")
+    },
+
+    // Z-SCORE ANOMALY FLAGGING: purchases more than 2 per-user
+    // standard deviations from that user's mean — the outlier gate a
+    // feature pipeline runs before aggregation (the robust cousin is
+    // q_winsorize's percentile clip). Moment sums ride one
+    // partial-aggregated user_id groupBy (count/Σx/Σx² — fixed-width
+    // state, the sketch pattern), joined back against the same
+    // user_id clustering; z itself is scan-local. The moment sums go
+    // through the DECIMAL(38,6) discipline so both engines feed
+    // bit-identical (n, Σx, Σx²) into the identical IEEE z
+    // expression — no accumulation-order drift at the |z| > 2
+    // boundary.
+    Q("q_ts_anomaly",
+      s"""WITH p AS (SELECT event_id, user_id, value FROM events
+         |           WHERE event_type = 'purchase'),
+         |st AS (SELECT user_id, count(*) AS n,
+         |         ${dsumSql("value")} AS sv,
+         |         ${dsumSql("value * value")} AS sv2
+         |       FROM p GROUP BY 1)
+         |SELECT p.event_id, p.user_id, round(p.value, 6) AS value,
+         |  round((p.value - sv / n) / sqrt((sv2 - sv * sv / n) / (n - 1)), 6) AS z
+         |FROM p JOIN st USING (user_id)
+         |WHERE n >= 2 AND (sv2 - sv * sv / n) / (n - 1) > 0
+         |  AND abs(round((p.value - sv / n)
+         |        / sqrt((sv2 - sv * sv / n) / (n - 1)), 6)) > 2
+         |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "value")
+      val st = p.groupBy("user_id").agg(
+        count(lit(1)).as("n"),
+        dsum(col("value")).as("sv"),
+        dsum(col("value") * col("value")).as("sv2"))
+      p.join(st, "user_id")
+        .filter("n >= 2 AND (sv2 - sv * sv / n) / (n - 1) > 0")
+        .withColumn("z",
+          expr("round((value - sv / n) / sqrt((sv2 - sv * sv / n) / (n - 1)), 6)"))
+        .filter("abs(z) > 2")
+        .selectExpr("event_id", "user_id", "round(value, 6) AS value", "z")
+        .orderBy("event_id")
+    },
   )
 }
