@@ -358,5 +358,42 @@ object Aggregates {
           .groupBy("event_type").agg(sum("cnt").as("ndv"))
           .orderBy("event_type")
     },
+
+    // INCREMENTAL AGGREGATE MAINTENANCE — materialized-view refresh
+    // without recompute: a stored per-group partial state (count +
+    // exact DECIMAL sum, built from the 80% "already ingested" slice
+    // of lineitem) is merged with the state of the newly-arrived 20%
+    // delta; finalization (cast + avg) happens only on the merged
+    // state. The oracle is the FULL recompute over base ∪ delta —
+    // passing means the merge is exactly lossless, which is the
+    // entire contract of incremental MV maintenance. Scale: refresh
+    // cost is one partial-aggregated scan of the DELTA plus a merge
+    // over |groups| rows (metadata-sized); the 100 TB base is never
+    // rescanned. Works because (count, decimal-sum) is a commutative
+    // monoid — the same property the sketch aggregates (KMV, CMS,
+    // bitmap) exploit; avg is derived at finalize, never averaged
+    // across partials.
+    Q("q_incremental_agg",
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${davg("l_quantity")} AS avg_qty
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val l = Tables.lineitem(s, d)
+      def state(df: DataFrame): DataFrame =
+        df.groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast(DecimalType(38, 6))).as("s_qty"))
+      val stored = state(l.filter(col("l_orderkey") % 10 < 8)) // the MV
+      val delta = state(l.filter(col("l_orderkey") % 10 >= 8)) // new data
+      stored.unionByName(delta)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("cnt").as("cnt"), sum("s_qty").as("s"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("cnt"),
+          round(col("s").cast("double"), 6).as("sum_qty"),
+          round(col("s").cast("double") / col("cnt"), 6).as("avg_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
   )
 }

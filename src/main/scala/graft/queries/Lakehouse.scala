@@ -171,5 +171,66 @@ object Lakehouse {
           .withColumn("version", lit(t.currentVersion()).cast("int"))
           .orderBy("doc_id")
     },
+
+    // CDC APPLY — materialize a change-data-capture feed onto a base
+    // snapshot: the feed carries sequenced I/U/D operations per key
+    // (the shape every CDC source — Debezium, DynamoDB streams, a
+    // binlog — emits); the result is the post-feed table state.
+    // Semantics: the LAST operation per key wins (upsert for I/U,
+    // tombstone for D); keys untouched by the feed pass through.
+    // Deterministic fixture: base = orders keys % 4 <> 3; the feed
+    // updates every 5th key (seq 1), deletes every 7th (seq 2), and
+    // re-inserts every 11th (seq 3) — exercising U-then-D, D-then-I,
+    // and feed-only-key paths. Scale: ONE exchange — the last-op
+    // reduction is a partial-aggregated max_by on the key, and the
+    // full-outer join with base reuses the same key clustering; feed
+    // volume (churn) drives cost, not table size. This is the
+    // set-oriented form of A7's latest-wins upsert with deletes
+    // folded in (photo_vector_search.py:94-118), and the batch twin
+    // of q_stream_upsert's transactional sink.
+    Q("q_cdc_apply",
+      """WITH base AS (SELECT o_orderkey AS k, round(o_totalprice, 2) AS v
+        |              FROM orders WHERE o_orderkey % 4 <> 3),
+        |feed AS (
+        |  SELECT o_orderkey AS k, 1 AS seq, 'U' AS op,
+        |      round(o_totalprice + 10.0, 2) AS v
+        |    FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'D', NULL FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'I', round(o_totalprice + 20.0, 2)
+        |    FROM orders WHERE o_orderkey % 11 = 0),
+        |last AS (SELECT k, op, v FROM (
+        |    SELECT k, op, v,
+        |        row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |    FROM feed) WHERE rn = 1)
+        |SELECT COALESCE(l.k, b.k) AS o_orderkey,
+        |    CASE WHEN l.op IS NULL THEN b.v ELSE l.v END AS price
+        |FROM base b FULL OUTER JOIN last l ON b.k = l.k
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val base = o.filter(col("o_orderkey") % 4 =!= 3)
+        .select(col("o_orderkey").as("k"), round(col("o_totalprice"), 2).as("v"))
+      def slice(m: Int, seq: Int, op: String, delta: Option[Double]) =
+        o.filter(col("o_orderkey") % m === 0)
+          .select(col("o_orderkey").as("k"), lit(seq).as("seq"),
+            lit(op).as("op"),
+            delta.fold(lit(null).cast("double"))(x =>
+              round(col("o_totalprice") + x, 2)).as("v"))
+      val feed = slice(5, 1, "U", Some(10.0))
+        .unionByName(slice(7, 2, "D", None))
+        .unionByName(slice(11, 3, "I", Some(20.0)))
+      // last-op-wins reduction: partial-aggregated max_by keyed on k —
+      // the only exchange; the outer join below reuses the k clustering.
+      val last = feed.groupBy("k")
+        .agg(expr("max_by(struct(op, v), seq)").as("m"))
+        .select(col("k"), col("m.op").as("op"), col("m.v").as("fv"))
+      base.join(last, Seq("k"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("k").as("o_orderkey"),
+          when(col("op").isNull, col("v")).otherwise(col("fv")).as("price"))
+        .orderBy("o_orderkey")
+    },
   )
 }

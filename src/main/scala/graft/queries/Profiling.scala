@@ -192,5 +192,66 @@ object Profiling {
           "(column_name, n, ndv, n_null, vmin, vmax)")
         .orderBy("column_name")
     },
+
+    // EXPECTATION SUITE — declarative data-quality gates (the
+    // Deequ/Great-Expectations verb): a constraint set evaluated in
+    // ONE pass, emitting (check, observed violation count, passed)
+    // rows a pipeline can alert on before publishing a snapshot.
+    // Checks: primary-key uniqueness, domain membership, numeric
+    // range bounds, completeness, and referential integrity into
+    // orders. Scale: every per-row predicate folds into a single
+    // partial-aggregated scan of lineitem (one job, no matter how
+    // many checks — adding a constraint adds a column, not a pass);
+    // the referential check is a broadcast-able anti-join against
+    // the keys side, counted in the same shape TPC-H's FK audit
+    // would be. Both one-row frames broadcast into the stack.
+    Q("q_expectations",
+      """WITH m AS (SELECT count(*) AS n,
+        |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS pk_dup,
+        |    count(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |               THEN 1 END) AS qty_oob,
+        |    count(CASE WHEN l_discount < 0 OR l_discount > 0.1
+        |               THEN 1 END) AS disc_oob,
+        |    count(CASE WHEN l_returnflag NOT IN ('A','N','R')
+        |               THEN 1 END) AS flag_dom,
+        |    count(CASE WHEN l_shipdate IS NULL THEN 1 END) AS ship_null
+        |  FROM lineitem),
+        |fk AS (SELECT count(*) AS orphans FROM lineitem l
+        |       WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                         WHERE o.o_orderkey = l.l_orderkey))
+        |SELECT t.check_name, t.violations, t.violations = 0 AS passed
+        |FROM m, fk, LATERAL (VALUES
+        |    ('completeness_shipdate', ship_null),
+        |    ('domain_returnflag', flag_dom),
+        |    ('fk_orderkey_orders', orphans),
+        |    ('pk_unique_orderkey_linenumber', pk_dup),
+        |    ('range_discount_0_0.1', disc_oob),
+        |    ('range_quantity_1_50', qty_oob)) AS t(check_name, violations)
+        |ORDER BY check_name""".stripMargin) { (s, d) =>
+      val l = Tables.lineitem(s, d)
+      val m = l.agg(
+        (count(lit(1)) -
+          countDistinct(col("l_orderkey"), col("l_linenumber"))).as("pk_dup"),
+        count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1))
+          .as("qty_oob"),
+        count(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1))
+          .as("disc_oob"),
+        count(when(!col("l_returnflag").isin("A", "N", "R"), 1))
+          .as("flag_dom"),
+        count(when(col("l_shipdate").isNull, 1)).as("ship_null"))
+      val fk = l.join(Tables.orders(s, d).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orphans"))
+      m.crossJoin(broadcast(fk))
+        .selectExpr("stack(6, " +
+          "'completeness_shipdate', ship_null, " +
+          "'domain_returnflag', flag_dom, " +
+          "'fk_orderkey_orders', orphans, " +
+          "'pk_unique_orderkey_linenumber', pk_dup, " +
+          "'range_discount_0_0.1', disc_oob, " +
+          "'range_quantity_1_50', qty_oob) AS (check_name, violations)")
+        .withColumn("passed", col("violations") === 0)
+        .orderBy("check_name")
+    },
   )
 }

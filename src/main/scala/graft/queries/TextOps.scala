@@ -499,5 +499,67 @@ object TextOps {
         .orderBy(col("cnt").desc, col("ngram"))
         .limit(100)
     },
+
+    // OVERLAPPING CHUNKING — the RAG/pretraining context splitter:
+    // each document becomes fixed-size token windows (size 32,
+    // stride 24 → 8-token overlap) so no sentence is lost at a chunk
+    // boundary. The trailing window is allowed to be short — padding
+    // is the training collator's job (q_pack_sequences is the
+    // no-overlap packing cousin). Scale: chunk starts are a
+    // scan-local `sequence`, the window slice is a scan-local
+    // `slice` over the barrier-materialized token array — zero
+    // shuffles before the final presentation sort; output rows ≈
+    // n_tok/stride per document regardless of corpus size.
+    Q("q_chunk_overlap",
+      s"""WITH w AS (SELECT doc_id, $toksDuck AS w FROM documents),
+         |st AS (SELECT doc_id, w, unnest(range(1, len(w) + 1, 24)) AS s
+         |       FROM w WHERE len(w) > 0)
+         |SELECT doc_id, (s - 1) // 24 AS chunk_id,
+         |  len(list_slice(w, s, s + 31)) AS n_tok,
+         |  array_to_string(list_slice(w, s, s + 31), ' ') AS chunk_text
+         |FROM st ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      barrier(Tables.documents(s, d).withColumn("w", expr(toks)))
+        .filter(size(col("w")) > 0)
+        .select(col("doc_id"), col("w"),
+          explode(expr("sequence(1, size(w), 24)")).as("s"))
+        .select(col("doc_id"),
+          expr("CAST((s - 1) DIV 24 AS BIGINT)").as("chunk_id"),
+          expr("CAST(size(slice(w, s, 32)) AS BIGINT)").as("n_tok"),
+          expr("concat_ws(' ', slice(w, s, 32))").as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // BPE PAIR STATISTICS — the inner loop of byte-pair-encoding
+    // tokenizer training: the most frequent ADJACENT SYMBOL PAIR,
+    // weighted by word frequency, is the next merge rule. Computed
+    // the way real BPE trainers do: first reduce the corpus to its
+    // word VOCABULARY with counts (the only corpus-sized pass), then
+    // expand character pairs over the vocabulary — which is
+    // zipf-bounded (≪ corpus) — weighting each pair by the word's
+    // count. Scale: pass 1 is one partial-aggregated groupBy (the
+    // zipfian head collapses map-side); pass 2's explode runs over
+    // |vocab| rows only, so 100 TB of text costs one token-count
+    // shuffle + vocabulary-sized pair work; top-50 is
+    // TakeOrderedAndProject. Char-bigram formation is scan-local.
+    Q("q_bpe_pairs",
+      s"""WITH tok AS (SELECT unnest($toksDuck) AS t FROM documents),
+         |v AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+         |p AS (SELECT unnest([substring(t, i, 2) for i in range(1, len(t))]) AS pair,
+         |        cnt
+         |      FROM v WHERE len(t) >= 2)
+         |SELECT pair, CAST(sum(cnt) AS BIGINT) AS weight FROM p
+         |GROUP BY pair ORDER BY weight DESC, pair LIMIT 50""".stripMargin) {
+      (s, d) =>
+      val vocab = barrier(Tables.documents(s, d).withColumn("w", expr(toks)))
+        .select(explode(col("w")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("cnt"))
+      vocab.filter(length(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"))
+          .as("pair"), col("cnt"))
+        .groupBy("pair").agg(sum("cnt").as("weight"))
+        .orderBy(col("weight").desc, col("pair"))
+        .limit(50)
+    },
   )
 }

@@ -320,5 +320,42 @@ object VectorSearch {
           .as("adist"))
         .orderBy(col("adist"), col("vec_id")).limit(K)
     },
+
+    // HARD-NEGATIVE MINING — the contrastive-training sampler: for
+    // each anchor, the k nearest vectors whose LABEL DIFFERS (close
+    // in embedding space, different class — the examples that move a
+    // contrastive/triplet loss; easy negatives are already far and
+    // contribute ~zero gradient). Batch form of A10's filtered kNN
+    // with a per-anchor predicate instead of a constant one.
+    // Scale: anchors broadcast (a training batch is small), the
+    // label filter lands BEFORE distance evaluation so the kernel
+    // runs on the reduced stream, and the per-anchor top-k is a
+    // windowed rank over the anchor-id partitioning — per-task heaps
+    // feeding one exchange of |anchors|·candidates rows, never a
+    // global sort of the fact table. On a cluster the anchor batch
+    // rotates per epoch; the scan side streams once per batch.
+    Q("q_hard_negatives",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |a AS (SELECT vec_id AS aid, label AS albl, v AS av FROM e WHERE vec_id < 4),
+        |p AS (SELECT aid, vec_id, label,
+        |        round(1 - list_cosine_similarity(v, av), 6) AS dist
+        |      FROM e CROSS JOIN a WHERE label <> albl),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY aid
+        |        ORDER BY dist, vec_id) AS rn FROM p)
+        |SELECT aid, vec_id, label, dist FROM r WHERE rn <= 5
+        |ORDER BY aid, dist, vec_id""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val a = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("aid"), col("label").as("albl"),
+          col("embedding").as("av"))
+      val p = e.crossJoin(broadcast(a))
+        .filter(col("label") =!= col("albl"))
+        .select(col("aid"), col("vec_id"), col("label"),
+          round(cosine_distance(col("embedding"), col("av")), 6).as("dist"))
+      val w = Window.partitionBy("aid").orderBy(col("dist"), col("vec_id"))
+      p.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select("aid", "vec_id", "label", "dist")
+        .orderBy("aid", "dist", "vec_id")
+    },
   )
 }
