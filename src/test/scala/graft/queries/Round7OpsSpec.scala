@@ -110,6 +110,23 @@ class Round7OpsSpec extends SparkTestBase {
     }
   }
 
+  test("compaction_exec: content-preserving rewrite collapses the fileset") {
+    val out = SparkEntry.queries("q_compaction_exec")(spark, sf).collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(out.length.toLong === n, "compaction must not change row count")
+    assert(out.forall(_.getAs[Int]("version") === 2))
+    val root = Lakehouse.compactRootFor(sf)
+      .getOrElse(fail("staged compaction root missing"))
+    def files(v: Int): Int =
+      Option(new java.io.File(root, "data").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(s"commit-$v-"))
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+        .count(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+    assert(files(1) === 16, "v1 must hold the 16-small-file ingest shape")
+    assert(files(2) === 2, "v2 must hold the 2-file compacted shape")
+  }
+
   test("hard_negatives: per-anchor true top-5 among different-label vectors") {
     val out = SparkEntry.queries("q_hard_negatives")(spark, sf).collect()
     val vecs = Tables.embeddings(spark, sf)
