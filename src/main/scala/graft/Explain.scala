@@ -18,7 +18,12 @@ object Explain {
     // round-4 additions
     "q_sessionize", "q_merge_scd2", "q_compact_plan", "q_winsorize",
     "q_bm25", "q_span_dedup", "q_semdedup", "q_partition_pruned",
-    "q_agg_cms", "q_analyze_stats", "q_agg_bitmap_distinct", "q_ts_decay", "q_mixture_apply", "q_doc_entropy")
+    "q_agg_cms", "q_analyze_stats", "q_agg_bitmap_distinct", "q_ts_decay", "q_mixture_apply", "q_doc_entropy",
+    // round-7 additions
+    "q_funnel", "q_retention", "q_ts_anomaly", "q_ngram_counts",
+    "q_hard_negatives", "q_chunk_overlap", "q_cdc_apply", "q_expectations",
+    "q_incremental_agg", "q_bpe_pairs", "q_compaction_exec",
+    "q_knn_ivf_rule_l2", "q_table_commit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
