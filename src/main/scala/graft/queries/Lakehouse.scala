@@ -45,6 +45,32 @@ object Lakehouse {
   private[graft] def compactRootFor(d: String): Option[String] =
     Option(stagedCompactRoot.get(d))
 
+  /** Stage (once per JVM, sf) the 3-snapshot commit-log table shared
+    * by q_table_commit and q_snapshot_diff: v1 = full documents,
+    * v2 = latest-wins recrawl upsert of every 5th doc, v3 = delete
+    * of the French slice. Returns the table root. */
+  private def ensureCommitTable(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    stagedCommitRoot.computeIfAbsent(d, { _ =>
+      val r = java.nio.file.Files
+        .createTempDirectory("graft_mtable_").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.lake.ManifestTable
+          .deleteRecursively(java.nio.file.Paths.get(r))))
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "lang", "source", "n_chars")
+      val t = ManifestTable.create(s, root = r, init = docs) // v1
+      t.commit { snap => // v2: latest-wins upsert of a recrawl batch
+        val batch = snap.filter(col("doc_id") % 5 === 0)
+          .withColumn("source", lit("recrawl"))
+          .withColumn("n_chars", col("n_chars") + 1)
+        snap.join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
+          .unionByName(batch)
+      }
+      t.commit(_.filter(col("lang") =!= "fr")) // v3: delete by pred
+      r
+    })
+
   val qs: Seq[Q] = Seq(
 
     // SCD2 MERGE: customer is the base dimension (all rows valid
@@ -155,29 +181,45 @@ object Lakehouse {
         |  CAST(3 AS INT) AS version
         |FROM documents WHERE lang <> 'fr' ORDER BY doc_id""".stripMargin) {
       (s, d) =>
-        val root = stagedCommitRoot.computeIfAbsent(d, { _ =>
-          val r = java.nio.file.Files
-            .createTempDirectory("graft_mtable_").toString
-          Runtime.getRuntime.addShutdownHook(new Thread(() =>
-            graft.lake.ManifestTable
-              .deleteRecursively(java.nio.file.Paths.get(r))))
-          val docs = Tables.documents(s, d)
-            .select("doc_id", "lang", "source", "n_chars")
-          val t = ManifestTable.create(s, root = r, init = docs) // v1
-          t.commit { snap => // v2: latest-wins upsert of a recrawl batch
-            val batch = snap.filter(col("doc_id") % 5 === 0)
-              .withColumn("source", lit("recrawl"))
-              .withColumn("n_chars", col("n_chars") + 1)
-            snap.join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
-              .unionByName(batch)
-          }
-          t.commit(_.filter(col("lang") =!= "fr")) // v3: delete by pred
-          r
-        })
-        val t = ManifestTable.open(s, root)
+        val t = ManifestTable.open(s, ensureCommitTable(s, d))
         t.read()
           .withColumn("version", lit(t.currentVersion()).cast("int"))
           .orderBy("doc_id")
+    },
+
+    // SNAPSHOT DIFF — the time-travel read-side verb (Delta's
+    // `table_changes`, Iceberg's changelog scan): what changed
+    // between two committed versions of the same table? Emits one
+    // (doc_id, change) row per difference — 'D' rows present in v1
+    // but not v3, 'I' for the inverse, 'U' where the key survives
+    // with different payload. Implementation: both versions resolve
+    // to manifest-pinned filesets (no mutable state consulted), then
+    // ONE co-keyed full-outer join compares payload structs. Scale:
+    // the join shuffles each snapshot once on the key — at 100 TB a
+    // real changelog would be derived from the commit DELTAS
+    // (metadata-routed, churn-sized), but the full-join form is the
+    // semantics oracle any delta-based fast path must reproduce.
+    // Fixture: the staged commit-log table (v1 full corpus → v2
+    // recrawl upsert of every 5th doc → v3 French slice deleted), so
+    // the expected diff is derivable straight from `documents`.
+    Q("q_snapshot_diff",
+      """SELECT doc_id, 'D' AS change FROM documents WHERE lang = 'fr'
+        |UNION ALL
+        |SELECT doc_id, 'U' FROM documents
+        |WHERE doc_id % 5 = 0 AND lang <> 'fr'
+        |ORDER BY doc_id, change""".stripMargin) { (s, d) =>
+      val t = ManifestTable.open(s, ensureCommitTable(s, d))
+      val pay = struct(col("lang"), col("source"), col("n_chars"))
+      val a = t.readAt(1).select(col("doc_id"), pay.as("pa"))
+      val b = t.readAt(3).select(col("doc_id"), pay.as("pb"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .withColumn("change",
+          when(col("pb").isNull, "D")
+            .when(col("pa").isNull, "I")
+            .when(col("pa") =!= col("pb"), "U"))
+        .filter(col("change").isNotNull)
+        .select("doc_id", "change")
+        .orderBy("doc_id", "change")
     },
 
     // CDC APPLY — materialize a change-data-capture feed onto a base
