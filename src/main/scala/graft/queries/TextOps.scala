@@ -561,5 +561,57 @@ object TextOps {
         .orderBy(col("weight").desc, col("pair"))
         .limit(50)
     },
+
+    // COLLOCATIONS — top-50 word bigrams by pointwise mutual
+    // information, PMI = ln( P(x,y) / (P(x)·P(y)) ): the statistical
+    // phrase detector (Mikolov-style phrase merging, terminology
+    // mining, MWE extraction). Raw counts rank "of the"; PMI ranks
+    // pairs that co-occur far above chance. Support floor cxy ≥ 5
+    // kills the noisy log tail. Scale: bigram and unigram counts are
+    // both partial-aggregated groupBys off the same barriered
+    // tokenize (vocabulary-sized outputs); the marginals join back
+    // onto the bigram frame by token key; the two 1-row totals
+    // broadcast; top-50 is TakeOrderedAndProject. All log/division
+    // math runs on identical (BIGINT-ratio) operands in both
+    // engines, so even the PMI doubles hash-match.
+    Q("q_collocations",
+      s"""WITH w AS (SELECT $toksDuck AS w FROM documents),
+         |big AS (SELECT unnest([{'x': w[i], 'y': w[i+1]}
+         |          for i in range(1, len(w))]) AS b FROM w),
+         |bc AS (SELECT b.x AS x, b.y AS y, count(*) AS cxy
+         |       FROM big GROUP BY 1, 2),
+         |uni AS (SELECT unnest(w) AS t FROM w),
+         |uc AS (SELECT t, count(*) AS c FROM uni GROUP BY t),
+         |tot AS (SELECT (SELECT CAST(sum(cxy) AS BIGINT) FROM bc) AS nb,
+         |               (SELECT CAST(sum(c) AS BIGINT) FROM uc) AS nu)
+         |SELECT bc.x || ' ' || bc.y AS bigram, cxy,
+         |  round(ln((CAST(cxy AS DOUBLE) / nb) /
+         |           ((CAST(ux.c AS DOUBLE) / nu) *
+         |            (CAST(uy.c AS DOUBLE) / nu))), 6) AS pmi
+         |FROM bc, tot, uc ux, uc uy
+         |WHERE ux.t = bc.x AND uy.t = bc.y AND cxy >= 5
+         |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin) { (s, d) =>
+      val w = barrier(Tables.documents(s, d).withColumn("w", expr(toks)))
+      val bc = w.filter(size(col("w")) >= 2)
+        .select(explode(expr("""transform(sequence(1, size(w) - 1),
+          |i -> struct(element_at(w, i) AS x, element_at(w, i + 1) AS y))"""
+          .stripMargin)).as("b"))
+        .select(col("b.x").as("x"), col("b.y").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+      val uc = w.select(explode(col("w")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      val nb = bc.agg(sum("cxy").as("nb"))
+      val nu = uc.agg(sum("c").as("nu"))
+      bc.filter(col("cxy") >= 5)
+        .join(uc.select(col("t").as("x"), col("c").as("cx")), "x")
+        .join(uc.select(col("t").as("y"), col("c").as("cy")), "y")
+        .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+        .select(concat_ws(" ", col("x"), col("y")).as("bigram"), col("cxy"),
+          round(log((col("cxy").cast("double") / col("nb")) /
+            ((col("cx").cast("double") / col("nu")) *
+             (col("cy").cast("double") / col("nu")))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("bigram"))
+        .limit(50)
+    },
   )
 }

@@ -357,5 +357,36 @@ object VectorSearch {
         .select("aid", "vec_id", "label", "dist")
         .orderBy("aid", "dist", "vec_id")
     },
+
+    // SCALAR QUANTIZATION AUDIT — int8 embedding compression (the
+    // 4× storage cut every vector store applies before PQ): per
+    // vector, symmetric max-abs scale sc = max|x|/127, codes
+    // q_i = floor(x_i/sc + 0.5), reconstruction error
+    // Σ(x_i − q_i·sc)². Emits (vec_id, scale, qerr) — the audit a
+    // pipeline runs to decide whether int8 is safe for its recall
+    // budget (PQ's ADC path, q_knn_pq, is the next notch down).
+    // Scale: entirely scan-local arithmetic over the vector column —
+    // no shuffle before the presentation sort; the fold is a
+    // sequential per-row lambda, bit-identical to the oracle's
+    // list_reduce because both fold left-to-right over the same
+    // element order (0.0 + t1 ≡ t1 in IEEE).
+    Q("q_vector_quantize",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max([abs(x) for x in v]) / 127.0 AS sc FROM e)
+        |SELECT vec_id, round(sc, 6) AS scale,
+        |  CASE WHEN sc = 0 THEN 0.0 ELSE
+        |    round(list_reduce([pow(x - floor(x / sc + 0.5) * sc, 2) for x in v],
+        |                      (a, b) -> a + b), 6) END AS qerr
+        |FROM s ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("sc", expr("array_max(transform(v, x -> abs(x))) / 127.0"))
+        .select(col("vec_id"), round(col("sc"), 6).as("scale"),
+          expr("""CASE WHEN sc = 0.0D THEN 0.0D ELSE
+                 |round(aggregate(v, CAST(0.0 AS DOUBLE),
+                 |  (a, x) -> a + pow(x - floor(x / sc + 0.5) * sc, 2)), 6)
+                 |END""".stripMargin).as("qerr"))
+        .orderBy("vec_id")
+    },
   )
 }
