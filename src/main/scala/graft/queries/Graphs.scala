@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Iterative graph analytics over relationship tables — the link-
+  * analysis pass a large corpus pipeline runs to weight sources
+  * (PageRank over a citation/link graph is the classic quality
+  * prior for web-scale training data; reference analog: ranking the
+  * store's photo graph by aspect co-occurrence would use the same
+  * machinery).
+  *
+  * Scale design notes (100 TB posture):
+  *  - The rank frame is NODE-count-sized; only the edge frame is
+  *    data-sized, and each iteration touches it with ONE shuffle
+  *    join keyed on src (on a real cluster the edge table would be
+  *    bucketed by src once, making every iteration's join
+  *    co-partitioned and shuffle-free on the big side).
+  *  - Each iteration ends in a localCheckpoint of the node-sized
+  *    rank frame: lineage stays O(1) across iterations instead of
+  *    growing a 5-deep join tree (the q_dup_clusters precedent).
+  *  - Per-edge contributions are rounded to 12dp and summed in
+  *    DECIMAL(38,12), so the distributed accumulation order cannot
+  *    drift the ranks — both engines hash-match at full precision.
+  */
+object Graphs {
+
+  /** Unrolled-iteration oracle: DuckDB's recursive CTEs disallow
+    * aggregation over the recursive relation, so the fixed 5
+    * PageRank steps are generated as 5 chained CTEs — the same
+    * per-iteration expression the Spark loop builds. */
+  private def pagerankSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""m$k AS (SELECT e.dst AS node,
+         |    sum(CAST(round(r.r / d.deg, 12) AS DECIMAL(38,12))) AS m
+         |  FROM edges e JOIN r${k - 1} r ON r.node = e.src
+         |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+         |r$k AS (SELECT node,
+         |    round(0.15 / n + 0.85 * CAST(m AS DOUBLE), 12) AS r
+         |  FROM m$k, nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+       |            FROM lineitem),
+       |edges AS (SELECT 'p' || p AS src, 's' || s AS dst FROM e0
+       |          UNION ALL SELECT 's' || s, 'p' || p FROM e0),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT src AS node, 1.0 / n AS r FROM deg, nn),
+       |$steps
+       |SELECT node, r AS rank FROM r$iters
+       |ORDER BY r DESC, node LIMIT 100""".stripMargin
+  }
+
+  val qs: Seq[Q] = Seq(
+
+    // PAGERANK — 5 damped iterations (d = 0.85) over the undirected
+    // bipartite part↔supplier graph from lineitem: who supplies
+    // widely-sourced parts, which parts sit at the center of the
+    // supply web. Every node has in-edges (edges are symmetric), so
+    // no dangling-mass term is needed. The iteration count is fixed
+    // — convergence-to-tolerance would put a driver-side loop
+    // condition on a distributed reduce, which is exactly the shape
+    // the fixed unroll avoids (and lets the oracle state the same
+    // five steps as chained CTEs).
+    Q("q_pagerank", pagerankSql(5)) { (s, d) =>
+      val e0 = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+        .distinct()
+        .localCheckpoint()
+      val edges = e0
+        .select(concat(lit("p"), col("p")).as("src"),
+          concat(lit("s"), col("s")).as("dst"))
+        .unionAll(e0.select(concat(lit("s"), col("s")).as("src"),
+          concat(lit("p"), col("p")).as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val nn = broadcast(deg.agg(count(lit(1)).as("n")))
+      var r = deg.crossJoin(nn)
+        .select(col("src").as("node"),
+          (lit(1.0) / col("n").cast("double")).as("r"))
+        .localCheckpoint()
+      for (_ <- 1 to 5) {
+        r = edges
+          .join(r, edges("src") === r("node"))
+          .join(deg, "src")
+          .groupBy(col("dst"))
+          .agg(sum(round(col("r") / col("deg"), 12)
+            .cast(DecimalType(38, 12))).as("m"))
+          .crossJoin(nn)
+          .select(col("dst").as("node"),
+            round(lit(0.15) / col("n").cast("double") +
+              lit(0.85) * col("m").cast("double"), 12).as("r"))
+          .localCheckpoint()
+      }
+      r.select(col("node"), col("r").as("rank"))
+        .orderBy(col("rank").desc, col("node"))
+        .limit(100)
+    },
+  )
+}

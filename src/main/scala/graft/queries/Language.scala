@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import TextKit._
+
+/** Language-model-flavoured corpus operators — the statistical
+  * fluency/tokenizer tooling a pretraining pipeline runs between raw
+  * text and training shards (reference analog: the description corpus
+  * the store keeps per photo, photo_vector_search.py:128-140; these
+  * operators are the LLM-data-pipeline extension the survey calls
+  * for).
+  *
+  * Scale design notes (100 TB posture):
+  *  - Both operators reduce the corpus to VOCABULARY-sized frames
+  *    (unigram/bigram counts) via partial-aggregated groupBys before
+  *    any join; nothing corpus-sized is ever joined to anything
+  *    corpus-sized except by token key.
+  *  - All log/ratio math runs on identical exact-integer operands in
+  *    both engines and is rounded per-term BEFORE the cross-row sum,
+  *    which accumulates in DECIMAL(38,6) — so even the per-document
+  *    double scores hash-match (the dsum discipline, package.scala).
+  */
+object Language {
+
+  val qs: Seq[Q] = Seq(
+
+    // LM FLUENCY SCORE — per-document mean log-probability under an
+    // add-one-smoothed bigram model trained on the corpus itself:
+    // score(d) = mean over bigrams (x,y) of ln((c(x,y)+1)/(c(x)+V)).
+    // This is the CCNet/Gopher-style "perplexity filter" signal: a
+    // document whose word transitions are improbable under the
+    // corpus model is boilerplate, gibberish, or the wrong language,
+    // and scores far below the corpus mode. Scale: the bigram and
+    // unigram count frames are vocabulary-sized partial aggregates;
+    // the per-document bigram stream joins them BY TOKEN KEY (two
+    // shuffle joins that co-partition with the count frames); the
+    // 1-row vocab size broadcasts. Per-term ln() runs on exact
+    // BIGINT-ratio operands and is rounded to 6dp before the
+    // DECIMAL(38,6) per-doc sum, so accumulation order cannot drift
+    // the score.
+    Q("q_lm_score",
+      s"""WITH w AS (SELECT doc_id, $toksDuck AS w FROM documents),
+         |inst AS (SELECT doc_id, unnest([{'x': w[i], 'y': w[i+1]}
+         |           for i in range(1, len(w))]) AS b
+         |         FROM w WHERE len(w) >= 2),
+         |bi AS (SELECT doc_id, b.x AS x, b.y AS y FROM inst),
+         |bc AS (SELECT x, y, count(*) AS cxy FROM bi GROUP BY x, y),
+         |uni AS (SELECT unnest(w) AS t FROM w),
+         |uc AS (SELECT t, count(*) AS cx FROM uni GROUP BY t),
+         |vs AS (SELECT count(*) AS v FROM uc)
+         |SELECT bi.doc_id,
+         |  count(*) AS n_big,
+         |  round(CAST(sum(CAST(round(ln((CAST(cxy AS DOUBLE) + 1) /
+         |      (CAST(cx AS DOUBLE) + v)), 6) AS DECIMAL(38,6)))
+         |    AS DOUBLE) / count(*), 6) AS lm_score
+         |FROM bi, vs, bc, uc
+         |WHERE bc.x = bi.x AND bc.y = bi.y AND uc.t = bi.x
+         |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin) { (s, d) =>
+      val w = barrier(Tables.documents(s, d).withColumn("w", expr(toks)))
+        .select("doc_id", "w")
+      val bi = w.filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(w) - 1),
+            |i -> struct(element_at(w, i) AS x, element_at(w, i + 1) AS y))"""
+            .stripMargin)).as("b"))
+        .select(col("doc_id"), col("b.x").as("x"), col("b.y").as("y"))
+      val bc = bi.groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+      val uc = w.select(explode(col("w")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("cx"))
+      val vs = uc.agg(count(lit(1)).as("v"))
+      bi.join(bc, Seq("x", "y"))
+        .join(uc.withColumnRenamed("t", "x"), "x")
+        .crossJoin(broadcast(vs))
+        .withColumn("lp",
+          round(log((col("cxy").cast("double") + 1) /
+            (col("cx").cast("double") + col("v"))), 6)
+            .cast(DecimalType(38, 6)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_big"),
+          round(sum(col("lp")).cast("double") / count(lit(1)), 6)
+            .as("lm_score"))
+        .orderBy("doc_id")
+    },
+
+    // BPE FIRST MERGE — the top-50 adjacent character pairs by
+    // corpus frequency, i.e. the first iteration of byte-pair-
+    // encoding tokenizer training (the merge table's head). The
+    // pair counts weight each distinct word by its corpus frequency,
+    // so the pass over characters is VOCABULARY-sized, not
+    // corpus-sized: one groupBy folds the corpus to (token, count),
+    // and only distinct tokens are exploded into pairs. substr() is
+    // character-based in both engines, so the pair keys agree
+    // bit-for-bit. Top-50 is TakeOrderedAndProject.
+    Q("q_bpe_merges",
+      s"""WITH uni AS (SELECT unnest($toksDuck) AS t FROM documents),
+         |uc AS (SELECT t, count(*) AS c FROM uni GROUP BY t),
+         |p AS (SELECT unnest([substr(t, i, 2) for i in
+         |          range(1, len(t))]) AS pair, c
+         |      FROM uc WHERE len(t) >= 2)
+         |SELECT pair, CAST(sum(c) AS BIGINT) AS weight
+         |FROM p GROUP BY pair
+         |ORDER BY weight DESC, pair LIMIT 50""".stripMargin) { (s, d) =>
+      val uc = barrier(Tables.documents(s, d).withColumn("w", expr(toks)))
+        .select(explode(col("w")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      uc.filter(length(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))"))
+          .as("pair"), col("c"))
+        .groupBy("pair").agg(sum("c").as("weight"))
+        .orderBy(col("weight").desc, col("pair"))
+        .limit(50)
+    },
+  )
+}

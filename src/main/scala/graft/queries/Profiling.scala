@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -252,6 +253,105 @@ object Profiling {
           "'range_quantity_1_50', qty_oob) AS (check_name, violations)")
         .withColumn("passed", col("violations") === 0)
         .orderBy("check_name")
+    },
+
+    // SKYLINE (Pareto frontier) — the parts no other part strictly
+    // dominates on (price ↓ better, size ↑ better): the multi-
+    // objective shortlist operator (cheapest-per-capability sweep).
+    // The oracle states dominance as NOT EXISTS; the Spark plan is
+    // the DISTRIBUTED PREFIX-MAX, not an O(n²) self-join: a part is
+    // dominated iff max{size : price' < price} ≥ size OR
+    // max{size : price' = price} > size, and the strictly-smaller
+    // prefix max computes exactly like q_pack_sequences' prefix sum
+    // — distinct prices range-bucket into ≤1024 monotone shards,
+    // each shard runs a PARTITIONED running max, and earlier-shard
+    // maxima come from a triangular join over the ≤1024-row
+    // per-shard frame. No partition-less window, no pair join; one
+    // task never absorbs the table.
+    Q("q_skyline",
+      """SELECT p_partkey, p_retailprice, p_size FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice
+        |         OR q.p_size > p.p_size))
+        |ORDER BY p_retailprice, p_partkey""".stripMargin) { (s, d) =>
+      val part = Tables.part(s, d)
+      // Distinct-price frame: equal prices collapse so "rows before
+      // me in price order" = "strictly smaller prices".
+      val pr = part.groupBy("p_retailprice")
+        .agg(max("p_size").as("eqmax"))
+      val mm = pr.agg(min("p_retailprice").as("lo"),
+        max("p_retailprice").as("hi"))
+      val sh = pr.crossJoin(broadcast(mm))
+        .withColumn("bkt",
+          when(col("hi") === col("lo"), lit(0L))
+            .otherwise(least(floor((col("p_retailprice") - col("lo")) /
+              ((col("hi") - col("lo")) / 1024.0)), lit(1023.0))
+              .cast("bigint")))
+      // Per-shard maxima (≤1024 rows) → strictly-earlier-shard max
+      // via the triangular join on the metadata-sized frame.
+      val bm = sh.groupBy("bkt").agg(max("eqmax").as("bmax"))
+      val pre = bm
+        .join(broadcast(bm.select(col("bkt").as("obkt"),
+          col("bmax").as("obmax"))), col("obkt") < col("bkt"), "left")
+        .groupBy("bkt").agg(max("obmax").as("premax"))
+      // Shard-local strictly-before running max (PARTITIONED window
+      // over distinct prices) + the broadcast earlier-shard max.
+      val w = Window.partitionBy("bkt").orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val strictMax = sh.join(broadcast(pre), "bkt")
+        .withColumn("inshard", max("eqmax").over(w))
+        .select(col("p_retailprice"), col("eqmax"),
+          greatest(coalesce(col("inshard"), lit(Int.MinValue)),
+            coalesce(col("premax"), lit(Int.MinValue))).as("strictmax"))
+      part.join(broadcast(strictMax), "p_retailprice")
+        .filter(!(col("strictmax") >= col("p_size") ||
+          col("eqmax") > col("p_size")))
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    },
+
+    // ROBUST ANOMALY DETECTION — median-absolute-deviation outliers
+    // per event_type: |x − median| > 3·1.4826·MAD (the robust-z
+    // rule; 1.4826 scales MAD to σ under normality). Mean/stddev
+    // would let the outliers mask themselves; the double median is
+    // breakdown-point-0.5. Scale: two grouped exact medians (the
+    // q_agg_median portability contract) with the tiny per-type
+    // stats frames BROADCAST back onto the fact scan — at 100 TB
+    // the same plan swaps percentile → approx_percentile and keeps
+    // both joins broadcast. All boundary math runs on identical
+    // double operands in both engines (constants pinned through a
+    // decimal→double cast), so even the flag boundary agrees.
+    Q("q_anomaly_mad",
+      """WITH st AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |            FROM events GROUP BY event_type),
+        |d AS (SELECT e.event_id, e.event_type, e.value,
+        |        abs(e.value - st.med) AS dev
+        |      FROM events e JOIN st USING (event_type)),
+        |m AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |      FROM d GROUP BY event_type)
+        |SELECT d.event_id, d.event_type, d.value,
+        |  CASE WHEN m.mad > 0
+        |       THEN round(d.dev / (CAST(1.4826 AS DOUBLE) * m.mad), 6)
+        |  END AS robust_z
+        |FROM d JOIN m USING (event_type)
+        |WHERE d.dev > CAST(4.4478 AS DOUBLE) * m.mad
+        |ORDER BY event_type, event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val st = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dv = ev.join(broadcast(st), "event_type")
+        .withColumn("dev", abs(col("value") - col("med")))
+      val md = dv.groupBy("event_type")
+        .agg(expr("percentile(dev, 0.5)").as("mad"))
+      dv.join(broadcast(md), "event_type")
+        .filter(col("dev") > lit(4.4478) * col("mad"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          when(col("mad") > 0,
+            round(col("dev") / (lit(1.4826) * col("mad")), 6))
+            .as("robust_z"))
+        .orderBy("event_type", "event_id")
     },
   )
 }

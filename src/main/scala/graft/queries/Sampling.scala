@@ -54,6 +54,36 @@ object Sampling {
         .orderBy("lang", "doc_id")
     },
 
+    // WEIGHTED sample without replacement — Efraimidis-Spirakis
+    // exponential jumps: each document draws a deterministic uniform
+    // u ∈ (0,1] from its salted key hash and competes with key
+    // ln(u)/w (w = n_chars); the top-k keys ARE a w-proportional
+    // sample without replacement (Efraimidis & Spirakis 2006, the
+    // standard one-pass distributed weighted reservoir). Long
+    // documents win proportionally more slots — the "sample by
+    // token mass, not by row" primitive behind mixture building.
+    // Scale: scan-local key arithmetic + ONE TakeOrderedAndProject;
+    // zero shuffles, reproducible across engines, runs, and task
+    // retries (same discipline as q_sample_hash — never rand()).
+    Q("q_sample_weighted",
+      s"""SELECT doc_id, lang, n_chars,
+         |  round(ln((${h28Duck("'wsmp#' || doc_id")} + 1) / 268435456.0)
+         |        / n_chars, 9) AS skey
+         |FROM documents
+         |ORDER BY ln((${h28Duck("'wsmp#' || doc_id")} + 1) / 268435456.0)
+         |         / n_chars DESC, doc_id
+         |LIMIT 50""".stripMargin) { (s, d) =>
+      val u = (expr(s"${h28("concat('wsmp#', CAST(doc_id AS STRING))")}") +
+        lit(1)) / lit(268435456.0)
+      val key = log(u) / col("n_chars")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(key, 9).as("skey"), key.as("k0"))
+        .orderBy(col("k0").desc, col("doc_id"))
+        .limit(50)
+        .drop("k0")
+    },
+
     // Z-order layout: interleave the low 16 bits of two join/filter
     // dimensions into one clustering key, then report per-bucket
     // (zkey prefix) locality stats. Because the bucket is a PREFIX of

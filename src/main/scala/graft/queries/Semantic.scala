@@ -134,6 +134,78 @@ object Semantic {
           coalesce(col("is_dup"), lit(0)).as("is_dup"))
         .orderBy("vec_id")
     },
+
+    // EMBEDDING-SPACE OUTLIERS — vectors whose L2 distance to their
+    // own label's centroid exceeds mean + 2σ of that label's
+    // distance distribution: the curation pass that surfaces
+    // mislabeled / corrupt / out-of-domain embeddings before they
+    // poison a training mixture (the complement of SemDeDup — that
+    // finds points too CLOSE together, this finds points too FAR
+    // from their class). Scale: the centroid frame is
+    // label×dim-sized (partial-aggregated posexplode, the
+    // q_vector_centroid discipline) and BROADCASTS back onto the
+    // scan; the distance fold is scan-local left-to-right over the
+    // element order (bit-identical to list_reduce); the per-label
+    // moment frame is label-sized and broadcasts too. Distances are
+    // rounded to 6dp before the DECIMAL moment sums, so the flag
+    // boundary agrees across engines at any accumulation order.
+    Q("q_embed_outlier",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |c0 AS (SELECT label, t.i AS pos,
+        |    round(CAST(sum(CAST(v[t.i + 1] AS DECIMAL(38,12))) AS DOUBLE)
+        |          / count(*), 6) AS c
+        |  FROM e, UNNEST(generate_series(0, len(v) - 1)) AS t(i)
+        |  GROUP BY label, t.i),
+        |cv AS (SELECT label, list(c ORDER BY pos) AS cv FROM c0
+        |       GROUP BY label),
+        |d AS (SELECT vec_id, e.label,
+        |    round(sqrt(list_reduce([pow(v[i] - cv[i], 2)
+        |      for i in range(1, len(v) + 1)], (a, b) -> a + b)), 6) AS dist
+        |  FROM e JOIN cv USING (label)),
+        |st AS (SELECT label, count(*) AS n,
+        |    CAST(sum(CAST(dist AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(round(dist * dist, 10) AS DECIMAL(38,10)))
+        |         AS DOUBLE) AS s2
+        |  FROM d GROUP BY label),
+        |st2 AS (SELECT label, s1 / n AS mean,
+        |    sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0)) AS sd FROM st)
+        |SELECT vec_id, d.label, dist,
+        |  CASE WHEN sd > 0 THEN round((dist - mean) / sd, 6) END AS z
+        |FROM d JOIN st2 USING (label)
+        |WHERE dist > mean + 2 * sd
+        |ORDER BY label, vec_id""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val cv = e
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(round(sum(col("x").cast("decimal(38,12)")).cast("double")
+          / count(lit(1)), 6).as("c"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), t -> t.c)")
+          .as("cv"))
+      val d = e.join(broadcast(cv), "label")
+        .select(col("vec_id"), col("label"),
+          round(sqrt(expr(
+            """aggregate(zip_with(v, cv, (x, c) -> pow(x - c, 2)),
+              |CAST(0.0 AS DOUBLE), (a, t) -> a + t)""".stripMargin)), 6)
+            .as("dist"))
+      val st = d.groupBy("label").agg(count(lit(1)).as("n"),
+        sum(col("dist").cast("decimal(38,6)")).cast("double").as("s1"),
+        sum(round(col("dist") * col("dist"), 10).cast("decimal(38,10)"))
+          .cast("double").as("s2"))
+      val st2 = st.select(col("label"), (col("s1") / col("n")).as("mean"),
+        sqrt(greatest(col("s2") / col("n") -
+          (col("s1") / col("n")) * (col("s1") / col("n")), lit(0.0))).as("sd"))
+      d.join(broadcast(st2), "label")
+        .filter(col("dist") > col("mean") + lit(2.0) * col("sd"))
+        .select(col("vec_id"), col("label"), col("dist"),
+          when(col("sd") > 0,
+            round((col("dist") - col("mean")) / col("sd"), 6)).as("z"))
+        .orderBy("label", "vec_id")
+    },
   )
 
   /** Hash-ranked seed pick: the k vectors with the smallest
