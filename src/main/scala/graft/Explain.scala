@@ -23,7 +23,10 @@ object Explain {
     "q_funnel", "q_retention", "q_ts_anomaly", "q_ngram_counts",
     "q_hard_negatives", "q_chunk_overlap", "q_cdc_apply", "q_expectations",
     "q_incremental_agg", "q_bpe_pairs", "q_compaction_exec",
-    "q_knn_ivf_rule_l2", "q_table_commit")
+    "q_knn_ivf_rule_l2", "q_table_commit",
+    // round-8 additions (the documented round-7 snapshot wave)
+    "q_pagerank", "q_lm_score", "q_bpe_merges", "q_sample_weighted",
+    "q_skyline", "q_anomaly_mad", "q_embed_outlier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

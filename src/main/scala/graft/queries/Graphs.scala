@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
@@ -13,10 +14,19 @@ import graft.Tables
   *
   * Scale design notes (100 TB posture):
   *  - The rank frame is NODE-count-sized; only the edge frame is
-  *    data-sized, and each iteration touches it with ONE shuffle
-  *    join keyed on src (on a real cluster the edge table would be
-  *    bucketed by src once, making every iteration's join
-  *    co-partitioned and shuffle-free on the big side).
+  *    data-sized. The per-edge contribution weight (1/deg) is static
+  *    per src, so deg is attached to the edge frame ONCE before the
+  *    loop and the enriched frame is localCheckpointed — the loop
+  *    body never joins deg and never re-materializes or re-shuffles
+  *    the data-sized side (round-7 VERDICT: the in-loop deg re-join
+  *    plus 5 unpartitioned edge shuffles were 16% of the bench).
+  *  - Each iteration joins the node-sized rank frame to the static
+  *    edge frame as a BROADCAST (nodes ≪ edges; at node counts past
+  *    broadcast range the same loop body runs against an
+  *    edges-bucketed-by-src table, which is what the one-time
+  *    repartition($"src") before the checkpoint stands in for), so
+  *    the only per-iteration exchange is the partial-aggregated
+  *    groupBy(dst) of node-sized combiner output.
   *  - Each iteration ends in a localCheckpoint of the node-sized
   *    rank frame: lineage stays O(1) across iterations instead of
   *    growing a 5-deep join tree (the q_dup_clusters precedent).
@@ -25,6 +35,22 @@ import graft.Tables
   *    drift the ranks — both engines hash-match at full precision.
   */
 object Graphs {
+
+  /** One damped PageRank step: rank mass flows src → dst over the
+    * deg-enriched static edge frame `ew(src, dst, deg)`; `r(node, r)`
+    * is the incoming rank frame, `nn` the broadcast 1-row node count.
+    * Exposed for the plan-shape spec: the edge side must enter the
+    * join without an Exchange and the rank side must broadcast. */
+  private[queries] def step(ew: DataFrame, nn: DataFrame,
+      r: DataFrame): DataFrame =
+    ew.join(broadcast(r), ew("src") === r("node"))
+      .groupBy(col("dst"))
+      .agg(sum(round(col("r") / col("deg"), 12)
+        .cast(DecimalType(38, 12))).as("m"))
+      .crossJoin(nn)
+      .select(col("dst").as("node"),
+        round(lit(0.15) / col("n").cast("double") +
+          lit(0.85) * col("m").cast("double"), 12).as("r"))
 
   /** Unrolled-iteration oracle: DuckDB's recursive CTEs disallow
     * aggregation over the recursive relation, so the fixed 5
@@ -64,37 +90,43 @@ object Graphs {
     // the fixed unroll avoids (and lets the oracle state the same
     // five steps as chained CTEs).
     Q("q_pagerank", pagerankSql(5)) { (s, d) =>
-      val e0 = Tables.lineitem(s, d)
-        .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
-        .distinct()
-        .localCheckpoint()
-      val edges = e0
-        .select(concat(lit("p"), col("p")).as("src"),
-          concat(lit("s"), col("s")).as("dst"))
-        .unionAll(e0.select(concat(lit("s"), col("s")).as("src"),
-          concat(lit("p"), col("p")).as("dst")))
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      val nn = broadcast(deg.agg(count(lit(1)).as("n")))
-      var r = deg.crossJoin(nn)
-        .select(col("src").as("node"),
-          (lit(1.0) / col("n").cast("double")).as("r"))
-        .localCheckpoint()
-      for (_ <- 1 to 5) {
-        r = edges
-          .join(r, edges("src") === r("node"))
-          .join(deg, "src")
-          .groupBy(col("dst"))
-          .agg(sum(round(col("r") / col("deg"), 12)
-            .cast(DecimalType(38, 12))).as("m"))
-          .crossJoin(nn)
-          .select(col("dst").as("node"),
-            round(lit(0.15) / col("n").cast("double") +
-              lit(0.85) * col("m").cast("double"), 12).as("r"))
-          .localCheckpoint()
-      }
+      val (ew, nn, r0) = frames(s, d)
+      var r = r0
+      for (_ <- 1 to 5) r = step(ew, nn, r).localCheckpoint()
       r.select(col("node"), col("r").as("rank"))
         .orderBy(col("rank").desc, col("node"))
         .limit(100)
     },
   )
+
+  /** Graph construction, ONCE per query: the deg-enriched edge frame
+    * (repartitioned by src — the bucketed-table stand-in — and
+    * localCheckpointed so no iteration recomputes or re-shuffles
+    * it), the broadcast 1-row node count, and the uniform r0.
+    * Exposed for the conservation + plan-shape spec. */
+  private[queries] def frames(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, DataFrame, DataFrame) = {
+    val e0 = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+      .localCheckpoint()
+    val edges = e0
+      .select(concat(lit("p"), col("p")).as("src"),
+        concat(lit("s"), col("s")).as("dst"))
+      .unionAll(e0.select(concat(lit("s"), col("s")).as("src"),
+        concat(lit("p"), col("p")).as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // The 1-row node count is checkpointed too: without it every
+    // iteration's job would re-run deg's edge-sized aggregation just
+    // to re-derive this constant.
+    val nn = broadcast(deg.agg(count(lit(1)).as("n")).localCheckpoint())
+    val ew = edges.join(deg, "src")
+      .repartition(col("src"))
+      .localCheckpoint()
+    val r0 = deg.crossJoin(nn)
+      .select(col("src").as("node"),
+        (lit(1.0) / col("n").cast("double")).as("r"))
+      .localCheckpoint()
+    (ew, nn, r0)
+  }
 }

@@ -84,31 +84,67 @@ object Language {
         .orderBy("doc_id")
     },
 
-    // BPE FIRST MERGE — the top-50 adjacent character pairs by
-    // corpus frequency, i.e. the first iteration of byte-pair-
-    // encoding tokenizer training (the merge table's head). The
-    // pair counts weight each distinct word by its corpus frequency,
-    // so the pass over characters is VOCABULARY-sized, not
-    // corpus-sized: one groupBy folds the corpus to (token, count),
-    // and only distinct tokens are exploded into pairs. substr() is
-    // character-based in both engines, so the pair keys agree
-    // bit-for-bit. Top-50 is TakeOrderedAndProject.
+    // BPE MERGE ITERATION — tokenizer-training step 2: pick the #1
+    // merge rule (the argmax adjacent symbol pair q_bpe_pairs only
+    // RANKS), APPLY it left-to-right non-overlapping across every
+    // word's symbol sequence, and recount pairs over the merged
+    // sequences — the post-merge statistics that select merge rule
+    // #2. Symbol sequences are materialized as US-separated strings
+    // (chr(31) never appears in tokens), so "apply the merge" is one
+    // scan-local replace(): string replace is left-to-right
+    // non-overlapping in both engines, which is exactly BPE's greedy
+    // application order (e.g. merging (a,a) over "aaa" yields
+    // [aa, a], not two overlapping pairs). Scale: the corpus folds
+    // ONCE to its zipf-bounded word vocabulary (localCheckpoint
+    // reuses that fold for both the rule pick and the apply pass);
+    // the 1-row merge rule is a TakeOrderedAndProject broadcast; the
+    // merge application and the pair recount are vocabulary-sized
+    // scan-local string ops. Weights are exact BIGINT sums, so both
+    // engines hash-match. Output pairs are space-joined symbols
+    // (tokens are whitespace-split, so ' ' is boundary-safe).
     Q("q_bpe_merges",
       s"""WITH uni AS (SELECT unnest($toksDuck) AS t FROM documents),
          |uc AS (SELECT t, count(*) AS c FROM uni GROUP BY t),
-         |p AS (SELECT unnest([substr(t, i, 2) for i in
-         |          range(1, len(t))]) AS pair, c
-         |      FROM uc WHERE len(t) >= 2)
+         |p1 AS (SELECT unnest([substr(t, i, 1) || chr(31) ||
+         |            substr(t, i + 1, 1) for i in range(1, len(t))]) AS pr, c
+         |       FROM uc WHERE len(t) >= 2),
+         |r1 AS (SELECT pr FROM p1 GROUP BY pr
+         |       ORDER BY sum(c) DESC, pr LIMIT 1),
+         |m AS (SELECT string_split(replace(
+         |          array_to_string(string_split(t, ''), chr(31)),
+         |          (SELECT pr FROM r1),
+         |          replace((SELECT pr FROM r1), chr(31), '')),
+         |        chr(31)) AS a, c
+         |      FROM uc WHERE len(t) >= 2),
+         |p2 AS (SELECT unnest([a[i] || ' ' || a[i + 1]
+         |            for i in range(1, len(a))]) AS pair, c
+         |       FROM m WHERE len(a) >= 2)
          |SELECT pair, CAST(sum(c) AS BIGINT) AS weight
-         |FROM p GROUP BY pair
+         |FROM p2 GROUP BY pair
          |ORDER BY weight DESC, pair LIMIT 50""".stripMargin) { (s, d) =>
+      val sep = "\u001f"
       val uc = barrier(Tables.documents(s, d).withColumn("w", expr(toks)))
         .select(explode(col("w")).as("t"))
         .groupBy("t").agg(count(lit(1)).as("c"))
-      uc.filter(length(col("t")) >= 2)
+        .filter(length(col("t")) >= 2)
+        .localCheckpoint()
+      val rule = uc
         .select(explode(expr(
-          "transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))"))
-          .as("pair"), col("c"))
+          s"""transform(sequence(1, length(t) - 1),
+             |i -> concat(substr(t, i, 1), '$sep', substr(t, i + 1, 1)))"""
+            .stripMargin)).as("pr"), col("c"))
+        .groupBy("pr").agg(sum("c").as("w"))
+        .orderBy(col("w").desc, col("pr")).limit(1)
+        .select(col("pr"))
+      uc.crossJoin(broadcast(rule))
+        .withColumn("a", split(expr(
+          s"""replace(concat_ws('$sep', split(t, '')), pr,
+             |replace(pr, '$sep', ''))""".stripMargin), sep))
+        .filter(size(col("a")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(a) - 1),
+            |i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"""
+            .stripMargin)).as("pair"), col("c"))
         .groupBy("pair").agg(sum("c").as("weight"))
         .orderBy(col("weight").desc, col("pair"))
         .limit(50)

@@ -319,10 +319,13 @@ object Profiling {
     // breakdown-point-0.5. Scale: two grouped exact medians (the
     // q_agg_median portability contract) with the tiny per-type
     // stats frames BROADCAST back onto the fact scan — at 100 TB
-    // the same plan swaps percentile → approx_percentile and keeps
-    // both joins broadcast. All boundary math runs on identical
-    // double operands in both engines (constants pinned through a
-    // decimal→double cast), so even the flag boundary agrees.
+    // set `spark.graft.mad.approx=true` and the SAME plan runs
+    // approx_percentile (bounded-memory GK sketch; exact percentile
+    // is a TypedImperativeAggregate buffering every value per
+    // group), keeping both joins broadcast. All boundary math runs
+    // on identical double operands in both engines (constants
+    // pinned through a decimal→double cast), so even the flag
+    // boundary agrees — the oracle gate runs the exact default.
     Q("q_anomaly_mad",
       """WITH st AS (SELECT event_type, quantile_cont(value, 0.5) AS med
         |            FROM events GROUP BY event_type),
@@ -339,12 +342,13 @@ object Profiling {
         |WHERE d.dev > CAST(4.4478 AS DOUBLE) * m.mad
         |ORDER BY event_type, event_id""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d)
-      val st = ev.groupBy("event_type")
-        .agg(expr("percentile(value, 0.5)").as("med"))
+      val med = if (s.conf.get("spark.graft.mad.approx", "false").toBoolean)
+        (c: String) => expr(s"approx_percentile($c, 0.5, 10000)")
+      else (c: String) => expr(s"percentile($c, 0.5)")
+      val st = ev.groupBy("event_type").agg(med("value").as("med"))
       val dv = ev.join(broadcast(st), "event_type")
         .withColumn("dev", abs(col("value") - col("med")))
-      val md = dv.groupBy("event_type")
-        .agg(expr("percentile(dev, 0.5)").as("mad"))
+      val md = dv.groupBy("event_type").agg(med("dev").as("mad"))
       dv.join(broadcast(md), "event_type")
         .filter(col("dev") > lit(4.4478) * col("mad"))
         .select(col("event_id"), col("event_type"), col("value"),

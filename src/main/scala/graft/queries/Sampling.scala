@@ -65,17 +65,20 @@ object Sampling {
     // Scale: scan-local key arithmetic + ONE TakeOrderedAndProject;
     // zero shuffles, reproducible across engines, runs, and task
     // retries (same discipline as q_sample_hash — never rand()).
+    // greatest(n_chars, 1) guards the zero-length document: without
+    // it Spark yields -Infinity where DuckDB errors/NULLs, so the
+    // engines would diverge on corpora containing empty docs.
     Q("q_sample_weighted",
       s"""SELECT doc_id, lang, n_chars,
          |  round(ln((${h28Duck("'wsmp#' || doc_id")} + 1) / 268435456.0)
-         |        / n_chars, 9) AS skey
+         |        / greatest(n_chars, 1), 9) AS skey
          |FROM documents
          |ORDER BY ln((${h28Duck("'wsmp#' || doc_id")} + 1) / 268435456.0)
-         |         / n_chars DESC, doc_id
+         |         / greatest(n_chars, 1) DESC, doc_id
          |LIMIT 50""".stripMargin) { (s, d) =>
       val u = (expr(s"${h28("concat('wsmp#', CAST(doc_id AS STRING))")}") +
         lit(1)) / lit(268435456.0)
-      val key = log(u) / col("n_chars")
+      val key = log(u) / greatest(col("n_chars"), lit(1))
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"),
           round(key, 9).as("skey"), key.as("k0"))
