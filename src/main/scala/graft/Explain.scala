@@ -26,7 +26,10 @@ object Explain {
     "q_knn_ivf_rule_l2", "q_table_commit",
     // round-8 additions (the documented round-7 snapshot wave)
     "q_pagerank", "q_lm_score", "q_bpe_merges", "q_sample_weighted",
-    "q_skyline", "q_anomaly_mad", "q_embed_outlier")
+    "q_skyline", "q_anomaly_mad", "q_embed_outlier",
+    // round-8 second wave
+    "q_ohlc_resample", "q_group_regression", "q_kanon_audit",
+    "q_butterfly", "q_kl_drift", "q_tfidf_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

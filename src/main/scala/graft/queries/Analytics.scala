@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Quantitative event analytics — the downsample/trend/privacy passes
+  * an events-at-scale pipeline runs before publishing metrics or
+  * releasing a dataset (reference analog: the store's ingest counters
+  * are the degenerate 1-bucket form of these rollups).
+  *
+  * Scale design notes (100 TB posture):
+  *  - Every operator here is ONE partial-aggregated groupBy over the
+  *    fact scan (map-side combine absorbs the per-bucket/per-group
+  *    volume) — no joins, no windows, no second pass over the data.
+  *  - Regression/OHLC determinism: per-row terms are rounded to a
+  *    fixed scale BEFORE the distributed DECIMAL sums, and all
+  *    post-aggregation math runs on identical double operands written
+  *    identically in both engines, so results hash-match at any
+  *    partitioning / accumulation order.
+  */
+object Analytics {
+
+  /** Total-order tie-break key for open/close picks: zero-padded
+    * epoch seconds + event_id (unique), identical lexicographic
+    * ordering in Spark and DuckDB. */
+  private val kDuck =
+    "lpad((epoch(ts)::BIGINT)::VARCHAR, 12, '0') || '#' || " +
+      "lpad(event_id::VARCHAR, 12, '0')"
+
+  val qs: Seq[Q] = Seq(
+
+    // OHLC RESAMPLE — hourly open/high/low/close bars per event_type
+    // (the time-series downsampling every metrics/feature pipeline
+    // runs: first/last need an ORDER, not just an extreme). Open and
+    // close are arg_min/arg_max over a zero-padded epoch#event_id
+    // string key — a total order both engines sort identically, so
+    // the picks are deterministic even with duplicate timestamps.
+    // Scale: ONE partial-aggregated groupBy over the scan; min_by/
+    // max_by/min/max/count/sum all combine map-side, so per-reducer
+    // volume is bucket-count-sized, not event-sized. The value sum
+    // rounds per-row into DECIMAL(38,6) (the dsum discipline).
+    Q("q_ohlc_resample",
+      s"""WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+         |    value, $kDuck AS k FROM events)
+         |SELECT event_type, bucket,
+         |  arg_min(value, k) AS open, max(value) AS high,
+         |  min(value) AS low, arg_max(value, k) AS close,
+         |  count(*) AS volume,
+         |  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6)))
+         |        AS DOUBLE), 6) AS vsum
+         |FROM b GROUP BY event_type, bucket
+         |ORDER BY event_type, bucket""".stripMargin) { (s, d) =>
+      val k = concat(
+        lpad(unix_timestamp(col("ts")).cast("string"), 12, "0"), lit("#"),
+        lpad(col("event_id").cast("string"), 12, "0"))
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(min_by(col("value"), k).as("open"),
+          max("value").as("high"), min("value").as("low"),
+          max_by(col("value"), k).as("close"),
+          count(lit(1)).as("volume"),
+          round(sum(round(col("value"), 6).cast(DecimalType(38, 6)))
+            .cast("double"), 6).as("vsum"))
+        .orderBy("event_type", "bucket")
+    },
+
+    // GROUPED OLS REGRESSION — per event_type least-squares trend of
+    // value over time (slope/intercept/R²): the drift/scaling-law
+    // fit a pipeline runs per segment without collecting anything.
+    // x is the INTEGER day offset from 2024-01-01 (exact in both
+    // engines — a fractional-day x would round a non-terminating
+    // double, where Spark's HALF_UP and DuckDB's float round can
+    // disagree in the last digit); y is 6dp-rounded. Every per-row
+    // term (x·y, x², y²) is then exactly representable in double at
+    // these magnitudes, the moment sums (Σx, Σy, Σxy, Σx², Σy²)
+    // accumulate in exact INT/DECIMAL, and the normal-equation
+    // arithmetic runs on bit-identical double operands in both
+    // engines. Scale: ONE fixed-width partial-aggregated groupBy —
+    // the sketch pattern (same shape as q_agg_stats/q_ts_anomaly).
+    Q("q_group_regression",
+      """WITH t AS (SELECT event_type,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+        |    round(value, 6) AS y FROM events),
+        |m AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(round(x * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(round(y * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        |  FROM t GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        |         * sx) / n, 6) AS intercept,
+        |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+        |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+      val t = Tables.events(s, d).select(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .as("x"),
+        round(col("value"), 6).as("y"))
+      val m = t.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum("x").cast("double").as("sx"),
+        sum(col("y").cast(DecimalType(38, 6))).cast("double").as("sy"),
+        sum(round(col("x") * col("y"), 6).cast(DecimalType(38, 6)))
+          .cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(round(col("y") * col("y"), 6).cast(DecimalType(38, 6)))
+          .cast("double").as("syy"))
+      // The normal-equation expressions are written ONCE as SQL text
+      // shared verbatim with the oracle, so the double operand chain
+      // is identical by construction.
+      m.selectExpr("event_type", "n",
+        "round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope",
+        "round((sy - round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)" +
+          " * sx) / n, 6) AS intercept",
+        "round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /" +
+          " ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2")
+        .orderBy("event_type")
+    },
+
+    // K-ANONYMITY AUDIT — the privacy screen before a dataset
+    // release: group documents by their quasi-identifier tuple
+    // (lang, source, 100-char length bucket) and surface every
+    // group smaller than k=5 with its re-identification risk 1/k.
+    // A row here means "these attribute values narrow a subject to
+    // fewer than 5 records — generalize or suppress before
+    // publishing". Scale: ONE partial-aggregated groupBy over the
+    // scan; the k<5 HAVING prunes the output to the risk groups.
+    Q("q_kanon_audit",
+      """SELECT lang, source,
+        |  CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+        |  count(*) AS k, round(1.0 / count(*), 6) AS risk
+        |FROM documents
+        |GROUP BY lang, source, CAST(floor(n_chars / 100) AS BIGINT)
+        |HAVING count(*) < 5
+        |ORDER BY lang, source, len_bucket""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"),
+          floor(col("n_chars") / lit(100)).cast("long").as("len_bucket"))
+        .agg(count(lit(1)).as("k"),
+          round(lit(1.0) / count(lit(1)), 6).as("risk"))
+        .filter(col("k") < 5)
+        .orderBy("lang", "source", "len_bucket")
+    },
+  )
+}

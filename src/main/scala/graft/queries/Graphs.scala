@@ -97,6 +97,46 @@ object Graphs {
         .orderBy(col("rank").desc, col("node"))
         .limit(100)
     },
+
+    // BUTTERFLY COUNTING — 4-cycles in the bipartite part↔supplier
+    // graph: for each supplier pair, C(shared_parts, 2) butterflies.
+    // The butterfly is the bipartite clustering primitive (triangles
+    // don't exist in bipartite graphs); high counts flag densely
+    // co-sourced supplier pairs — in a corpus pipeline the same
+    // query over (document, domain)/(user, item) graphs surfaces
+    // coordinated/templated clusters. Scale: wedges (s1, s2 sharing
+    // a part) come from ONE equi-join on p — wedge volume is
+    // Σ_p C(deg_p, 2), bounded when per-part degree is (as here)
+    // small; for power-law degree the standard mitigation is
+    // splitting hub vertices before wedging (the q_join_salted
+    // treatment), never an all-pairs join. The pair aggregate is
+    // supplier-pair-sized; top-20 is TakeOrderedAndProject.
+    Q("q_butterfly",
+      """WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+        |            FROM lineitem),
+        |w AS (SELECT a.s AS s1, b.s AS s2 FROM e0 a
+        |      JOIN e0 b ON a.p = b.p AND a.s < b.s),
+        |g AS (SELECT s1, s2, count(*) AS shared_parts FROM w
+        |      GROUP BY s1, s2)
+        |SELECT s1, s2, shared_parts,
+        |  CAST(shared_parts * (shared_parts - 1) / 2 AS BIGINT)
+        |    AS butterflies
+        |FROM g WHERE shared_parts >= 2
+        |ORDER BY butterflies DESC, s1, s2 LIMIT 20""".stripMargin) { (s, d) =>
+      val e0 = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+        .distinct()
+      val w = e0.as("a").join(e0.as("b"),
+        col("a.p") === col("b.p") && col("a.s") < col("b.s"))
+        .select(col("a.s").as("s1"), col("b.s").as("s2"))
+      w.groupBy("s1", "s2").agg(count(lit(1)).as("shared_parts"))
+        .filter(col("shared_parts") >= 2)
+        .withColumn("butterflies",
+          (col("shared_parts") * (col("shared_parts") - 1) / 2)
+            .cast("long"))
+        .orderBy(col("butterflies").desc, col("s1"), col("s2"))
+        .limit(20)
+    },
   )
 
   /** Graph construction, ONCE per query: the deg-enriched edge frame

@@ -149,5 +149,52 @@ object Language {
         .orderBy(col("weight").desc, col("pair"))
         .limit(50)
     },
+
+    // KL DISTRIBUTION DRIFT — per-language KL divergence between
+    // that slice's token distribution P and the corpus-wide
+    // distribution Q: KL(P‖Q) = Σ_t P(t)·ln(P(t)/Q(t)). The domain-
+    // shift detector a mixture pipeline runs per source/slice before
+    // reweighting (a slice whose KL spikes is off-distribution —
+    // wrong language tag, templated spam, domain drift). Every term
+    // derives from exact BIGINT counts: P = c_lt/n_l, Q = c_t/n, so
+    // the log ratio is ln((c_lt·n)/(n_l·c_t)) on double-cast exact
+    // operands. Scale: the corpus folds once to the (lang, token)
+    // count frame (partial-aggregated; checkpointed so the three
+    // marginals don't re-scan); marginals join back BY TOKEN KEY
+    // (vocab-sized) and BY LANG (broadcast); the 1-row total
+    // broadcasts; per-term round(9) before the DECIMAL(38,9) sum.
+    Q("q_kl_drift",
+      s"""WITH tok AS (SELECT lang, unnest($toksDuck) AS t FROM documents),
+         |lc AS (SELECT lang, t, count(*) AS clt FROM tok GROUP BY lang, t),
+         |lt AS (SELECT lang, CAST(sum(clt) AS BIGINT) AS nl FROM lc
+         |       GROUP BY lang),
+         |tc AS (SELECT t, CAST(sum(clt) AS BIGINT) AS ct FROM lc GROUP BY t),
+         |nn AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM tc),
+         |term AS (SELECT lc.lang, nl,
+         |    round((CAST(clt AS DOUBLE) / nl) *
+         |          ln((CAST(clt AS DOUBLE) * n) /
+         |             (CAST(nl AS DOUBLE) * ct)), 9) AS kt
+         |  FROM lc JOIN lt USING (lang) JOIN tc USING (t) CROSS JOIN nn)
+         |SELECT lang, nl AS n_tokens,
+         |  round(CAST(sum(CAST(kt AS DECIMAL(38,9))) AS DOUBLE), 6) AS kl
+         |FROM term GROUP BY lang, nl ORDER BY lang""".stripMargin) { (s, d) =>
+      val tok = barrier(Tables.documents(s, d).withColumn("w", expr(toks)))
+        .select(col("lang"), explode(col("w")).as("t"))
+      val lc = tok.groupBy("lang", "t").agg(count(lit(1)).as("clt"))
+        .localCheckpoint()
+      val lt = lc.groupBy("lang").agg(sum("clt").as("nl"))
+      val tc = lc.groupBy("t").agg(sum("clt").as("ct"))
+      val nn = broadcast(tc.agg(sum("ct").as("n")))
+      lc.join(broadcast(lt), "lang").join(tc, "t").crossJoin(nn)
+        .withColumn("kt",
+          round((col("clt").cast("double") / col("nl")) *
+            log((col("clt").cast("double") * col("n")) /
+              (col("nl").cast("double") * col("ct"))), 9))
+        .groupBy("lang", "nl")
+        .agg(round(sum(col("kt").cast(DecimalType(38, 9))).cast("double"), 6)
+          .as("kl"))
+        .select(col("lang"), col("nl").as("n_tokens"), col("kl"))
+        .orderBy("lang")
+    },
   )
 }

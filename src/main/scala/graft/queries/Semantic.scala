@@ -2,8 +2,10 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.functions.GraftFunctions.cosine_distance
+import TextKit.toksDuck
 
 /** SEMANTIC (clustered) embedding dedup — the SemDeDup recipe
   * (Abbas et al. 2023): k-means the embedding space, then look for
@@ -205,6 +207,79 @@ object Semantic {
           when(col("sd") > 0,
             round((col("dist") - col("mean")) / col("sd"), 6)).as("z"))
         .orderBy("label", "vec_id")
+    },
+
+    // SPARSE TF-IDF ALL-PAIRS SIMILARITY — document pairs with
+    // cosine ≥ 0.25 over df-screened tf-idf vectors: the SPARSE
+    // (lexical) sibling of q_similarity_join's dense-embedding join
+    // and the weighted generalization of q_dedup_near's Jaccard
+    // PPJoin. Terms appearing in >10% of documents are dropped
+    // BEFORE any pairing (the stopword screen: without it the
+    // posting list of "the" alone generates O(N²) candidates);
+    // candidates then come from the INVERTED-INDEX equi-join on the
+    // surviving term key — never an all-pairs join — and at corpus
+    // scale the q_dedup_near prefix filter applies unchanged to
+    // these weighted postings. Determinism: w = tf·idf on exact
+    // count ratios rounded to 9dp; every pairwise product and
+    // squared norm rounds before its DECIMAL sum; the final cosine
+    // is one shared double expression.
+    Q("q_tfidf_pairs",
+      s"""WITH tok AS (SELECT doc_id, unnest($toksDuck) AS t FROM documents),
+         |tf AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+         |dl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS len FROM tf
+         |       GROUP BY doc_id),
+         |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+         |nd AS (SELECT count(*) AS nn FROM documents),
+         |w AS (SELECT tf.doc_id, tf.t,
+         |    round((CAST(c AS DOUBLE) / len) *
+         |          ln(CAST(nn AS DOUBLE) / df), 9) AS w
+         |  FROM tf JOIN dl USING (doc_id) JOIN df USING (t)
+         |  CROSS JOIN nd WHERE df * 10 <= nn),
+         |nrm AS (SELECT doc_id,
+         |    CAST(sum(CAST(round(w * w, 12) AS DECIMAL(38,12)))
+         |         AS DOUBLE) AS n2
+         |  FROM w GROUP BY doc_id),
+         |dot AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |    count(*) AS n_shared,
+         |    CAST(sum(CAST(round(a.w * b.w, 12) AS DECIMAL(38,12)))
+         |         AS DOUBLE) AS dp
+         |  FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT d1, d2, n_shared,
+         |  round(dp / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos
+         |FROM dot JOIN nrm na ON na.doc_id = d1
+         |JOIN nrm nb ON nb.doc_id = d2
+         |WHERE round(dp / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= 0.25
+         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      val tok = barrier(Tables.documents(s, d)
+        .withColumn("wt", expr(TextKit.toks)))
+        .select(col("doc_id"), explode(col("wt")).as("t"))
+      val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val dl = tf.groupBy("doc_id").agg(sum("c").as("len"))
+      val dfr = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val nd = broadcast(Tables.documents(s, d).agg(count(lit(1)).as("nn")))
+      val w = tf.join(dl, "doc_id").join(dfr, "t").crossJoin(nd)
+        .filter(col("df") * 10 <= col("nn"))
+        .select(col("doc_id"), col("t"),
+          round((col("c").cast("double") / col("len")) *
+            log(col("nn").cast("double") / col("df")), 9).as("w"))
+        .localCheckpoint()
+      val nrm = w.groupBy("doc_id")
+        .agg(sum(round(col("w") * col("w"), 12).cast(DecimalType(38, 12)))
+          .cast("double").as("n2"))
+      val dot = w.as("a").join(w.as("b"),
+        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("n_shared"),
+          sum(round(col("a.w") * col("b.w"), 12).cast(DecimalType(38, 12)))
+            .cast("double").as("dp"))
+      val cosExpr = round(col("dp") / (sqrt(col("na.n2")) * sqrt(col("nb.n2"))), 6)
+      dot.join(nrm.as("na"), col("na.doc_id") === col("d1"))
+        .join(nrm.as("nb"), col("nb.doc_id") === col("d2"))
+        .filter(cosExpr >= 0.25)
+        .select(col("d1"), col("d2"), col("n_shared"), cosExpr.as("cos"))
+        .orderBy("d1", "d2")
     },
   )
 

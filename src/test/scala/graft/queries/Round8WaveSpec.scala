@@ -1,0 +1,176 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** Semantics + plan-shape invariants for the round-8 second wave
+  * (OHLC resample / grouped OLS / k-anonymity / butterfly counting /
+  * KL drift / sparse tf-idf pairs) at sf0.001. Each operator is
+  * checked against an independent Scala recompute where the algebra
+  * allows, plus the shuffle-shape claims the 100 TB notes make. */
+class Round8WaveSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def events: Array[(Long, java.sql.Timestamp, String, Double)] =
+    Tables.events(spark, sf)
+      .select("event_id", "ts", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2),
+        r.getDouble(3)))
+
+  // ---------------------------------------------------------- ohlc
+
+  test("ohlc_resample: open/close are the time-ordered first/last, volume partitions the table") {
+    val out = SparkEntry.queries("q_ohlc_resample")(spark, sf).collect()
+    val ev = events
+    assert(out.map(_.getAs[Long]("volume")).sum === ev.length)
+    val byBucket = ev.groupBy { case (_, ts, typ, _) =>
+      (typ, ts.toInstant.getEpochSecond / 3600 * 3600)
+    }
+    out.foreach { r =>
+      val key = (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("bucket").toInstant.getEpochSecond)
+      val rows = byBucket(key).sortBy { case (id, ts, _, _) =>
+        (ts.toInstant.getEpochSecond, id)
+      }
+      assert(r.getAs[Double]("open") === rows.head._4, s"open @ $key")
+      assert(r.getAs[Double]("close") === rows.last._4, s"close @ $key")
+      assert(r.getAs[Double]("high") === rows.map(_._4).max)
+      assert(r.getAs[Double]("low") === rows.map(_._4).min)
+      assert(r.getAs[Long]("volume") === rows.length)
+    }
+  }
+
+  test("ohlc_resample: one aggregate, no join, no window") {
+    val plan = SparkEntry.queries("q_ohlc_resample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "OHLC must be a single aggregation pass")
+    assert(!plan.contains("Window"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1)
+  }
+
+  // ---------------------------------------------------------- regression
+
+  test("group_regression: matches a Scala OLS recompute per group") {
+    val out = SparkEntry.queries("q_group_regression")(spark, sf).collect()
+    val base = java.time.LocalDate.parse("2024-01-01").toEpochDay
+    val byType = events.groupBy(_._3)
+    assert(out.length === byType.size)
+    out.foreach { r =>
+      val rows = byType(r.getAs[String]("event_type"))
+      val xs = rows.map { case (_, ts, _, _) =>
+        (ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate.toEpochDay
+          - base).toDouble
+      }
+      val ys = rows.map(_._4)
+      val n = rows.length.toDouble
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val sxx = xs.map(x => x * x).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val intercept = (sy - slope * sx) / n
+      assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-4,
+        s"slope ${r.getAs[Double]("slope")} vs $slope")
+      assert(math.abs(r.getAs[Double]("intercept") - intercept) < 1e-3)
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0 && r2 <= 1)
+    }
+  }
+
+  // ---------------------------------------------------------- kanon
+
+  test("kanon_audit: reports exactly the sub-k quasi-identifier groups") {
+    val out = SparkEntry.queries("q_kanon_audit")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select("lang", "source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2) / 100))
+    val expected = docs.groupBy(identity).view.mapValues(_.length)
+      .filter(_._2 < 5).keys.toSet
+    assert(out.map(r => (r.getAs[String]("lang"), r.getAs[String]("source"),
+      r.getAs[Long]("len_bucket"))).toSet === expected)
+    assert(out.forall(r => r.getAs[Long]("k") < 5))
+    assert(out.forall(r =>
+      r.getAs[Double]("risk") ===
+        math.rint(1e6 / r.getAs[Long]("k")) / 1e6))
+  }
+
+  // ---------------------------------------------------------- butterfly
+
+  test("butterfly: equals the brute-force wedge count") {
+    val e0 = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = e0.groupBy(_._1).values.flatMap { edges =>
+      val ss = edges.map(_._2).sorted
+      for (i <- ss.indices; j <- i + 1 until ss.length)
+        yield (ss(i), ss(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 2)
+      .map { case ((s1, s2), c) => (s1, s2, c, c * (c - 1) / 2) }
+      .toSeq.sortBy { case (s1, s2, _, b) => (-b, s1, s2) }.take(20)
+    val got = SparkEntry.queries("q_butterfly")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("s1"), r.getAs[Long]("s2"),
+        r.getAs[Long]("shared_parts"), r.getAs[Long]("butterflies"))).toSeq
+    assert(got === expected)
+  }
+
+  // ---------------------------------------------------------- kl_drift
+
+  test("kl_drift: KL is non-negative per slice and token mass partitions") {
+    val out = SparkEntry.queries("q_kl_drift")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // Gibbs' inequality: KL(P‖Q) ≥ 0, = 0 iff P = Q (a slice never
+    // exactly matches the blend unless it IS the corpus).
+    assert(out.forall(_.getAs[Double]("kl") >= 0))
+    val total = Tables.documents(spark, sf)
+      .select(explode(expr(TextKit.toks)).as("t")).count()
+    assert(out.map(_.getAs[Long]("n_tokens")).sum === total,
+      "per-slice token counts must partition the corpus total")
+  }
+
+  // ---------------------------------------------------------- tfidf_pairs
+
+  test("tfidf_pairs: matches a Scala inverted-index recompute") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty))
+    val nDocs = docs.length
+    val tf = docs.map { case (id, toks) =>
+      id -> toks.groupBy(identity).view.mapValues(_.length).toMap
+    }.toMap
+    val dfm = tf.values.flatMap(_.keys).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    def r9(x: Double) = math.rint(x * 1e9) / 1e9
+    val w = tf.map { case (id, cs) =>
+      val len = cs.values.sum.toDouble
+      id -> cs.collect {
+        case (t, c) if dfm(t) * 10 <= nDocs =>
+          t -> r9((c / len) * math.log(nDocs.toDouble / dfm(t)))
+      }.toMap
+    }
+    val n2 = w.map { case (id, ws) =>
+      id -> ws.values.map(x => x * x).sum
+    }
+    val expected = (for {
+      (d1, w1) <- w.toSeq; (d2, w2) <- w.toSeq if d1 < d2
+      shared = w1.keySet.intersect(w2.keySet) if shared.nonEmpty
+      dp = shared.toSeq.map(t => w1(t) * w2(t)).sum
+      cos = dp / (math.sqrt(n2(d1)) * math.sqrt(n2(d2)))
+      if cos >= 0.2499999
+    } yield (d1, d2)).toSet
+    val got = SparkEntry.queries("q_tfidf_pairs")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")))
+    assert(got.length === got.toSet.size)
+    assert(got.toSet === expected)
+    val cs = SparkEntry.queries("q_tfidf_pairs")(spark, sf).collect()
+      .map(_.getAs[Double]("cos"))
+    assert(cs.forall(c => c >= 0.25 && c <= 1.000001))
+  }
+
+  test("tfidf_pairs: candidates come from the term-key join, not a cross join") {
+    val plan = SparkEntry.queries("q_tfidf_pairs")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "posting-list pairing must be an equi-join on the term key")
+  }
+}
