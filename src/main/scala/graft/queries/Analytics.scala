@@ -23,10 +23,27 @@ object Analytics {
 
   /** Total-order tie-break key for open/close picks: zero-padded
     * epoch seconds + event_id (unique), identical lexicographic
-    * ordering in Spark and DuckDB. */
+    * ordering in Spark and DuckDB. Shared with the streaming twin
+    * (q_stream_ohlc). */
   private val kDuck =
     "lpad((epoch(ts)::BIGINT)::VARCHAR, 12, '0') || '#' || " +
       "lpad(event_id::VARCHAR, 12, '0')"
+
+  private[queries] def ohlcKey: org.apache.spark.sql.Column = concat(
+    lpad(unix_timestamp(col("ts")).cast("string"), 12, "0"), lit("#"),
+    lpad(col("event_id").cast("string"), 12, "0"))
+
+  private[queries] val ohlcSql: String =
+    s"""WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+       |    value, $kDuck AS k FROM events)
+       |SELECT event_type, bucket,
+       |  arg_min(value, k) AS open, max(value) AS high,
+       |  min(value) AS low, arg_max(value, k) AS close,
+       |  count(*) AS volume,
+       |  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6)))
+       |        AS DOUBLE), 6) AS vsum
+       |FROM b GROUP BY event_type, bucket
+       |ORDER BY event_type, bucket""".stripMargin
 
   val qs: Seq[Q] = Seq(
 
@@ -40,20 +57,8 @@ object Analytics {
     // max_by/min/max/count/sum all combine map-side, so per-reducer
     // volume is bucket-count-sized, not event-sized. The value sum
     // rounds per-row into DECIMAL(38,6) (the dsum discipline).
-    Q("q_ohlc_resample",
-      s"""WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
-         |    value, $kDuck AS k FROM events)
-         |SELECT event_type, bucket,
-         |  arg_min(value, k) AS open, max(value) AS high,
-         |  min(value) AS low, arg_max(value, k) AS close,
-         |  count(*) AS volume,
-         |  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6)))
-         |        AS DOUBLE), 6) AS vsum
-         |FROM b GROUP BY event_type, bucket
-         |ORDER BY event_type, bucket""".stripMargin) { (s, d) =>
-      val k = concat(
-        lpad(unix_timestamp(col("ts")).cast("string"), 12, "0"), lit("#"),
-        lpad(col("event_id").cast("string"), 12, "0"))
+    Q("q_ohlc_resample", ohlcSql) { (s, d) =>
+      val k = ohlcKey
       Tables.events(s, d)
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
         .agg(min_by(col("value"), k).as("open"),

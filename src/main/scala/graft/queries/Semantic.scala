@@ -281,7 +281,104 @@ object Semantic {
         .select(col("d1"), col("d2"), col("n_shared"), cosExpr.as("cos"))
         .orderBy("d1", "d2")
     },
+
+    // DISTRIBUTED PCA (top principal axis) — 3 power iterations of
+    // the covariance operator over the mean-centered embedding
+    // cloud, without ever materializing a covariance matrix: each
+    // iteration is (a) scan-local dot s_i = x_i·v_t, (b) ONE
+    // dim-keyed partial-aggregated sum c = Σ x_i·s_i, (c) a
+    // dim-sized normalize — so per-iteration cluster cost is one
+    // scan plus a 64-group shuffle, at ANY row count (the covariance
+    // matrix approach is dim²-sized state; this is dim-sized). The
+    // principal axis is the embedding-drift/whitening primitive a
+    // curation pipeline runs corpus-wide. Result is DEFINED as "3
+    // iterations from the e₀ basis vector" (fixed unroll, like
+    // q_pagerank — convergence-to-tolerance would put a driver
+    // condition on a distributed reduce); sign follows the start
+    // vector. Determinism: centered coords, dots, and loadings round
+    // at fixed scales before every DECIMAL accumulation.
+    Q("q_vector_pca", pcaSql(3)) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val m = e.select(posexplode(col("v")).as(Seq("pos", "xv")))
+        .groupBy("pos")
+        .agg(round(sum(col("xv").cast(DecimalType(38, 12))).cast("double")
+          / count(lit(1)), 6).as("mu"))
+      val mv = m.agg(expr(
+        "transform(array_sort(collect_list(struct(pos, mu))), t -> t.mu)")
+        .as("m"))
+      val xc = e.crossJoin(broadcast(mv))
+        .select(col("vec_id"),
+          expr("zip_with(v, m, (a, b) -> round(a - b, 6))").as("x"))
+        .localCheckpoint()
+      var vv = m.agg(expr(
+        """transform(array_sort(collect_list(struct(pos, mu))),
+          |t -> CASE WHEN t.pos = 0 THEN CAST(1.0 AS DOUBLE)
+          |     ELSE CAST(0.0 AS DOUBLE) END)""".stripMargin).as("vv"))
+        .localCheckpoint()
+      for (_ <- 1 to 3) {
+        val sc = xc.crossJoin(broadcast(vv))
+          .select(col("x"), round(expr(
+            """aggregate(zip_with(x, vv, (a, b) -> a * b),
+              |CAST(0.0 AS DOUBLE), (a, t) -> a + t)""".stripMargin), 6)
+            .as("sc"))
+        val c = sc.select(col("sc"), posexplode(col("x")).as(Seq("pos", "xe")))
+          .groupBy("pos")
+          .agg(sum(round(col("xe") * col("sc"), 9).cast(DecimalType(38, 9)))
+            .cast("double").as("c"))
+        val nrm = c.agg(sqrt(
+          sum(round(col("c") * col("c"), 9).cast(DecimalType(38, 9)))
+            .cast("double")).as("nrm"))
+        vv = c.crossJoin(broadcast(nrm))
+          .agg(expr(
+            """transform(array_sort(collect_list(
+              |struct(pos, round(c / nrm, 6) AS l))), t -> t.l)"""
+              .stripMargin).as("vv"))
+          .localCheckpoint()
+      }
+      vv.select(posexplode(col("vv")).as(Seq("pos", "loading")))
+        .select(col("pos").cast("long").as("pos"), col("loading"))
+        .orderBy("pos")
+    },
   )
+
+  /** Chained-CTE oracle for the fixed-unroll power iteration: the
+    * same (dot → dim-keyed sum → normalize) step stated k times,
+    * mirroring the Spark loop exactly (the q_pagerank oracle
+    * technique). */
+  private def pcaSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""s$k AS (SELECT vec_id, x,
+         |    round(list_reduce([x[i] * vv[i] for i in
+         |      range(1, len(x) + 1)], (a, b) -> a + b), 6) AS sc
+         |  FROM xc, v${k - 1}),
+         |c$k AS (SELECT t.i AS pos,
+         |    CAST(sum(CAST(round(x[t.i + 1] * sc, 9) AS DECIMAL(38,9)))
+         |         AS DOUBLE) AS c
+         |  FROM s$k, UNNEST(generate_series(0, len(x) - 1)) AS t(i)
+         |  GROUP BY t.i),
+         |n$k AS (SELECT sqrt(CAST(sum(CAST(round(c * c, 9)
+         |    AS DECIMAL(38,9))) AS DOUBLE)) AS nrm FROM c$k),
+         |v$k AS (SELECT list(round(c / nrm, 6) ORDER BY pos) AS vv
+         |        FROM c$k, n$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |m0 AS (SELECT t.i AS pos,
+       |    round(CAST(sum(CAST(v[t.i + 1] AS DECIMAL(38,12))) AS DOUBLE)
+       |          / count(*), 6) AS mu
+       |  FROM e, UNNEST(generate_series(0, len(v) - 1)) AS t(i)
+       |  GROUP BY t.i),
+       |mv AS (SELECT list(mu ORDER BY pos) AS m FROM m0),
+       |xc AS (SELECT vec_id, [round(v[i] - m[i], 6)
+       |         for i in range(1, len(v) + 1)] AS x FROM e, mv),
+       |v0 AS (SELECT list(CASE WHEN pos = 0 THEN 1.0 ELSE 0.0 END
+       |         ORDER BY pos) AS vv FROM m0),
+       |$steps
+       |SELECT CAST(t.i AS BIGINT) AS pos, vv[t.i + 1] AS loading
+       |FROM v$iters, UNNEST(generate_series(0, len(vv) - 1)) AS t(i)
+       |ORDER BY pos""".stripMargin
+  }
 
   /** Hash-ranked seed pick: the k vectors with the smallest
     * md5-derived id hash become centroids 0..k-1. orderBy().limit(k)

@@ -196,5 +196,28 @@ object Streaming {
         .select(col("user_id"), col("event_type"))
       drain(s, deduped, "append").orderBy("user_id", "event_type")
     },
+
+    // Streaming OHLC — the live twin of q_ohlc_resample (same oracle
+    // SQL): hourly open/high/low/close bars maintained incrementally
+    // in watermark-bounded state. open/close use the SAME zero-padded
+    // epoch#event_id total-order key as the batch op, and min_by/
+    // max_by/min/max/count/decimal-sum are all mergeable aggregates,
+    // so each micro-batch folds into per-(window, type) state without
+    // replay — the bar a dashboard reads mid-hour is exact for the
+    // events the watermark has admitted.
+    Q("q_stream_ohlc", Analytics.ohlcSql) { (s, d) =>
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(min_by(col("value"), Analytics.ohlcKey).as("open"),
+          max("value").as("high"), min("value").as("low"),
+          max_by(col("value"), Analytics.ohlcKey).as("close"),
+          count(lit(1)).as("volume"),
+          dsum(col("value")).as("vsum"))
+        .select(col("event_type"), col("window.start").as("bucket"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("volume"), col("vsum"))
+      drain(s, agg, "update").orderBy("event_type", "bucket")
+    },
   )
 }

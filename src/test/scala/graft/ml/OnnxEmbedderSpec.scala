@@ -51,7 +51,9 @@ class OnnxEmbedderSpec extends SparkTestBase {
     assert(emb.tokenize((1 to 50).mkString(" ")).length === 8) // truncation
   }
 
-  test("onnx embedder embeds through a real session (opt-in)") {
+  test("onnx embedder embeds through a real session (opt-in: needs " +
+    "onnxruntime on the classpath + SPARK_GRAFT_ONNX_MODEL pointing at " +
+    "a .onnx file — CANCELED otherwise, by design)") {
     val model = sys.env.get("SPARK_GRAFT_ONNX_MODEL")
     assume(runtimePresent && model.exists(m => new java.io.File(m).exists()))
     val emb = new OnnxTextEmbedder(model.get, dim = 64)

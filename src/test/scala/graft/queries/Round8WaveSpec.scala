@@ -173,4 +173,58 @@ class Round8WaveSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"),
       "posting-list pairing must be an equi-join on the term key")
   }
+
+  // ---------------------------------------------------------- vector_pca
+
+  test("vector_pca: unit axis whose Rayleigh quotient beats the start basis vector") {
+    val out = SparkEntry.queries("q_vector_pca")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("pos"))
+    val v = out.map(_.getAs[Double]("loading"))
+    assert(v.length === 64)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-3,
+      "principal axis must be (approximately) unit norm")
+    // Power iteration must not lose variance vs its start vector e0:
+    // var(X·v3) ≥ var(X·e0) on the centered cloud (strictly greater
+    // unless e0 already is the principal axis).
+    val vecs = Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length
+    val mean = Array.tabulate(64)(i => vecs.map(_(i)).sum / n)
+    def variance(axis: Array[Double]): Double = {
+      val proj = vecs.map(x =>
+        x.zip(mean).map { case (a, m) => a - m }
+          .zip(axis).map { case (c, w) => c * w }.sum)
+      proj.map(p => p * p).sum / n
+    }
+    val e0 = Array.tabulate(64)(i => if (i == 0) 1.0 else 0.0)
+    assert(variance(v) > variance(e0),
+      s"pca axis variance ${variance(v)} ≤ start-vector variance ${variance(e0)}")
+  }
+
+  test("vector_pca: per-iteration shuffle is dim-keyed, never row-keyed") {
+    // The only hash exchanges in the whole query are the pos-keyed
+    // (64-group) aggregations and the 1-row total folds — nothing
+    // repartitions the n-row cloud by row key.
+    val plan = SparkEntry.queries("q_vector_pca")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      "all joins must be 1-row broadcasts")
+  }
+
+  // ---------------------------------------------------------- stream_ohlc
+
+  test("stream_ohlc: equals the batch twin bar for bar") {
+    val stream = SparkEntry.queries("q_stream_ohlc")(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("bucket"), r.getAs[Double]("open"),
+        r.getAs[Double]("high"), r.getAs[Double]("low"),
+        r.getAs[Double]("close"), r.getAs[Long]("volume"))).sorted
+    val batch = SparkEntry.queries("q_ohlc_resample")(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("bucket"), r.getAs[Double]("open"),
+        r.getAs[Double]("high"), r.getAs[Double]("low"),
+        r.getAs[Double]("close"), r.getAs[Long]("volume"))).sorted
+    assert(stream.length === batch.length)
+    assert(stream === batch)
+  }
 }
