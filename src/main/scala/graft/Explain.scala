@@ -29,7 +29,8 @@ object Explain {
     "q_skyline", "q_anomaly_mad", "q_embed_outlier",
     // round-8 second wave
     "q_ohlc_resample", "q_group_regression", "q_kanon_audit",
-    "q_butterfly", "q_kl_drift", "q_tfidf_pairs", "q_vector_pca")
+    "q_butterfly", "q_kl_drift", "q_tfidf_pairs", "q_vector_pca",
+    "q_dp_counts", "q_rank_calibrate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

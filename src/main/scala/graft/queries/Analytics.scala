@@ -1,8 +1,10 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
+import TextKit.{h28, h28Duck}
 
 /** Quantitative event analytics — the downsample/trend/privacy passes
   * an events-at-scale pipeline runs before publishing metrics or
@@ -149,6 +151,62 @@ object Analytics {
           round(lit(1.0) / count(lit(1)), 6).as("risk"))
         .filter(col("k") < 5)
         .orderBy("lang", "source", "len_bucket")
+    },
+
+    // DIFFERENTIALLY-PRIVATE RELEASE COUNTS — per-(lang, source)
+    // document counts through the Laplace mechanism (ε = 1,
+    // sensitivity 1 for a count ⇒ scale b = 1): the publishable twin
+    // of q_kanon_audit's internal worklist. The Laplace draw is
+    // inverse-CDF over a SALTED-HASH uniform of the group key —
+    // deterministic across engines, runs, and task retries (the
+    // q_sample_hash discipline: never rand(); a re-released dataset
+    // must not leak by noise re-draw, which is also why the salt is
+    // keyed to the release, not the row). Scale: ONE
+    // partial-aggregated groupBy; the noise projection is
+    // group-count-sized.
+    Q("q_dp_counts",
+      s"""WITH g AS (SELECT lang, source, count(*) AS k FROM documents
+         |           GROUP BY lang, source),
+         |u AS (SELECT lang, source, k,
+         |    (${h28Duck("'dp1#' || lang || '/' || source")} + 0.5)
+         |      / 268435456.0 AS u FROM g)
+         |SELECT lang, source,
+         |  round(k + (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+         |    * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS k_noisy
+         |FROM u ORDER BY lang, source""".stripMargin) { (s, d) =>
+      val u = (expr(h28(
+        "concat('dp1#', lang, '/', source)")) + lit(0.5)) / lit(268435456.0)
+      Tables.documents(s, d)
+        .groupBy("lang", "source").agg(count(lit(1)).as("k"))
+        .withColumn("u", u)
+        .select(col("lang"), col("source"),
+          round(col("k") +
+            when(col("u") < 0.5, lit(1.0)).otherwise(lit(-1.0)) *
+              log(lit(1.0) - lit(2.0) * abs(col("u") - lit(0.5))), 6)
+            .as("k_noisy"))
+        .orderBy("lang", "source")
+    },
+
+    // RANK CALIBRATION — per-slice percent_rank of a per-document
+    // score (here n_chars as the stand-in metric): maps raw scores
+    // onto [0, 1] WITHIN each language so thresholds and mixture
+    // weights compare across slices whose raw score distributions
+    // differ (the cross-lingual quality-score calibration step; the
+    // rank-normalization that makes "keep the top 30%" mean the same
+    // thing in every slice). Ties break on doc_id, so both engines'
+    // (rank-1)/(n-1) agree exactly. Scale: ONE slice-partitioned
+    // window — never partition-less; each slice sorts independently.
+    Q("q_rank_calibrate",
+      """SELECT doc_id, lang, n_chars,
+        |  round(percent_rank() OVER (PARTITION BY lang
+        |    ORDER BY n_chars, doc_id), 6) AS calibrated
+        |FROM documents ORDER BY lang, n_chars, doc_id""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            round(percent_rank().over(w), 6).as("calibrated"))
+          .orderBy("lang", "n_chars", "doc_id")
     },
   )
 }

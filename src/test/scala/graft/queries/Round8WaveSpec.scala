@@ -211,6 +211,52 @@ class Round8WaveSpec extends SparkTestBase {
       "all joins must be 1-row broadcasts")
   }
 
+  // ---------------------------------------------------------- dp_counts
+
+  test("dp_counts: noise is the exact hash-seeded Laplace draw on true counts") {
+    val out = SparkEntry.queries("q_dp_counts")(spark, sf).collect()
+    val truth = Tables.documents(spark, sf)
+      .groupBy("lang", "source").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out.length === truth.size)
+    def h28(sx: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(sx.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(7), 16)
+    }
+    var nonzero = 0
+    out.foreach { r =>
+      val key = (r.getAs[String]("lang"), r.getAs[String]("source"))
+      val k = truth(key).toDouble
+      val u = (h28(s"dp1#${key._1}/${key._2}") + 0.5) / 268435456.0
+      val noise = (if (u < 0.5) 1.0 else -1.0) *
+        math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      val expected = math.rint((k + noise) * 1e6) / 1e6
+      assert(math.abs(r.getAs[Double]("k_noisy") - expected) < 1e-9, s"$key")
+      if (math.abs(noise) > 1e-6) nonzero += 1
+      assert(math.abs(noise) < 25, "Laplace(1) tail should be tiny")
+    }
+    assert(nonzero > out.length / 2, "noise must actually perturb the counts")
+  }
+
+  // ---------------------------------------------------------- rank_calibrate
+
+  test("rank_calibrate: per-slice (rank-1)/(n-1), spanning [0,1], monotone") {
+    val out = SparkEntry.queries("q_rank_calibrate")(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_chars"), r.getAs[Double]("calibrated")))
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      val n = sorted.length
+      sorted.zipWithIndex.foreach { case ((_, _, _, c), i) =>
+        val expected =
+          if (n == 1) 0.0 else math.rint(i.toDouble / (n - 1) * 1e6) / 1e6
+        assert(c === expected, s"$lang rank $i")
+      }
+      assert(sorted.head._4 === 0.0 && (n == 1 || sorted.last._4 === 1.0))
+    }
+  }
+
   // ---------------------------------------------------------- stream_ohlc
 
   test("stream_ohlc: equals the batch twin bar for bar") {
