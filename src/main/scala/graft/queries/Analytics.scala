@@ -26,9 +26,13 @@ object Analytics {
   /** Total-order tie-break key for open/close picks: zero-padded
     * epoch seconds + event_id (unique), identical lexicographic
     * ordering in Spark and DuckDB. Shared with the streaming twin
-    * (q_stream_ohlc). */
+    * (q_stream_ohlc). floor() on the DuckDB side is load-bearing:
+    * epoch(ts) is a fractional DOUBLE there and a bare ::BIGINT
+    * ROUNDS sub-second timestamps up, while Spark's unix_timestamp
+    * FLOORS — same-second events then tie on the second and break on
+    * event_id identically in both engines. */
   private val kDuck =
-    "lpad((epoch(ts)::BIGINT)::VARCHAR, 12, '0') || '#' || " +
+    "lpad((floor(epoch(ts))::BIGINT)::VARCHAR, 12, '0') || '#' || " +
       "lpad(event_id::VARCHAR, 12, '0')"
 
   private[queries] def ohlcKey: org.apache.spark.sql.Column = concat(
@@ -42,8 +46,7 @@ object Analytics {
        |  arg_min(value, k) AS open, max(value) AS high,
        |  min(value) AS low, arg_max(value, k) AS close,
        |  count(*) AS volume,
-       |  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6)))
-       |        AS DOUBLE), 6) AS vsum
+       |  ${dsumSql("value")} AS vsum
        |FROM b GROUP BY event_type, bucket
        |ORDER BY event_type, bucket""".stripMargin
 
@@ -67,8 +70,7 @@ object Analytics {
           max("value").as("high"), min("value").as("low"),
           max_by(col("value"), k).as("close"),
           count(lit(1)).as("volume"),
-          round(sum(round(col("value"), 6).cast(DecimalType(38, 6)))
-            .cast("double"), 6).as("vsum"))
+          dsum(col("value")).as("vsum"))
         .orderBy("event_type", "bucket")
     },
 
@@ -97,11 +99,14 @@ object Analytics {
         |    CAST(sum(CAST(round(y * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS syy
         |  FROM t GROUP BY event_type)
         |SELECT event_type, n,
-        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-        |  round((sy - round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
-        |         * sx) / n, 6) AS intercept,
-        |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
-        |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+        |    round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS slope,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+        |    round((sy - round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        |           * sx) / n, 6) END AS intercept,
+        |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN NULL
+        |  ELSE round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+        |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS r2
         |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
       val t = Tables.events(s, d).select(col("event_type"),
         datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
@@ -118,13 +123,19 @@ object Analytics {
           .cast("double").as("syy"))
       // The normal-equation expressions are written ONCE as SQL text
       // shared verbatim with the oracle, so the double operand chain
-      // is identical by construction.
+      // is identical by construction. The zero-denominator guards
+      // (constant-x or single-row groups) matter doubly under
+      // Spark's default ANSI mode, where the unguarded division
+      // would THROW rather than yield the oracle's NULL.
       m.selectExpr("event_type", "n",
-        "round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope",
-        "round((sy - round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)" +
-          " * sx) / n, 6) AS intercept",
-        "round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /" +
-          " ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2")
+        "CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE " +
+          "round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS slope",
+        "CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE " +
+          "round((sy - round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)" +
+          " * sx) / n, 6) END AS intercept",
+        "CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN NULL " +
+          "ELSE round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /" +
+          " ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS r2")
         .orderBy("event_type")
     },
 

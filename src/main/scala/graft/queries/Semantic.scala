@@ -304,18 +304,20 @@ object Semantic {
         .groupBy("pos")
         .agg(round(sum(col("xv").cast(DecimalType(38, 12))).cast("double")
           / count(lit(1)), 6).as("mu"))
+      // The 1-row mean frame is checkpointed so the centering pass
+      // and the start-vector derivation share ONE scan+aggregation
+      // of the cloud instead of re-running it per consumer.
       val mv = m.agg(expr(
         "transform(array_sort(collect_list(struct(pos, mu))), t -> t.mu)")
         .as("m"))
+        .localCheckpoint()
       val xc = e.crossJoin(broadcast(mv))
         .select(col("vec_id"),
           expr("zip_with(v, m, (a, b) -> round(a - b, 6))").as("x"))
         .localCheckpoint()
-      var vv = m.agg(expr(
-        """transform(array_sort(collect_list(struct(pos, mu))),
-          |t -> CASE WHEN t.pos = 0 THEN CAST(1.0 AS DOUBLE)
-          |     ELSE CAST(0.0 AS DOUBLE) END)""".stripMargin).as("vv"))
-        .localCheckpoint()
+      var vv = mv.select(expr(
+        """transform(m, (x, i) -> CASE WHEN i = 0 THEN CAST(1.0 AS DOUBLE)
+          |ELSE CAST(0.0 AS DOUBLE) END)""".stripMargin).as("vv"))
       for (_ <- 1 to 3) {
         val sc = xc.crossJoin(broadcast(vv))
           .select(col("x"), round(expr(

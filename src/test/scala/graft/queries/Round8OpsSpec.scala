@@ -194,17 +194,30 @@ class Round8OpsSpec extends SparkTestBase {
   }
 
   test("anomaly_mad: spark.graft.mad.approx=true keeps the same shape") {
+    // Build + collect the approx plan INSIDE the conf window, then
+    // unset BEFORE building the exact plan — the builder reads the
+    // conf at build time, so ordering is what keeps this comparison
+    // approx-vs-exact rather than approx-vs-itself.
     spark.conf.set("spark.graft.mad.approx", "true")
-    try {
+    val approx = try {
       val out = SparkEntry.queries("q_anomaly_mad")(spark, sf)
       assert(out.columns.toSeq ===
         Seq("event_id", "event_type", "value", "robust_z"))
-      // approx_percentile at accuracy 10000 is exact at this row
-      // count, so the flagged set survives the swap.
-      val exact = SparkEntry.queries("q_anomaly_mad")(spark, sf)
-      assert(out.collect().map(_.getLong(0)).toSet ===
-        exact.collect().map(_.getLong(0)).toSet)
+      assert(out.queryExecution.analyzed.toString
+        .contains("approx_percentile"), "conf did not switch the aggregate")
+      out.collect().map(_.getLong(0)).toSet
     } finally spark.conf.unset("spark.graft.mad.approx")
+    val exact = SparkEntry.queries("q_anomaly_mad")(spark, sf)
+    assert(!exact.queryExecution.analyzed.toString.contains("approx_percentile"))
+    // approx_percentile returns an order statistic where the exact
+    // percentile INTERPOLATES between the two middle values on
+    // even-count groups, so a borderline event can flip across the
+    // MAD gate — the sketch path must agree up to that boundary
+    // effect, not bit-for-bit.
+    val exactIds = exact.collect().map(_.getLong(0)).toSet
+    val symDiff = (approx diff exactIds) ++ (exactIds diff approx)
+    assert(symDiff.size <= math.max(2, exactIds.size / 20),
+      s"approx path diverges beyond boundary effects: $symDiff")
   }
 
   // ---------------------------------------------------------- embed_outlier

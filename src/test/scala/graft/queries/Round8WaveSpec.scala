@@ -156,7 +156,9 @@ class Round8WaveSpec extends SparkTestBase {
       shared = w1.keySet.intersect(w2.keySet) if shared.nonEmpty
       dp = shared.toSeq.map(t => w1(t) * w2(t)).sum
       cos = dp / (math.sqrt(n2(d1)) * math.sqrt(n2(d2)))
-      if cos >= 0.2499999
+      // 0.2499995 is the exact half-up boundary of the query's
+      // round(cos, 6) >= 0.25 keep rule.
+      if cos >= 0.2499995
     } yield (d1, d2)).toSet
     val got = SparkEntry.queries("q_tfidf_pairs")(spark, sf).collect()
       .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")))
