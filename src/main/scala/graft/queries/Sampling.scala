@@ -87,6 +87,31 @@ object Sampling {
         .drop("k0")
     },
 
+    // TRAIN/VAL/TEST SPLIT — deterministic, leak-free 80/10/10
+    // partition of the corpus into NAMED splits by salted key hash:
+    // the assignment artifact every training run consumes (vs
+    // q_sample_hash, which draws ONE Bernoulli subset — a split must
+    // be exhaustive, disjoint, and stable under re-runs, appends,
+    // and task retries, which is exactly what the content-independent
+    // hash gives: a document's split never changes when the corpus
+    // grows). Scale: scan-local CASE over the hash — zero shuffles
+    // before the output sort; split membership is pushable into any
+    // downstream read.
+    Q("q_split_assign",
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN ${h28Duck("'split#' || doc_id")} < 214748365 THEN 'train'
+         |       WHEN ${h28Duck("'split#' || doc_id")} < 241591910 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val h = expr(h28("concat('split#', CAST(doc_id AS STRING))"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          when(h < 214748365L, "train")
+            .when(h < 241591910L, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+
     // Z-order layout: interleave the low 16 bits of two join/filter
     // dimensions into one clustering key, then report per-bucket
     // (zkey prefix) locality stats. Because the bucket is a PREFIX of

@@ -388,5 +388,86 @@ object VectorSearch {
                  |END""".stripMargin).as("qerr"))
         .orderBy("vec_id")
     },
+
+    // ANN RECALL AUDIT — recall@k of the IVF probe path against the
+    // exact top-k, per query of the q_knn_batch query set: the
+    // quality metric every approximate index must publish next to
+    // its speedup (the declared IVF tradeoff, MEASURED — a probe
+    // budget is only defensible with this number attached). Both
+    // arms share one codebook assignment; the exact arm is the
+    // q_knn_batch plan, the IVF arm scans only the 4 probed cells
+    // per query. Scale: the audit runs on a SAMPLE of queries by
+    // construction (here the 4-query batch) — cost is the exact
+    // arm's, paid once per index build/refresh, not per search.
+    Q("q_knn_recall",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |asgn AS (SELECT vec_id, v, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY
+         |      round(1 - list_cosine_similarity(v, cv), 6), cid) AS rn
+         |  FROM e CROSS JOIN c),
+         |a2 AS (SELECT vec_id, v, cid FROM asgn WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4),
+         |ex AS (SELECT qid, vec_id FROM (
+         |    SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY round(1 - list_cosine_similarity(e.v, q.qv), 6),
+         |        e.vec_id) AS rn
+         |    FROM e CROSS JOIN q WHERE e.vec_id <> q.qid) t WHERE rn <= $K),
+         |pr AS (SELECT qid, cid FROM (
+         |    SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY round(1 - list_cosine_similarity(c.cv, q.qv), 6),
+         |        c.cid) AS rn
+         |    FROM c CROSS JOIN q) t WHERE rn <= 4),
+         |iv AS (SELECT qid, vec_id FROM (
+         |    SELECT q.qid, a2.vec_id, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY round(1 - list_cosine_similarity(a2.v, q.qv), 6),
+         |        a2.vec_id) AS rn
+         |    FROM a2 JOIN pr USING (cid) JOIN q USING (qid)
+         |    WHERE a2.vec_id <> q.qid) t WHERE rn <= $K)
+         |SELECT ex.qid, count(iv.vec_id) AS hits,
+         |  round(count(iv.vec_id) / $K.0, 6) AS recall
+         |FROM ex LEFT JOIN iv ON iv.qid = ex.qid AND iv.vec_id = ex.vec_id
+         |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val q = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val asgn = e.crossJoin(broadcast(cents))
+        .withColumn("cdist",
+          round(cosine_distance(col("embedding"), col("cv")), 6))
+        .groupBy("vec_id")
+        .agg(expr("min_by(struct(embedding, cid), struct(cdist, cid))").as("m"))
+        .select(col("vec_id"), col("m.embedding").as("embedding"),
+          col("m.cid").as("cid"))
+      val wq = Window.partitionBy("qid")
+      val ex = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("dist",
+          round(cosine_distance(col("embedding"), col("qv")), 6))
+        .withColumn("rn", row_number().over(
+          wq.orderBy(col("dist"), col("vec_id"))))
+        .filter(col("rn") <= K).select("qid", "vec_id")
+      val pr = cents.crossJoin(broadcast(q))
+        .withColumn("qdist", round(cosine_distance(col("cv"), col("qv")), 6))
+        .withColumn("rn", row_number().over(
+          wq.orderBy(col("qdist"), col("cid"))))
+        .filter(col("rn") <= 4).select("qid", "cid")
+      val iv = asgn.join(broadcast(pr), "cid").join(broadcast(q), "qid")
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("dist",
+          round(cosine_distance(col("embedding"), col("qv")), 6))
+        .withColumn("rn", row_number().over(
+          wq.orderBy(col("dist"), col("vec_id"))))
+        .filter(col("rn") <= K)
+        .select(col("qid").as("iqid"), col("vec_id").as("ivec"))
+      ex.join(iv, col("iqid") === col("qid") && col("ivec") === col("vec_id"),
+          "left")
+        .groupBy("qid")
+        .agg(count(col("ivec")).as("hits"),
+          round(count(col("ivec")) / lit(K.toDouble), 6).as("recall"))
+        .orderBy("qid")
+    },
   )
 }

@@ -259,6 +259,75 @@ class Round8WaveSpec extends SparkTestBase {
     }
   }
 
+  // ---------------------------------------------------------- knn_recall
+
+  test("knn_recall: equals an end-to-end Scala recompute of both arms") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      r6(1.0 - dot / (na * nb))
+    }
+    val cents = vecs.filter(_._1 < 16)
+    val qs = vecs.filter(_._1 < 4)
+    val assign = vecs.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (cos(v, cv), cid) }.min._2
+    }.toMap
+    val expected = qs.map { case (qid, qv) =>
+      val exact = vecs.filter(_._1 != qid)
+        .map { case (id, v) => (cos(v, qv), id) }.sorted.take(5).map(_._2)
+      val probed = cents.map { case (cid, cv) => (cos(cv, qv), cid) }
+        .sorted.take(4).map(_._2).toSet
+      val ivf = vecs.filter { case (id, _) =>
+        id != qid && probed(assign(id))
+      }.map { case (id, v) => (cos(v, qv), id) }.sorted.take(5).map(_._2)
+      val hits = exact.toSet.intersect(ivf.toSet).size
+      (qid, hits.toLong, r6(hits / 5.0))
+    }.toSeq
+    val got = SparkEntry.queries("q_knn_recall")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("hits"),
+        r.getAs[Double]("recall"))).toSeq
+    assert(got === expected)
+    assert(got.forall { case (_, h, r) => h <= 5 && r >= 0 && r <= 1 })
+  }
+
+  // ---------------------------------------------------------- split_assign
+
+  test("split_assign: exhaustive, disjoint, hash-stable, ~80/10/10") {
+    val out = SparkEntry.queries("q_split_assign")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split")))
+    val total = Tables.documents(spark, sf).count()
+    assert(out.length.toLong === total, "split must be exhaustive")
+    assert(out.map(_._1).distinct.length === out.length, "and disjoint")
+    def h28(sx: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(sx.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(7), 16)
+    }
+    out.foreach { case (id, split) =>
+      val h = h28(s"split#$id")
+      val expected =
+        if (h < 214748365L) "train" else if (h < 241591910L) "val" else "test"
+      assert(split === expected, s"doc $id")
+    }
+    val frac = out.groupBy(_._2).view.mapValues(_.length.toDouble / out.length)
+    assert(math.abs(frac("train") - 0.8) < 0.06)
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.1) < 0.04)
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.1) < 0.04)
+  }
+
+  test("split_assign: scan-local — no exchange in the plan") {
+    val plan = SparkEntry.queries("q_split_assign")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!"Exchange hashpartitioning".r.findAllIn(plan).hasNext)
+  }
+
   // ---------------------------------------------------------- stream_ohlc
 
   test("stream_ohlc: equals the batch twin bar for bar") {
