@@ -43,7 +43,8 @@ object SparkEntry {
   def buildSteps: Seq[String] = Seq("q_knn_ivf_rule", "q_knn_ivf_rule_l2",
     "q_join_bucketed",
     "q_source_csv", "q_source_json", "q_source_orc", "q_schema_evolution",
-    "q_partition_pruned", "q_table_commit", "q_compaction_exec")
+    "q_partition_pruned", "q_table_commit", "q_compaction_exec",
+    "q_source_binary")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

@@ -145,5 +145,44 @@ object Sources {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
         .orderBy("h")
     },
+
+    // BINARY-FILE INGEST — the multimodal raw-bytes path: one file
+    // per document staged once (executor-side writes), read back via
+    // Spark's `binaryFile` source (path, length, content BINARY) —
+    // the same reader an image/audio corpus enters the engine
+    // through before the A2 decode seam (ml/MediaDecoder). The
+    // declared output fingerprints every blob (id parsed from the
+    // path, byte length, md5); the oracle computes the same
+    // fingerprints straight from the documents table, so a hash
+    // match proves the file round-trip is byte-lossless. Scale:
+    // binaryFile lists and splits files like any file source — the
+    // scan parallelizes per file, and a real corpus adds
+    // pathGlobFilter/recursiveFileLookup pruning before any byte is
+    // read (A1's recursive-scan semantics).
+    Q("q_source_binary",
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val dir = staged.computeIfAbsent(s"bin:$d", { _ =>
+        val out = Files.createTempDirectory("graft_src_bin").toString + "/docs"
+        Files.createDirectories(java.nio.file.Paths.get(out))
+        Tables.documents(s, d).select("doc_id", "text")
+          .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+            it.foreach { r =>
+              Files.write(
+                java.nio.file.Paths.get(out, s"doc_${r.getLong(0)}.txt"),
+                r.getString(1).getBytes("UTF-8"))
+            }
+          }
+        out
+      })
+      s.read.format("binaryFile").load(dir)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.txt$", 1).cast("long")
+            .as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("digest"))
+        .orderBy("doc_id")
+    },
   )
 }

@@ -328,6 +328,20 @@ class Round8WaveSpec extends SparkTestBase {
     assert(!"Exchange hashpartitioning".r.findAllIn(plan).hasNext)
   }
 
+  // ---------------------------------------------------------- source_binary
+
+  test("source_binary: byte-lossless round trip, one blob per document") {
+    val out = SparkEntry.queries("q_source_binary")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bytes"),
+        r.getAs[String]("digest")))
+    val expected = Tables.documents(spark, sf)
+      .select(col("doc_id"), octet_length(col("text")).cast("long"),
+        md5(col("text").cast("binary")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.sortBy(_._1) === expected.sortBy(_._1))
+  }
+
   // ---------------------------------------------------------- stream_ohlc
 
   test("stream_ohlc: equals the batch twin bar for bar") {
