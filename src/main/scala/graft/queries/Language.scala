@@ -39,7 +39,13 @@ object Language {
     // 1-row vocab size broadcasts. Per-term ln() runs on exact
     // BIGINT-ratio operands and is rounded to 6dp before the
     // DECIMAL(38,6) per-doc sum, so accumulation order cannot drift
-    // the score.
+    // the score. The per-doc MEAN is then rounded in EXACT INTEGER
+    // arithmetic — micro = floor((2·S + n) / (2n)) over the micro-
+    // unit sum S — because round(S/n, 6) of a small-denominator
+    // rational can land exactly on a decimal half, where Spark's
+    // HALF_UP and DuckDB's float round disagree (one doc in 5000 hit
+    // this at sf0.1; ties here round toward +inf by definition, in
+    // both engines, always).
     Q("q_lm_score",
       s"""WITH w AS (SELECT doc_id, $toksDuck AS w FROM documents),
          |inst AS (SELECT doc_id, unnest([{'x': w[i], 'y': w[i+1]}
@@ -52,9 +58,10 @@ object Language {
          |vs AS (SELECT count(*) AS v FROM uc)
          |SELECT bi.doc_id,
          |  count(*) AS n_big,
-         |  round(CAST(sum(CAST(round(ln((CAST(cxy AS DOUBLE) + 1) /
-         |      (CAST(cx AS DOUBLE) + v)), 6) AS DECIMAL(38,6)))
-         |    AS DOUBLE) / count(*), 6) AS lm_score
+         |  floor((2 * CAST(sum(CAST(round(ln((CAST(cxy AS DOUBLE) + 1) /
+         |        (CAST(cx AS DOUBLE) + v)), 6) AS DECIMAL(38,6)))
+         |      * 1000000 AS BIGINT) + count(*))
+         |    / (2.0 * count(*))) / 1000000.0 AS lm_score
          |FROM bi, vs, bc, uc
          |WHERE bc.x = bi.x AND bc.y = bi.y AND uc.t = bi.x
          |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin) { (s, d) =>
@@ -79,8 +86,9 @@ object Language {
             .cast(DecimalType(38, 6)))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_big"),
-          round(sum(col("lp")).cast("double") / count(lit(1)), 6)
-            .as("lm_score"))
+          (floor(((sum(col("lp")) * 1000000).cast("long") * 2 +
+            count(lit(1))) / (count(lit(1)).cast("double") * 2))
+            / 1000000.0).as("lm_score"))
         .orderBy("doc_id")
     },
 
