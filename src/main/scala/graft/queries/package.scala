@@ -20,6 +20,18 @@ package object queries {
   def dsumSql(expr: String): String =
     s"round(CAST(sum(CAST($expr AS DECIMAL(38,6))) AS DOUBLE), 6)"
 
+  /** MEAN-ROUNDING CAVEAT (round-8 lesson): `round(dsum / count, 6)`
+    * divides a scale-6 decimal by an arbitrary n, and the exact
+    * rational S/(n·10⁶) lands PRECISELY on a decimal half whenever
+    * 2·S·10⁶ ≡ n·10⁶ (mod 2n·10⁶) — a tie where Spark's exact
+    * HALF_UP and DuckDB's float round can disagree (q_lm_score hit 1
+    * doc in 5000 at sf0.1). For a NEW per-group mean, round in exact
+    * integer space instead: `floor((2·S_micro + n) / (2.0·n)) / 1e6`
+    * (ties toward +inf by definition, identical in both engines).
+    * Existing mean sites are pinned by the deterministic fixtures and
+    * verified at sf0.01 + sf0.1; prefer the integer form going
+    * forward. */
+
   /** HOF-materialization BARRIER: an exchange placed after an
     * expensive computed-array column so downstream lambdas read the
     * materialized value instead of re-evaluating the expression.
