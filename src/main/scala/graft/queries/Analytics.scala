@@ -172,8 +172,12 @@ object Analytics {
     // deterministic across engines, runs, and task retries (the
     // q_sample_hash discipline: never rand(); a re-released dataset
     // must not leak by noise re-draw, which is also why the salt is
-    // keyed to the release, not the row). Scale: ONE
-    // partial-aggregated groupBy; the noise projection is
+    // keyed to the release, not the row). THE SALT MUST BE SECRET in
+    // a real release — a public salt lets any consumer recompute and
+    // subtract the noise, voiding the ε guarantee — so it is
+    // conf-injected (`spark.graft.dp.salt`, the embedder-conf
+    // pattern); the oracle gate runs the documented default. Scale:
+    // ONE partial-aggregated groupBy; the noise projection is
     // group-count-sized.
     Q("q_dp_counts",
       s"""WITH g AS (SELECT lang, source, count(*) AS k FROM documents
@@ -185,8 +189,9 @@ object Analytics {
          |  round(k + (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
          |    * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS k_noisy
          |FROM u ORDER BY lang, source""".stripMargin) { (s, d) =>
+      val salt = s.conf.get("spark.graft.dp.salt", "dp1#")
       val u = (expr(h28(
-        "concat('dp1#', lang, '/', source)")) + lit(0.5)) / lit(268435456.0)
+        s"concat('$salt', lang, '/', source)")) + lit(0.5)) / lit(268435456.0)
       Tables.documents(s, d)
         .groupBy("lang", "source").agg(count(lit(1)).as("k"))
         .withColumn("u", u)
@@ -198,25 +203,39 @@ object Analytics {
         .orderBy("lang", "source")
     },
 
-    // RANK CALIBRATION — per-slice percent_rank of a per-document
+    // RANK CALIBRATION — per-slice percent rank of a per-document
     // score (here n_chars as the stand-in metric): maps raw scores
     // onto [0, 1] WITHIN each language so thresholds and mixture
     // weights compare across slices whose raw score distributions
     // differ (the cross-lingual quality-score calibration step; the
     // rank-normalization that makes "keep the top 30%" mean the same
-    // thing in every slice). Ties break on doc_id, so both engines'
-    // (rank-1)/(n-1) agree exactly. Scale: ONE slice-partitioned
-    // window — never partition-less; each slice sorts independently.
+    // thing in every slice). Ties break on doc_id (total order), and
+    // the 6dp rank ratio (rn−1)/(n−1) — a small-denominator rational
+    // that CAN land exactly on a decimal half — is rounded in EXACT
+    // INTEGER space (the package.scala mean-rounding caveat; ties
+    // toward +inf by definition in both engines), never via
+    // round(double). Scale: ONE slice-partitioned window — never
+    // partition-less; each slice sorts independently.
     Q("q_rank_calibrate",
-      """SELECT doc_id, lang, n_chars,
-        |  round(percent_rank() OVER (PARTITION BY lang
-        |    ORDER BY n_chars, doc_id), 6) AS calibrated
-        |FROM documents ORDER BY lang, n_chars, doc_id""".stripMargin) {
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |  CASE WHEN n = 1 THEN CAST(0.0 AS DOUBLE) ELSE
+        |    floor((2 * (rn - 1) * 1000000 + (n - 1)) / (2.0 * (n - 1)))
+        |      / 1000000.0 END AS calibrated
+        |FROM r ORDER BY lang, n_chars, doc_id""".stripMargin) {
       (s, d) =>
         val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
         Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"), col("n_chars"),
-            round(percent_rank().over(w), 6).as("calibrated"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+          .selectExpr("doc_id", "lang", "n_chars",
+            "CASE WHEN n = 1 THEN CAST(0.0 AS DOUBLE) ELSE " +
+              "floor((2 * (rn - 1) * 1000000 + (n - 1)) / (2.0 * (n - 1)))" +
+              " / 1000000.0 END AS calibrated")
           .orderBy("lang", "n_chars", "doc_id")
     },
   )

@@ -165,13 +165,23 @@ object Sources {
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       val dir = staged.computeIfAbsent(s"bin:$d", { _ =>
         val out = Files.createTempDirectory("graft_src_bin").toString + "/docs"
-        Files.createDirectories(java.nio.file.Paths.get(out))
+        // Executor-side writes go through the Hadoop FileSystem API
+        // (not java.nio): on a cluster `out` is a shared-FS URI and
+        // each task writes THERE, where the driver's binaryFile read
+        // will find the files — local java.nio writes would strand
+        // blobs on executor-local disks.
         Tables.documents(s, d).select("doc_id", "text")
           .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+            val fs = org.apache.hadoop.fs.FileSystem.get(
+              new java.net.URI(s"file://$out"),
+              new org.apache.hadoop.conf.Configuration())
             it.foreach { r =>
-              Files.write(
-                java.nio.file.Paths.get(out, s"doc_${r.getLong(0)}.txt"),
-                r.getString(1).getBytes("UTF-8"))
+              val p = new org.apache.hadoop.fs.Path(
+                out, s"doc_${r.getLong(0)}.txt")
+              val os = fs.create(p, true)
+              try os.write(Option(r.getString(1)).getOrElse("")
+                .getBytes("UTF-8"))
+              finally os.close()
             }
           }
         out

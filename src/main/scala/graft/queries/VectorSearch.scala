@@ -21,6 +21,14 @@ import graft.functions.GraftFunctions.{cosine_distance, l2_distance}
 object VectorSearch {
   private val K = 5 // reference default --k (cli.py:83)
 
+  /** ONE IVF configuration for the whole file: the codebook size and
+    * probe budget used by the index build (ensureIvfIndex), the
+    * inline IVF queries, AND the recall audit — shared so a budget
+    * change can never leave q_knn_recall silently measuring a
+    * different index than the one the engine deploys. */
+  private val IvfCells = 16
+  private val IvfProbes = 4
+
   /** Build-once IVF index for q_knn_ivf_rule: nearest-centroid
     * assignment written as a table PARTITIONED BY the cell id, plus
     * codebook registration in [[graft.plans.IvfIndex]]. An index
@@ -37,7 +45,7 @@ object VectorSearch {
       if (s.catalog.tableExists(tbl) &&
           graft.plans.IvfIndex.lookup(tbl).isDefined) return tbl
       val e = Tables.embeddings(s, d)
-      val cents = e.filter(col("vec_id") < 16)
+      val cents = e.filter(col("vec_id") < IvfCells)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       e.crossJoin(broadcast(cents))
         .withColumn("cdist", round(cosine_distance(col("embedding"), col("cv")), 6))
@@ -46,7 +54,7 @@ object VectorSearch {
         .select(col("vec_id"), col("m.label").as("label"),
           col("m.embedding").as("embedding"), col("m.cid").as("ivf_cell"))
         .write.mode("overwrite").partitionBy("ivf_cell").saveAsTable(tbl)
-      graft.plans.IvfIndex.register(tbl, probes = 4,
+      graft.plans.IvfIndex.register(tbl, probes = IvfProbes,
         centroids = cents.collect().map(r =>
           (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq)
       tbl
@@ -151,7 +159,7 @@ object VectorSearch {
     // both engines agree exactly on which).
     Q("q_knn_ivf",
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfCells),
          |asgn AS (SELECT vec_id, label, v, cid,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY
          |      round(1 - list_cosine_similarity(v, cv), 6), cid) AS rn
@@ -160,12 +168,12 @@ object VectorSearch {
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
          |probe AS (SELECT cid FROM c CROSS JOIN q
          |          ORDER BY round(1 - list_cosine_similarity(cv, qv), 6), cid
-         |          LIMIT 4)
+         |          LIMIT $IvfProbes)
          |SELECT vec_id, label, round(1 - list_cosine_similarity(v, qv), 6) AS dist
          |FROM a2 CROSS JOIN q WHERE cid IN (SELECT cid FROM probe)
          |ORDER BY dist, vec_id LIMIT $K""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
-      val cents = e.filter(col("vec_id") < 16)
+      val cents = e.filter(col("vec_id") < IvfCells)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       val qv = queryVec(s, d, 0)
       // argmin over the broadcast codebook via min_by on the rounded
@@ -179,7 +187,7 @@ object VectorSearch {
       val probes = cents.crossJoin(broadcast(qv))
         .select(col("cid"),
           round(cosine_distance(col("cv"), col("qvec")), 6).as("qdist"))
-        .orderBy(col("qdist"), col("cid")).limit(4)
+        .orderBy(col("qdist"), col("cid")).limit(IvfProbes)
       asgn.join(broadcast(probes.select("cid")), "cid")
         .crossJoin(broadcast(qv))
         .select(col("vec_id"), col("label"),
@@ -197,7 +205,7 @@ object VectorSearch {
     // Oracle: identical to q_knn_ivf (same assignment, same probes).
     Q("q_knn_ivf_rule",
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfCells),
          |asgn AS (SELECT vec_id, label, v, cid,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY
          |      round(1 - list_cosine_similarity(v, cv), 6), cid) AS rn
@@ -206,7 +214,7 @@ object VectorSearch {
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
          |probe AS (SELECT cid FROM c CROSS JOIN q
          |          ORDER BY round(1 - list_cosine_similarity(cv, qv), 6), cid
-         |          LIMIT 4)
+         |          LIMIT $IvfProbes)
          |SELECT vec_id, label, round(1 - list_cosine_similarity(v, qv), 6) AS dist
          |FROM a2 CROSS JOIN q WHERE cid IN (SELECT cid FROM probe)
          |ORDER BY dist, vec_id LIMIT $K""".stripMargin) { (s, d) =>
@@ -234,7 +242,7 @@ object VectorSearch {
     // L2 final distances.
     Q("q_knn_ivf_rule_l2",
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfCells),
          |asgn AS (SELECT vec_id, label, v, cid,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY
          |      round(1 - list_cosine_similarity(v, cv), 6), cid) AS rn
@@ -243,7 +251,7 @@ object VectorSearch {
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
          |probe AS (SELECT cid FROM c CROSS JOIN q
          |          ORDER BY round(list_distance(cv, qv), 6), cid
-         |          LIMIT 4)
+         |          LIMIT $IvfProbes)
          |SELECT vec_id, label, round(list_distance(v, qv), 6) AS dist
          |FROM a2 CROSS JOIN q WHERE cid IN (SELECT cid FROM probe)
          |ORDER BY dist, vec_id LIMIT $K""".stripMargin) { (s, d) =>
@@ -274,7 +282,7 @@ object VectorSearch {
     // PQ tradeoff — both engines agree exactly on codes and sums.
     Q("q_knn_pq",
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfCells),
          |ms AS (SELECT unnest(range(8)) AS m),
          |codes AS (SELECT c.cid, ms.m, c.cv[ms.m*8+1 : ms.m*8+8] AS cs
          |          FROM c CROSS JOIN ms),
@@ -297,7 +305,7 @@ object VectorSearch {
       import org.apache.spark.sql.types.DecimalType
       val ed = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val codes = ed.filter(col("vec_id") < 16)
+      val codes = ed.filter(col("vec_id") < IvfCells)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
         .select(col("cid"), explode(expr("sequence(0, 7)")).as("m"), col("cv"))
         .select(col("cid"), col("m"), expr("slice(cv, m*8+1, 8)").as("cs"))
@@ -401,7 +409,7 @@ object VectorSearch {
     // arm's, paid once per index build/refresh, not per search.
     Q("q_knn_recall",
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfCells),
          |asgn AS (SELECT vec_id, v, cid,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY
          |      round(1 - list_cosine_similarity(v, cv), 6), cid) AS rn
@@ -417,7 +425,7 @@ object VectorSearch {
          |    SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
          |      ORDER BY round(1 - list_cosine_similarity(c.cv, q.qv), 6),
          |        c.cid) AS rn
-         |    FROM c CROSS JOIN q) t WHERE rn <= 4),
+         |    FROM c CROSS JOIN q) t WHERE rn <= $IvfProbes),
          |iv AS (SELECT qid, vec_id FROM (
          |    SELECT q.qid, a2.vec_id, row_number() OVER (PARTITION BY q.qid
          |      ORDER BY round(1 - list_cosine_similarity(a2.v, q.qv), 6),
@@ -430,7 +438,7 @@ object VectorSearch {
          |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
-      val cents = e.filter(col("vec_id") < 16)
+      val cents = e.filter(col("vec_id") < IvfCells)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       val q = e.filter(col("vec_id") < 4)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -453,7 +461,7 @@ object VectorSearch {
         .withColumn("qdist", round(cosine_distance(col("cv"), col("qv")), 6))
         .withColumn("rn", row_number().over(
           wq.orderBy(col("qdist"), col("cid"))))
-        .filter(col("rn") <= 4).select("qid", "cid")
+        .filter(col("rn") <= IvfProbes).select("qid", "cid")
       val iv = asgn.join(broadcast(pr), "cid").join(broadcast(q), "qid")
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("dist",

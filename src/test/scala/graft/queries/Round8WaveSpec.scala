@@ -12,6 +12,14 @@ class Round8WaveSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
+  /** Test-side mirror of TextKit.h28 (first 7 md5 hex chars as a
+    * 28-bit int) — ONE definition for every hash-contract check. */
+  private def h28(sx: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(sx.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(7), 16)
+  }
+
   private def events: Array[(Long, java.sql.Timestamp, String, Double)] =
     Tables.events(spark, sf)
       .select("event_id", "ts", "event_type", "value").collect()
@@ -221,11 +229,6 @@ class Round8WaveSpec extends SparkTestBase {
       .groupBy("lang", "source").count().collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(out.length === truth.size)
-    def h28(sx: String): Long = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(sx.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.take(7), 16)
-    }
     var nonzero = 0
     out.foreach { r =>
       val key = (r.getAs[String]("lang"), r.getAs[String]("source"))
@@ -251,8 +254,11 @@ class Round8WaveSpec extends SparkTestBase {
       val sorted = rows.sortBy(r => (r._3, r._2))
       val n = sorted.length
       sorted.zipWithIndex.foreach { case ((_, _, _, c), i) =>
-        val expected =
-          if (n == 1) 0.0 else math.rint(i.toDouble / (n - 1) * 1e6) / 1e6
+        // The op's definition: 6dp half-up-toward-+inf of i/(n-1),
+        // computed in exact integer space (no double rounding).
+        val expected = if (n == 1) 0.0
+        else math.floor((2L * i * 1000000 + (n - 1)) /
+          (2.0 * (n - 1))) / 1e6
         assert(c === expected, s"$lang rank $i")
       }
       assert(sorted.head._4 === 0.0 && (n == 1 || sorted.last._4 === 1.0))
@@ -305,11 +311,6 @@ class Round8WaveSpec extends SparkTestBase {
     val total = Tables.documents(spark, sf).count()
     assert(out.length.toLong === total, "split must be exhaustive")
     assert(out.map(_._1).distinct.length === out.length, "and disjoint")
-    def h28(sx: String): Long = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(sx.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.take(7), 16)
-    }
     out.foreach { case (id, split) =>
       val h = h28(s"split#$id")
       val expected =
