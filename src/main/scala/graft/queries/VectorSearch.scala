@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.functions.GraftFunctions.{cosine_distance, l2_distance}
 
@@ -476,6 +477,52 @@ object VectorSearch {
         .agg(count(col("ivec")).as("hits"),
           round(count(col("ivec")) / lit(K.toDouble), 6).as("recall"))
         .orderBy("qid")
+    },
+
+    // MAXSIM LATE-INTERACTION RETRIEVAL — ColBERT-style scoring:
+    // the query is a SET of vectors (the 4-vector batch set) and
+    // each document is a SET of vectors (vec_id groups of 10);
+    // score(doc) = Σ over query vectors of the best match inside
+    // the doc — token-level interaction that single-vector kNN
+    // (A8-A12) collapses away. Stated distance-side for exactness:
+    // maximizing Σ max-sim ⇔ minimizing Σ min-dist, so the score is
+    // |Q| − Σ_q min_v round(dist, 6) — pure 6dp-decimal arithmetic
+    // after the kernel, hash-exact at any accumulation order.
+    // Scale: ONE scan against the broadcast query set; min folds
+    // partial-aggregated on (doc, qvec) — |docs|·|Q| rows after the
+    // map-side combine, never vector-pair-sized; the doc score is a
+    // second |docs|-keyed partial aggregate; top-10 is
+    // TakeOrderedAndProject. At 100 TB the same plan rides the IVF
+    // cell pruning (probe cells per query vector, union, then this
+    // exact rescore — the candidate-generation stage is A8's).
+    Q("q_maxsim",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+        |             vec_id // 10 AS gid FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4),
+        |sim AS (SELECT gid, qid,
+        |    min(round(1 - list_cosine_similarity(v, qv), 6)) AS md
+        |  FROM e CROSS JOIN q WHERE gid > 0 GROUP BY gid, qid),
+        |sc AS (SELECT gid,
+        |    CAST(4 - sum(CAST(md AS DECIMAL(38,6))) AS DOUBLE) AS score
+        |  FROM sim GROUP BY gid)
+        |SELECT gid, round(score, 6) AS score FROM sc
+        |ORDER BY score DESC, gid LIMIT 10""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          (col("vec_id") / 10).cast("long").as("gid"))
+      val q = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      e.filter(col("gid") > 0)
+        .crossJoin(broadcast(q))
+        .select(col("gid"), col("qid"),
+          round(cosine_distance(col("embedding"), col("qv")), 6).as("dist"))
+        .groupBy("gid", "qid").agg(min("dist").as("md"))
+        .groupBy("gid")
+        .agg((lit(4) - sum(col("md").cast(DecimalType(38, 6))))
+          .cast("double").as("score"))
+        .select(col("gid"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("gid"))
+        .limit(10)
     },
   )
 }

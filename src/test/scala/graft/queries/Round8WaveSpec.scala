@@ -303,6 +303,35 @@ class Round8WaveSpec extends SparkTestBase {
     assert(got.forall { case (_, h, r) => h <= 5 && r >= 0 && r <= 1 })
   }
 
+  // ---------------------------------------------------------- maxsim
+
+  test("maxsim: equals the Scala late-interaction recompute") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dist(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      r6(1.0 - dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum)))
+    }
+    val qs = vecs.filter(_._1 < 4)
+    val expected = vecs.filter(_._1 >= 10).groupBy(_._1 / 10)
+      .map { case (gid, dvs) =>
+        val mds = qs.map { case (_, qv) =>
+          BigDecimal(dvs.map(dv => dist(dv._2, qv)).min)
+        }
+        gid -> (BigDecimal(4) - mds.sum).toDouble
+      }.toSeq.sortBy { case (g, sc) => (-sc, g) }.take(10)
+    val got = SparkEntry.queries("q_maxsim")(spark, sf).collect()
+      .map(r => r.getAs[Long]("gid") -> r.getAs[Double]("score")).toSeq
+    assert(got === expected)
+    // A document containing a query vector verbatim would score 4.0;
+    // disjoint groups must stay strictly below the ceiling.
+    assert(got.forall(_._2 < 4.0))
+  }
+
   // ---------------------------------------------------------- split_assign
 
   test("split_assign: exhaustive, disjoint, hash-stable, ~80/10/10") {
