@@ -224,7 +224,8 @@ object Analytics {
         |  FROM documents)
         |SELECT doc_id, lang, n_chars,
         |  CASE WHEN n = 1 THEN CAST(0.0 AS DOUBLE) ELSE
-        |    floor((2 * (rn - 1) * 1000000 + (n - 1)) / (2.0 * (n - 1)))
+        |    floor((2 * (CAST(rn AS BIGINT) - 1) * 1000000 + (n - 1))
+        |          / (2.0 * (n - 1)))
         |      / 1000000.0 END AS calibrated
         |FROM r ORDER BY lang, n_chars, doc_id""".stripMargin) {
       (s, d) =>
@@ -234,8 +235,8 @@ object Analytics {
           .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
           .selectExpr("doc_id", "lang", "n_chars",
             "CASE WHEN n = 1 THEN CAST(0.0 AS DOUBLE) ELSE " +
-              "floor((2 * (rn - 1) * 1000000 + (n - 1)) / (2.0 * (n - 1)))" +
-              " / 1000000.0 END AS calibrated")
+              "floor((2 * (CAST(rn AS BIGINT) - 1) * 1000000 + (n - 1))" +
+              " / (2.0 * (n - 1))) / 1000000.0 END AS calibrated")
           .orderBy("lang", "n_chars", "doc_id")
     },
   )
