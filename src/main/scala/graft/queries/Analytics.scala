@@ -33,11 +33,13 @@ object Analytics {
     * event_id identically in both engines. */
   private val kDuck =
     "lpad((floor(epoch(ts))::BIGINT)::VARCHAR, 12, '0') || '#' || " +
-      "lpad(event_id::VARCHAR, 12, '0')"
+      "lpad(event_id::VARCHAR, 20, '0')"
 
+  // id pads to 20 (BIGINT max is 19 digits): a 12-char pad would
+  // TRUNCATE snowflake-scale ids and silently break the total order.
   private[queries] def ohlcKey: org.apache.spark.sql.Column = concat(
     lpad(unix_timestamp(col("ts")).cast("string"), 12, "0"), lit("#"),
-    lpad(col("event_id").cast("string"), 12, "0"))
+    lpad(col("event_id").cast("string"), 20, "0"))
 
   private[queries] val ohlcSql: String =
     s"""WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
