@@ -204,5 +204,36 @@ object Language {
         .select(col("lang"), col("nl").as("n_tokens"), col("kl"))
         .orderBy("lang")
     },
+
+    // TRAINING-TENSOR ENCODE — the last step before shards: each
+    // document becomes a FIXED-LENGTH id sequence (truncate to 32
+    // tokens, right-pad with id 0), with token ids from a salted
+    // 32767-way vocabulary hash (+1 so 0 stays the padding id) —
+    // the corpus-scale declared form of the hash tokenizer the
+    // inference seam uses per partition (ml/Embedders'
+    // OnnxTextEmbedder.tokenize: same truncate/pad/hash-vocab
+    // shape). Rows are (doc_id, pos, id) — the flat layout of an
+    // (n_docs × 32) id tensor, which is what q_export_shards/
+    // q_pack_sequences consume. Scale: tokenize once (barrier),
+    // then a scan-local 32-row position explode + hash projection —
+    // zero pre-sort shuffles, no state; the tensor never exists as
+    // a driver-side object.
+    Q("q_encode_ids",
+      s"""WITH w AS (SELECT doc_id, $toksDuck AS w FROM documents)
+         |SELECT doc_id, t.i AS pos,
+         |  CASE WHEN t.i < least(len(w), 32)
+         |    THEN ${h28Duck("'tok#' || w[CAST(t.i AS INT) + 1]")} % 32767 + 1
+         |    ELSE 0 END AS id
+         |FROM w, UNNEST(generate_series(0, 31)) AS t(i)
+         |ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+      barrier(Tables.documents(s, d).withColumn("w", expr(toks)))
+        .select(col("doc_id"), col("w"),
+          explode(expr("sequence(0, 31)")).as("pos"))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          when(col("pos") < least(size(col("w")), lit(32)),
+            expr(h28("concat('tok#', element_at(w, pos + 1))")) % 32767 + 1)
+            .otherwise(lit(0L)).as("id"))
+        .orderBy("doc_id", "pos")
+    },
   )
 }

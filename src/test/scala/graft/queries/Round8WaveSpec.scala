@@ -303,6 +303,38 @@ class Round8WaveSpec extends SparkTestBase {
     assert(got.forall { case (_, h, r) => h <= 5 && r >= 0 && r <= 1 })
   }
 
+  // ---------------------------------------------------------- encode_ids
+
+  test("encode_ids: exact truncate/pad/hash-vocab tensor layout") {
+    val out = SparkEntry.queries("q_encode_ids")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"),
+        r.getAs[Long]("id")))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty))
+    assert(out.length === docs.length * 32, "every doc emits exactly 32 slots")
+    val byDoc = out.groupBy(_._1)
+    docs.foreach { case (id, toks) =>
+      val row = byDoc(id).sortBy(_._2).map(_._3)
+      assert(row.length === 32)
+      val real = math.min(toks.length, 32)
+      row.zipWithIndex.foreach { case (v, i) =>
+        val expected =
+          if (i < real) h28(s"tok#${toks(i)}") % 32767 + 1 else 0L
+        assert(v === expected, s"doc $id pos $i")
+      }
+      // padding id 0 is reserved: no real token may collide into it
+      assert(row.take(real).forall(_ > 0))
+    }
+  }
+
+  test("encode_ids: scan-local — no key exchange in the plan") {
+    val plan = SparkEntry.queries("q_encode_ids")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!"Exchange hashpartitioning".r.findAllIn(plan).hasNext,
+      "tensor encoding must not shuffle on a key")
+  }
+
   // ---------------------------------------------------------- maxsim
 
   test("maxsim: equals the Scala late-interaction recompute") {
