@@ -31,7 +31,9 @@ object Explain {
     "q_ohlc_resample", "q_group_regression", "q_kanon_audit",
     "q_butterfly", "q_kl_drift", "q_tfidf_pairs", "q_vector_pca",
     "q_dp_counts", "q_rank_calibrate", "q_knn_recall", "q_split_assign",
-    "q_source_binary", "q_maxsim", "q_encode_ids")
+    "q_source_binary", "q_maxsim", "q_encode_ids",
+    // round-8 third wave
+    "q_abtest", "q_chi2_indep", "q_markov_transitions")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

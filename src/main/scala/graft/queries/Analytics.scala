@@ -241,5 +241,122 @@ object Analytics {
               " / (2.0 * (n - 1))) / 1000000.0 END AS calibrated")
           .orderBy("lang", "n_chars", "doc_id")
     },
+
+    // A/B TEST READOUT — per event_type variant comparison under a
+    // deterministic 50/50 user split (h28 of the salted user_id, the
+    // q_split_assign discipline: membership is reproducible across
+    // runs, engines, and task retries — never rand()). Reports both
+    // arms' n/mean, the relative lift, and the Welch t statistic
+    // (unequal-variance form: σ²A/nA + σ²B/nB — pooling would assume
+    // the treatment didn't change the variance, which is exactly
+    // what's under test). Per-row values round to 6dp, moment sums
+    // accumulate in exact DECIMAL (dsum), and every post-aggregation
+    // expression is SQL text shared verbatim with the oracle, so the
+    // double operand chain is identical in both engines. Guards keep
+    // degenerate arms (n<2, zero variance, zero control mean) NULL
+    // instead of throwing under Spark's ANSI division.
+    // Scale: ONE partial-aggregated groupBy over the event scan —
+    // the conditional aggregates fold both arms in a single pass
+    // (no per-variant subqueries, no join, no window).
+    Q("q_abtest",
+      s"""WITH e AS (SELECT event_type,
+         |    CASE WHEN ${h28Duck("'ab1#' || user_id")} % 2 = 0
+         |      THEN 'A' ELSE 'B' END AS variant,
+         |    round(value, 6) AS y FROM events),
+         |m AS (SELECT event_type,
+         |    count(CASE WHEN variant = 'A' THEN 1 END) AS na,
+         |    count(CASE WHEN variant = 'B' THEN 1 END) AS nb,
+         |    ${dsumSql("CASE WHEN variant = 'A' THEN y END")} AS sa,
+         |    ${dsumSql("CASE WHEN variant = 'B' THEN y END")} AS sb,
+         |    ${dsumSql("CASE WHEN variant = 'A' THEN round(y * y, 6) END")} AS qa,
+         |    ${dsumSql("CASE WHEN variant = 'B' THEN round(y * y, 6) END")} AS qb
+         |  FROM e GROUP BY event_type)
+         |SELECT event_type, na, nb,
+         |  CASE WHEN na = 0 THEN NULL ELSE round(sa / na, 6) END AS mean_a,
+         |  CASE WHEN nb = 0 THEN NULL ELSE round(sb / nb, 6) END AS mean_b,
+         |  CASE WHEN na = 0 OR nb = 0 OR sa / na = 0 THEN NULL ELSE
+         |    round((sb / nb - sa / na) / (sa / na), 6) END AS lift,
+         |  CASE WHEN na < 2 OR nb < 2
+         |         OR (qa - sa * sa / na) / (na - 1) / na
+         |            + (qb - sb * sb / nb) / (nb - 1) / nb <= 0 THEN NULL
+         |  ELSE round((sb / nb - sa / na)
+         |    / sqrt((qa - sa * sa / na) / (na - 1) / na
+         |           + (qb - sb * sb / nb) / (nb - 1) / nb), 6) END AS t_welch
+         |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select(col("event_type"),
+        when(expr(h28("concat('ab1#', CAST(user_id AS STRING))")) % 2 === 0,
+          "A").otherwise("B").as("variant"),
+        round(col("value"), 6).as("y"))
+      val m = e.groupBy("event_type").agg(
+        count(when(col("variant") === "A", 1)).as("na"),
+        count(when(col("variant") === "B", 1)).as("nb"),
+        dsum(when(col("variant") === "A", col("y"))).as("sa"),
+        dsum(when(col("variant") === "B", col("y"))).as("sb"),
+        dsum(when(col("variant") === "A", round(col("y") * col("y"), 6)))
+          .as("qa"),
+        dsum(when(col("variant") === "B", round(col("y") * col("y"), 6)))
+          .as("qb"))
+      m.selectExpr("event_type", "na", "nb",
+        "CASE WHEN na = 0 THEN NULL ELSE round(sa / na, 6) END AS mean_a",
+        "CASE WHEN nb = 0 THEN NULL ELSE round(sb / nb, 6) END AS mean_b",
+        "CASE WHEN na = 0 OR nb = 0 OR sa / na = 0 THEN NULL ELSE " +
+          "round((sb / nb - sa / na) / (sa / na), 6) END AS lift",
+        "CASE WHEN na < 2 OR nb < 2 " +
+          "OR (qa - sa * sa / na) / (na - 1) / na" +
+          " + (qb - sb * sb / nb) / (nb - 1) / nb <= 0 THEN NULL " +
+          "ELSE round((sb / nb - sa / na) " +
+          "/ sqrt((qa - sa * sa / na) / (na - 1) / na" +
+          " + (qb - sb * sb / nb) / (nb - 1) / nb), 6) END AS t_welch")
+        .orderBy("event_type")
+    },
+
+    // CHI-SQUARE INDEPENDENCE — the lang × source contingency table
+    // with each cell's expected count and χ² contribution: the
+    // dataset-balance audit that answers "is source coverage
+    // independent of language, and which cells drive the skew" (the
+    // feature-selection / stratification-check primitive; a large
+    // contribution pinpoints the over/under-represented slice to fix
+    // before mixture weighting). Expected = rt·ct/N computed in
+    // DOUBLE (a BIGINT product would overflow once rt·ct passes 2⁶³ —
+    // reachable at 100 TB row counts; the double chain is the same
+    // IEEE ops in both engines, so it stays bit-identical at any
+    // magnitude); the contribution reuses the same unrounded
+    // expression (rounding expected first would corrupt it).
+    // Scale: ONE partial-aggregated groupBy folds the corpus to the
+    // |lang|×|source| cell frame; the row/column/grand totals are
+    // aggregates OF THAT FRAME (never a second corpus scan) and
+    // BROADCAST back onto it — at 100 TB the only data-sized
+    // exchange is the first groupBy's hash.
+    Q("q_chi2_indep",
+      """WITH c AS (SELECT lang, source, count(*) AS o FROM documents
+        |           GROUP BY lang, source),
+        |r AS (SELECT lang, sum(o) AS rt FROM c GROUP BY lang),
+        |s AS (SELECT source, sum(o) AS ct FROM c GROUP BY source),
+        |n AS (SELECT sum(o) AS n FROM c)
+        |SELECT c.lang, c.source, o,
+        |  round(CAST(rt AS DOUBLE) * ct / n, 6) AS expected,
+        |  round((o - CAST(rt AS DOUBLE) * ct / n)
+        |      * (o - CAST(rt AS DOUBLE) * ct / n)
+        |      / (CAST(rt AS DOUBLE) * ct / n), 6) AS contrib
+        |FROM c JOIN r USING (lang) JOIN s USING (source) CROSS JOIN n
+        |ORDER BY lang, source""".stripMargin) { (s, d) =>
+      // Cell frame is |lang|×|source|-sized; localCheckpoint pins it
+      // so the three total branches read it instead of re-scanning
+      // the corpus.
+      val c = Tables.documents(s, d)
+        .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+        .localCheckpoint(eager = false)
+      val r = c.groupBy("lang").agg(sum("o").as("rt"))
+      val sc = c.groupBy("source").agg(sum("o").as("ct"))
+      val n = c.agg(sum("o").as("n"))
+      c.join(broadcast(r), "lang").join(broadcast(sc), "source")
+        .crossJoin(broadcast(n))
+        .selectExpr("lang", "source", "o",
+          "round(CAST(rt AS DOUBLE) * ct / n, 6) AS expected",
+          "round((o - CAST(rt AS DOUBLE) * ct / n)" +
+            " * (o - CAST(rt AS DOUBLE) * ct / n)" +
+            " / (CAST(rt AS DOUBLE) * ct / n), 6) AS contrib")
+        .orderBy("lang", "source")
+    },
   )
 }

@@ -244,5 +244,54 @@ object TimeSeries {
         .selectExpr("event_id", "user_id", "round(value, 6) AS value", "z")
         .orderBy("event_id")
     },
+
+    // MARKOV TRANSITION MATRIX — per-user event sequences folded into
+    // the first-order behavior model P(next event type | current):
+    // the path-mining summary behind "what do users do after X"
+    // product analytics and behavior-sequence training-data audits
+    // (q_funnel checks ONE prescribed path; this measures ALL
+    // observed one-step paths). Sequence order is (ts, event_id) —
+    // event_id is unique, so the successor pick is a total order both
+    // engines resolve identically. The probability cnt/total is a
+    // small-denominator rational that CAN land exactly on a decimal
+    // half, so it rounds in EXACT INTEGER space (the package.scala
+    // mean-rounding caveat), never via round(double).
+    // Scale: ONE user-keyed shuffle for the lead() window (never
+    // partition-less), then a partial-aggregated pair count whose
+    // output is |event_type|²-sized; the per-source totals frame is
+    // smaller still and BROADCASTS back onto it — at 100 TB the only
+    // data-sized exchange is the window's user hash.
+    Q("q_markov_transitions",
+      """WITH s AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt
+        |  FROM events),
+        |p AS (SELECT event_type AS src, nxt AS dst, count(*) AS cnt
+        |      FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS total
+        |      FROM p GROUP BY 1)
+        |SELECT p.src, p.dst, cnt, total,
+        |  CAST(floor((2 * cnt * 1000000 + total) / (2.0 * total))
+        |    / 1000000.0 AS DOUBLE) AS prob
+        |FROM p JOIN t USING (src) ORDER BY src, dst""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        // The pair frame is |event_type|²-sized; localCheckpoint pins
+        // it so the totals branch reuses it instead of re-running the
+        // event-sized window pass (the q_pagerank loop discipline).
+        val pairs = Tables.events(s, d)
+          .withColumn("nxt", lead(col("event_type"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(eager = false)
+        val totals = pairs.groupBy("src")
+          .agg(sum("cnt").cast("long").as("total"))
+        pairs.join(broadcast(totals), "src")
+          .selectExpr("src", "dst", "cnt", "total",
+            "CAST(floor((2 * cnt * 1000000 + total) / (2.0 * total))" +
+              " / 1000000.0 AS DOUBLE) AS prob")
+          .orderBy("src", "dst")
+    },
   )
 }
