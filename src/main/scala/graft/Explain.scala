@@ -33,7 +33,8 @@ object Explain {
     "q_dp_counts", "q_rank_calibrate", "q_knn_recall", "q_split_assign",
     "q_source_binary", "q_maxsim", "q_encode_ids",
     // round-8 third wave
-    "q_abtest", "q_chi2_indep", "q_markov_transitions")
+    "q_abtest", "q_chi2_indep", "q_markov_transitions",
+    "q_attribution", "q_changepoint", "q_random_projection")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

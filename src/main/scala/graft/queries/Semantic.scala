@@ -342,6 +342,59 @@ object Semantic {
         .select(col("pos").cast("long").as("pos"), col("loading"))
         .orderBy("pos")
     },
+
+    // RANDOM PROJECTION — Johnson-Lindenstrauss sketch: every
+    // embedding → 16 dims via a ±1 sign matrix (Achlioptas 2001's
+    // database-friendly JL: signs, not gaussians), the cheap
+    // front-end that makes downstream LSH/dedup/clustering pay
+    // 16-wide instead of 64-wide per comparison while preserving
+    // pairwise distances to within JL tolerance. The sign matrix is
+    // HASH-DERIVED (md5 of 'rp#j/d' — the salted-hash discipline:
+    // reproducible across engines, runs, and retries; never rand()),
+    // materialized driver-side as 16 literal arrays into the plan,
+    // so the projection is 16 scan-local zip_with/aggregate folds —
+    // per-term round(x,6)·s is exact at 6dp and the fold accumulates
+    // in DECIMAL (dsum discipline), so the sum is associative and
+    // partition-order-free. Scale: ZERO data exchanges — the only
+    // exchange is the presentation sort; at 100 TB the projection
+    // rides the corpus scan (the oracle restates the fold as an
+    // unnest + sign-table join, same arithmetic).
+    Q("q_random_projection",
+      """WITH s AS (SELECT j, d,
+        |    (('0x' || substr(md5('rp#' || j || '/' || d), 1, 7))::BIGINT
+        |      % 2) * 2 - 1 AS sgn
+        |  FROM UNNEST(generate_series(0, 15)) AS tj(j),
+        |       UNNEST(generate_series(0, 63)) AS td(d)),
+        |e AS (SELECT vec_id, t.i AS d,
+        |    round(CAST(embedding[t.i + 1] AS DOUBLE), 6) AS x
+        |  FROM embeddings,
+        |       UNNEST(generate_series(0, len(embedding) - 1)) AS t(i))
+        |SELECT e.vec_id, CAST(s.j AS INT) AS j,
+        |  round(CAST(sum(CAST(x * sgn AS DECIMAL(38,6))) AS DOUBLE), 6)
+        |    AS proj
+        |FROM e JOIN s USING (d)
+        |GROUP BY e.vec_id, s.j
+        |ORDER BY vec_id, j""".stripMargin) { (s, dir) =>
+      val projs = (0 until 16).map { j =>
+        val signs = (0 until 64).map { dd =>
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"rp#$j/$dd".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          (java.lang.Long.parseLong(hex.take(7), 16) % 2) * 2 - 1
+        }
+        expr(
+          s"""round(CAST(aggregate(
+             |  zip_with(CAST(embedding AS ARRAY<DOUBLE>),
+             |    array(${signs.mkString(", ")}),
+             |    (x, s) -> CAST(round(x, 6) * s AS DECIMAL(38,6))),
+             |  CAST(0 AS DECIMAL(38,6)), (a, v) -> a + v)
+             |AS DOUBLE), 6)""".stripMargin)
+      }
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(array(projs: _*))
+          .as(Seq("j", "proj")))
+        .orderBy("vec_id", "j")
+    },
   )
 
   /** Chained-CTE oracle for the fixed-unroll power iteration: the

@@ -293,5 +293,116 @@ object TimeSeries {
               " / 1000000.0 AS DOUBLE) AS prob")
           .orderBy("src", "dst")
     },
+
+    // MARKETING ATTRIBUTION — each purchase credits the user's first
+    // and last marketing touch (click/view) STRICTLY BEFORE it; the
+    // output is the first-touch × last-touch conversion matrix (its
+    // margins are the two classic attribution reports; '(none)' =
+    // organic conversions with no prior touch). q_join_asof picks one
+    // nearest event by range join; this is the running-state form —
+    // both attribution models fall out of ONE ordered pass.
+    // Sequence order is (ts, event_id), a total order both engines
+    // resolve identically; the 1-PRECEDING frame bound excludes the
+    // conversion row itself (a purchase is not its own touch).
+    // Scale: ONE user-keyed shuffle feeds both window functions
+    // (same partition spec — a single exchange, even though Spark
+    // plans first/last as two Window operators over it), then a
+    // partial-aggregated count to a ≤(|touch|+1)²-sized matrix.
+    // No joins.
+    Q("q_attribution",
+      """WITH x AS (SELECT user_id, event_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN event_type IN ('click', 'view') THEN event_type
+        |    END AS touch FROM events),
+        |a AS (SELECT event_type,
+        |    first_value(touch IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft,
+        |    last_value(touch IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+        |  FROM x)
+        |SELECT coalesce(ft, '(none)') AS first_touch,
+        |  coalesce(lt, '(none)') AS last_touch, count(*) AS conversions
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type").isin("click", "view"),
+        col("event_type"))
+      Tables.events(s, d)
+        .withColumn("ft", first(touch, ignoreNulls = true).over(w))
+        .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("ft"), lit("(none)")).as("first_touch"),
+          coalesce(col("lt"), lit("(none)")).as("last_touch"))
+        .agg(count(lit(1)).as("conversions"))
+        .orderBy("first_touch", "last_touch")
+    },
+
+    // CUSUM CHANGE-POINT — per event_type, the day where the
+    // cumulative sum of (daily mean − overall mean) peaks in
+    // magnitude: the classic single-change-point locator for "when
+    // did this metric's level shift" (data-drift dating for a corpus
+    // feed; q_ts_anomaly flags outlier EVENTS, this dates a LEVEL
+    // change). All means are 6dp micro-unit BIGINTs rounded in exact
+    // integer space (per-row values round to micros BEFORE the exact
+    // integer daily sums — the dsum discipline in integer form), so
+    // the CUSUM walk and its argmax are exact integer arithmetic in
+    // both engines; ties on |cusum| break to the earliest day.
+    // The (2·S + n)/(2·n) half-up division stays double-exact while
+    // 2·S < 2⁵³ micro-units (≈4.5e9 value-units per type-day) —
+    // beyond that, swap to BIGINT DIV. Scale: ONE partial-aggregated
+    // groupBy folds events to the type×day frame (localCheckpoint —
+    // no second corpus scan); everything after is day-count-sized:
+    // broadcast grand-mean join, type-partitioned windows.
+    Q("q_changepoint",
+      """WITH v AS (SELECT event_type,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(round(value * 1000000) AS BIGINT) AS y6 FROM events),
+        |d AS (SELECT event_type, day, CAST(sum(y6) AS BIGINT) AS s,
+        |      count(*) AS n FROM v GROUP BY 1, 2),
+        |g AS (SELECT event_type, CAST(sum(s) AS BIGINT) AS st,
+        |      CAST(sum(n) AS BIGINT) AS nt FROM d GROUP BY 1),
+        |m AS (SELECT d.event_type, day,
+        |    CAST(floor((2 * s + n) / (2.0 * n)) AS BIGINT) AS m6,
+        |    CAST(floor((2 * st + nt) / (2.0 * nt)) AS BIGINT) AS mu6
+        |  FROM d JOIN g USING (event_type)),
+        |c AS (SELECT event_type, day,
+        |    CAST(sum(m6 - mu6) OVER (PARTITION BY event_type
+        |      ORDER BY day) AS BIGINT) AS cusum6 FROM m),
+        |r AS (SELECT event_type, day, cusum6,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(cusum6) DESC, day) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n_days FROM c)
+        |SELECT event_type, day AS cp_day,
+        |  CAST(cusum6 / 1000000.0 AS DOUBLE) AS cusum, n_days
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      val v = Tables.events(s, d).select(col("event_type"),
+        col("ts").cast("date").as("day"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("y6"))
+      // type×day frame; localCheckpoint pins it so the grand-total
+      // branch reads it instead of re-scanning events (chi2 pattern).
+      val dd = v.groupBy("event_type", "day")
+        .agg(sum("y6").as("s"), count(lit(1)).as("n"))
+        .localCheckpoint(eager = false)
+      val g = dd.groupBy("event_type")
+        .agg(sum("s").as("st"), sum("n").as("nt"))
+      val m = dd.join(broadcast(g), "event_type").selectExpr(
+        "event_type", "day",
+        "CAST(floor((2 * s + n) / (2.0 * n)) AS BIGINT) AS m6",
+        "CAST(floor((2 * st + nt) / (2.0 * nt)) AS BIGINT) AS mu6")
+      val wc = Window.partitionBy("event_type").orderBy("day")
+      val c = m.withColumn("cusum6",
+        sum(col("m6") - col("mu6")).over(wc).cast("long"))
+      c.withColumn("rn", row_number().over(Window.partitionBy("event_type")
+          .orderBy(abs(col("cusum6")).desc, col("day"))))
+        .withColumn("n_days",
+          count(lit(1)).over(Window.partitionBy("event_type")))
+        .filter(col("rn") === 1)
+        .selectExpr("event_type", "day AS cp_day",
+          "CAST(cusum6 / 1000000.0 AS DOUBLE) AS cusum", "n_days")
+        .orderBy("event_type")
+    },
   )
 }
