@@ -137,6 +137,151 @@ object Graphs {
         .orderBy(col("butterflies").desc, col("s1"), col("s2"))
         .limit(20)
     },
+
+    // TRIANGLE COUNT — degree-ordered triangle counting over the
+    // part co-purchase graph (parts sharing an order), on a
+    // deterministic hash node-sample with the unbiased Doulion-style
+    // estimate scaled back up (Tsourakakis et al. 2009: a triangle
+    // survives node sampling at rate p with probability p³, so
+    // count/p³ is unbiased — THE way web-scale graphs get triangle
+    // counts). Orientation low-(deg,id) → high bounds the wedge join
+    // at O(m^1.5) (Schank-Wagner / Latapy): each wedge pivots at its
+    // LOWEST-degree vertex, so out-degree ≤ O(√m) and the quadratic
+    // blowup a naive common-neighbor join hits on hubs cannot occur.
+    // Global clustering 3T/W is a small-denominator rational →
+    // exact-integer-space rounding. Scale: equi-joins only (the
+    // orientation is a scan-local CASE, never a join condition);
+    // node-sized deg frame broadcasts; the wedge and closing joins
+    // shuffle on pivot / pair keys — co-partitioned by construction.
+    Q("q_triangle_count",
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |           FROM lineitem
+         |           WHERE ${TextKit.h28Duck("'tri#' || l_partkey")} % 2 = 0),
+         |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a
+         |      JOIN li b ON a.o = b.o AND a.p < b.p),
+         |und AS (SELECT u, v FROM e UNION ALL SELECT v, u AS v FROM e),
+         |deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY 1),
+         |o AS (SELECT
+         |    CASE WHEN da.d < db.d OR (da.d = db.d AND a.u < a.v)
+         |      THEN a.u ELSE a.v END AS s,
+         |    CASE WHEN da.d < db.d OR (da.d = db.d AND a.u < a.v)
+         |      THEN a.v ELSE a.u END AS t,
+         |    CASE WHEN da.d < db.d OR (da.d = db.d AND a.u < a.v)
+         |      THEN db.d ELSE da.d END AS dt
+         |  FROM e a JOIN deg da ON da.node = a.u
+         |           JOIN deg db ON db.node = a.v),
+         |w AS (SELECT o1.t AS t1, o2.t AS t2 FROM o o1 JOIN o o2
+         |      ON o1.s = o2.s
+         |      AND (o1.dt < o2.dt OR (o1.dt = o2.dt AND o1.t < o2.t))),
+         |tri AS (SELECT count(*) AS t FROM w
+         |        JOIN o ON w.t1 = o.s AND w.t2 = o.t),
+         |wed AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS w
+         |        FROM deg),
+         |nn AS (SELECT count(*) AS nodes FROM deg),
+         |ee AS (SELECT count(*) AS edges FROM e)
+         |SELECT nodes, edges, w AS wedges, t AS triangles,
+         |  CAST(t * 8 AS BIGINT) AS est_triangles_full,
+         |  CAST(floor((2 * 3 * t * 1000000 + w) / (2.0 * w))
+         |    / 1000000.0 AS DOUBLE) AS clustering
+         |FROM nn, ee, wed, tri""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .filter(expr(TextKit.h28(
+          "concat('tri#', CAST(l_partkey AS STRING))")) % 2 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val e = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+        .distinct()
+        // The edge frame feeds FOUR consumers (deg, orientation,
+        // wedge self-join, closing join); localCheckpoint pins one
+        // materialization of the co-purchase join.
+        .localCheckpoint(eager = false)
+      val deg = e.select(col("u")).unionAll(e.select(col("v")))
+        .groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+      val lt = (col("da.d") < col("db.d")) ||
+        (col("da.d") === col("db.d") && col("u") < col("v"))
+      val o = e.join(broadcast(deg.as("da")), col("u") === col("da.node"))
+        .join(broadcast(deg.as("db")), col("v") === col("db.node"))
+        .select(when(lt, col("u")).otherwise(col("v")).as("s"),
+          when(lt, col("v")).otherwise(col("u")).as("t"),
+          when(lt, col("db.d")).otherwise(col("da.d")).as("dt"))
+        .localCheckpoint(eager = false)
+      val w = o.as("o1").join(o.as("o2"),
+        col("o1.s") === col("o2.s") &&
+          (col("o1.dt") < col("o2.dt") ||
+            (col("o1.dt") === col("o2.dt") && col("o1.t") < col("o2.t"))))
+        .select(col("o1.t").as("t1"), col("o2.t").as("t2"))
+      val tri = w.join(o, col("t1") === col("s") && col("t2") === col("t"))
+        .agg(count(lit(1)).as("t"))
+      val wed = deg.agg(sum(col("d") * (col("d") - 1) / 2)
+        .cast("long").as("w"))
+      val nn = deg.agg(count(lit(1)).as("nodes"))
+      val ee = e.agg(count(lit(1)).as("edges"))
+      nn.crossJoin(ee).crossJoin(wed).crossJoin(tri)
+        .selectExpr("nodes", "edges", "w AS wedges", "t AS triangles",
+          "CAST(t * 8 AS BIGINT) AS est_triangles_full",
+          "CAST(floor((2 * 3 * t * 1000000 + w) / (2.0 * w))" +
+            " / 1000000.0 AS DOUBLE) AS clustering")
+    },
+
+    // DEGREE ASSORTATIVITY — Pearson correlation of endpoint degrees
+    // over the (full, unsampled) part co-purchase graph: do
+    // high-degree parts co-occur with other high-degree parts
+    // (r > 0, social-network-like) or with leaves (r < 0,
+    // hub-and-spoke)? The one-number structural fingerprint that
+    // tells a pipeline whether hub-splitting / salting will be
+    // needed downstream (strongly disassortative = hub-dominated).
+    // Over symmetrized edges Sx = Sy and Sxx = Syy, so
+    // r = (S1·Sxy − Sx²) / (S1·Sxx − Sx²) on exact BIGINT moments —
+    // one double division, identical operands in both engines.
+    // Scale: edge scan + broadcast node-sized deg frame; the moment
+    // fold is ONE partial-aggregated global aggregate.
+    Q("q_assortativity",
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |           FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a
+        |      JOIN li b ON a.o = b.o AND a.p < b.p),
+        |und AS (SELECT u, v FROM e UNION ALL SELECT v, u AS v FROM e),
+        |deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY 1),
+        |m AS (SELECT count(*) AS s1,
+        |    CAST(sum(da.d) AS BIGINT) AS sx,
+        |    CAST(sum(da.d * da.d) AS BIGINT) AS sxx,
+        |    CAST(sum(da.d * db.d) AS BIGINT) AS sxy
+        |  FROM und JOIN deg da ON da.node = und.u
+        |           JOIN deg db ON db.node = und.v)
+        |SELECT (SELECT count(*) FROM deg) AS nodes,
+        |  (SELECT count(*) FROM e) AS edges,
+        |  CASE WHEN s1 * sxx - sx * sx = 0 THEN NULL ELSE
+        |    round(CAST(s1 * sxy - sx * sx AS DOUBLE)
+        |        / (s1 * sxx - sx * sx), 6) END AS assortativity
+        |FROM m""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val e = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+        .distinct()
+        .localCheckpoint(eager = false)
+      val und = e.select(col("u"), col("v"))
+        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+        .localCheckpoint(eager = false)
+      val m = und
+        .join(broadcast(deg.as("da")), col("u") === col("da.node"))
+        .join(broadcast(deg.as("db")), col("v") === col("db.node"))
+        .agg(count(lit(1)).as("s1"),
+          sum(col("da.d")).cast("long").as("sx"),
+          sum(col("da.d") * col("da.d")).cast("long").as("sxx"),
+          sum(col("da.d") * col("db.d")).cast("long").as("sxy"))
+      m.crossJoin(broadcast(deg.agg(count(lit(1)).as("nodes"))))
+        .crossJoin(broadcast(e.agg(count(lit(1)).as("edges"))))
+        .selectExpr("nodes", "edges",
+          "CASE WHEN s1 * sxx - sx * sx = 0 THEN NULL ELSE " +
+            "round(CAST(s1 * sxy - sx * sx AS DOUBLE)" +
+            " / (s1 * sxx - sx * sx), 6) END AS assortativity")
+    },
   )
 
   /** Graph construction, ONCE per query: the deg-enriched edge frame

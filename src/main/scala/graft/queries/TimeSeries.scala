@@ -404,5 +404,37 @@ object TimeSeries {
           "CAST(cusum6 / 1000000.0 AS DOUBLE) AS cusum", "n_days")
         .orderBy("event_type")
     },
+
+    // TOP EVENT PATHS — the 20 most-traveled length-3 event-type
+    // sequences across per-user ordered streams (sequence mining's
+    // workhorse report: "what are users actually doing", three steps
+    // at a time; q_markov_transitions is the 1-step marginal of
+    // this). Both lead() offsets ride the SAME user-keyed window
+    // spec — one exchange — and sequence order is the (ts, event_id)
+    // total order. Scale: one user-hash shuffle + one
+    // partial-aggregated count to a ≤|types|³-sized frame;
+    // TakeOrderedAndProject for the top-20 (count desc, then the
+    // path itself as the deterministic tie-break).
+    Q("q_path_ngrams",
+      """WITH s AS (SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS e3
+        |  FROM events)
+        |SELECT e1, e2, e3, count(*) AS n
+        |FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY e1, e2, e3
+        |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+        .limit(20)
+    },
   )
 }
