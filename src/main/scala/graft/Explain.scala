@@ -35,7 +35,8 @@ object Explain {
     // round-8 third wave
     "q_abtest", "q_chi2_indep", "q_markov_transitions",
     "q_attribution", "q_changepoint", "q_random_projection",
-    "q_triangle_count", "q_assortativity", "q_path_ngrams")
+    "q_triangle_count", "q_assortativity", "q_path_ngrams",
+    "q_retrieval_eval", "q_index_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -524,5 +524,137 @@ object VectorSearch {
         .orderBy(col("score").desc, col("gid"))
         .limit(10)
     },
+
+    // RETRIEVAL EVALUATION — MRR and nDCG@10 per query over the
+    // exact cosine arm, with same-label as graded-0/1 relevance:
+    // the IR quality report an embedding model ships with
+    // (q_knn_recall grades the INDEX against exact search; this
+    // grades the EMBEDDING against labels — different question,
+    // different denominator). IDCG uses the true per-label relevant
+    // count (capped at the cutoff), so a query whose label has <10
+    // members is not penalized for physics. Determinism: relevance
+    // is integer, each DCG term round(rel/log2(rank+1), 9) feeds a
+    // DECIMAL sum (dsum discipline), the IDCG fold is a fixed
+    // ≤10-term left-to-right sum of identical doubles in both
+    // engines, and ndcg/mrr round on identical operand chains.
+    // Scale: the eval runs on the 4-query SAMPLE by construction
+    // (index-refresh cost, not per-search); the candidate stream is
+    // one scan × broadcast queries; per-query top-10 is a
+    // qid-partitioned window; label counts broadcast.
+    Q("q_retrieval_eval",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e
+        |      WHERE vec_id < 4),
+        |lc AS (SELECT label, count(*) AS nlab FROM e GROUP BY label),
+        |top AS (SELECT qid, qlabel, rel, rn FROM (
+        |    SELECT q.qid, q.qlabel,
+        |      CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS rel,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY round(1 - list_cosine_similarity(e.v, q.qv), 6),
+        |          e.vec_id) AS rn
+        |    FROM e CROSS JOIN q WHERE e.vec_id <> q.qid) t
+        |  WHERE rn <= 10),
+        |m AS (SELECT qid, qlabel,
+        |    CAST(sum(rel) AS BIGINT) AS hits,
+        |    min(CASE WHEN rel = 1 THEN rn END) AS first_rel,
+        |    round(CAST(sum(CAST(round(rel / log2(rn + 1), 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE), 9) AS dcg
+        |  FROM top GROUP BY qid, qlabel)
+        |SELECT m.qid, hits, first_rel,
+        |  CASE WHEN first_rel IS NULL THEN CAST(0.0 AS DOUBLE)
+        |    ELSE round(1.0 / first_rel, 6) END AS mrr,
+        |  round(dcg / list_sum([round(1 / log2(i + 1), 9)
+        |    for i in range(1, least(nlab - 1, 10) + 1)]), 6) AS ndcg
+        |FROM m JOIN lc ON lc.label = m.qlabel
+        |ORDER BY qid""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val q = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qv"))
+      val lc = e.groupBy("label").agg(count(lit(1)).as("nlab"))
+      val top = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("rel",
+          when(col("label") === col("qlabel"), 1).otherwise(0))
+        .withColumn("dist",
+          round(cosine_distance(col("embedding"), col("qv")), 6))
+        .withColumn("rn", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("dist"), col("vec_id"))))
+        .filter(col("rn") <= 10)
+      val m = top.groupBy("qid", "qlabel").agg(
+        sum("rel").cast("long").as("hits"),
+        min(when(col("rel") === 1, col("rn"))).as("first_rel"),
+        round(sum(expr("CAST(round(rel / log2(rn + 1), 9) AS DECIMAL(38,9))"))
+          .cast("double"), 9).as("dcg"))
+      m.join(broadcast(lc), col("label") === col("qlabel"))
+        .selectExpr("qid", "hits", "first_rel",
+          "CASE WHEN first_rel IS NULL THEN CAST(0.0 AS DOUBLE) " +
+            "ELSE round(1.0 / first_rel, 6) END AS mrr",
+          "round(dcg / aggregate(sequence(1, least(nlab - 1, 10)), " +
+            "CAST(0 AS DOUBLE), (a, i) -> a + round(1 / log2(i + 1), 9))," +
+            " 6) AS ndcg")
+        .orderBy("qid")
+    },
+
+    // IVF INDEX HEALTH — per-cell occupancy of the deployed IVF
+    // assignment (same codebook + argmin contract as
+    // q_knn_ivf/q_knn_recall): members, share of the corpus, and
+    // load factor vs the balanced N/k ideal, INCLUDING empty cells
+    // (a 0-member cell wastes a probe budget slot; a hot cell makes
+    // every probe of it scan a corpus-sized bucket — exactly the
+    // skew that kills IVF latency at scale, and the reason this
+    // audit ships with the index). share and load_factor are
+    // small-denominator rationals → exact-integer-space rounding.
+    // Scale: ONE broadcast-codebook argmin pass (the assignment
+    // every IVF query already pays) + a k-sized aggregate; the
+    // centroid left-join that surfaces empty cells is k-sized.
+    Q("q_index_stats",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+         |           FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e
+         |      WHERE vec_id < $IvfCells),
+         |asgn AS (SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid, row_number() OVER (
+         |      PARTITION BY e.vec_id ORDER BY
+         |        round(1 - list_cosine_similarity(e.v, c.cv), 6), c.cid)
+         |      AS rn FROM e CROSS JOIN c) t WHERE rn = 1),
+         |cnt AS (SELECT cid, count(*) AS members FROM asgn GROUP BY cid),
+         |nn AS (SELECT CAST(sum(members) AS BIGINT) AS n FROM cnt)
+         |SELECT c.cid AS cid, coalesce(members, 0) AS members,
+         |  CAST(floor((2 * coalesce(members, 0) * 1000000 + n)
+         |    / (2.0 * n)) / 1000000.0 AS DOUBLE) AS share,
+         |  CAST(floor((2 * coalesce(members, 0) * $IvfCells * 1000000 + n)
+         |    / (2.0 * n)) / 1000000.0 AS DOUBLE) AS load_factor
+         |FROM c LEFT JOIN cnt ON cnt.cid = c.cid CROSS JOIN nn
+         |ORDER BY 1""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      // The 16-row codebook feeds both the assignment and the
+      // empty-cell join; pinning it leaves exactly ONE corpus scan
+      // in the final plan (N comes from the cell counts, not a
+      // second pass — the counts partition the corpus by argmin
+      // totality).
+      val cents = e.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        .localCheckpoint(eager = false)
+      val asgn = e.crossJoin(broadcast(cents))
+        .withColumn("cdist",
+          round(cosine_distance(col("embedding"), col("cv")), 6))
+        .groupBy("vec_id")
+        .agg(expr("min_by(cid, struct(cdist, cid))").as("cid"))
+      val cnt = asgn.groupBy("cid").agg(count(lit(1)).as("members"))
+        .localCheckpoint(eager = false)
+      val nn = cnt.agg(sum("members").cast("long").as("n"))
+      cents.select("cid")
+        .join(broadcast(cnt), Seq("cid"), "left")
+        .crossJoin(broadcast(nn))
+        .selectExpr("cid", "coalesce(members, 0) AS members",
+          "CAST(floor((2 * coalesce(members, 0) * 1000000 + n)" +
+            " / (2.0 * n)) / 1000000.0 AS DOUBLE) AS share",
+          s"CAST(floor((2 * coalesce(members, 0) * $IvfCells * 1000000 + n)" +
+            " / (2.0 * n)) / 1000000.0 AS DOUBLE) AS load_factor")
+        .orderBy("cid")
+    },
   )
 }
