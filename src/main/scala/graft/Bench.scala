@@ -43,8 +43,14 @@ object Bench {
           System.err.println(s"[bench] bad SPARK_GRAFT_BENCH_REPS='$v', using 2")
         p
       }.getOrElse(2))
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the sweep (local
+    // targeted profiling; the driver never sets it).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val sweeps = (1 to reps).map { _ =>
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }

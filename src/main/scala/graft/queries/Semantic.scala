@@ -355,10 +355,12 @@ object Semantic {
     // so the projection is 16 scan-local zip_with/aggregate folds —
     // per-term round(x,6)·s is exact at 6dp and the fold accumulates
     // in DECIMAL (dsum discipline), so the sum is associative and
-    // partition-order-free. Scale: ZERO data exchanges — the only
-    // exchange is the presentation sort; at 100 TB the projection
-    // rides the corpus scan (the oracle restates the fold as an
-    // unnest + sign-table join, same arithmetic).
+    // partition-order-free. Scale: ZERO data exchanges beyond the
+    // fanout gate — at 100 TB the multi-file scan parallelizes
+    // itself, fanout() is a no-op, and the projection rides the
+    // corpus scan; on the single-file fixture the gate spreads the
+    // 16×64 interpreted folds across cores (the oracle restates the
+    // fold as an unnest + sign-table join, same arithmetic).
     Q("q_random_projection",
       """WITH s AS (SELECT j, d,
         |    (('0x' || substr(md5('rp#' || j || '/' || d), 1, 7))::BIGINT
@@ -390,7 +392,7 @@ object Semantic {
              |  CAST(0 AS DECIMAL(38,6)), (a, v) -> a + v)
              |AS DOUBLE), 6)""".stripMargin)
       }
-      Tables.embeddings(s, dir)
+      fanout(Tables.embeddings(s, dir))
         .select(col("vec_id"), posexplode(array(projs: _*))
           .as(Seq("j", "proj")))
         .orderBy("vec_id", "j")
