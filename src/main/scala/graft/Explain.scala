@@ -36,7 +36,8 @@ object Explain {
     "q_abtest", "q_chi2_indep", "q_markov_transitions",
     "q_attribution", "q_changepoint", "q_random_projection",
     "q_triangle_count", "q_assortativity", "q_path_ngrams",
-    "q_retrieval_eval", "q_index_stats")
+    "q_retrieval_eval", "q_index_stats", "q_vocab_coverage",
+    "q_minhash_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

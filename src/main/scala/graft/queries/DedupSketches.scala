@@ -81,8 +81,13 @@ object DedupStages {
     * tau. The full q_dedup_near pipeline minus presentation —
     * shared by q_dup_clusters. See q_dedup_near's notes for the
     * hash-intersection and barrier rationale. */
-  def nearDupPairs(docs: DataFrame, tau: Double): DataFrame = {
-    val sh = shingleSets(docs)
+  def nearDupPairs(docs: DataFrame, tau: Double): DataFrame =
+    nearDupPairsFromShingles(shingleSets(docs), tau)
+
+  /** Same exact pipeline over an already-shingled (doc_id, s) frame —
+    * lets an audit pin ONE shingle materialization for several arms
+    * (q_minhash_recall). */
+  def nearDupPairsFromShingles(sh: DataFrame, tau: Double): DataFrame = {
     val cand = prefixCandidates(sh, tau)
     val hsets = sh.select(col("doc_id"),
       expr(s"array_sort(transform(s, x -> ${TextKit.h60("x")}))").as("hs"))
@@ -400,6 +405,77 @@ object DedupSketches {
           round(sum((col("df") >= 2).cast("int")).cast("double") / count(lit(1)), 6)
             .as("dup_frac"))
         .orderBy("doc_id")
+    },
+
+    // MINHASH LSH RECALL AUDIT — candidate-generation quality of the
+    // deployed 8-band × 4-row sketch against the EXACT ≥0.6 Jaccard
+    // pair set: the number every LSH dedup config must publish next
+    // to its speedup (the S-curve says 32 permutations at τ=0.6
+    // catch most-but-not-all true pairs — this MEASURES the miss
+    // rate instead of trusting the formula; q_knn_recall's
+    // discipline applied to the dedup family). precision = verified
+    // fraction of candidates (the wasted-verification cost), recall
+    // = caught fraction of true pairs (the silent-duplicate risk).
+    // Both are small-denominator rationals → exact-integer-space
+    // rounding; NULL-guarded for degenerate corpora. Scale: both
+    // arms are the SAME shared stages the declared dedup operators
+    // run (band equi-join / prefix-filtered exact join — nothing
+    // all-pairs); the three count frames are 1-row broadcasts.
+    Q("q_minhash_recall",
+      s"""WITH tok AS (SELECT doc_id, $toksDuck AS w FROM documents),
+         |sh AS (SELECT doc_id, ${shingles3Duck("w")} AS s FROM tok
+         |       WHERE len(w) >= 3),
+         |tr AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |      WHERE round(${jaccardDuck("a.s", "b.s")}, 6) >= 0.6),
+         |ex AS (SELECT doc_id, ${h28Duck("sh")} AS h0
+         |       FROM (SELECT doc_id, unnest(s) AS sh FROM sh) u),
+         |sd AS (SELECT i AS seed,
+         |         ${h28Duck("'a#' || i")} * 2 + 1 AS a,
+         |         ${h28Duck("'b#' || i")} AS b
+         |       FROM range(32) t(i)),
+         |mh AS (SELECT doc_id, seed, min((a * h0 + b) % ${DedupStages.P}) AS mh
+         |       FROM ex CROSS JOIN sd GROUP BY doc_id, seed),
+         |bd AS (SELECT doc_id, seed // 4 AS band,
+         |         md5(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS bk
+         |       FROM mh GROUP BY doc_id, seed // 4),
+         |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+         |         FROM bd x JOIN bd y
+         |           ON x.band = y.band AND x.bk = y.bk
+         |           AND x.doc_id < y.doc_id),
+         |nt AS (SELECT count(*) AS n_true FROM tr),
+         |nc AS (SELECT count(*) AS n_cand FROM cand),
+         |nh AS (SELECT count(*) AS hits FROM tr JOIN cand USING (id1, id2))
+         |SELECT n_true, n_cand, hits,
+         |  CASE WHEN n_true = 0 THEN NULL ELSE
+         |    CAST(floor((2 * hits * 1000000 + n_true) / (2.0 * n_true))
+         |      / 1000000.0 AS DOUBLE) END AS recall,
+         |  CASE WHEN n_cand = 0 THEN NULL ELSE
+         |    CAST(floor((2 * hits * 1000000 + n_cand) / (2.0 * n_cand))
+         |      / 1000000.0 AS DOUBLE) END AS precision
+         |FROM nt CROSS JOIN nc CROSS JOIN nh""".stripMargin) { (s, d) =>
+      // Truth arm = the exact prefix-filtered pipeline (PPJoin lemma
+      // — exact for Jaccard ≥ τ, property-tested in ScalePathSpec);
+      // the O(n²) brute force lives only in the small-sf oracle.
+      // Candidate arm = the deployed band join. Shingle sets are
+      // pinned once for both arms.
+      val sh = DedupStages.shingleSets(Tables.documents(s, d))
+        .localCheckpoint(eager = false)
+      val truth = DedupStages.nearDupPairsFromShingles(sh, tau = 0.6)
+        .select("id1", "id2")
+      val cand = DedupStages.bandCandidates(DedupStages.bandKeys(sh))
+      val nt = truth.agg(count(lit(1)).as("n_true"))
+      val nc = cand.agg(count(lit(1)).as("n_cand"))
+      val nh = truth.join(cand, Seq("id1", "id2"))
+        .agg(count(lit(1)).as("hits"))
+      nt.crossJoin(nc).crossJoin(nh)
+        .selectExpr("n_true", "n_cand", "hits",
+          "CASE WHEN n_true = 0 THEN NULL ELSE " +
+            "CAST(floor((2 * hits * 1000000 + n_true) / (2.0 * n_true))" +
+            " / 1000000.0 AS DOUBLE) END AS recall",
+          "CASE WHEN n_cand = 0 THEN NULL ELSE " +
+            "CAST(floor((2 * hits * 1000000 + n_cand) / (2.0 * n_cand))" +
+            " / 1000000.0 AS DOUBLE) END AS precision")
     },
   )
 }

@@ -613,5 +613,52 @@ object TextOps {
         .orderBy(col("pmi").desc, col("bigram"))
         .limit(50)
     },
+
+    // VOCABULARY COVERAGE — the Zipf head report that sizes a
+    // tokenizer vocabulary: what fraction of all token OCCURRENCES
+    // do the top-10 / top-100 / top-1000 types cover? (The curve's
+    // knee is where adding vocab stops paying — the standard
+    // evidence behind "32k is enough"; q_bpe_pairs picks merge
+    // rules, this sizes the table they fill.) No global rank
+    // column: each head sum is its own TakeOrderedAndProject over
+    // the pinned vocabulary frame, so NO partition-less window
+    // exists at any scale (the repo-wide window discipline).
+    // Coverage is a small-denominator rational → exact-integer-space
+    // rounding. Scale: corpus folds ONCE to the vocabulary-sized
+    // frame (partial-aggregated explode; localCheckpoint pins it
+    // for its five consumers); everything after is vocab-sized or
+    // k-sized.
+    Q("q_vocab_coverage",
+      s"""WITH tok AS (SELECT unnest($toksDuck) AS t FROM documents),
+         |v AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total,
+         |        count(*) AS vocab FROM v),
+         |u AS (SELECT 10 AS k, CAST(sum(c) AS BIGINT) AS covered FROM
+         |        (SELECT c FROM v ORDER BY c DESC, t LIMIT 10)
+         |      UNION ALL
+         |      SELECT 100, CAST(sum(c) AS BIGINT) FROM
+         |        (SELECT c FROM v ORDER BY c DESC, t LIMIT 100)
+         |      UNION ALL
+         |      SELECT 1000, CAST(sum(c) AS BIGINT) FROM
+         |        (SELECT c FROM v ORDER BY c DESC, t LIMIT 1000))
+         |SELECT k, vocab, covered, total,
+         |  CAST(floor((2 * covered * 1000000 + total) / (2.0 * total))
+         |    / 1000000.0 AS DOUBLE) AS coverage
+         |FROM u CROSS JOIN tot ORDER BY k""".stripMargin) { (s, d) =>
+      val vocab = barrier(Tables.documents(s, d).withColumn("w", expr(toks)))
+        .select(explode(col("w")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = false)
+      val tot = vocab.agg(sum("c").cast("long").as("total"),
+        count(lit(1)).as("vocab"))
+      def head(k: Int) = vocab.orderBy(col("c").desc, col("t")).limit(k)
+        .agg(lit(k).as("k"), sum("c").cast("long").as("covered"))
+      head(10).unionAll(head(100)).unionAll(head(1000))
+        .crossJoin(broadcast(tot))
+        .selectExpr("k", "vocab", "covered", "total",
+          "CAST(floor((2 * covered * 1000000 + total) / (2.0 * total))" +
+            " / 1000000.0 AS DOUBLE) AS coverage")
+        .orderBy("k")
+    },
   )
 }
