@@ -197,22 +197,10 @@ object Graphs {
         // wedge self-join, closing join); localCheckpoint pins one
         // materialization of the co-purchase join.
         .localCheckpoint(eager = false)
-      val deg = e.select(col("u")).unionAll(e.select(col("v")))
-        .groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
-      val lt = (col("da.d") < col("db.d")) ||
-        (col("da.d") === col("db.d") && col("u") < col("v"))
-      val o = e.join(broadcast(deg.as("da")), col("u") === col("da.node"))
-        .join(broadcast(deg.as("db")), col("v") === col("db.node"))
-        .select(when(lt, col("u")).otherwise(col("v")).as("s"),
-          when(lt, col("v")).otherwise(col("u")).as("t"),
-          when(lt, col("db.d")).otherwise(col("da.d")).as("dt"))
-        .localCheckpoint(eager = false)
-      val w = o.as("o1").join(o.as("o2"),
-        col("o1.s") === col("o2.s") &&
-          (col("o1.dt") < col("o2.dt") ||
-            (col("o1.dt") === col("o2.dt") && col("o1.t") < col("o2.t"))))
-        .select(col("o1.t").as("t1"), col("o2.t").as("t2"))
-      val tri = w.join(o, col("t1") === col("s") && col("t2") === col("t"))
+      val deg = GraphStages.degrees(e)
+      val o = GraphStages.orientedEdges(e, deg)
+      val tri = GraphStages.orientedWedges(o)
+        .join(o, col("t1") === col("s") && col("t2") === col("t"))
         .agg(count(lit(1)).as("t"))
       val wed = deg.agg(sum(col("d") * (col("d") - 1) / 2)
         .cast("long").as("w"))
@@ -314,4 +302,45 @@ object Graphs {
       .localCheckpoint()
     (ew, nn, r0)
   }
+}
+
+/** Degree-ordered triangle-counting stages, factored out so the
+  * scale stress tests (ScalePathSpec) drive the SAME pipeline the
+  * declared query runs — on adversarial graphs (hubs, cliques)
+  * where the O(m^1.5) orientation bound must actually hold.
+  * Input: an undirected edge frame (u < v), pinned by the caller. */
+object GraphStages {
+
+  /** (node, d): undirected degrees. */
+  def degrees(e: DataFrame): DataFrame =
+    e.select(col("u")).unionAll(e.select(col("v")))
+      .groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+
+  /** (s, t, dt): each edge oriented low-(deg, id) → high, with the
+    * head's degree attached for the wedge ordering. The orientation
+    * is a scan-local CASE over two broadcast degree attaches —
+    * never a join predicate. */
+  def orientedEdges(e: DataFrame, deg: DataFrame): DataFrame = {
+    val lt = (col("da.d") < col("db.d")) ||
+      (col("da.d") === col("db.d") && col("u") < col("v"))
+    e.join(broadcast(deg.as("da")), col("u") === col("da.node"))
+      .join(broadcast(deg.as("db")), col("v") === col("db.node"))
+      .select(when(lt, col("u")).otherwise(col("v")).as("s"),
+        when(lt, col("v")).otherwise(col("u")).as("t"),
+        when(lt, col("db.d")).otherwise(col("da.d")).as("dt"))
+      .localCheckpoint(eager = false)
+  }
+
+  /** (t1, t2): ordered out-neighbor pairs per pivot — the wedge
+    * frame whose volume the orientation bounds at O(m^1.5): every
+    * wedge pivots at its LOWEST-degree vertex (Schank-Wagner), so
+    * per-pivot out-degree is ≤ O(√m) even on hub-dominated graphs.
+    * Equi-join on the pivot; the (dt, t) order is a post-join
+    * filter. */
+  def orientedWedges(o: DataFrame): DataFrame =
+    o.as("o1").join(o.as("o2"),
+      col("o1.s") === col("o2.s") &&
+        (col("o1.dt") < col("o2.dt") ||
+          (col("o1.dt") === col("o2.dt") && col("o1.t") < col("o2.t"))))
+      .select(col("o1.t").as("t1"), col("o2.t").as("t2"))
 }

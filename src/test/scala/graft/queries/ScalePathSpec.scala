@@ -423,4 +423,35 @@ class ScalePathSpec extends SparkTestBase {
     // already-filtered build side.
     assert(plan.contains("l_orderkey"), plan)
   }
+
+  test("triangle orientation defuses the hub: star+clique wedge volume stays clique-sized") {
+    // Adversarial graph: a 200-leaf star (hub = node 0) glued to a
+    // 6-clique on nodes 1..6. A naive common-neighbor join pivots
+    // C(200,2) = 19,900 wedges at the hub; the degree-ordered
+    // orientation gives the hub out-degree 0 (every edge points
+    // low-degree → high-degree, so leaves point AT the hub), leaving
+    // only the clique's wedges — the O(m^1.5) bound in its most
+    // extreme case. Triangle count must still be exact: C(6,3) from
+    // the clique, plus the hub-leaf triangles the clique edges close
+    // (hub is adjacent to all of 1..6 ⇒ one triangle per clique
+    // edge).
+    val s = spark
+    import s.implicits._
+    val star = (1 to 200).map(i => (0L, i.toLong))
+    val clique = (for (a <- 1 to 6; b <- 1 to 6 if a < b)
+      yield (a.toLong, b.toLong)).toSeq
+    val e = (star ++ clique).toDF("u", "v").localCheckpoint()
+    val deg = GraphStages.degrees(e)
+    val o = GraphStages.orientedEdges(e, deg)
+    val wedges = GraphStages.orientedWedges(o).localCheckpoint()
+    val nWedges = wedges.count()
+    // Naive hub wedges alone would be 19,900; oriented volume must
+    // be bounded by Σ C(outdeg, 2) with outdeg ≤ clique size + hub.
+    assert(nWedges < 200L, s"orientation failed to defuse the hub: $nWedges")
+    val tri = wedges
+      .join(o, col("t1") === col("s") && col("t2") === col("t"))
+      .count()
+    val expected = 20 + 15 // C(6,3) clique triangles + hub∧(clique edge)
+    assert(tri === expected.toLong)
+  }
 }
