@@ -272,8 +272,12 @@ object Analytics {
          |    ${dsumSql("CASE WHEN variant = 'B' THEN round(y * y, 6) END")} AS qb
          |  FROM e GROUP BY event_type)
          |SELECT event_type, na, nb,
-         |  CASE WHEN na = 0 THEN NULL ELSE round(sa / na, 6) END AS mean_a,
-         |  CASE WHEN nb = 0 THEN NULL ELSE round(sb / nb, 6) END AS mean_b,
+         |  CASE WHEN na = 0 THEN NULL ELSE
+         |    CAST(floor((2 * CAST(round(sa * 1000000) AS BIGINT) + na)
+         |      / (2.0 * na)) / 1000000.0 AS DOUBLE) END AS mean_a,
+         |  CASE WHEN nb = 0 THEN NULL ELSE
+         |    CAST(floor((2 * CAST(round(sb * 1000000) AS BIGINT) + nb)
+         |      / (2.0 * nb)) / 1000000.0 AS DOUBLE) END AS mean_b,
          |  CASE WHEN na = 0 OR nb = 0 OR sa / na = 0 THEN NULL ELSE
          |    round((sb / nb - sa / na) / (sa / na), 6) END AS lift,
          |  CASE WHEN na < 2 OR nb < 2
@@ -296,9 +300,19 @@ object Analytics {
           .as("qa"),
         dsum(when(col("variant") === "B", round(col("y") * col("y"), 6)))
           .as("qb"))
+      // The per-arm means are NEW small-denominator rationals → the
+      // package.scala mean-rounding caveat applies: recover the
+      // exact micro-unit sum from the 6dp dsum and round half-up in
+      // INTEGER space (ties toward +inf by definition in both
+      // engines), never via round(double). lift/t divide through
+      // sqrt/ratio chains (irrational operands — tie-free).
       m.selectExpr("event_type", "na", "nb",
-        "CASE WHEN na = 0 THEN NULL ELSE round(sa / na, 6) END AS mean_a",
-        "CASE WHEN nb = 0 THEN NULL ELSE round(sb / nb, 6) END AS mean_b",
+        "CASE WHEN na = 0 THEN NULL ELSE " +
+          "CAST(floor((2 * CAST(round(sa * 1000000) AS BIGINT) + na)" +
+          " / (2.0 * na)) / 1000000.0 AS DOUBLE) END AS mean_a",
+        "CASE WHEN nb = 0 THEN NULL ELSE " +
+          "CAST(floor((2 * CAST(round(sb * 1000000) AS BIGINT) + nb)" +
+          " / (2.0 * nb)) / 1000000.0 AS DOUBLE) END AS mean_b",
         "CASE WHEN na = 0 OR nb = 0 OR sa / na = 0 THEN NULL ELSE " +
           "round((sb / nb - sa / na) / (sa / na), 6) END AS lift",
         "CASE WHEN na < 2 OR nb < 2 " +

@@ -564,8 +564,9 @@ object VectorSearch {
         |SELECT m.qid, hits, first_rel,
         |  CASE WHEN first_rel IS NULL THEN CAST(0.0 AS DOUBLE)
         |    ELSE round(1.0 / first_rel, 6) END AS mrr,
-        |  round(dcg / list_sum([round(1 / log2(i + 1), 9)
-        |    for i in range(1, least(nlab - 1, 10) + 1)]), 6) AS ndcg
+        |  CASE WHEN nlab < 2 THEN NULL ELSE
+        |    round(dcg / list_sum([round(1 / log2(i + 1), 9)
+        |      for i in range(1, least(nlab - 1, 10) + 1)]), 6) END AS ndcg
         |FROM m JOIN lc ON lc.label = m.qlabel
         |ORDER BY qid""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
@@ -588,13 +589,19 @@ object VectorSearch {
         min(when(col("rel") === 1, col("rn"))).as("first_rel"),
         round(sum(expr("CAST(round(rel / log2(rn + 1), 9) AS DECIMAL(38,9))"))
           .cast("double"), 9).as("dcg"))
+      // The nlab < 2 guard is load-bearing twice over: a singleton
+      // label has no relevant candidates (IDCG undefined — the
+      // oracle's empty list_sum is NULL), and Spark's sequence(1, 0)
+      // would silently auto-step BACKWARD to [1, 0], making the fold
+      // divide by log2(1) = 0 into an Infinity denominator.
       m.join(broadcast(lc), col("label") === col("qlabel"))
         .selectExpr("qid", "hits", "first_rel",
           "CASE WHEN first_rel IS NULL THEN CAST(0.0 AS DOUBLE) " +
             "ELSE round(1.0 / first_rel, 6) END AS mrr",
-          "round(dcg / aggregate(sequence(1, least(nlab - 1, 10)), " +
+          "CASE WHEN nlab < 2 THEN NULL ELSE " +
+            "round(dcg / aggregate(sequence(1, least(nlab - 1, 10)), " +
             "CAST(0 AS DOUBLE), (a, i) -> a + round(1 / log2(i + 1), 9))," +
-            " 6) AS ndcg")
+            " 6) END AS ndcg")
         .orderBy("qid")
     },
 
