@@ -231,6 +231,90 @@ object Joins {
         .orderBy("event_id")
     },
 
+    // AS-OF NEAREST WITH TOLERANCE — the other half of the as-of
+    // surface (pandas merge_asof direction='nearest'): each event
+    // matches the SAME user's order date closest in time within
+    // ±3 days, equidistant ties preferring the earlier (backward)
+    // side; no order in range → NULLs. q_join_asof is the running
+    // "latest state at event time"; this is sensor/record alignment
+    // where the nearest reading wins regardless of direction.
+    // Same single-shuffle technique: union orders into the event
+    // stream, BOTH directional candidates ride one user-keyed
+    // window sort (backward = running last over preceding, forward
+    // = running first over following — same partitioning and order,
+    // so Spark plans ONE Window operator and ONE exchange; the
+    // union-tag sorts an equal-timestamp order BEFORE the event, so
+    // Δ=0 lands on the backward side in both engines). The pick and
+    // the tolerance gate are scan-local integer-second arithmetic.
+    // Oracle = the brute-force tolerance-range join with an integer
+    // arg_min key (2·|Δ| + forward-bit — nearest first, backward on
+    // ties), which the window form must equal exactly.
+    Q("q_join_asof_nearest",
+      """WITH ee AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    (floor(epoch(CAST(ts AS TIMESTAMP))))::BIGINT AS es
+        |  FROM events),
+        |j AS (SELECT ee.event_id, o.o_orderdate,
+        |    abs(ee.es - (epoch(CAST(o.o_orderdate AS TIMESTAMP)))::BIGINT)
+        |      AS ad,
+        |    CASE WHEN (epoch(CAST(o.o_orderdate AS TIMESTAMP)))::BIGINT
+        |           > ee.es THEN 1 ELSE 0 END AS fwd
+        |  FROM ee JOIN orders o ON o.o_custkey = ee.user_id
+        |  WHERE abs(ee.es
+        |        - (epoch(CAST(o.o_orderdate AS TIMESTAMP)))::BIGINT)
+        |        <= 259200),
+        |g AS (SELECT event_id,
+        |    arg_min(o_orderdate, 2 * ad + fwd) AS od,
+        |    min(2 * ad + fwd) AS k FROM j
+        |  GROUP BY event_id)
+        |SELECT ee.event_id, ee.user_id, ee.ts,
+        |  g.od AS nearest_od,
+        |  CAST(floor(k / 2) AS BIGINT) AS delta_s,
+        |  CASE WHEN k IS NULL THEN NULL
+        |       WHEN k % 2 = 1 THEN 'forward' ELSE 'backward' END AS side
+        |FROM ee LEFT JOIN g ON g.event_id = ee.event_id
+        |ORDER BY ee.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(
+        col("user_id").alias("uid"), col("ts").alias("t"),
+        lit(1).alias("tag"), col("event_id"),
+        lit(null).cast("date").alias("od"))
+      val od = Tables.orders(s, d).select(
+        col("o_custkey").alias("uid"),
+        col("o_orderdate").cast("timestamp").alias("t"),
+        lit(0).alias("tag"), lit(null).cast("long").alias("event_id"),
+        col("o_orderdate").alias("od"))
+      val spec = Window.partitionBy("uid").orderBy(col("t"), col("tag"))
+      val back = spec.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val fwd = spec.rowsBetween(Window.currentRow,
+        Window.unboundedFollowing)
+      ev.unionByName(od)
+        .withColumn("bod", last(col("od"), ignoreNulls = true).over(back))
+        .withColumn("fod", first(col("od"), ignoreNulls = true).over(fwd))
+        .filter(col("tag") === 1)
+        .withColumn("db", unix_timestamp(col("t"))
+          - unix_timestamp(col("bod").cast("timestamp")))
+        .withColumn("df", unix_timestamp(col("fod").cast("timestamp"))
+          - unix_timestamp(col("t")))
+        // Nearest pick as one integer key (2·Δ + forward-bit), the
+        // SAME key the oracle minimizes — NULL directions drop out
+        // via coalesce to an over-tolerance sentinel.
+        .withColumn("kb", when(col("bod").isNotNull, col("db") * 2))
+        .withColumn("kf", when(col("fod").isNotNull, col("df") * 2 + 1))
+        .withColumn("k", least(coalesce(col("kb"), lit(Long.MaxValue)),
+          coalesce(col("kf"), lit(Long.MaxValue))))
+        .withColumn("k", when(col("k") <= 2 * 259200L + 1, col("k")))
+        .select(col("event_id"), col("uid").alias("user_id"),
+          col("t").alias("ts"),
+          when(col("k").isNotNull,
+            when(col("k") % 2 === 1, col("fod")).otherwise(col("bod")))
+            .as("nearest_od"),
+          expr("CAST(floor(k / 2) AS BIGINT)").as("delta_s"),
+          when(col("k").isNotNull,
+            when(col("k") % 2 === 1, "forward").otherwise("backward"))
+            .as("side"))
+        .orderBy("event_id")
+    },
+
     // All-pairs similarity join (dedup/similarity north star):
     // cosine ≥ τ over the embeddings table. The cosine kernel is
     // evaluated ONCE, in a codegen'd projection above the join, and
