@@ -357,5 +357,59 @@ object Profiling {
             .as("robust_z"))
         .orderBy("event_type", "event_id")
     },
+
+    // EQUAL-FREQUENCY DISCRETIZATION — per-type decile binning of
+    // the value column via BROADCAST boundary assignment: the
+    // feature-engineering primitive that turns a continuous column
+    // into a 10-level categorical (quantile binning). q_win_ntile
+    // ranks every row through a window — a full per-type sort of
+    // the fact table; THIS is the scale path: boundaries are a
+    // group-count-sized exact-percentile aggregate computed once,
+    // broadcast, and assignment is a scan-local 9-element fold —
+    // the fact table is never sorted or windowed. Boundaries round
+    // to 6dp BEFORE comparison (rounded-vs-rounded comparisons are
+    // engine-identical; percentile ↔ quantile_cont parity per the
+    // q_agg_median portability contract); a value exactly on a
+    // boundary goes to the lower bucket by the strict > fold in
+    // both engines.
+    Q("q_discretize",
+      s"""WITH b AS (SELECT event_type,
+         |    [round(x, 6) for x in
+         |     quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+         |                           0.6, 0.7, 0.8, 0.9])] AS qs
+         |  FROM events GROUP BY 1),
+         |a AS (SELECT e.event_type,
+         |    len(list_filter(b.qs, q -> round(e.value, 6) > q)) AS bucket,
+         |    e.value
+         |  FROM events e JOIN b USING (event_type)),
+         |g AS (SELECT event_type, bucket, count(*) AS n,
+         |    ${dsumSql("value")} AS vsum FROM a GROUP BY 1, 2)
+         |SELECT g.event_type, CAST(bucket AS INT) AS bucket, n, vsum,
+         |  CASE WHEN bucket = 0 THEN NULL
+         |       ELSE b.qs[CAST(bucket AS INT)] END AS lo,
+         |  CASE WHEN bucket = 9 THEN NULL
+         |       ELSE b.qs[CAST(bucket AS INT) + 1] END AS hi
+         |FROM g JOIN b USING (event_type)
+         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select("event_type", "value")
+      val b = ev.groupBy("event_type").agg(expr(
+        """transform(percentile(value, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D,
+          |                                  0.6D, 0.7D, 0.8D, 0.9D)),
+          |  x -> round(x, 6))""".stripMargin).as("qs"))
+        .localCheckpoint(eager = false)
+      ev.join(broadcast(b), "event_type")
+        .select(col("event_type"),
+          expr("size(filter(qs, q -> round(value, 6) > q))").as("bucket"),
+          col("value"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("vsum"))
+        .join(broadcast(b), "event_type")
+        .selectExpr("event_type", "bucket", "n", "vsum",
+          "CASE WHEN bucket = 0 THEN NULL" +
+            " ELSE element_at(qs, bucket) END AS lo",
+          "CASE WHEN bucket = 9 THEN NULL" +
+            " ELSE element_at(qs, bucket + 1) END AS hi")
+        .orderBy("event_type", "bucket")
+    },
   )
 }
