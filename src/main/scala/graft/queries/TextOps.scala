@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
+import graft.functions.GraftFunctions.cosine_distance
 import TextKit._
 
 /** Text-analysis + deduplication operators over `documents` — the
@@ -659,6 +660,114 @@ object TextOps {
           "CAST(floor((2 * covered * 1000000 + total) / (2.0 * total))" +
             " / 1000000.0 AS DOUBLE) AS coverage")
         .orderBy("k")
+    },
+
+    // HYBRID SEARCH — reciprocal-rank fusion of the lexical (BM25)
+    // and vector (cosine kNN) arms, the modern retrieval standard:
+    // rrf = Σ_arms 1/(60 + rank) over each arm's top-50 (Cormack et
+    // al.'s k=60), full-outer on doc so single-arm hits still score.
+    // The lexical arm is the q_bm25 scorer (same terms, same
+    // saturation constants); the vector arm ranks by distance to the
+    // vec_id=0 query over the aligned embeddings (vec_id = doc_id).
+    // Per-arm ranks come from a TRIANGULAR JOIN over each top-50
+    // frame (the skyline discipline: a row's rank = 1 + better-rows
+    // count; never a partition-less window) — both frames are
+    // k-bounded TakeOrderedAndProject outputs, so the rank join is
+    // ≤k² over broadcastable frames regardless of corpus size.
+    // Scale: each arm is its own audited plan (BM25's one
+    // tokenize+shuffle; kNN's scan × broadcast query); fusion adds
+    // only k-sized work.
+    Q("q_hybrid_search",
+      s"""WITH tok AS (SELECT doc_id, unnest($toksDuck) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY 1),
+         |dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         |terms AS (SELECT token, df FROM (SELECT token, df,
+         |      row_number() OVER (ORDER BY df DESC, token) AS r FROM dfq)
+         |    WHERE r BETWEEN 10 AND 17),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |sc AS (SELECT tf.doc_id,
+         |    round(ln(1 + (st.n - t.df + 0.5) / (t.df + 0.5))
+         |      * (tf.tf * 2.2)
+         |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) AS s
+         |  FROM tf JOIN terms t USING (token)
+         |  JOIN dl USING (doc_id) CROSS JOIN st),
+         |lex AS (SELECT doc_id,
+         |    round(CAST(sum(CAST(s AS DECIMAL(38,6))) AS DOUBLE), 6) AS score
+         |  FROM sc GROUP BY doc_id
+         |  ORDER BY score DESC, doc_id LIMIT 50),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+         |      WHERE vec_id = 0),
+         |vec AS (SELECT vec_id AS doc_id,
+         |    round(1 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+         |      q.qv), 6) AS dist
+         |  FROM embeddings, q WHERE vec_id <> 0
+         |  ORDER BY dist, doc_id LIMIT 50),
+         |lexr AS (SELECT a.doc_id, 1 + count(b.doc_id) AS r
+         |  FROM lex a LEFT JOIN lex b ON b.score > a.score
+         |    OR (b.score = a.score AND b.doc_id < a.doc_id)
+         |  GROUP BY a.doc_id),
+         |vecr AS (SELECT a.doc_id, 1 + count(b.doc_id) AS r
+         |  FROM vec a LEFT JOIN vec b ON b.dist < a.dist
+         |    OR (b.dist = a.dist AND b.doc_id < a.doc_id)
+         |  GROUP BY a.doc_id)
+         |SELECT doc_id, l.r AS lex_rank, v.r AS vec_rank,
+         |  round(coalesce(1.0 / (60 + l.r), 0)
+         |      + coalesce(1.0 / (60 + v.r), 0), 6) AS rrf
+         |FROM lexr l FULL JOIN vecr v USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tok = fanout(docs)
+        .select(col("doc_id"), explode(expr(toks)).as("token"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").cast("double").as("dl"))
+      val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val top17 = dfq.orderBy(col("df").desc, col("token")).limit(17)
+      val top9 = dfq.orderBy(col("df").desc, col("token")).limit(9)
+        .select("token")
+      val terms = top17.join(top9, Seq("token"), "left_anti")
+        .select("token", "df")
+      val st = dl.agg((sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+        .crossJoin(docs.agg(count(lit(1)).as("n")))
+      val lex = tf.join(broadcast(terms), "token")
+        .join(dl, "doc_id").crossJoin(broadcast(st))
+        .withColumn("s", round(
+          log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+            * (col("tf") * 2.2)
+            / (col("tf") + lit(1.2) * (lit(0.25)
+              + lit(0.75) * col("dl") / col("avgdl"))), 6))
+        .groupBy("doc_id").agg(dsum(col("s")).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(50)
+        .localCheckpoint(eager = false)
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"))
+      val vec = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          round(cosine_distance(col("embedding"), col("qe")), 6).as("dist"))
+        .orderBy(col("dist"), col("doc_id")).limit(50)
+        .localCheckpoint(eager = false)
+      val lexr = lex.as("a").join(broadcast(lex.as("b")),
+          col("b.score") > col("a.score") ||
+            (col("b.score") === col("a.score") &&
+              col("b.doc_id") < col("a.doc_id")), "left")
+        .groupBy(col("a.doc_id").as("doc_id"))
+        .agg((lit(1) + count(col("b.doc_id"))).as("r"))
+      val vecr = vec.as("a").join(broadcast(vec.as("b")),
+          col("b.dist") < col("a.dist") ||
+            (col("b.dist") === col("a.dist") &&
+              col("b.doc_id") < col("a.doc_id")), "left")
+        .groupBy(col("a.doc_id").as("doc_id"))
+        .agg((lit(1) + count(col("b.doc_id"))).as("r"))
+      lexr.select(col("doc_id"), col("r").as("lex_rank"))
+        .join(vecr.select(col("doc_id"), col("r").as("vec_rank")),
+          Seq("doc_id"), "full")
+        .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+          round(coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0))
+            + coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0)), 6)
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
     },
   )
 }
