@@ -213,6 +213,61 @@ object Graphs {
             " / 1000000.0 AS DOUBLE) AS clustering")
     },
 
+    // HITS — hubs and authorities on the bipartite part→supplier
+    // graph (Kleinberg): 3 mutual-reinforcement iterations, h = E·a
+    // then a = Eᵀ·h with L2 normalization after every half-step.
+    // Complements q_pagerank with the TWO-SIDED ranking (a supplier
+    // is authoritative because well-connected parts point at it; a
+    // part is a good hub because it uses authoritative suppliers) —
+    // no damping, no teleport, L2 not L1: a genuinely different
+    // fixpoint. Fixed unroll (the q_pagerank discipline: no
+    // driver-side convergence test on a distributed reduce), so the
+    // oracle states the same 3 iterations as chained CTEs.
+    // Scale: the edge frame is data-sized and localCheckpointed
+    // ONCE; every half-step joins the NODE-sized score frame to it
+    // as a BROADCAST, so per-half-step cost is one partial-aggregated
+    // groupBy; norms are 1-row broadcast folds. Score arithmetic
+    // follows the q_vector_pca normalization: per-edge contributions
+    // sum in DECIMAL(38,12), norms fold round(x², 12) into DECIMAL,
+    // and every division rounds at 12dp on identical double
+    // operands — hash-exact at any partitioning.
+    Q("q_hits", GraphsOracles.hitsSql(3)) { (s, d) =>
+      val e = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sid"))
+        .distinct()
+        .localCheckpoint(eager = false)
+      val sn = e.agg(countDistinct("sid").as("n"))
+      var a = e.select(col("sid")).distinct()
+        .crossJoin(broadcast(sn))
+        .selectExpr("sid", "round(1 / sqrt(n), 12) AS a")
+        .localCheckpoint(eager = false)
+      var h: org.apache.spark.sql.DataFrame = null
+      for (_ <- 1 to 3) {
+        val hr = e.join(broadcast(a), "sid").groupBy("p")
+          .agg(expr("sum(CAST(a AS DECIMAL(38,12)))").as("hr"))
+        val hn = hr.agg(expr(
+          "sqrt(CAST(sum(CAST(round(CAST(hr AS DOUBLE) * CAST(hr AS DOUBLE)" +
+            ", 12) AS DECIMAL(38,12))) AS DOUBLE))").as("nrm"))
+        h = hr.crossJoin(broadcast(hn))
+          .selectExpr("p", "round(CAST(hr AS DOUBLE) / nrm, 12) AS h")
+          .localCheckpoint(eager = false)
+        val ar = e.join(broadcast(h), "p").groupBy("sid")
+          .agg(expr("sum(CAST(h AS DECIMAL(38,12)))").as("ar"))
+        val an = ar.agg(expr(
+          "sqrt(CAST(sum(CAST(round(CAST(ar AS DOUBLE) * CAST(ar AS DOUBLE)" +
+            ", 12) AS DECIMAL(38,12))) AS DOUBLE))").as("nrm"))
+        a = ar.crossJoin(broadcast(an))
+          .selectExpr("sid", "round(CAST(ar AS DOUBLE) / nrm, 12) AS a")
+          .localCheckpoint(eager = false)
+      }
+      val hubs = h.orderBy(col("h").desc, col("p")).limit(20)
+        .selectExpr("'hub' AS side", "p AS node_id", "h AS score")
+      val auths = a.orderBy(col("a").desc, col("sid")).limit(20)
+        .selectExpr("'authority' AS side", "sid AS node_id", "a AS score")
+      auths.unionAll(hubs)
+        .orderBy(col("side"), col("score").desc, col("node_id"))
+    },
+
     // DEGREE ASSORTATIVITY — Pearson correlation of endpoint degrees
     // over the (full, unsampled) part co-purchase graph: do
     // high-degree parts co-occur with other high-degree parts
@@ -301,6 +356,45 @@ object Graphs {
         (lit(1.0) / col("n").cast("double")).as("r"))
       .localCheckpoint()
     (ew, nn, r0)
+  }
+}
+
+object GraphsOracles {
+  /** Chained-CTE oracle for the fixed-unroll HITS iteration: the
+    * same (h = E·a → L2 norm → a = Eᵀ·h → L2 norm) half-steps the
+    * Spark loop builds, stated k times (the q_pagerank oracle
+    * technique; norm arithmetic per q_vector_pca). */
+  def hitsSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""h${k}r AS (SELECT p, sum(CAST(a AS DECIMAL(38,12))) AS hr
+         |  FROM e JOIN a${k - 1} USING (sid) GROUP BY p),
+         |h${k}n AS (SELECT sqrt(CAST(sum(CAST(round(CAST(hr AS DOUBLE)
+         |    * CAST(hr AS DOUBLE), 12) AS DECIMAL(38,12))) AS DOUBLE))
+         |    AS nrm FROM h${k}r),
+         |h$k AS (SELECT p, round(CAST(hr AS DOUBLE) / nrm, 12) AS h
+         |        FROM h${k}r, h${k}n),
+         |a${k}r AS (SELECT sid, sum(CAST(h AS DECIMAL(38,12))) AS ar
+         |  FROM e JOIN h$k USING (p) GROUP BY sid),
+         |a${k}n AS (SELECT sqrt(CAST(sum(CAST(round(CAST(ar AS DOUBLE)
+         |    * CAST(ar AS DOUBLE), 12) AS DECIMAL(38,12))) AS DOUBLE))
+         |    AS nrm FROM a${k}r),
+         |a$k AS (SELECT sid, round(CAST(ar AS DOUBLE) / nrm, 12) AS a
+         |        FROM a${k}r, a${k}n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sid
+       |           FROM lineitem),
+       |sn AS (SELECT count(DISTINCT sid) AS n FROM e),
+       |a0 AS (SELECT DISTINCT sid, round(1 / sqrt(n), 12) AS a
+       |       FROM e, sn),
+       |$steps
+       |SELECT side, node_id, score FROM (
+       |  SELECT 'authority' AS side, sid AS node_id, a AS score
+       |  FROM a$iters ORDER BY a DESC, sid LIMIT 20)
+       |UNION ALL
+       |SELECT side, node_id, score FROM (
+       |  SELECT 'hub' AS side, p AS node_id, h AS score
+       |  FROM h$iters ORDER BY h DESC, p LIMIT 20)
+       |ORDER BY side, score DESC, node_id""".stripMargin
   }
 }
 
