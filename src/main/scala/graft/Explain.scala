@@ -38,7 +38,7 @@ object Explain {
     "q_triangle_count", "q_assortativity", "q_path_ngrams",
     "q_retrieval_eval", "q_index_stats", "q_vocab_coverage",
     "q_minhash_recall", "q_join_asof_nearest", "q_discretize",
-    "q_hybrid_search", "q_hits")
+    "q_hybrid_search", "q_hits", "q_seasonality")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

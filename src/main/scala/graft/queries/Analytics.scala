@@ -372,5 +372,56 @@ object Analytics {
             " / (CAST(rt AS DOUBLE) * ct / n), 6) AS contrib")
         .orderBy("lang", "source")
     },
+
+    // SEASONALITY PROFILE — the day-of-week × hour-of-day traffic
+    // fingerprint per event_type: per-cell event counts, mean value
+    // (exact integer-space micro-mean — the mean-rounding caveat),
+    // and the seasonal index mean_cell / mean_type that says "3 AM
+    // Sunday purchases run at 0.7× the typical purchase" — the
+    // capacity-planning / anomaly-baseline grid every event pipeline
+    // publishes (q_changepoint dates LEVEL shifts; this is the
+    // RECURRING shape). Day numbering is Monday=1 ISO on both sides
+    // (Spark weekday()+1 ≡ DuckDB isodow — dayofweek() is
+    // Sunday-first in Spark but Sunday=0 in DuckDB, a silent
+    // off-by-one this pairing avoids). The index divides two
+    // UNROUNDED micro-unit means written identically in both
+    // engines (huge-denominator rational — tie-free), rounded 6dp.
+    // Scale: ONE partial-aggregated groupBy folds events to the
+    // ≤|types|·168 cell frame (localCheckpoint pins it); per-type
+    // totals are aggregates OF THAT FRAME, broadcast back.
+    Q("q_seasonality",
+      """WITH v AS (SELECT event_type,
+        |    isodow(CAST(ts AS TIMESTAMP)) AS dow,
+        |    hour(CAST(ts AS TIMESTAMP)) AS hod,
+        |    CAST(round(value * 1000000) AS BIGINT) AS y6 FROM events),
+        |c AS (SELECT event_type, dow, hod, CAST(sum(y6) AS BIGINT) AS s,
+        |      count(*) AS n FROM v GROUP BY 1, 2, 3),
+        |g AS (SELECT event_type, CAST(sum(s) AS BIGINT) AS st,
+        |      CAST(sum(n) AS BIGINT) AS nt FROM c GROUP BY 1)
+        |SELECT c.event_type, CAST(dow AS INT) AS dow,
+        |  CAST(hod AS INT) AS hod, n,
+        |  CAST(floor((2 * s + n) / (2.0 * n)) / 1000000.0 AS DOUBLE)
+        |    AS mean_value,
+        |  round((CAST(s AS DOUBLE) / n) / (CAST(st AS DOUBLE) / nt), 6)
+        |    AS seasonal_index
+        |FROM c JOIN g USING (event_type)
+        |ORDER BY event_type, dow, hod""".stripMargin) { (s, d) =>
+      val v = Tables.events(s, d).select(col("event_type"),
+        (weekday(col("ts")) + 1).as("dow"), hour(col("ts")).as("hod"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("y6"))
+      val c = v.groupBy("event_type", "dow", "hod")
+        .agg(sum("y6").as("s"), count(lit(1)).as("n"))
+        .localCheckpoint(eager = false)
+      val g = c.groupBy("event_type")
+        .agg(sum("s").cast("long").as("st"), sum("n").cast("long").as("nt"))
+      c.join(broadcast(g), "event_type")
+        .selectExpr("event_type", "CAST(dow AS INT) AS dow",
+          "CAST(hod AS INT) AS hod", "n",
+          "CAST(floor((2 * s + n) / (2.0 * n)) / 1000000.0 AS DOUBLE)" +
+            " AS mean_value",
+          "round((CAST(s AS DOUBLE) / n) / (CAST(st AS DOUBLE) / nt), 6)" +
+            " AS seasonal_index")
+        .orderBy("event_type", "dow", "hod")
+    },
   )
 }
