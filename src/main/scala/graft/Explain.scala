@@ -38,7 +38,9 @@ object Explain {
     "q_triangle_count", "q_assortativity", "q_path_ngrams",
     "q_retrieval_eval", "q_index_stats", "q_vocab_coverage",
     "q_minhash_recall", "q_join_asof_nearest", "q_discretize",
-    "q_hybrid_search", "q_hits", "q_seasonality")
+    "q_hybrid_search", "q_hits", "q_seasonality",
+    // round-8 fourth wave
+    "q_assoc_rules", "q_gini", "q_survival", "q_rfm")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

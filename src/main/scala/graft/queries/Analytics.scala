@@ -423,5 +423,270 @@ object Analytics {
             " AS seasonal_index")
         .orderBy("event_type", "dow", "hod")
     },
+
+    // MARKET-BASKET ASSOCIATION RULES — support/confidence/lift for
+    // part pairs co-purchased within an order (the co-occurrence
+    // mining pass behind "frequently bought together" and feature
+    // cross discovery). Scale: the basket frame (distinct order,
+    // part) is ONE partial-aggregated pass over lineitem,
+    // localCheckpointed and reused by all three counts; the pair
+    // self-join co-partitions both sides on the order key (pairs per
+    // order is small — the join output is Σ per-order C(k,2), not
+    // |baskets|²); item counts and the 1-row basket total are
+    // part-sized / 1-row BROADCASTs onto the pair frame; the final
+    // top-100 is a TakeOrderedAndProject. Determinism: every metric
+    // is a single IEEE division/multiplication of exact BIGINT
+    // counts written identically in both engines, round(6); ties in
+    // lift break on (p1, p2).
+    Q("q_assoc_rules",
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |           FROM lineitem),
+        |n AS (SELECT count(DISTINCT ok) AS n_orders FROM b),
+        |item AS (SELECT pk, count(*) AS icnt FROM b GROUP BY pk),
+        |pairs AS (SELECT a.pk AS p1, c.pk AS p2, count(*) AS pair_cnt
+        |          FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+        |          GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p1, p2, pair_cnt, i1.icnt AS cnt1, i2.icnt AS cnt2,
+        |  round(CAST(pair_cnt AS DOUBLE) / n_orders, 6) AS support,
+        |  round(CAST(pair_cnt AS DOUBLE) / i1.icnt, 6) AS confidence,
+        |  round(CAST(pair_cnt * n_orders AS DOUBLE)
+        |        / (i1.icnt * i2.icnt), 6) AS lift
+        |FROM pairs JOIN item i1 ON p1 = i1.pk
+        |           JOIN item i2 ON p2 = i2.pk CROSS JOIN n
+        |ORDER BY lift DESC, p1, p2 LIMIT 100""".stripMargin) { (s, d) =>
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct().localCheckpoint(eager = false)
+      val n = b.agg(countDistinct(col("ok")).as("n_orders"))
+      val item = b.groupBy("pk").agg(count(lit(1)).as("icnt"))
+      val pairs = b.as("a")
+        .join(b.as("c"), col("a.ok") === col("c.ok") &&
+          col("a.pk") < col("c.pk"))
+        .groupBy(col("a.pk").as("p1"), col("c.pk").as("p2"))
+        .agg(count(lit(1)).as("pair_cnt"))
+        .filter(col("pair_cnt") >= 2)
+      pairs
+        .join(broadcast(item.select(col("pk").as("p1"),
+          col("icnt").as("cnt1"))), "p1")
+        .join(broadcast(item.select(col("pk").as("p2"),
+          col("icnt").as("cnt2"))), "p2")
+        .crossJoin(broadcast(n))
+        .select(col("p1"), col("p2"), col("pair_cnt"), col("cnt1"),
+          col("cnt2"),
+          round(col("pair_cnt").cast("double") / col("n_orders"), 6)
+            .as("support"),
+          round(col("pair_cnt").cast("double") / col("cnt1"), 6)
+            .as("confidence"),
+          round((col("pair_cnt") * col("n_orders")).cast("double") /
+            (col("cnt1") * col("cnt2")), 6).as("lift"))
+        .orderBy(desc("lift"), col("p1"), col("p2")).limit(100)
+    },
+
+    // GINI CONCENTRATION — per order-priority Gini coefficient of
+    // order value (the inequality/concentration readout a corpus
+    // pipeline runs over source or domain contribution before
+    // rebalancing a mixture). Rank formula over ascending spend:
+    // G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx). Scale: the rank is a
+    // per-group window (5 groups here — at higher group cardinality
+    // the same sort distributes; for a SINGLE global group use the
+    // q_skyline range-bucketed prefix-sum discipline instead); both
+    // moment sums are partial-aggregated DECIMAL(38,6) with per-row
+    // round(6) BEFORE the sum (i·xᵢ is one IEEE multiply of exact
+    // operands — bit-identical in both engines). The final Gini
+    // arithmetic runs on identical double operands.
+    Q("q_gini",
+      """WITH t AS (SELECT o_orderpriority AS prio,
+        |    round(o_totalprice, 6) AS x, o_orderkey AS k FROM orders),
+        |w AS (SELECT prio, x,
+        |    row_number() OVER (PARTITION BY prio ORDER BY x, k) AS i
+        |  FROM t),
+        |g AS (SELECT prio, count(*) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS s,
+        |    CAST(sum(CAST(round(i * x, 6) AS DECIMAL(38,6))) AS DOUBLE)
+        |      AS ws
+        |  FROM w GROUP BY prio)
+        |SELECT prio, n, round(s, 6) AS total,
+        |  CASE WHEN s = 0 THEN NULL
+        |       ELSE round((2 * ws - (n + 1) * s) / (n * s), 6) END AS gini
+        |FROM g ORDER BY prio""".stripMargin) { (s, d) =>
+      val t = Tables.orders(s, d).select(
+        col("o_orderpriority").as("prio"),
+        round(col("o_totalprice"), 6).as("x"), col("o_orderkey").as("k"))
+      val w = Window.partitionBy("prio").orderBy("x", "k")
+      t.withColumn("i", row_number().over(w))
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(DecimalType(38, 6))).cast("double").as("s"),
+          sum(round(col("i") * col("x"), 6).cast(DecimalType(38, 6)))
+            .cast("double").as("ws"))
+        .selectExpr("prio", "n", "round(s, 6) AS total",
+          "CASE WHEN s = 0 THEN NULL ELSE " +
+            "round((2 * ws - (n + 1) * s) / (n * s), 6) END AS gini")
+        .orderBy("prio")
+    },
+
+    // KAPLAN-MEIER SURVIVAL — time-to-conversion survival curve with
+    // right-censoring (the churn/retention-duration estimator; the
+    // windowed cousin of q_retention, which counts fixed offsets).
+    // The "event" is a user's FIRST high-value action
+    // (round(value,6) > 200 — rounded-vs-constant comparisons are
+    // engine-identical); the clock starts at the user's first event;
+    // users who never convert are CENSORED at their last observed
+    // event (they exit the risk set alive — dropping them instead
+    // would bias S(t) low, the textbook KM error).
+    // S(t) = Π_{t'≤t} (1 − d_t'/n_t'). Scale: per-user extent is ONE
+    // partial-aggregated groupBy over the fact scan (the conversion
+    // timestamp is a conditional min — no second pass, no join);
+    // everything after lives on the duration-distinct frame (≤ the
+    // observation window in days at ANY corpus size — the
+    // partition-less windows are constant-sized, not data-sized).
+    // The product runs as exp(Σ ln) with per-term round(9) into a
+    // DECIMAL(38,9) running sum (the q_lm_score ln discipline); a
+    // zero factor (d = n at some t) is flagged via a running max
+    // instead of ln(0) = −∞, which DECIMAL would NULL out
+    // differently across engines.
+    Q("q_survival",
+      """WITH u AS (SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS t0,
+        |    CAST(max(ts) AS TIMESTAMP) AS t1,
+        |    min(CASE WHEN round(value, 6) > 200
+        |        THEN CAST(ts AS TIMESTAMP) END) AS tp
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT date_diff('day', CAST(t0 AS DATE),
+        |        CAST(coalesce(tp, t1) AS DATE)) AS dur,
+        |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS observed
+        |  FROM u),
+        |d AS (SELECT dur, CAST(sum(observed) AS BIGINT) AS d_events,
+        |    CAST(count(*) - sum(observed) AS BIGINT) AS censored,
+        |    count(*) AS total FROM l GROUP BY dur),
+        |r AS (SELECT dur, d_events, censored,
+        |    CAST(sum(total) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW
+        |      AND UNBOUNDED FOLLOWING) AS BIGINT) AS at_risk FROM d),
+        |e AS (SELECT dur, d_events, censored, at_risk,
+        |    CASE WHEN d_events > 0 AND d_events < at_risk
+        |         THEN round(ln(1 - CAST(d_events AS DOUBLE) / at_risk), 9)
+        |         END AS term,
+        |    CASE WHEN d_events > 0 AND d_events >= at_risk
+        |         THEN 1 ELSE 0 END AS zf FROM r)
+        |SELECT dur, at_risk, d_events, censored,
+        |  CASE WHEN max(zf) OVER (ORDER BY dur) = 1 THEN 0.0
+        |  ELSE round(exp(CAST(coalesce(sum(CAST(term AS DECIMAL(38,9)))
+        |    OVER (ORDER BY dur), 0) AS DOUBLE)), 6) END AS survival
+        |FROM e ORDER BY dur""".stripMargin) { (s, d) =>
+      val u = Tables.events(s, d).groupBy("user_id")
+        .agg(min("ts").as("t0"), max("ts").as("t1"),
+          min(when(round(col("value"), 6) > 200, col("ts"))).as("tp"))
+      val l = u.select(
+        datediff(coalesce(col("tp"), col("t1")).cast("date"),
+          col("t0").cast("date")).as("dur"),
+        when(col("tp").isNotNull, 1).otherwise(0).as("observed"))
+      val dd = l.groupBy("dur").agg(
+        sum("observed").cast("long").as("d_events"),
+        (count(lit(1)) - sum("observed")).cast("long").as("censored"),
+        count(lit(1)).as("total"))
+      val wSuf = Window.orderBy("dur")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val wPre = Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dd.withColumn("at_risk", sum("total").over(wSuf))
+        .withColumn("term",
+          when(col("d_events") > 0 && col("d_events") < col("at_risk"),
+            round(log(lit(1) - col("d_events").cast("double") /
+              col("at_risk")), 9)))
+        .withColumn("zf",
+          when(col("d_events") > 0 &&
+            col("d_events") >= col("at_risk"), 1).otherwise(0))
+        .select(col("dur"), col("at_risk"), col("d_events"),
+          col("censored"),
+          when(max("zf").over(wPre) === 1, lit(0.0))
+            .otherwise(round(exp(coalesce(
+              sum(col("term").cast(DecimalType(38, 9))).over(wPre),
+              lit(0)).cast("double")), 6)).as("survival"))
+        .orderBy("dur")
+    },
+
+    // RFM SEGMENTATION — recency/frequency/monetary quintile scores
+    // per customer, rolled up to segment cells (the
+    // user-value stratification every growth pipeline runs; here it
+    // is also the "stratify a corpus by contributor behavior"
+    // primitive). Scale: per-customer extent is ONE
+    // partial-aggregated groupBy over orders (localCheckpointed —
+    // reused by the boundary scan and the scoring scan); quintile
+    // boundaries are a 1-row exact-percentile frame BROADCAST onto
+    // the customer frame (the q_discretize equal-frequency
+    // discipline — swap percentile → approx_percentile for the
+    // 100 TB path); scoring is scan-local filter-count against the
+    // rounded boundary arrays (rounded-vs-rounded comparisons are
+    // engine-identical; a value ON a boundary goes to the lower
+    // bucket via strict >); the rollup is a ≤125-cell aggregate.
+    Q("q_rfm",
+      """WITH gm AS (SELECT CAST(max(o_orderdate) AS DATE) AS gmax
+        |            FROM orders),
+        |cust AS (SELECT o_custkey AS ck,
+        |    date_diff('day', CAST(max(o_orderdate) AS DATE), gmax) AS rec,
+        |    count(*) AS freq,
+        |    round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+        |          AS DOUBLE), 6) AS money
+        |  FROM orders CROSS JOIN gm GROUP BY o_custkey, gmax),
+        |qb AS (SELECT
+        |    [round(x, 6) for x in
+        |     quantile_cont(rec,   [0.2, 0.4, 0.6, 0.8])] AS rq,
+        |    [round(x, 6) for x in
+        |     quantile_cont(freq,  [0.2, 0.4, 0.6, 0.8])] AS fq,
+        |    [round(x, 6) for x in
+        |     quantile_cont(money, [0.2, 0.4, 0.6, 0.8])] AS mq
+        |  FROM cust),
+        |sc AS (SELECT ck, money,
+        |    5 - len(list_filter(rq, q -> round(rec, 6)   > q)) AS r_score,
+        |    1 + len(list_filter(fq, q -> round(freq, 6)  > q)) AS f_score,
+        |    1 + len(list_filter(mq, q -> round(money, 6) > q)) AS m_score
+        |  FROM cust CROSS JOIN qb)
+        |SELECT CAST(r_score AS INT) AS r_score,
+        |  CAST(f_score AS INT) AS f_score,
+        |  CAST(m_score AS INT) AS m_score, count(*) AS n,
+        |  round(CAST(sum(CAST(money AS DECIMAL(38,6))) AS DOUBLE), 6)
+        |    AS money_sum,
+        |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+        |         THEN 'champion'
+        |       WHEN f_score >= 4 THEN 'loyal'
+        |       WHEN m_score >= 4 THEN 'big_spender'
+        |       WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+        |       WHEN r_score <= 2 THEN 'hibernating'
+        |       ELSE 'regular' END AS segment
+        |FROM sc GROUP BY r_score, f_score, m_score
+        |ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val gm = Tables.orders(s, d)
+        .agg(max(col("o_orderdate").cast("date")).as("gmax"))
+      val cust = Tables.orders(s, d).crossJoin(broadcast(gm))
+        .groupBy(col("o_custkey").as("ck"), col("gmax"))
+        .agg(datediff(col("gmax"),
+          max(col("o_orderdate").cast("date"))).as("rec"),
+          count(lit(1)).as("freq"), dsum(col("o_totalprice")).as("money"))
+        .drop("gmax").localCheckpoint(eager = false)
+      val qb = cust.agg(
+        expr("transform(percentile(rec, array(0.2D, 0.4D, 0.6D, 0.8D))," +
+          " x -> round(x, 6))").as("rq"),
+        expr("transform(percentile(freq, array(0.2D, 0.4D, 0.6D, 0.8D))," +
+          " x -> round(x, 6))").as("fq"),
+        expr("transform(percentile(money, array(0.2D, 0.4D, 0.6D, 0.8D))," +
+          " x -> round(x, 6))").as("mq"))
+      cust.crossJoin(broadcast(qb))
+        .selectExpr("money",
+          "5 - size(filter(rq, q -> round(rec, 6) > q)) AS r_score",
+          "1 + size(filter(fq, q -> round(freq, 6) > q)) AS f_score",
+          "1 + size(filter(mq, q -> round(money, 6) > q)) AS m_score")
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n"), dsum(col("money")).as("money_sum"))
+        .selectExpr("CAST(r_score AS INT) AS r_score",
+          "CAST(f_score AS INT) AS f_score",
+          "CAST(m_score AS INT) AS m_score", "n", "money_sum",
+          "CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4" +
+            " THEN 'champion'" +
+            " WHEN f_score >= 4 THEN 'loyal'" +
+            " WHEN m_score >= 4 THEN 'big_spender'" +
+            " WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'" +
+            " WHEN r_score <= 2 THEN 'hibernating'" +
+            " ELSE 'regular' END AS segment")
+        .orderBy("r_score", "f_score", "m_score")
+    },
   )
 }
