@@ -40,7 +40,9 @@ object Explain {
     "q_minhash_recall", "q_join_asof_nearest", "q_discretize",
     "q_hybrid_search", "q_hits", "q_seasonality",
     // round-8 fourth wave
-    "q_assoc_rules", "q_gini", "q_survival", "q_rfm")
+    "q_assoc_rules", "q_gini", "q_survival", "q_rfm",
+    // round-8 fifth wave
+    "q_fuzzy_match", "q_benford", "q_cohort_ltv", "q_naive_bayes")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -688,5 +688,71 @@ object Analytics {
             " ELSE 'regular' END AS segment")
         .orderBy("r_score", "f_score", "m_score")
     },
+
+    // COHORT LTV CURVES — cumulative revenue per customer by cohort
+    // (month of first order) and age-in-months: the lifetime-value
+    // triangle every subscription/growth readout is built on, and
+    // the "does data from source S keep paying off over time" curve
+    // when cohorts are ingestion batches. Scale: ONE shuffle on the
+    // customer key computes each customer's first month as a window
+    // min (no self-join); ONE partial-aggregated groupBy folds to
+    // the cohort×age triangle (≤ months² rows at ANY corpus size,
+    // localCheckpoint pinned). Cohort size needs NO extra pass:
+    // every customer has an age-0 row by construction (their first
+    // order), so size = n_active at age 0, re-aggregated from the
+    // triangle and broadcast back. Determinism: revenue folds as
+    // exact integer micros (floor(x·1e6 + 0.5) — never a round-tie);
+    // the running sum is a BIGINT window over the bounded triangle;
+    // LTV divides in EXACT INTEGER space — (2·cum + sz) DIV (2·sz),
+    // ties toward +inf by definition in both engines (Spark DIV and
+    // DuckDB // agree on positive operands) — per the mean-rounding
+    // caveat (package.scala).
+    Q("q_cohort_ltv",
+      """WITH o AS (SELECT o_custkey AS ck,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |    CAST(floor(round(o_totalprice, 6) * 1e6 + 0.5) AS BIGINT)
+        |      AS micro FROM orders),
+        |w AS (SELECT ck, m, micro, min(m) OVER (PARTITION BY ck) AS m0
+        |      FROM o),
+        |cell AS (SELECT m0 AS cohort, date_diff('month', m0, m) AS age,
+        |    count(*) AS n_orders, count(DISTINCT ck) AS n_active,
+        |    CAST(sum(micro) AS BIGINT) AS rev_micro
+        |  FROM w GROUP BY 1, 2),
+        |sz AS (SELECT cohort, n_active AS cohort_size FROM cell
+        |       WHERE age = 0),
+        |c AS (SELECT cohort, age, n_orders, n_active, rev_micro,
+        |    CAST(sum(rev_micro) OVER (PARTITION BY cohort ORDER BY age)
+        |      AS BIGINT) AS cum_micro FROM cell)
+        |SELECT c.cohort, c.age, n_orders, n_active, cohort_size,
+        |  round(rev_micro / 1e6, 6) AS revenue,
+        |  round(((2 * cum_micro + cohort_size)
+        |         // (2 * cohort_size)) / 1e6, 6) AS ltv
+        |FROM c JOIN sz ON c.cohort = sz.cohort
+        |ORDER BY c.cohort, c.age""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d).select(
+        col("o_custkey").as("ck"),
+        trunc(col("o_orderdate").cast("date"), "MM").as("m"),
+        floor(round(col("o_totalprice"), 6) * lit(1e6) + 0.5).cast("long")
+          .as("micro"))
+      val cell = o
+        .withColumn("m0", min("m").over(Window.partitionBy("ck")))
+        .groupBy(col("m0").as("cohort"),
+          months_between(col("m"), col("m0")).cast("int").as("age"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct("ck").as("n_active"),
+          sum("micro").cast("long").as("rev_micro"))
+        .localCheckpoint(eager = false)
+      val sz = cell.filter(col("age") === 0)
+        .select(col("cohort"), col("n_active").as("cohort_size"))
+      val cum = Window.partitionBy("cohort").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cell.withColumn("cum_micro", sum("rev_micro").over(cum).cast("long"))
+        .join(broadcast(sz), "cohort")
+        .selectExpr("cohort", "age", "n_orders", "n_active", "cohort_size",
+          "round(rev_micro / 1e6, 6) AS revenue",
+          "round(((2 * cum_micro + cohort_size)" +
+            " DIV (2 * cohort_size)) / 1e6, 6) AS ltv")
+        .orderBy("cohort", "age")
+    },
   )
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
@@ -234,6 +235,113 @@ object Language {
             expr(h28("concat('tok#', element_at(w, pos + 1))")) % 32767 + 1)
             .otherwise(lit(0L)).as("id"))
         .orderBy("doc_id", "pos")
+    },
+
+    // NAIVE BAYES LANGUAGE CLASSIFIER — train a multinomial NB
+    // (add-one smoothing) on the 80% hash-split train docs, score
+    // the held-out 20%, and report the confusion matrix: the
+    // classic supervised twin of q_lang_id's heuristic (and the
+    // cheapest "train a model IN the engine" demonstration — the
+    // whole fit is two partial-aggregated count frames). The split
+    // reuses q_split_assign's exact salted hash, so "train" here is
+    // the SAME set every other operator calls train. Scale: the fit
+    // folds the corpus to VOCABULARY-sized frames (class-conditional
+    // counts, class totals, priors — all zipf-bounded ≪ corpus);
+    // the dense smoothed log-prob table is |V|×|C| and BROADCASTS
+    // onto the test token stream (the ×|C| fan-out is the NB scoring
+    // cost, |C|=5); per-doc-per-class scores fold back partial-
+    // aggregated; the argmax is a |C|-row-per-doc window. Scoring
+    // starts from test-docs × classes with a LEFT join, so a doc
+    // with zero in-vocabulary tokens still gets prior-only scores
+    // instead of vanishing. Determinism: every ln runs on exact
+    // BIGINT-ratio operands, rounded 9dp per-term BEFORE the
+    // DECIMAL(38,9) sum (q_lm_score discipline); argmax ties break
+    // on class name ascending in both engines.
+    Q("q_naive_bayes",
+      s"""WITH s AS (SELECT doc_id, lang, $toksDuck AS w,
+         |    CASE WHEN ${h28Duck("'split#' || doc_id")} < 214748365
+         |         THEN 'train' ELSE 'test' END AS split
+         |  FROM documents),
+         |trtok AS (SELECT lang, unnest(w) AS tok FROM s
+         |          WHERE split = 'train'),
+         |ct AS (SELECT lang, tok, count(*) AS cnt FROM trtok
+         |       GROUP BY 1, 2),
+         |tokc AS (SELECT lang, count(*) AS ntok FROM trtok GROUP BY 1),
+         |vocab AS (SELECT DISTINCT tok FROM trtok),
+         |vsz AS (SELECT count(*) AS v FROM vocab),
+         |prior AS (SELECT lang, round(ln(CAST(count(*) AS DOUBLE) /
+         |      (SELECT count(*) FROM s WHERE split = 'train')), 9)
+         |      AS lnprior
+         |  FROM s WHERE split = 'train' GROUP BY 1),
+         |dense AS (SELECT vocab.tok, tokc.lang,
+         |    round(ln(CAST(coalesce(ct.cnt, 0) + 1 AS DOUBLE)
+         |             / (tokc.ntok + vsz.v)), 9) AS lnp
+         |  FROM vocab CROSS JOIN tokc CROSS JOIN vsz
+         |  LEFT JOIN ct ON ct.tok = vocab.tok AND ct.lang = tokc.lang),
+         |tetok AS (SELECT doc_id, unnest(w) AS tok FROM s
+         |          WHERE split = 'test'),
+         |tscore AS (SELECT t.doc_id, de.lang,
+         |    CAST(sum(CAST(de.lnp AS DECIMAL(38,9))) AS DOUBLE) AS tsum
+         |  FROM tetok t JOIN dense de ON t.tok = de.tok GROUP BY 1, 2),
+         |score AS (SELECT s.doc_id, s.lang AS actual, p.lang AS cand,
+         |    round(p.lnprior + coalesce(t.tsum, 0), 9) AS score
+         |  FROM s CROSS JOIN prior p
+         |  LEFT JOIN tscore t ON t.doc_id = s.doc_id AND t.lang = p.lang
+         |  WHERE s.split = 'test'),
+         |pred AS (SELECT doc_id, actual, cand AS predicted,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY score DESC, cand) AS rk
+         |  FROM score)
+         |SELECT actual, predicted, count(*) AS n
+         |FROM pred WHERE rk = 1 GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val base = barrier(Tables.documents(s, d).withColumn("w", expr(toks)))
+        .withColumn("split",
+          when(expr(h28("concat('split#', CAST(doc_id AS STRING))"))
+            < 214748365L, "train").otherwise("test"))
+        .select("doc_id", "lang", "w", "split")
+        .localCheckpoint(eager = false)
+      val trtok = base.filter(col("split") === "train")
+        .select(col("lang"), explode(col("w")).as("tok"))
+      val ct = trtok.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      val tokc = trtok.groupBy("lang").agg(count(lit(1)).as("ntok"))
+      val vocab = trtok.select("tok").distinct()
+      val vsz = vocab.agg(count(lit(1)).as("v"))
+      val ntr = base.filter(col("split") === "train")
+        .agg(count(lit(1)).as("nd"))
+      val prior = base.filter(col("split") === "train")
+        .groupBy("lang").agg(count(lit(1)).as("ndl"))
+        .crossJoin(broadcast(ntr))
+        .select(col("lang"),
+          round(log(col("ndl").cast("double") / col("nd")), 9)
+            .as("lnprior"))
+        .localCheckpoint(eager = false)
+      val dense = vocab.crossJoin(broadcast(tokc))
+        .crossJoin(broadcast(vsz))
+        .join(broadcast(ct), Seq("tok", "lang"), "left")
+        .select(col("tok"), col("lang"),
+          round(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+            (col("ntok") + col("v"))), 9).as("lnp"))
+      val tscore = base.filter(col("split") === "test")
+        .select(col("doc_id"), explode(col("w")).as("tok"))
+        .join(broadcast(dense), "tok")
+        .groupBy(col("doc_id"), col("lang").as("cand"))
+        .agg(sum(col("lnp").cast(DecimalType(38, 9))).cast("double")
+          .as("tsum"))
+      val scored = base.filter(col("split") === "test")
+        .select(col("doc_id"), col("lang").as("actual"))
+        .crossJoin(broadcast(prior.withColumnRenamed("lang", "cand")))
+        .join(tscore, Seq("doc_id", "cand"), "left")
+        .select(col("doc_id"), col("actual"), col("cand"),
+          round(col("lnprior") + coalesce(col("tsum"), lit(0.0)), 9)
+            .as("score"))
+      scored.withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id")
+            .orderBy(col("score").desc, col("cand"))))
+        .filter(col("rk") === 1)
+        .groupBy(col("actual"), col("cand").as("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("actual", "predicted")
     },
   )
 }

@@ -411,5 +411,66 @@ object Profiling {
             " ELSE element_at(qs, bucket + 1) END AS hi")
         .orderBy("event_type", "bucket")
     },
+
+    // BENFORD FIRST-DIGIT AUDIT — leading-digit distribution of
+    // order totals against Benford's law, with per-digit chi-square
+    // contributions: the fraud/synthetic-data screen auditors run
+    // over any organically-grown monetary or count column (a
+    // fabricated column shows uniform-ish leading digits; an organic
+    // multiplicative one follows log10(1+1/d)). Determinism: the
+    // digit comes from INTEGER cents (floor(x·100 + 0.5) — floor is
+    // IEEE-identical in both engines, never a round-tie) rendered
+    // via integer-to-string (identical formatting both sides), and
+    // the Benford probabilities are 12dp LITERALS shared by both
+    // engines — no cross-engine log10 in the plan. Scale: ONE
+    // partial-aggregated groupBy folds the scan to 9 digit rows;
+    // the total re-aggregates THOSE 9 rows (no second scan) and
+    // broadcasts back; the chi-square terms are scan-local
+    // arithmetic on identical double operands.
+    Q("q_benford",
+      """WITH m AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |           AS cents FROM orders),
+        |c AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT)
+        |        AS digit, count(*) AS observed FROM m GROUP BY 1),
+        |p AS (SELECT digit, observed,
+        |    CAST(CASE digit
+        |      WHEN 1 THEN 0.301029995664 WHEN 2 THEN 0.176091259056
+        |      WHEN 3 THEN 0.124938736608 WHEN 4 THEN 0.096910013008
+        |      WHEN 5 THEN 0.079181246048 WHEN 6 THEN 0.066946789631
+        |      WHEN 7 THEN 0.057991946978 WHEN 8 THEN 0.051152522447
+        |      ELSE 0.045757490561 END AS DOUBLE) AS benford_p,
+        |    (SELECT sum(observed) FROM c) AS total FROM c)
+        |SELECT digit, observed,
+        |  round(CAST(observed AS DOUBLE) / total, 6) AS share,
+        |  round(total * benford_p, 6) AS expected,
+        |  round((observed - total * benford_p)
+        |        * (observed - total * benford_p)
+        |        / (total * benford_p), 6) AS chi2_term
+        |FROM p ORDER BY digit""".stripMargin) { (s, d) =>
+      val c = Tables.orders(s, d)
+        .select(floor(col("o_totalprice") * 100 + 0.5).cast("long")
+          .as("cents"))
+        .select(substring(col("cents").cast("string"), 1, 1).cast("int")
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("observed"))
+        .localCheckpoint(eager = false)
+      val n = c.agg(sum("observed").as("total"))
+      c.crossJoin(broadcast(n))
+        .withColumn("benford_p", expr(
+          """CAST(CASE digit WHEN 1 THEN 0.301029995664
+            |  WHEN 2 THEN 0.176091259056 WHEN 3 THEN 0.124938736608
+            |  WHEN 4 THEN 0.096910013008 WHEN 5 THEN 0.079181246048
+            |  WHEN 6 THEN 0.066946789631 WHEN 7 THEN 0.057991946978
+            |  WHEN 8 THEN 0.051152522447 ELSE 0.045757490561
+            |END AS DOUBLE)""".stripMargin))
+        .select(col("digit"), col("observed"),
+          round(col("observed").cast("double") / col("total"), 6)
+            .as("share"),
+          round(col("total") * col("benford_p"), 6).as("expected"),
+          round((col("observed") - col("total") * col("benford_p")) *
+            (col("observed") - col("total") * col("benford_p")) /
+            (col("total") * col("benford_p")), 6).as("chi2_term"))
+        .orderBy("digit")
+    },
   )
 }

@@ -769,5 +769,47 @@ object TextOps {
             .as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id")).limit(20)
     },
+
+    // BLOCKED FUZZY ENTITY MATCH — classic two-stage entity
+    // resolution over the part-name dictionary: a cheap EQUALITY
+    // blocking key (first 2 chars) turns the quadratic all-pairs
+    // edit-distance problem into a hash-partitionable equi-join, and
+    // the expensive Levenshtein runs only INSIDE blocks (the
+    // candidate filter discipline every record-linkage system uses —
+    // Fellegi-Sunter blocking; recall is traded at the block
+    // boundary by design). Scale: the corpus folds ONCE to its
+    // dictionary (distinct name + support count — a partial
+    // aggregate; name dictionaries are zipf-bounded ≪ corpus), and
+    // the self-join runs dictionary×dictionary within blocks — here
+    // the dictionary broadcasts; at real vocab scale the SAME plan
+    // shuffle-joins co-partitioned on the block key. Levenshtein is
+    // an exact integer in both engines; ordering is total on
+    // (dist, name1, name2).
+    Q("q_fuzzy_match",
+      """WITH dict AS (SELECT p_name AS name, count(*) AS support
+        |              FROM part GROUP BY 1)
+        |SELECT a.name AS name1, b.name AS name2,
+        |  levenshtein(a.name, b.name) AS dist,
+        |  a.support AS support1, b.support AS support2
+        |FROM dict a JOIN dict b
+        |  ON substr(a.name, 1, 2) = substr(b.name, 1, 2)
+        | AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 4
+        |ORDER BY dist, name1, name2""".stripMargin) { (s, d) =>
+      val dict = Tables.part(s, d)
+        .groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("support"))
+        .withColumn("blk", substring(col("name"), 1, 2))
+        .localCheckpoint(eager = false)
+      dict.as("a").join(broadcast(dict.as("b")),
+          col("a.blk") === col("b.blk") &&
+            col("a.name") < col("b.name") &&
+            levenshtein(col("a.name"), col("b.name")) <= 4)
+        .select(col("a.name").as("name1"), col("b.name").as("name2"),
+          levenshtein(col("a.name"), col("b.name")).as("dist"),
+          col("a.support").as("support1"),
+          col("b.support").as("support2"))
+        .orderBy("dist", "name1", "name2")
+    },
   )
 }
