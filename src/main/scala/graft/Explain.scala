@@ -42,7 +42,9 @@ object Explain {
     // round-8 fourth wave
     "q_assoc_rules", "q_gini", "q_survival", "q_rfm",
     // round-8 fifth wave
-    "q_fuzzy_match", "q_benford", "q_cohort_ltv", "q_naive_bayes")
+    "q_fuzzy_match", "q_benford", "q_cohort_ltv", "q_naive_bayes",
+    // round-8 sixth wave
+    "q_kmeans", "q_precedence", "q_bootstrap_ci")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -754,5 +754,125 @@ object Analytics {
             " DIV (2 * cohort_size)) / 1e6, 6) AS ltv")
         .orderBy("cohort", "age")
     },
+
+    // EVENT PRECEDENCE MINING — for every ordered pair of event
+    // types, how often a user's FIRST occurrence of t1 precedes
+    // their first occurrence of t2, with a binomial z-score against
+    // the 50/50 null: the "what do users do first" / canonical-
+    // ordering readout (onboarding-order analysis; q_funnel checks
+    // ONE hypothesized order — this mines ALL pairwise orders, and
+    // q_path_ngrams counts CONSECUTIVE steps while this tests
+    // global precedence). Scale: per-user first-occurrence extent is
+    // ONE partial-aggregated groupBy (users×|types| frame); the
+    // pair join co-partitions on the user key (|types|²/2 rows per
+    // user — constant-bounded); the rollup partial-aggregates to
+    // ≤|types|² cells. Determinism: counts are exact integers;
+    // equal first-timestamps count as NOT-before (strict <, same in
+    // both engines); the z arithmetic runs on identical doubles.
+    Q("q_precedence",
+      """WITH x AS (SELECT user_id, event_type AS t, min(ts) AS ft
+        |           FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.t AS t1, b.t AS t2, count(*) AS n_both,
+        |    CAST(sum(CASE WHEN a.ft < b.ft THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_before
+        |  FROM x a JOIN x b ON a.user_id = b.user_id AND a.t < b.t
+        |  GROUP BY 1, 2)
+        |SELECT t1, t2, n_both, n_before,
+        |  round(CAST(n_before AS DOUBLE) / n_both, 6) AS p_t1_first,
+        |  round((n_before - CAST(n_both AS DOUBLE) / 2)
+        |        / sqrt(CAST(n_both AS DOUBLE) / 4), 6) AS z
+        |FROM p ORDER BY t1, t2""".stripMargin) { (s, d) =>
+      val x = Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type").as("t"))
+        .agg(min("ts").as("ft"))
+        .localCheckpoint(eager = false)
+      x.as("a").join(x.as("b"),
+          col("a.user_id") === col("b.user_id") && col("a.t") < col("b.t"))
+        .groupBy(col("a.t").as("t1"), col("b.t").as("t2"))
+        .agg(count(lit(1)).as("n_both"),
+          sum(when(col("a.ft") < col("b.ft"), 1).otherwise(0))
+            .cast("long").as("n_before"))
+        .selectExpr("t1", "t2", "n_both", "n_before",
+          "round(CAST(n_before AS DOUBLE) / n_both, 6) AS p_t1_first",
+          "round((n_before - CAST(n_both AS DOUBLE) / 2)" +
+            " / sqrt(CAST(n_both AS DOUBLE) / 4), 6) AS z")
+        .orderBy("t1", "t2")
+    },
+
+    // POISSON BOOTSTRAP CI — per-priority bootstrap confidence
+    // interval on mean order value via 32 Poisson(1)-weighted
+    // replicas: THE scale-out bootstrap (classic resampling draws n
+    // rows WITH replacement — a global shuffle per replica;
+    // Poisson(1) weights approximate multinomial resampling with a
+    // PER-ROW INDEPENDENT weight, so all B replicas fold in ONE
+    // partial-aggregated pass — the technique production pipelines
+    // use for CIs over billions of rows). Determinism: the weight is
+    // an inverse-CDF lookup of the salted row hash against INTEGER
+    // thresholds (floor(CDF·2^28) literals — exact integer compares,
+    // no cross-engine exp()); replica and real means divide in
+    // EXACT INTEGER space ((2S+n) DIV 2n — the mean-rounding
+    // caveat); the CI bounds are exact percentiles over the 32
+    // identical replica means (q_rfm's percentile ≡ quantile_cont
+    // pairing).
+    Q("q_bootstrap_ci",
+      s"""WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
+         |    CAST(floor(round(o_totalprice, 6) * 1e6 + 0.5) AS BIGINT)
+         |      AS micro FROM orders),
+         |rep AS (SELECT prio, t.b, micro,
+         |    CASE WHEN ${h28Duck("'boot#' || t.b || '#' || k")} < 98751885
+         |           THEN 0
+         |         WHEN ${h28Duck("'boot#' || t.b || '#' || k")} < 197503771
+         |           THEN 1
+         |         WHEN ${h28Duck("'boot#' || t.b || '#' || k")} < 246879713
+         |           THEN 2
+         |         WHEN ${h28Duck("'boot#' || t.b || '#' || k")} < 263338361
+         |           THEN 3
+         |         WHEN ${h28Duck("'boot#' || t.b || '#' || k")} < 267453023
+         |           THEN 4
+         |         WHEN ${h28Duck("'boot#' || t.b || '#' || k")} < 268275955
+         |           THEN 5
+         |         ELSE 6 END AS wgt
+         |  FROM o, UNNEST(generate_series(1, 32)) AS t(b)),
+         |rm AS (SELECT prio, b, CAST(sum(wgt * micro) AS BIGINT) AS s,
+         |    CAST(sum(wgt) AS BIGINT) AS n FROM rep GROUP BY 1, 2),
+         |means AS (SELECT prio, ((2 * s + n) // (2 * n)) / 1e6 AS m
+         |          FROM rm WHERE n > 0),
+         |re AS (SELECT prio, count(*) AS n,
+         |    ((2 * CAST(sum(micro) AS BIGINT) + count(*))
+         |     // (2 * count(*))) / 1e6 AS mean FROM o GROUP BY prio)
+         |SELECT re.prio, n, mean,
+         |  round(quantile_cont(m, 0.025), 6) AS ci_lo,
+         |  round(quantile_cont(m, 0.975), 6) AS ci_hi
+         |FROM re JOIN means ON re.prio = means.prio
+         |GROUP BY re.prio, n, mean ORDER BY re.prio""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+        floor(round(col("o_totalprice"), 6) * lit(1e6) + 0.5).cast("long")
+          .as("micro"))
+        .localCheckpoint(eager = false)
+      val rep = fanout(o)
+        .withColumn("b", explode(expr("sequence(1, 32)")))
+        .withColumn("h", expr(h28(
+          "concat('boot#', CAST(b AS STRING), '#', CAST(k AS STRING))")))
+        .withColumn("wgt",
+          when(col("h") < 98751885L, 0).when(col("h") < 197503771L, 1)
+            .when(col("h") < 246879713L, 2).when(col("h") < 263338361L, 3)
+            .when(col("h") < 267453023L, 4).when(col("h") < 268275955L, 5)
+            .otherwise(6))
+      val means = rep.groupBy("prio", "b")
+        .agg(sum(col("wgt") * col("micro")).cast("long").as("s"),
+          sum("wgt").cast("long").as("n"))
+        .filter(col("n") > 0)
+        .selectExpr("prio", "((2 * s + n) DIV (2 * n)) / 1e6 AS m")
+      val re = o.groupBy("prio")
+        .agg(count(lit(1)).as("n"), sum("micro").cast("long").as("sm"))
+        .selectExpr("prio", "n",
+          "((2 * sm + n) DIV (2 * n)) / 1e6 AS mean")
+      re.join(means, "prio")
+        .groupBy("prio", "n", "mean")
+        .agg(round(expr("percentile(m, 0.025D)"), 6).as("ci_lo"),
+          round(expr("percentile(m, 0.975D)"), 6).as("ci_hi"))
+        .orderBy("prio")
+    },
   )
 }

@@ -397,7 +397,97 @@ object Semantic {
           .as(Seq("j", "proj")))
         .orderBy("vec_id", "j")
     },
+
+    // K-MEANS AS A FIRST-CLASS OPERATOR — 2 unrolled Lloyd
+    // iterations over the embedding cloud (k=8, seeds = the k
+    // smallest vec_ids), reporting per-cluster size and inertia
+    // (SSE): the corpus-structure readout (how many modes, how
+    // tight) that q_semdedup consumes internally but never exposes
+    // — and unlike q_semdedup's seed helper, this plan has ZERO
+    // driver-side collect: centroids live as an 8-row frame that
+    // re-BROADCASTS into each assignment pass. Scale per iteration:
+    // one scan × broadcast centroids (×k fan-out is the Lloyd cost),
+    // argmin = k-row-per-vector window, recompute = ONE
+    // partial-aggregated (cid, dim) groupBy (k·dim cells at ANY row
+    // count) folded back to k arrays. Fixed unroll, like
+    // q_vector_pca — convergence-to-tolerance would put a driver
+    // condition on a distributed reduce. Determinism: the per-row
+    // distance fold is SEQUENTIAL in both engines (same IEEE op
+    // order — no distributed accumulation), rounded 6dp before the
+    // argmin (ties break on cid); centroid means use the
+    // q_vector_centroid DECIMAL(38,12) discipline, rounded 6dp, so
+    // iteration 2 starts from identical doubles in both engines;
+    // SSE folds the rounded distances through DECIMAL(38,6).
+    Q("q_kmeans", kmeansSql(2, 8)) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .localCheckpoint(eager = false)
+      val d2 = round(expr(
+        """aggregate(zip_with(v, c, (a, b) -> (a - b) * (a - b)),
+          |CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)""".stripMargin), 6)
+      def assign(cent: DataFrame): DataFrame =
+        e.crossJoin(broadcast(cent))
+          .withColumn("d2", d2)
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("vec_id").orderBy("d2", "cid")))
+          .filter(col("rn") === 1)
+      var cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
+      for (_ <- 1 to 2) {
+        cent = assign(cent)
+          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "xv")))
+          .groupBy("cid", "pos")
+          .agg(round(sum(col("xv").cast(DecimalType(38, 12))).cast("double")
+            / count(lit(1)), 6).as("mu"))
+          .groupBy("cid")
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(pos, mu))), t -> t.mu)")
+            .as("c"))
+      }
+      assign(cent)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"),
+          sum(col("d2").cast(DecimalType(38, 6))).cast("double").as("sse"))
+        .selectExpr("cid", "n", "round(sse, 6) AS sse")
+        .orderBy("cid")
+    },
   )
+
+  /** Chained-CTE oracle for the fixed-unroll Lloyd loop: assignment
+    * (sequential-fold distance, rounded 6dp, cid tie-break) and
+    * DECIMAL-mean recompute stated `iters` times, then a final
+    * assignment aggregated to (cid, n, sse) — the pcaSql technique. */
+  private def kmeansSql(iters: Int, k: Int): String = {
+    val d2 =
+      "round(list_sum([(v[i]-c[i])*(v[i]-c[i]) " +
+        "for i in range(1, len(v)+1)]), 6)"
+    def step(n: Int, prev: String): String =
+      s"""a$n AS (SELECT vec_id, v, cid, $d2 AS d2 FROM e CROSS JOIN $prev),
+         |r$n AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY d2, cid) AS rn FROM a$n),
+         |m$n AS (SELECT cid, t.i AS pos,
+         |    round(CAST(sum(CAST(v[t.i] AS DECIMAL(38,12))) AS DOUBLE)
+         |          / count(*), 6) AS mu
+         |  FROM r$n, UNNEST(generate_series(1, 64)) AS t(i)
+         |  WHERE rn = 1 GROUP BY 1, 2),
+         |c$n AS (SELECT cid, list(mu ORDER BY pos) AS c FROM m$n
+         |        GROUP BY cid)""".stripMargin
+    val steps = (1 to iters)
+      .map(i => step(i, if (i == 1) "c0" else s"c${i - 1}"))
+      .mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e
+       |       WHERE vec_id < $k),
+       |$steps,
+       |af AS (SELECT vec_id, cid, $d2 AS d2 FROM e CROSS JOIN c$iters),
+       |rf AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |       ORDER BY d2, cid) AS rn FROM af)
+       |SELECT cid, count(*) AS n,
+       |  round(CAST(sum(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE), 6) AS sse
+       |FROM rf WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin
+  }
 
   /** Chained-CTE oracle for the fixed-unroll power iteration: the
     * same (dot → dim-keyed sum → normalize) step stated k times,
