@@ -44,7 +44,9 @@ object Explain {
     // round-8 fifth wave
     "q_fuzzy_match", "q_benford", "q_cohort_ltv", "q_naive_bayes",
     // round-8 sixth wave
-    "q_kmeans", "q_precedence", "q_bootstrap_ci")
+    "q_kmeans", "q_precedence", "q_bootstrap_ci",
+    // round-8 seventh wave
+    "q_ols_multi", "q_seasonal_decompose", "q_inverted_index")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

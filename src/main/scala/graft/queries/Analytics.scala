@@ -874,5 +874,94 @@ object Analytics {
           round(expr("percentile(m, 0.975D)"), 6).as("ci_hi"))
         .orderBy("prio")
     },
+
+    // MULTIVARIATE OLS VIA NORMAL EQUATIONS — per-group 2-feature +
+    // intercept least squares (y = extendedprice on quantity,
+    // discount) solved in CLOSED FORM with Cramer's rule over the
+    // 3×3 moment matrix, plus R²: distributed regression without a
+    // single gradient step or driver-side solve (q_group_regression
+    // is the 1-feature special case; this is the general mechanism —
+    // the whole fit is TEN moment sums, so it runs in ONE
+    // partial-aggregated pass at any row count, and the solve is
+    // scan-local arithmetic on the group-sized frame). R² uses the
+    // normal-equation identity SSE = Syy − b·[Sy, Sx1y, Sx2y] — no
+    // residual pass. Determinism: per-row products are single IEEE
+    // multiplies of rounded operands, rounded 6dp BEFORE the
+    // DECIMAL(38,6) sums (dsum discipline); determinants and
+    // divisions run on identical CAST-double sums in both engines;
+    // R² reuses the ROUNDED coefficients so both engines compute it
+    // from identical operands.
+    Q("q_ols_multi",
+      s"""WITH t AS (SELECT l_returnflag AS grp,
+         |    round(l_extendedprice, 6) AS y, round(l_quantity, 6) AS x1,
+         |    round(l_discount, 6) AS x2 FROM lineitem),
+         |m AS (SELECT grp, CAST(count(*) AS DOUBLE) AS n,
+         |    $olsMoments
+         |  FROM t GROUP BY grp),
+         |sel AS (SELECT grp, n, sy, sx1y, sx2y, syy, sx1, sx2,
+         |    $olsDets FROM m),
+         |b AS (SELECT grp, n, sy, sx1y, sx2y, syy,
+         |    round(d0 / det, 6) AS b0, round(d1 / det, 6) AS b1,
+         |    round(d2 / det, 6) AS b2 FROM sel)
+         |SELECT grp, CAST(n AS BIGINT) AS n, b0, b1, b2,
+         |  $olsR2 AS r2
+         |FROM b ORDER BY grp""".stripMargin) { (s, d) =>
+      val t = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("grp"),
+        round(col("l_extendedprice"), 6).as("y"),
+        round(col("l_quantity"), 6).as("x1"),
+        round(col("l_discount"), 6).as("x2"))
+      val m = t.groupBy("grp").agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(col("x1")).as("sx1"), dsum(col("x2")).as("sx2"),
+        dsum(col("y")).as("sy"),
+        dsum(round(col("x1") * col("x1"), 6)).as("sx11"),
+        dsum(round(col("x1") * col("x2"), 6)).as("sx12"),
+        dsum(round(col("x2") * col("x2"), 6)).as("sx22"),
+        dsum(round(col("x1") * col("y"), 6)).as("sx1y"),
+        dsum(round(col("x2") * col("y"), 6)).as("sx2y"),
+        dsum(round(col("y") * col("y"), 6)).as("syy"))
+      m.selectExpr(Seq("grp", "n", "sy", "sx1y", "sx2y", "syy",
+          "sx1", "sx2") ++ olsDets.split(",\n").map(_.trim): _*)
+        .selectExpr("grp", "n", "sy", "sx1y", "sx2y", "syy",
+          "round(d0 / det, 6) AS b0", "round(d1 / det, 6) AS b1",
+          "round(d2 / det, 6) AS b2")
+        .selectExpr("grp", "CAST(n AS BIGINT) AS n", "b0", "b1", "b2",
+          s"$olsR2 AS r2")
+        .orderBy("grp")
+    },
   )
+
+  /** The nine OLS moment sums for the oracle — identical per-row
+    * round(·,6) → DECIMAL(38,6) accumulation as the Spark side's
+    * dsum calls (package.scala). */
+  private lazy val olsMoments: String = {
+    def s(e: String, as: String) =
+      s"${dsumSql(s"round($e, 6)")} AS $as"
+    Seq(s("x1", "sx1"), s("x2", "sx2"), s("y", "sy"),
+      s("x1 * x1", "sx11"), s("x1 * x2", "sx12"), s("x2 * x2", "sx22"),
+      s("x1 * y", "sx1y"), s("x2 * y", "sx2y"), s("y * y", "syy"))
+      .mkString(",\n    ")
+  }
+
+  /** Cramer determinants for the 3×3 normal equations, one shared
+    * ANSI string evaluated by BOTH engines (Spark selectExpr and the
+    * DuckDB oracle parse the same text, so the IEEE op tree is
+    * identical by construction). */
+  private lazy val olsDets: String =
+    """(n * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1 * sx22 - sx12 * sx2)
+      | + sx2 * (sx1 * sx12 - sx11 * sx2)) AS det,
+      |(sy * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1y * sx22 - sx12 * sx2y)
+      | + sx2 * (sx1y * sx12 - sx11 * sx2y)) AS d0,
+      |(n * (sx1y * sx22 - sx12 * sx2y) - sy * (sx1 * sx22 - sx12 * sx2)
+      | + sx2 * (sx1 * sx2y - sx1y * sx2)) AS d1,
+      |(n * (sx11 * sx2y - sx1y * sx12) - sx1 * (sx1 * sx2y - sx1y * sx2)
+      | + sy * (sx1 * sx12 - sx11 * sx2)) AS d2"""
+      .stripMargin.replace("\n ", " ")
+
+  /** R² from the rounded coefficients and the moment sums — the
+    * normal-equation identity, shared ANSI text (see olsDets). */
+  private lazy val olsR2: String =
+    "round(1 - (syy - b0 * sy - b1 * sx1y - b2 * sx2y)" +
+      " / (syy - sy * sy / n), 6)"
 }

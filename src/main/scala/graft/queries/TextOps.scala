@@ -811,5 +811,53 @@ object TextOps {
           col("b.support").as("support2"))
         .orderBy("dist", "name1", "name2")
     },
+
+    // INVERTED INDEX BUILD — the posting-list artifact behind every
+    // lexical search stack (q_bm25 SCORES with these statistics;
+    // this op MATERIALIZES the index): per token, document
+    // frequency, collection frequency, and the tf-ranked head of the
+    // posting list, rendered as a portable "doc:tf|doc:tf" string
+    // (top-100 tokens by df). Scale: corpus → (token, doc, tf) is
+    // ONE partial-aggregated groupBy (the q_tfidf fold); both the
+    // df/cf rollup and the per-token top-5 rank co-partition on the
+    // token key (vocabulary-sized frames thereafter — the posting
+    // heads carry 5 rows per token regardless of corpus size); the
+    // final top-100 is a TakeOrderedAndProject. Determinism: exact
+    // integer counts; posting order (tf DESC, doc ASC) and the
+    // (df DESC, token) output order are total.
+    Q("q_inverted_index",
+      s"""WITH tok AS (SELECT doc_id, unnest($toksDuck) AS t
+         |             FROM documents),
+         |tf AS (SELECT t, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY t
+         |      ORDER BY tf DESC, doc_id) AS rn FROM tf),
+         |agg AS (SELECT t, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+         |        FROM tf GROUP BY t),
+         |prev AS (SELECT t, string_agg(doc_id::VARCHAR || ':' ||
+         |      tf::VARCHAR, '|' ORDER BY rn) AS top_postings
+         |  FROM r WHERE rn <= 5 GROUP BY t)
+         |SELECT t AS token, df, cf, top_postings
+         |FROM agg JOIN prev USING (t)
+         |ORDER BY df DESC, token LIMIT 100""".stripMargin) { (s, d) =>
+      val tf = barrier(Tables.documents(s, d).withColumn("w", expr(toks)))
+        .select(col("doc_id"), explode(col("w")).as("t"))
+        .groupBy("t", "doc_id").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(eager = false)
+      val agg = tf.groupBy("t")
+        .agg(count(lit(1)).as("df"), sum("tf").cast("long").as("cf"))
+      val prev = tf
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("t").orderBy(col("tf").desc, col("doc_id"))))
+        .filter(col("rn") <= 5)
+        .withColumn("p", concat_ws(":", col("doc_id"), col("tf")))
+        .groupBy("t")
+        .agg(expr(
+          "array_join(transform(array_sort(collect_list(struct(rn, p)))," +
+            " x -> x.p), '|')").as("top_postings"))
+      agg.join(prev, "t")
+        .select(col("t").as("token"), col("df"), col("cf"),
+          col("top_postings"))
+        .orderBy(col("df").desc, col("token")).limit(100)
+    },
   )
 }

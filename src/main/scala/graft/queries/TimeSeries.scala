@@ -436,5 +436,73 @@ object TimeSeries {
         .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
         .limit(20)
     },
+
+    // SEASONAL DECOMPOSITION (STL-lite) — additive trend/seasonal/
+    // residual split of the daily event-count series: trend = 7-day
+    // centered moving average (NULL at the edges where the window is
+    // incomplete — a partial mean would fake a level shift),
+    // seasonal = per-ISO-weekday mean of the detrended series,
+    // residual = the rest. The anomaly-vs-cycle separator:
+    // q_seasonality profiles the RECURRING grid, q_changepoint dates
+    // LEVEL shifts, q_ts_anomaly flags points — this op SPLITS the
+    // signal into those channels. Scale: ONE partial-aggregated
+    // groupBy folds the corpus to the day-distinct frame; everything
+    // after (windows, dow means, the 7-row seasonal join) lives on
+    // that calendar-bounded frame — the partition-less windows are
+    // constant-sized at ANY corpus size (q_survival discipline).
+    // Determinism: the WHOLE pipeline runs in EXACT INTEGER micro
+    // units — counts ×1e6, floor((2S+n)/2n) means (floor of a double
+    // division, identical for NEGATIVE detrended values where Spark
+    // DIV truncates but DuckDB // floors — the idiom q_lm_score
+    // established); doubles appear only in the final /1e6 render.
+    Q("q_seasonal_decompose",
+      """WITH day AS (SELECT CAST(ts AS DATE) AS d, count(*) AS y
+        |             FROM events GROUP BY 1),
+        |t AS (SELECT d, y,
+        |    CAST(sum(y * 1000000) OVER (ORDER BY d ROWS BETWEEN
+        |      3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS s7,
+        |    count(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+        |      AND 3 FOLLOWING) AS c7
+        |  FROM day),
+        |tm AS (SELECT d, y, CASE WHEN c7 = 7 THEN
+        |    CAST(floor((2 * s7 + 7) / 14.0) AS BIGINT) END AS trend_micro
+        |  FROM t),
+        |dt AS (SELECT d, y, trend_micro,
+        |    y * 1000000 - trend_micro AS detr_micro, isodow(d) AS dow
+        |  FROM tm),
+        |se AS (SELECT dow, CAST(floor((2 * sum(detr_micro) + count(*))
+        |      / (2.0 * count(*))) AS BIGINT) AS seasonal_micro
+        |  FROM dt WHERE detr_micro IS NOT NULL GROUP BY dow)
+        |SELECT d, y, round(trend_micro / 1e6, 6) AS trend,
+        |  round(seasonal_micro / 1e6, 6) AS seasonal,
+        |  round((y * 1000000 - trend_micro - seasonal_micro) / 1e6, 6)
+        |    AS residual
+        |FROM dt JOIN se USING (dow) ORDER BY d""".stripMargin) { (s, d) =>
+      val day = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("y"))
+      val w7 = Window.orderBy("d").rowsBetween(-3, 3)
+      val dt = day
+        .withColumn("s7", sum(col("y") * 1000000L).over(w7).cast("long"))
+        .withColumn("c7", count(lit(1)).over(w7))
+        .select(col("d"), col("y"),
+          when(col("c7") === 7,
+            floor((col("s7") * 2 + 7) / lit(14.0)).cast("long"))
+            .as("trend_micro"))
+        .withColumn("detr_micro", col("y") * 1000000L - col("trend_micro"))
+        .withColumn("dow", weekday(col("d")) + 1)
+        .localCheckpoint(eager = false)
+      val se = dt.filter(col("detr_micro").isNotNull)
+        .groupBy("dow")
+        .agg(floor((sum("detr_micro") * 2 + count(lit(1))) /
+          (count(lit(1)).cast("double") * 2)).cast("long")
+          .as("seasonal_micro"))
+      dt.join(broadcast(se), "dow")
+        .selectExpr("d", "y", "round(trend_micro / 1e6, 6) AS trend",
+          "round(seasonal_micro / 1e6, 6) AS seasonal",
+          "round((y * 1000000 - trend_micro - seasonal_micro) / 1e6, 6)" +
+            " AS residual")
+        .orderBy("d")
+    },
   )
 }
