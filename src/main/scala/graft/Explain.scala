@@ -46,7 +46,9 @@ object Explain {
     // round-8 sixth wave
     "q_kmeans", "q_precedence", "q_bootstrap_ci",
     // round-8 seventh wave
-    "q_ols_multi", "q_seasonal_decompose", "q_inverted_index")
+    "q_ols_multi", "q_seasonal_decompose", "q_inverted_index",
+    // round-8 eighth wave
+    "q_target_encoding", "q_window_funnel", "q_lof")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

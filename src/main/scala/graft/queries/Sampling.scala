@@ -424,5 +424,52 @@ object Sampling {
         .select("doc_id", "lang")
       belowSel.unionByName(edgeSel).orderBy("doc_id")
     },
+
+    // OUT-OF-FOLD TARGET ENCODING — leakage-safe mean-target
+    // encoding of a categorical feature: each of 5 hash folds gets
+    // the category's target mean computed from the OTHER four folds
+    // (encode a row with a statistic that saw the row itself and the
+    // model memorizes the target — the classic target-encoding leak;
+    // out-of-fold is the standard fix). Folds reuse the engine's
+    // salted-hash split discipline (q_split_assign), so assignment
+    // is stable under appends and retries. Scale: ONE
+    // partial-aggregated pass folds the corpus to category×fold
+    // cells; the per-category totals re-aggregate THOSE cells
+    // (no second scan) and broadcast back; the out-of-fold mean is
+    // pure cell arithmetic — (S − S_cell) / (n − n_cell) in EXACT
+    // INTEGER micro space ((2S+n) DIV 2n, positive operands).
+    Q("q_target_encoding",
+      s"""WITH o AS (SELECT o_orderpriority AS prio,
+         |    ${h28Duck("'fold#' || o_orderkey")} % 5 AS fold,
+         |    CAST(floor(round(o_totalprice, 6) * 1e6 + 0.5) AS BIGINT)
+         |      AS micro FROM orders),
+         |cell AS (SELECT prio, fold, count(*) AS n_cell,
+         |    CAST(sum(micro) AS BIGINT) AS s_cell FROM o GROUP BY 1, 2),
+         |g AS (SELECT prio AS gp, CAST(sum(n_cell) AS BIGINT) AS n,
+         |    CAST(sum(s_cell) AS BIGINT) AS s FROM cell GROUP BY prio)
+         |SELECT prio, fold, n_cell, n - n_cell AS oof_n,
+         |  round(((2 * (s - s_cell) + (n - n_cell))
+         |         // (2 * (n - n_cell))) / 1e6, 6) AS encoding
+         |FROM cell JOIN g ON gp = prio
+         |ORDER BY prio, fold""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d).select(
+        col("o_orderpriority").as("prio"),
+        (expr(h28("concat('fold#', CAST(o_orderkey AS STRING))")) % 5)
+          .as("fold"),
+        floor(round(col("o_totalprice"), 6) * lit(1e6) + 0.5).cast("long")
+          .as("micro"))
+      val cell = o.groupBy("prio", "fold")
+        .agg(count(lit(1)).as("n_cell"),
+          sum("micro").cast("long").as("s_cell"))
+        .localCheckpoint(eager = false)
+      val g = cell.groupBy("prio")
+        .agg(sum("n_cell").cast("long").as("n"),
+          sum("s_cell").cast("long").as("s"))
+      cell.join(broadcast(g), "prio")
+        .selectExpr("prio", "fold", "n_cell", "n - n_cell AS oof_n",
+          "round(((2 * (s - s_cell) + (n - n_cell))" +
+            " DIV (2 * (n - n_cell))) / 1e6, 6) AS encoding")
+        .orderBy("prio", "fold")
+    },
   )
 }

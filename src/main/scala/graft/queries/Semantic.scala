@@ -452,6 +452,85 @@ object Semantic {
         .selectExpr("cid", "n", "round(sse, 6) AS sse")
         .orderBy("cid")
     },
+
+    // LOCAL OUTLIER FACTOR — density-relative outlier scores over
+    // the embedding cloud (Breunig et al. 2000, k=5): LOF(a) =
+    // mean over a's neighbors b of lrd(b)/lrd(a), where lrd is the
+    // inverse mean REACHABILITY distance (reach(a,b) =
+    // max(d(a,b), kdist(b)) — the smoothing that makes LOF robust
+    // where a raw distance z-score is not). The DENSITY-aware
+    // complement to q_embed_outlier's global-centroid z-score and
+    // q_anomaly_mad's univariate screen: a point can sit near the
+    // global centroid yet be locally anomalous. Scale: the exact
+    // n² kNN here uses the q_similarity_join stance (one side
+    // broadcast locally; block-chunked at 100 TB — or swap the
+    // q_knn_ivf pruned search for the kNN stage); everything after
+    // the kNN edge frame is n·k-sized: the kdist fold, the
+    // reachability join (co-partitioned on the neighbor key), the
+    // lrd fold, and the ratio fold are all partial-aggregated or
+    // key-joined on vector ids — never pairwise again. Determinism:
+    // distances round 6dp with (d2, id) tie-broken top-k; lrd =
+    // round(k/Σreach, 9) on a DECIMAL sum; the final mean runs in
+    // NANO-integer space ((2S+5) DIV 10, positive operands).
+    Q("q_lof",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |d AS (SELECT a.vec_id AS a, b.vec_id AS b,
+        |    round(list_sum([(a.v[i]-b.v[i])*(a.v[i]-b.v[i])
+        |                    for i in range(1, len(a.v)+1)]), 6) AS d2
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY a
+        |      ORDER BY d2, b) AS rn FROM d),
+        |knn AS (SELECT a, b, d2 FROM r WHERE rn <= 5),
+        |kd AS (SELECT a AS p, max(d2) AS kdist FROM knn GROUP BY a),
+        |reach AS (SELECT knn.a, knn.b, greatest(knn.d2, kd.kdist) AS rd
+        |          FROM knn JOIN kd ON kd.p = knn.b),
+        |lrd AS (SELECT a, round(5.0 / CAST(sum(CAST(rd AS DECIMAL(38,6)))
+        |      AS DOUBLE), 9) AS lrd FROM reach GROUP BY a),
+        |lf AS (SELECT knn.a,
+        |    CAST(sum(CAST(round(lb.lrd / la.lrd, 9) AS DECIMAL(38,9))
+        |         * 1000000000) AS BIGINT) AS s_nano
+        |  FROM knn JOIN lrd la ON la.a = knn.a
+        |  JOIN lrd lb ON lb.a = knn.b GROUP BY knn.a)
+        |SELECT a AS vec_id, round(((2 * s_nano + 5) // 10) / 1e9, 6) AS lof
+        |FROM lf ORDER BY lof DESC, vec_id LIMIT 20""".stripMargin) {
+      (s, dir) =>
+      val e = fanout(Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("v")))
+        .localCheckpoint(eager = false)
+      val d2e = round(expr(
+        """aggregate(zip_with(av, bv, (x, y) -> (x - y) * (x - y)),
+          |CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)""".stripMargin), 6)
+      val knn = e.select(col("vec_id").as("a"), col("v").as("av"))
+        .join(broadcast(e.select(col("vec_id").as("b"), col("v").as("bv"))),
+          col("a") =!= col("b"))
+        .select(col("a"), col("b"), d2e.as("d2"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("a").orderBy("d2", "b")))
+        .filter(col("rn") <= 5).select("a", "b", "d2")
+        .localCheckpoint(eager = false)
+      val kd = knn.groupBy(col("a").as("p")).agg(max("d2").as("kdist"))
+      val lrd = knn.join(kd, col("p") === col("b"))
+        .select(col("a"), greatest(col("d2"), col("kdist")).as("rd"))
+        .groupBy("a")
+        .agg(round(lit(5.0) /
+          sum(col("rd").cast(DecimalType(38, 6))).cast("double"), 9)
+          .as("lrd"))
+        .localCheckpoint(eager = false)
+      knn
+        .join(lrd.select(col("a").as("aa"), col("lrd").as("la")),
+          col("aa") === col("a"))
+        .join(lrd.select(col("a").as("bb"), col("lrd").as("lb")),
+          col("bb") === col("b"))
+        .groupBy("a")
+        .agg(sum(round(col("lb") / col("la"), 9).cast(DecimalType(38, 9))
+          * 1000000000L).cast("long").as("s_nano"))
+        .selectExpr("a AS vec_id",
+          "round(((2 * s_nano + 5) DIV 10) / 1e9, 6) AS lof")
+        .orderBy(desc("lof"), col("vec_id")).limit(20)
+    },
   )
 
   /** Chained-CTE oracle for the fixed-unroll Lloyd loop: assignment

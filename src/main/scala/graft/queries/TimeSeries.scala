@@ -504,5 +504,56 @@ object TimeSeries {
             " AS residual")
         .orderBy("d")
     },
+
+    // WINDOW FUNNEL — the time-bounded funnel (ClickHouse
+    // windowFunnel semantics anchored at first entry): view →
+    // click → purchase must ALL land within 24h of the user's FIRST
+    // view, reported as a depth histogram. q_funnel answers "did
+    // they ever convert"; this answers "did they convert WHILE the
+    // intent was live" — the form every activation metric uses
+    // (unbounded funnels only ever go up). Scale: identical to
+    // q_funnel — three conditional-min windows over ONE user-keyed
+    // shuffle (never partition-less), then a per-user fold and a
+    // ≤4-row depth rollup. Determinism: timestamp comparisons and
+    // the fixed INTERVAL bound are exact in both engines (UTC
+    // session); depth is a CASE over NULL-ness.
+    Q("q_window_funnel",
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+        |         OVER (PARTITION BY user_id) AS t1 FROM e),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+        |           AND ts <= t1 + INTERVAL 24 HOUR THEN ts END)
+        |         OVER (PARTITION BY user_id) AS t2 FROM w1),
+        |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+        |           AND ts <= t1 + INTERVAL 24 HOUR THEN ts END)
+        |         OVER (PARTITION BY user_id) AS t3 FROM w2),
+        |u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+        |      FROM w3 GROUP BY user_id)
+        |SELECT CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS depth,
+        |  count(*) AS users FROM u GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (s, d) =>
+      val byUser = Window.partitionBy("user_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts"))).over(byUser))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("ts") > col("t1")
+            && col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"),
+            col("ts"))).over(byUser))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t2")
+            && col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"),
+            col("ts"))).over(byUser))
+        .groupBy("user_id")
+        .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+        .selectExpr("CASE WHEN t3 IS NOT NULL THEN 3" +
+          " WHEN t2 IS NOT NULL THEN 2" +
+          " WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS depth")
+        .groupBy("depth").agg(count(lit(1)).as("users"))
+        .orderBy("depth")
+    },
   )
 }
