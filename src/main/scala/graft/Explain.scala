@@ -48,7 +48,13 @@ object Explain {
     // round-8 seventh wave
     "q_ols_multi", "q_seasonal_decompose", "q_inverted_index",
     // round-8 eighth wave
-    "q_target_encoding", "q_window_funnel", "q_lof")
+    "q_target_encoding", "q_window_funnel", "q_lof",
+    // round-8 ninth wave
+    "q_dbscan", "q_mutual_info", "q_permutation_test",
+    // round-8 tenth wave
+    "q_auc", "q_hll_registers", "q_kcore",
+    // round-8 eleventh wave
+    "q_psi", "q_als_rank1", "q_modularity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -930,6 +930,285 @@ object Analytics {
           s"$olsR2 AS r2")
         .orderBy("grp")
     },
+
+    // MUTUAL INFORMATION — MI between two categorical columns
+    // (order priority × order status) with per-cell PMI and MI
+    // contributions: the EFFECT-SIZE companion to q_chi2_indep
+    // (chi² answers "is the dependence real"; MI answers "how many
+    // nats does knowing one buy about the other" — the feature-
+    // dependence screen a pipeline runs before dropping redundant
+    // columns). Scale: ONE partial-aggregated groupBy folds the
+    // corpus to the ≤|A|·|B| joint-count frame; marginals and the
+    // total re-aggregate THAT frame (no second scan) and broadcast
+    // back; the MI total is a window over the constant-sized cell
+    // frame. Determinism: every ln runs on exact BIGINT-ratio
+    // operands, rounded 9dp per-term; the total folds the rounded
+    // contributions through DECIMAL(38,9) — identical accumulation
+    // in both engines.
+    Q("q_mutual_info",
+      """WITH j AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+        |           count(*) AS n_ab FROM orders GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n FROM j),
+        |ma AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM j
+        |       GROUP BY a),
+        |mb AS (SELECT b, CAST(sum(n_ab) AS BIGINT) AS n_b FROM j
+        |       GROUP BY b),
+        |cell AS (SELECT a, b, n_ab, n_a, n_b, n,
+        |    round(ln((CAST(n_ab AS DOUBLE) * n) /
+        |             (CAST(n_a AS DOUBLE) * n_b)), 9) AS pmi
+        |  FROM j JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot)
+        |SELECT a, b, n_ab, pmi,
+        |  round(CAST(n_ab AS DOUBLE) / n * pmi, 9) AS mi_contrib,
+        |  round(CAST(sum(CAST(round(CAST(n_ab AS DOUBLE) / n * pmi, 9)
+        |        AS DECIMAL(38,9))) OVER () AS DOUBLE), 9) AS mi_total
+        |FROM cell ORDER BY a, b""".stripMargin) { (s, d) =>
+      val j = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("a"),
+          col("o_orderstatus").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .localCheckpoint(eager = false)
+      val tot = j.agg(sum("n_ab").cast("long").as("n"))
+      val ma = j.groupBy("a").agg(sum("n_ab").cast("long").as("n_a"))
+      val mb = j.groupBy("b").agg(sum("n_ab").cast("long").as("n_b"))
+      j.join(broadcast(ma), "a").join(broadcast(mb), "b")
+        .crossJoin(broadcast(tot))
+        .selectExpr("a", "b", "n_ab", "n_a", "n_b", "n",
+          "round(ln((CAST(n_ab AS DOUBLE) * n) /" +
+            " (CAST(n_a AS DOUBLE) * n_b)), 9) AS pmi")
+        .selectExpr("a", "b", "n_ab", "pmi",
+          "round(CAST(n_ab AS DOUBLE) / n * pmi, 9) AS mi_contrib",
+          "round(CAST(sum(CAST(round(CAST(n_ab AS DOUBLE) / n * pmi, 9)" +
+            " AS DECIMAL(38,9))) OVER () AS DOUBLE), 9) AS mi_total")
+        .orderBy("a", "b")
+    },
+
+    // PERMUTATION TEST — approximate-randomization two-sample test
+    // on mean event value (view vs click): 64 deterministic
+    // label-shuffle replicas in ONE pass, p = (1 + #{|diff_b| ≥
+    // |diff_obs|}) / 65. The DISTRIBUTION-FREE member of the
+    // inference triple (q_abtest assumes the normal z; q_bootstrap_ci
+    // brackets the estimate; this tests the null by actually
+    // breaking the labels). Per-row independent hash flips are the
+    // scale form (exact permutation fixes group sizes — a global
+    // shuffle per replica; the flip variant folds all B replicas
+    // map-side, the q_bootstrap_ci stance). Determinism: flips are
+    // salted-hash parity; group means divide in EXACT INTEGER micro
+    // space; the p-value rounds in integer space too ((1+cnt)/65 CAN
+    // land on a decimal half — the mean-rounding caveat).
+    Q("q_permutation_test",
+      s"""WITH g AS (SELECT event_id AS id, event_type AS t,
+         |    CAST(floor(round(value, 6) * 1e6 + 0.5) AS BIGINT) AS micro
+         |  FROM events WHERE event_type IN ('view', 'click')),
+         |obs AS (SELECT
+         |    CAST(sum(CASE WHEN t = 'view' THEN micro END) AS BIGINT) AS sa,
+         |    CAST(count(CASE WHEN t = 'view' THEN 1 END) AS BIGINT) AS na,
+         |    CAST(sum(CASE WHEN t = 'click' THEN micro END) AS BIGINT) AS sb,
+         |    CAST(count(CASE WHEN t = 'click' THEN 1 END) AS BIGINT) AS nb
+         |  FROM g),
+         |rep AS (SELECT p.b,
+         |    CASE WHEN ${h28Duck("'perm#' || p.b || '#' || id")} % 2 = 0
+         |         THEN 0 ELSE 1 END AS side, micro
+         |  FROM g, UNNEST(generate_series(1, 64)) AS p(b)),
+         |perm AS (SELECT b,
+         |    CAST(sum(CASE WHEN side = 0 THEN micro END) AS BIGINT) AS sa,
+         |    CAST(count(CASE WHEN side = 0 THEN 1 END) AS BIGINT) AS na,
+         |    CAST(sum(CASE WHEN side = 1 THEN micro END) AS BIGINT) AS sb,
+         |    CAST(count(CASE WHEN side = 1 THEN 1 END) AS BIGINT) AS nb
+         |  FROM rep GROUP BY b),
+         |dm AS (SELECT b, ((2 * sa + na) // (2 * na)) / 1e6
+         |               - ((2 * sb + nb) // (2 * nb)) / 1e6 AS diff
+         |       FROM perm),
+         |od AS (SELECT na, nb, ((2 * sa + na) // (2 * na)) / 1e6
+         |               - ((2 * sb + nb) // (2 * nb)) / 1e6 AS diff
+         |       FROM obs)
+         |SELECT od.na, od.nb, round(od.diff, 6) AS diff_obs,
+         |  CAST(count(*) FILTER (abs(dm.diff) >= abs(od.diff)) AS BIGINT)
+         |    AS n_extreme,
+         |  round(floor((2 * (1 + count(*) FILTER (abs(dm.diff) >=
+         |    abs(od.diff))) * 1000000 + 65) / 130.0) / 1e6, 6) AS p_value
+         |FROM od CROSS JOIN dm
+         |GROUP BY od.na, od.nb, od.diff""".stripMargin) { (s, d) =>
+      val g = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("event_id").as("id"), col("event_type").as("t"),
+          floor(round(col("value"), 6) * lit(1e6) + 0.5).cast("long")
+            .as("micro"))
+        .localCheckpoint(eager = false)
+      val obs = g.agg(
+        sum(when(col("t") === "view", col("micro"))).cast("long").as("sa"),
+        count(when(col("t") === "view", 1)).cast("long").as("na"),
+        sum(when(col("t") === "click", col("micro"))).cast("long").as("sb"),
+        count(when(col("t") === "click", 1)).cast("long").as("nb"))
+      val dm = fanout(g)
+        .withColumn("b", explode(expr("sequence(1, 64)")))
+        .withColumn("side", expr(h28(
+          "concat('perm#', CAST(b AS STRING), '#', CAST(id AS STRING))"))
+          % 2)
+        .groupBy("b")
+        .agg(
+          sum(when(col("side") === 0, col("micro"))).cast("long").as("sa"),
+          count(when(col("side") === 0, 1)).cast("long").as("na"),
+          sum(when(col("side") === 1, col("micro"))).cast("long").as("sb"),
+          count(when(col("side") === 1, 1)).cast("long").as("nb"))
+        .selectExpr("b", "((2 * sa + na) DIV (2 * na)) / 1e6" +
+          " - ((2 * sb + nb) DIV (2 * nb)) / 1e6 AS pdiff")
+      val od = obs.selectExpr("na", "nb",
+        "((2 * sa + na) DIV (2 * na)) / 1e6" +
+          " - ((2 * sb + nb) DIV (2 * nb)) / 1e6 AS odiff")
+      od.crossJoin(broadcast(dm))
+        .groupBy(col("na"), col("nb"), col("odiff"))
+        .agg(sum(when(abs(col("pdiff")) >= abs(col("odiff")), 1)
+          .otherwise(0)).cast("long").as("n_extreme"))
+        .selectExpr("na", "nb", "round(odiff, 6) AS diff_obs", "n_extreme",
+          "round(floor((2 * (1 + n_extreme) * 1000000 + 65) / 130.0)" +
+            " / 1e6, 6) AS p_value")
+    },
+
+    // ROC AUC — Mann-Whitney rank-sum AUC of a score column
+    // (order total price) against a binary label (order status =
+    // 'F'), ties handled exactly: the model-free "does this signal
+    // rank the positives above the negatives" readout a pipeline
+    // runs on every candidate quality score before thresholding it
+    // (q_rank_calibrate buckets the score into bins; AUC is the
+    // bin-free ranking summary). Scale: NO global rank window — the
+    // corpus folds to the distinct-score frame in ONE partial-
+    // aggregated groupBy, and the "negatives below me" prefix sum
+    // runs the q_skyline range-shard discipline: 1-row min/max
+    // broadcast → ≤1024 monotone shards → PARTITIONED per-shard
+    // prefix window + a triangular join over the ≤1024-row
+    // shard-total frame. Determinism: scores land in exact integer
+    // cent space; U2 = Σ n_pos_s·(2·cumneg_below + n_neg_s) = 2U
+    // accumulates in DECIMAL(38,0) (integer — no rounding anywhere);
+    // AUC = U2/(2·n_pos·n_neg) is ONE double division of exact
+    // operands, identical in both engines.
+    Q("q_auc",
+      """WITH g AS (SELECT
+        |    CAST(floor(round(o_totalprice, 2) * 100 + 0.5) AS BIGINT) AS s,
+        |    CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS np,
+        |    CAST(count(*) FILTER (o_orderstatus <> 'F') AS BIGINT) AS nn
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT np, nn,
+        |    coalesce(sum(nn) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM g),
+        |t AS (SELECT CAST(sum(np) AS BIGINT) AS tp,
+        |    CAST(sum(nn) AS BIGINT) AS tn,
+        |    sum(CAST(np AS DECIMAL(38,0)) * (2 * cb + nn)) AS u2
+        |  FROM c)
+        |SELECT tp AS n_pos, tn AS n_neg,
+        |  round(CAST(u2 AS DOUBLE) / (2.0 * tp * tn), 9) AS auc,
+        |  round(CAST(u2 AS DOUBLE) / (1.0 * tp * tn) - 1, 9) AS gini_coef
+        |FROM t""".stripMargin) { (s, d) =>
+      val g = Tables.orders(s, d)
+        .select(
+          expr("CAST(floor(round(o_totalprice, 2) * 100 + 0.5) AS BIGINT)")
+            .as("s"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("isp"))
+        .groupBy("s")
+        .agg(sum("isp").cast("long").as("np"),
+          (count(lit(1)) - sum("isp")).cast("long").as("nn"))
+        .localCheckpoint(eager = false)
+      val mm = g.agg(min("s").as("lo"), max("s").as("hi"))
+      val sh = g.crossJoin(broadcast(mm))
+        .withColumn("bkt",
+          when(col("hi") === col("lo"), lit(0L))
+            .otherwise(least(
+              floor((col("s") - col("lo")).cast("double") /
+                ((col("hi") - col("lo")).cast("double") / 1024.0)),
+              lit(1023.0)).cast("bigint")))
+      val bt = sh.groupBy("bkt").agg(sum("nn").cast("long").as("btot"))
+      val pre = bt
+        .join(broadcast(bt.select(col("bkt").as("ob"),
+          col("btot").as("obt"))), col("ob") < col("bkt"), "left")
+        .groupBy("bkt")
+        .agg(coalesce(sum("obt"), lit(0L)).cast("long").as("preneg"))
+      val w = Window.partitionBy("bkt").orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val c = sh.join(broadcast(pre), "bkt")
+        .withColumn("cb",
+          col("preneg") + coalesce(sum("nn").over(w), lit(0L)))
+      c.agg(sum("np").cast("long").as("tp"),
+          sum("nn").cast("long").as("tn"),
+          sum(col("np").cast(DecimalType(38, 0)) *
+            (lit(2) * col("cb") + col("nn"))).as("u2"))
+        .selectExpr("tp AS n_pos", "tn AS n_neg",
+          "round(CAST(u2 AS DOUBLE) / (2.0 * tp * tn), 9) AS auc",
+          "round(CAST(u2 AS DOUBLE) / (1.0 * tp * tn) - 1, 9)" +
+            " AS gini_coef")
+    },
+
+    // POPULATION STABILITY INDEX — distribution drift of event value
+    // between the first and second half of the time range, over 10
+    // fixed equal-width bins: PSI = Σ (p−q)·ln(p/q), the
+    // industry-standard "did the score/feature distribution move"
+    // monitor (q_kl_drift compares token distributions across
+    // languages; PSI compares the SAME metric across TIME — the
+    // retrain/recalibrate trigger; its (p−q) factor makes it
+    // symmetric-positive per bin, unlike KL). Cells are
+    // add-one-smoothed so empty bins stay finite and the ln runs on
+    // exact BIGINT-ratio operands. Scale: the 1-row time-range and
+    // value-range frames broadcast onto the scan; the corpus folds
+    // to ≤10×2 cells in ONE partial-aggregated groupBy; everything
+    // after is constant-sized (the q_mutual_info shape, PSI total =
+    // window over the cell frame). Determinism: bin ids are integer
+    // math on identical double operands; per-bin terms round 9dp
+    // into a DECIMAL(38,9) windowed sum.
+    Q("q_psi",
+      """WITH rng AS (SELECT CAST(min(floor(epoch(ts))) AS BIGINT) AS t0,
+        |    CAST(max(floor(epoch(ts))) AS BIGINT) AS t1,
+        |    min(value) AS lo, max(value) AS hi FROM events),
+        |b AS (SELECT CASE WHEN 2 * (CAST(floor(epoch(ts)) AS BIGINT) - t0)
+        |                       < (t1 - t0) THEN 0 ELSE 1 END AS period,
+        |    CASE WHEN hi = lo THEN 0 ELSE least(CAST(floor(
+        |      (value - lo) / ((hi - lo) / 10.0)) AS BIGINT), 9) END AS bin
+        |  FROM events CROSS JOIN rng),
+        |c AS (SELECT bin,
+        |    CAST(count(*) FILTER (period = 0) AS BIGINT) + 1 AS cp,
+        |    CAST(count(*) FILTER (period = 1) AS BIGINT) + 1 AS cq
+        |  FROM b GROUP BY bin),
+        |t AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+        |             CAST(sum(cq) AS BIGINT) AS nq FROM c),
+        |term AS (SELECT bin, cp - 1 AS n_ref, cq - 1 AS n_cur,
+        |    round((CAST(cp AS DOUBLE) / np - CAST(cq AS DOUBLE) / nq)
+        |      * ln((CAST(cp AS DOUBLE) * nq) / (CAST(cq AS DOUBLE) * np)),
+        |      9) AS psi_term
+        |  FROM c CROSS JOIN t)
+        |SELECT bin, n_ref, n_cur, psi_term,
+        |  round(CAST(sum(CAST(psi_term AS DECIMAL(38,9))) OVER ()
+        |        AS DOUBLE), 9) AS psi_total
+        |FROM term ORDER BY bin""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      // Spark's unix_timestamp FLOORS sub-second timestamps; the
+      // oracle's floor(epoch(ts)) states the same integer (the
+      // q_ohlc_resample key discipline).
+      val rng = ev.agg(
+        min(expr("unix_timestamp(ts)")).as("t0"),
+        max(expr("unix_timestamp(ts)")).as("t1"),
+        min("value").as("lo"), max("value").as("hi"))
+      val c = ev.crossJoin(broadcast(rng))
+        .selectExpr(
+          "CASE WHEN 2 * (unix_timestamp(ts) - t0)" +
+            " < (t1 - t0) THEN 0 ELSE 1 END AS period",
+          "CASE WHEN hi = lo THEN 0 ELSE least(CAST(floor(" +
+            "(value - lo) / ((hi - lo) / 10.0)) AS BIGINT), 9) END AS bin")
+        .groupBy("bin")
+        .agg((sum(when(col("period") === 0, 1L).otherwise(0L)) + 1)
+          .cast("long").as("cp"),
+          (sum(when(col("period") === 1, 1L).otherwise(0L)) + 1)
+            .cast("long").as("cq"))
+        .localCheckpoint(eager = false)
+      val t = c.agg(sum("cp").cast("long").as("np"),
+        sum("cq").cast("long").as("nq"))
+      c.crossJoin(broadcast(t))
+        .selectExpr("bin", "cp - 1 AS n_ref", "cq - 1 AS n_cur",
+          "round((CAST(cp AS DOUBLE) / np - CAST(cq AS DOUBLE) / nq)" +
+            " * ln((CAST(cp AS DOUBLE) * nq) / (CAST(cq AS DOUBLE) * np))" +
+            ", 9) AS psi_term")
+        .selectExpr("bin", "n_ref", "n_cur", "psi_term",
+          "round(CAST(sum(CAST(psi_term AS DECIMAL(38,9))) OVER ()" +
+            " AS DOUBLE), 9) AS psi_total")
+        .orderBy("bin")
+    },
   )
 
   /** The nine OLS moment sums for the oracle — identical per-row

@@ -325,6 +325,175 @@ object Graphs {
             "round(CAST(s1 * sxy - sx * sx AS DOUBLE)" +
             " / (s1 * sxx - sx * sx), 6) END AS assortativity")
     },
+
+    // K-CORE — the 3-core of the bipartite part↔supplier graph via
+    // 8 fixed peeling rounds (drop degree-<3 nodes, re-derive
+    // degrees, repeat): the maximal subgraph where EVERY node keeps
+    // ≥3 neighbors — the "densely embedded" node screen (degree
+    // alone overrates hubs whose neighbors are all leaves; coreness
+    // survives peeling). PageRank/HITS weight nodes; k-core
+    // CERTIFIES them. Scale: per round the surviving-node frame is
+    // NODE-sized and BROADCASTs into two semi-joins against the
+    // edge frame (the q_pagerank loop discipline — the data-sized
+    // side never re-shuffles); degrees are one partial-aggregated
+    // groupBy per round; per-round localCheckpoint keeps lineage
+    // O(1). The unroll is fixed at 8 (oracle states the same 8
+    // peels); the spec verifies 8 reaches the true fixpoint on the
+    // fixtures — peeling converges in O(graph-diameter-ish) rounds
+    // on dense graphs (measured: 2 rounds at sf0.001, 1 at sf0.01).
+    Q("q_kcore", GraphsOracles.kcoreSql(8, 3)) { (s, d) =>
+      val e0 = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sid"))
+        .distinct()
+      var e = e0
+        .select(concat(lit("p"), col("p")).as("src"),
+          concat(lit("s"), col("sid")).as("dst"))
+        .unionAll(e0.select(concat(lit("s"), col("sid")).as("src"),
+          concat(lit("p"), col("p")).as("dst")))
+        .localCheckpoint(eager = false)
+      for (_ <- 1 to 8) {
+        val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 3).select("src")
+          .localCheckpoint(eager = false)
+        e = e.join(broadcast(keep), Seq("src"))
+          .join(broadcast(keep.select(col("src").as("dst"))), Seq("dst"))
+          .select("src", "dst")
+          .localCheckpoint(eager = false)
+      }
+      e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .select(col("src").as("node"), col("deg"))
+        .orderBy("node")
+    },
+
+    // RANK-1 ALS — two alternating-least-squares iterations
+    // factorizing the customer×part quantity matrix into u·vᵀ
+    // (item factors init 1.0): the matrix-factorization primitive
+    // under recommenders and learned id-embeddings — u_i and v_j
+    // are the 1-dim latent coordinates that best reconstruct the
+    // observed quantities in least-squares sense. PageRank/HITS
+    // propagate over the graph; ALS FITS it. Scale: the q_pagerank
+    // loop discipline — the data-sized rating frame localCheckpoints
+    // ONCE and never re-shuffles; each half-step joins the
+    // NODE-sized factor frame to it as a BROADCAST and folds with
+    // one partial-aggregated groupBy (num = Σ r·f, den = Σ f²).
+    // Determinism: quantities are exact BIGINTs; per-edge terms
+    // round 12dp into DECIMAL(38,12) sums; each factor is one
+    // double division rounded 12dp — hash-exact at any
+    // partitioning.
+    Q("q_als_rank1", GraphsOracles.alsSql(2)) { (s, d) =>
+      val ratings = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .agg(sum(col("l_quantity").cast("long")).cast("long").as("r"))
+        .repartition(col("p"))
+        .localCheckpoint(eager = false)
+      def uStep(v: DataFrame): DataFrame =
+        ratings.join(broadcast(v), "p")
+          .groupBy("c")
+          .agg(sum(round(col("r") * col("v"), 12)
+            .cast(DecimalType(38, 12))).as("num"),
+            sum(round(col("v") * col("v"), 12)
+              .cast(DecimalType(38, 12))).as("den"))
+          .select(col("c"), round(col("num").cast("double") /
+            col("den").cast("double"), 12).as("u"))
+          .localCheckpoint(eager = false)
+      def vStep(u: DataFrame): DataFrame =
+        ratings.join(broadcast(u), "c")
+          .groupBy("p")
+          .agg(sum(round(col("r") * col("u"), 12)
+            .cast(DecimalType(38, 12))).as("num"),
+            sum(round(col("u") * col("u"), 12)
+              .cast(DecimalType(38, 12))).as("den"))
+          .select(col("p"), round(col("num").cast("double") /
+            col("den").cast("double"), 12).as("v"))
+          .localCheckpoint(eager = false)
+      val v0 = ratings.select("p").distinct()
+        .withColumn("v", lit(1.0).cast("double"))
+      val u1 = uStep(v0); val v1 = vStep(u1)
+      val u2 = uStep(v1); val v2 = vStep(u2)
+      val top = u2.orderBy(desc("u"), col("c")).limit(20)
+        .selectExpr("'customer' AS side", "c AS node_id", "u AS factor")
+      val tops = v2.orderBy(desc("v"), col("p")).limit(20)
+        .selectExpr("'part' AS side", "p AS node_id", "v AS factor")
+      top.unionAll(tops).orderBy(col("side"), desc("factor"),
+        col("node_id"))
+    },
+
+    // MODULARITY — Newman modularity of the brand partition over
+    // the part co-purchase graph (parts co-occurring in an order,
+    // communities = p_brand): Q = Σ_c [m_c/m − (d_c/2m)²] — "do
+    // brands cluster in the co-purchase structure more than a
+    // random degree-preserving rewiring would" (q_assortativity
+    // asks it of DEGREES; modularity asks it of an external
+    // labeling — the partition-quality readout before trusting any
+    // community/cluster assignment). Scale: the edge build is the
+    // q_assortativity co-order self-join; brand attaches to each
+    // endpoint as a BROADCAST dim join; in-community edge and
+    // degree counts partial-aggregate to the community-sized frame;
+    // the total is a window over it. Determinism: every count is an
+    // exact BIGINT; per-community terms are double arithmetic on
+    // identical operands, rounded 9dp into a DECIMAL(38,9) windowed
+    // sum.
+    Q("q_modularity",
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |           FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a
+        |      JOIN li b ON a.o = b.o AND a.p < b.p),
+        |lab AS (SELECT p_partkey AS p, p_brand AS c FROM part),
+        |el AS (SELECT cu.c AS cu, cv.c AS cv FROM e
+        |       JOIN lab cu ON cu.p = e.u JOIN lab cv ON cv.p = e.v),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM el),
+        |mc AS (SELECT cu AS c, CAST(count(*) AS BIGINT) AS m_in
+        |       FROM el WHERE cu = cv GROUP BY cu),
+        |dc AS (SELECT c, CAST(count(*) AS BIGINT) AS d FROM
+        |       (SELECT cu AS c FROM el UNION ALL SELECT cv FROM el) x
+        |       GROUP BY c),
+        |term AS (SELECT dc.c, coalesce(mc.m_in, 0) AS m_in, dc.d,
+        |    round(CAST(coalesce(mc.m_in, 0) AS DOUBLE) / m
+        |      - (CAST(dc.d AS DOUBLE) / (2 * m))
+        |        * (CAST(dc.d AS DOUBLE) / (2 * m)), 9) AS q_term
+        |  FROM dc LEFT JOIN mc ON mc.c = dc.c CROSS JOIN m)
+        |SELECT c AS community, m_in, d AS degree_total, q_term,
+        |  round(CAST(sum(CAST(q_term AS DECIMAL(38,9))) OVER ()
+        |        AS DOUBLE), 9) AS modularity
+        |FROM term ORDER BY c""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val e = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+        .distinct()
+      val lab = Tables.part(s, d)
+        .select(col("p_partkey").as("p"), col("p_brand").as("c"))
+      val el = e
+        .join(broadcast(lab.select(col("p").as("u"), col("c").as("cu"))),
+          "u")
+        .join(broadcast(lab.select(col("p").as("v"), col("c").as("cv"))),
+          "v")
+        .select("cu", "cv")
+        .localCheckpoint(eager = false)
+      val m = el.agg(count(lit(1)).cast("long").as("m"))
+      val mc = el.filter(col("cu") === col("cv"))
+        .groupBy(col("cu").as("c"))
+        .agg(count(lit(1)).cast("long").as("m_in"))
+      val dc = el.select(col("cu").as("c"))
+        .unionAll(el.select(col("cv").as("c")))
+        .groupBy("c").agg(count(lit(1)).cast("long").as("d"))
+      dc.join(broadcast(mc), Seq("c"), "left")
+        .na.fill(Map("m_in" -> 0L))
+        .crossJoin(broadcast(m))
+        .selectExpr("c", "m_in", "d",
+          "round(CAST(m_in AS DOUBLE) / m" +
+            " - (CAST(d AS DOUBLE) / (2 * m))" +
+            " * (CAST(d AS DOUBLE) / (2 * m)), 9) AS q_term")
+        .selectExpr("c AS community", "m_in", "d AS degree_total",
+          "q_term",
+          "round(CAST(sum(CAST(q_term AS DECIMAL(38,9))) OVER ()" +
+            " AS DOUBLE), 9) AS modularity")
+        .orderBy("community")
+    },
   )
 
   /** Graph construction, ONCE per query: the deg-enriched edge frame
@@ -395,6 +564,67 @@ object GraphsOracles {
        |  SELECT 'hub' AS side, p AS node_id, h AS score
        |  FROM h$iters ORDER BY h DESC, p LIMIT 20)
        |ORDER BY side, score DESC, node_id""".stripMargin
+  }
+
+  /** Chained-CTE oracle for the fixed-unroll rank-1 ALS: the same
+    * (num = Σ r·f, den = Σ f², factor = round(num/den, 12))
+    * half-steps the Spark loop builds, stated `iters` times. The
+    * rating CTE is MATERIALIZED (referenced by every half-step). */
+  def alsSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""u$k AS MATERIALIZED (SELECT c,
+         |    round(CAST(sum(CAST(round(r.r * v.v, 12)
+         |            AS DECIMAL(38,12))) AS DOUBLE)
+         |        / CAST(sum(CAST(round(v.v * v.v, 12)
+         |            AS DECIMAL(38,12))) AS DOUBLE), 12) AS u
+         |  FROM r JOIN v${k - 1} v USING (p) GROUP BY c),
+         |v$k AS MATERIALIZED (SELECT p,
+         |    round(CAST(sum(CAST(round(r.r * u.u, 12)
+         |            AS DECIMAL(38,12))) AS DOUBLE)
+         |        / CAST(sum(CAST(round(u.u * u.u, 12)
+         |            AS DECIMAL(38,12))) AS DOUBLE), 12) AS v
+         |  FROM r JOIN u$k u USING (c) GROUP BY p)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH r AS MATERIALIZED (SELECT o_custkey AS c, l_partkey AS p,
+       |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS r
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |v0 AS (SELECT DISTINCT p, CAST(1.0 AS DOUBLE) AS v FROM r),
+       |$steps
+       |SELECT side, node_id, factor FROM (
+       |  SELECT 'customer' AS side, c AS node_id, u AS factor
+       |  FROM u$iters ORDER BY u DESC, c LIMIT 20)
+       |UNION ALL
+       |SELECT side, node_id, factor FROM (
+       |  SELECT 'part' AS side, p AS node_id, v AS factor
+       |  FROM v$iters ORDER BY v DESC, p LIMIT 20)
+       |ORDER BY side, factor DESC, node_id""".stripMargin
+  }
+
+  /** Chained-CTE oracle for the fixed-unroll k-core peel: the same
+    * (degrees → keep ≥ k → restrict edges to kept×kept) round the
+    * Spark loop builds, stated `rounds` times. Every CTE is
+    * MATERIALIZED: each round references the previous edge CTE
+    * twice (deg + restrict) and the node CTE twice (src + dst), so
+    * DuckDB's default CTE inlining would expand the chain to a
+    * 4^rounds expression tree — materialization keeps the oracle
+    * linear, exactly like the Spark side's per-round
+    * localCheckpoint. */
+  def kcoreSql(rounds: Int, k: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""n$i AS MATERIALIZED (SELECT src AS node FROM e${i - 1}
+         |        GROUP BY src HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+         |        JOIN n$i a ON a.node = e.src
+         |        JOIN n$i b ON b.node = e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ep AS MATERIALIZED (SELECT DISTINCT l_partkey AS p,
+       |            l_suppkey AS s FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT 'p' || p AS src, 's' || s AS dst
+       |       FROM ep UNION ALL SELECT 's' || s, 'p' || p FROM ep),
+       |$steps
+       |SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+       |FROM e$rounds GROUP BY src ORDER BY node""".stripMargin
   }
 }
 

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import TextKit.{h60, h60Duck}
 
 /** Data-profiling operators — the pre-flight pass a 100 TB pipeline
   * runs before committing to a layout/model (value distributions,
@@ -471,6 +472,82 @@ object Profiling {
             (col("observed") - col("total") * col("benford_p")) /
             (col("total") * col("benford_p")), 6).as("chi2_term"))
         .orderBy("digit")
+    },
+
+    // HYPERLOGLOG REGISTERS — an EXPLICIT 64-register HLL sketch
+    // (p=6) of distinct order custkeys, with the Flajolet raw
+    // estimate and the linear-counting small-range correction.
+    // q_agg_approx_distinct uses Spark's native HLL++ but its
+    // binary sketch is opaque; exposing the registers is what makes
+    // the sketch PORTABLE — register frames from different systems
+    // / partitions / days merge by element-wise max, the
+    // cross-system cardinality contract. Scale: the whole corpus
+    // folds to 64 rows in ONE partial-aggregated groupBy(max) —
+    // the mergeable-sketch shape; everything after is
+    // constant-sized. The exact-distinct column is the local AUDIT
+    // column (it is the full shuffle the sketch exists to avoid —
+    // at 100 TB you drop it and keep the 64-row fold).
+    // Determinism: rho comes from string length of bin() (exact
+    // integer), Σ2^(−M_j) is computed as the exact BIGINT
+    // Σ2^(55−M_j) via shiftleft, and the estimate is arithmetic on
+    // exact operands written identically in both engines.
+    Q("q_hll_registers",
+      s"""WITH h AS (SELECT
+         |    ${h60Duck("'hll#' || o_custkey")} AS h FROM orders),
+         |r AS (SELECT h % 64 AS idx,
+         |    CASE WHEN h // 64 = 0 THEN 55
+         |         ELSE 55 - length(bin(h // 64)) END AS rho FROM h),
+         |reg AS (SELECT g.idx, coalesce(max(r.rho), 0) AS m_j
+         |  FROM (SELECT unnest(generate_series(0, 63)) AS idx) g
+         |  LEFT JOIN r ON r.idx = g.idx GROUP BY g.idx),
+         |a AS (SELECT
+         |    CAST(sum(1::BIGINT << (55 - m_j)) AS BIGINT) AS s2,
+         |    CAST(count(*) FILTER (m_j = 0) AS BIGINT) AS v_zero
+         |  FROM reg),
+         |ex AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+         |       AS n_exact FROM orders),
+         |est AS (SELECT v_zero, n_exact,
+         |    round(CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE)
+         |          / 64) * 64 * 64 * power(2.0, 55) / s2, 6) AS est_raw
+         |  FROM a CROSS JOIN ex)
+         |SELECT 64 AS m, v_zero, est_raw,
+         |  CASE WHEN est_raw <= 160.0 AND v_zero > 0
+         |       THEN round(64 * ln(64.0 / v_zero), 6)
+         |       ELSE est_raw END AS est,
+         |  n_exact,
+         |  round((CASE WHEN est_raw <= 160.0 AND v_zero > 0
+         |         THEN round(64 * ln(64.0 / v_zero), 6)
+         |         ELSE est_raw END - n_exact) / n_exact, 6) AS rel_err
+         |FROM est""".stripMargin) { (s, d) =>
+      val reg = Tables.orders(s, d)
+        .select(expr(h60("concat('hll#', CAST(o_custkey AS STRING))"))
+          .as("h"))
+        .selectExpr("h % 64 AS idx",
+          "CASE WHEN h DIV 64 = 0 THEN 55" +
+            " ELSE 55 - length(bin(h DIV 64)) END AS rho")
+        .groupBy("idx").agg(max("rho").as("m_j"))
+      val full = s.range(64).select(col("id").as("idx"))
+        .join(broadcast(reg), Seq("idx"), "left")
+        .na.fill(Map("m_j" -> 0))
+      val a = full.agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - m_j AS INT))"))
+          .cast("long").as("s2"),
+        sum(when(col("m_j") === 0, 1L).otherwise(0L)).cast("long")
+          .as("v_zero"))
+      val ex = Tables.orders(s, d)
+        .agg(countDistinct("o_custkey").cast("long").as("n_exact"))
+      a.crossJoin(broadcast(ex))
+        .selectExpr("v_zero", "n_exact",
+          "round(CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE)" +
+            " / 64) * 64 * 64 * power(2.0, 55) / s2, 6) AS est_raw")
+        .selectExpr("CAST(64 AS INT) AS m", "v_zero", "est_raw",
+          "CASE WHEN est_raw <= 160.0 AND v_zero > 0" +
+            " THEN round(64 * ln(64.0 / v_zero), 6)" +
+            " ELSE est_raw END AS est",
+          "n_exact",
+          "round((CASE WHEN est_raw <= 160.0 AND v_zero > 0" +
+            " THEN round(64 * ln(64.0 / v_zero), 6)" +
+            " ELSE est_raw END - n_exact) / n_exact, 6) AS rel_err")
     },
   )
 }

@@ -531,6 +531,105 @@ object Semantic {
           "round(((2 * s_nano + 5) DIV 10) / 1e9, 6) AS lof")
         .orderBy(desc("lof"), col("vec_id")).limit(20)
     },
+
+    // DBSCAN — density-based clustering over the embedding cloud
+    // (eps² = 1.34, minPts = 4): core points (≥ 3 eps-neighbors),
+    // clusters = connected components of the core-core eps graph,
+    // border points adopt the MINIMUM cluster label among their
+    // core neighbors (textbook DBSCAN is scan-order-dependent at
+    // borders; the min rule is the deterministic variant), the rest
+    // is noise. The density complement to q_kmeans (which forces
+    // every point into k spherical cells): DBSCAN finds arbitrary-
+    // shape dense regions and REFUSES the sparse remainder — the
+    // shape a curation pipeline wants for "keep the modes, flag the
+    // stragglers". Scale: the eps-neighbor stage is the one pairwise
+    // pass (q_similarity_join stance — broadcast locally,
+    // block-chunked or IVF-pruned at 100 TB); everything after is
+    // edge-frame-sized: degree fold, core filter, and the
+    // q_dup_clusters CC machinery (bounded min-label propagation
+    // with pointer jumping, 6 rounds → covers component diameter
+    // 127; the full-fixpoint RECURSIVE oracle fails the hash loudly
+    // if a component ever outgrows that). Determinism: distances
+    // round 6dp against a literal eps²; every label pick is a min.
+    Q("q_dbscan",
+      """WITH RECURSIVE e AS (SELECT vec_id,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (SELECT a.vec_id AS a, b.vec_id AS b,
+        |    round(list_sum([(a.v[i]-b.v[i])*(a.v[i]-b.v[i])
+        |                    for i in range(1, len(a.v)+1)]), 6) AS d2
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |nbr AS (SELECT a, b FROM d WHERE d2 <= 1.34),
+        |deg AS (SELECT a, count(*) AS k FROM nbr GROUP BY a),
+        |core AS (SELECT a AS id FROM deg WHERE k >= 3),
+        |ce AS (SELECT n.a, n.b FROM nbr n
+        |       JOIN core c1 ON c1.id = n.a JOIN core c2 ON c2.id = n.b),
+        |walk(node, lab) AS (
+        |  SELECT id, id FROM core
+        |  UNION
+        |  SELECT ce.b, w.lab FROM walk w JOIN ce ON ce.a = w.node),
+        |cc AS (SELECT node, min(lab) AS cluster FROM walk GROUP BY node),
+        |border AS (SELECT n.a AS id, min(cc.cluster) AS cluster
+        |  FROM nbr n JOIN cc ON cc.node = n.b
+        |  WHERE n.a NOT IN (SELECT id FROM core) GROUP BY n.a)
+        |SELECT e.vec_id,
+        |  CASE WHEN cc.cluster IS NOT NULL THEN 'core'
+        |       WHEN border.cluster IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  coalesce(cc.cluster, border.cluster) AS cluster
+        |FROM e LEFT JOIN cc ON cc.node = e.vec_id
+        |LEFT JOIN border ON border.id = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin) { (s, dir) =>
+      val e = fanout(Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("v")))
+        .localCheckpoint(eager = false)
+      val d2e = round(expr(
+        """aggregate(zip_with(av, bv, (x, y) -> (x - y) * (x - y)),
+          |CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)""".stripMargin), 6)
+      val nbr = e.select(col("vec_id").as("a"), col("v").as("av"))
+        .join(broadcast(e.select(col("vec_id").as("b"), col("v").as("bv"))),
+          col("a") =!= col("b"))
+        .select(col("a"), col("b"), d2e.as("d2"))
+        .filter(col("d2") <= 1.34).select("a", "b")
+        .localCheckpoint(eager = false)
+      val core = nbr.groupBy("a").agg(count(lit(1)).as("k"))
+        .filter(col("k") >= 3).select(col("a").as("id"))
+        .localCheckpoint(eager = false)
+      val cePairs = nbr
+        .join(core.select(col("id").as("a")), "a")
+        .join(core.select(col("id").as("b")), "b")
+        .filter(col("a") < col("b"))
+        .select(col("a").as("id1"), col("b").as("id2"))
+      // rounds = 16. The DBSCAN core graph near the density
+      // threshold is TREE-like (measured: 130 edges over 125 cores
+      // at sf0.01, one 101-node component of graph diameter 13), so
+      // unlike near-dup cliques its diameter scales with component
+      // size — and the pointer-jump round is only OPPORTUNISTIC
+      // acceleration (the min id within k hops can point away from
+      // the component minimum, so jumps don't guarantee doubling on
+      // adversarial id layouts; measured convergence: 12 rounds at
+      // sf0.01, 5 at sf0.1 where density shrinks the diameter).
+      // Budget = propagate-guaranteed hops ≥ observed diameter with
+      // margin; each round shuffles only core-count-sized label
+      // frames, and the full-fixpoint RECURSIVE oracle fails the
+      // hash loudly if a corpus ever outgrows the budget.
+      val lab = DedupStages.minLabelPropagate(
+        core.select(col("id").as("node")), cePairs, rounds = 16)
+      val border = nbr
+        .join(lab.select(col("node").as("b"), col("lab")), "b")
+        .join(core.select(col("id").as("a")), Seq("a"), "left_anti")
+        .groupBy("a").agg(min("lab").as("bcl"))
+      e.select(col("vec_id"))
+        .join(lab.select(col("node").as("vec_id"), col("lab").as("ccl")),
+          Seq("vec_id"), "left")
+        .join(border.select(col("a").as("vec_id"), col("bcl")),
+          Seq("vec_id"), "left")
+        .selectExpr("vec_id",
+          "CASE WHEN ccl IS NOT NULL THEN 'core'" +
+            " WHEN bcl IS NOT NULL THEN 'border' ELSE 'noise' END AS role",
+          "coalesce(ccl, bcl) AS cluster")
+        .orderBy("vec_id")
+    },
   )
 
   /** Chained-CTE oracle for the fixed-unroll Lloyd loop: assignment
