@@ -54,7 +54,9 @@ object Explain {
     // round-8 tenth wave
     "q_auc", "q_hll_registers", "q_kcore",
     // round-8 eleventh wave
-    "q_psi", "q_als_rank1", "q_modularity")
+    "q_psi", "q_als_rank1", "q_modularity",
+    // round-8 twelfth wave
+    "q_zipf_alpha")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

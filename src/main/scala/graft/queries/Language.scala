@@ -343,5 +343,46 @@ object Language {
         .agg(count(lit(1)).as("n"))
         .orderBy("actual", "predicted")
     },
+
+    // ZIPF TAIL EXPONENT — Clauset-style discrete power-law MLE over
+    // the token frequency distribution (xmin = 5):
+    // α = 1 + n / Σ ln(f_i / 4.5) over tokens with frequency ≥ 5 —
+    // the "is this corpus natural language" distributional check: a
+    // healthy text corpus has α ≈ 2 (Zipf); scraped boilerplate,
+    // log spam, or template farms skew it hard (q_vocab_coverage
+    // asks which tokens a vocab covers; this asks whether the
+    // frequency SHAPE is right at all). Scale: the corpus folds to
+    // the vocabulary-sized frequency frame in ONE partial-aggregated
+    // groupBy (q_lm_score discipline); the tail fold is
+    // vocabulary-sized; the output is one row. Determinism: each
+    // ln runs on (exact BIGINT) / 4.5 — one double op identical in
+    // both engines — rounded 9dp into a DECIMAL(38,9) sum; α is one
+    // division of exact operands rounded 6dp.
+    Q("q_zipf_alpha",
+      s"""WITH tok AS (SELECT unnest($toksDuck) AS t FROM documents),
+         |f AS (SELECT t, CAST(count(*) AS BIGINT) AS f FROM tok
+         |      GROUP BY t),
+         |v AS (SELECT CAST(count(*) AS BIGINT) AS vocab,
+         |             CAST(sum(f) AS BIGINT) AS n_tokens FROM f),
+         |tail AS (SELECT CAST(count(*) AS BIGINT) AS n_tail,
+         |    CAST(sum(CAST(round(ln(f / CAST(4.5 AS DOUBLE)), 9)
+         |         AS DECIMAL(38,9))) AS DOUBLE) AS s FROM f WHERE f >= 5)
+         |SELECT vocab, n_tokens, n_tail,
+         |  round(1 + n_tail / s, 6) AS alpha
+         |FROM v CROSS JOIN tail""".stripMargin) { (s, d) =>
+      val f = barrier(Tables.documents(s, d).withColumn("w", expr(toks)))
+        .select(explode(col("w")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("f"))
+        .localCheckpoint(eager = false)
+      val v = f.agg(count(lit(1)).cast("long").as("vocab"),
+        sum("f").cast("long").as("n_tokens"))
+      val tail = f.filter(col("f") >= 5)
+        .agg(count(lit(1)).cast("long").as("n_tail"),
+          sum(round(log(col("f") / 4.5), 9).cast(DecimalType(38, 9)))
+            .cast("double").as("s"))
+      v.crossJoin(broadcast(tail))
+        .selectExpr("vocab", "n_tokens", "n_tail",
+          "round(1 + n_tail / s, 6) AS alpha")
+    },
   )
 }
