@@ -1209,6 +1209,108 @@ object Analytics {
             " AS DOUBLE), 9) AS psi_total")
         .orderBy("bin")
     },
+
+    // TWO-SAMPLE KOLMOGOROV-SMIRNOV — D = sup |F_view − F_click|
+    // over the event-value empirical CDFs, with the value where the
+    // supremum is attained and the asymptotic p ≈ 2·exp(−2·ne·D²):
+    // the WHOLE-DISTRIBUTION member of the inference suite (q_abtest
+    // compares MEANS, q_permutation_test breaks labels on the mean,
+    // q_psi bins drift into 10 cells; KS is bin-free and sensitive
+    // to ANY shape difference — the "same metric, different arms,
+    // did the whole distribution move" readout). Scale: NO global
+    // rank window — the corpus folds to the distinct-value frame in
+    // ONE partial-aggregated groupBy holding BOTH arms' counts, and
+    // the inclusive prefix sums run the q_skyline/q_auc range-shard
+    // discipline (1-row min/max broadcast → ≤1024 monotone shards →
+    // PARTITIONED per-shard window + triangular join over the
+    // ≤1024-row shard-total frame); the argmax is a
+    // TakeOrderedAndProject over (dnum DESC, s). Determinism: values
+    // land in exact integer micro space; dnum = |ca·nb − cb·na|
+    // accumulates in DECIMAL(38,0) (a BIGINT product overflows once
+    // n² passes 2⁶³ — reachable at 100 TB); D is ONE double division
+    // of exact operands rounded 9dp; the exp argument is rounded 9dp
+    // BEFORE exp (the ln-operand discipline) so the only libm call
+    // runs on an identical operand in both engines, and p rounds to
+    // 6dp to absorb its ulp.
+    Q("q_ks_test",
+      """WITH e AS (SELECT
+        |    CAST(floor(round(value, 6) * 1000000 + 0.5) AS BIGINT) AS s,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS isa
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |g AS (SELECT s, CAST(sum(isa) AS BIGINT) AS na,
+        |    CAST(count(*) - sum(isa) AS BIGINT) AS nb FROM e GROUP BY s),
+        |t AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+        |    CAST(sum(nb) AS BIGINT) AS tb FROM g),
+        |c AS (SELECT s, ta, tb,
+        |    sum(na) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |    sum(nb) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+        |  FROM g CROSS JOIN t),
+        |d AS (SELECT s, ta, tb,
+        |    abs(CAST(ca AS DECIMAL(38,0)) * tb
+        |        - CAST(cb AS DECIMAL(38,0)) * ta) AS dnum FROM c)
+        |SELECT round(CAST(s AS DOUBLE) / 1000000, 6) AS ks_value,
+        |  ta AS n_a, tb AS n_b,
+        |  round(CAST(dnum AS DOUBLE) / (CAST(ta AS DOUBLE) * tb), 9)
+        |    AS d_stat,
+        |  round(least(CAST(1 AS DOUBLE), 2 * exp(round(
+        |    -2 * (CAST(dnum AS DOUBLE) / (CAST(ta AS DOUBLE) * tb))
+        |       * (CAST(dnum AS DOUBLE) / (CAST(ta AS DOUBLE) * tb))
+        |       * (CAST(ta AS DOUBLE) * tb / (ta + tb)), 9))), 6)
+        |    AS p_asymp
+        |FROM d ORDER BY dnum DESC, s LIMIT 1""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "click"))
+        .select(
+          expr("CAST(floor(round(value, 6) * 1000000 + 0.5) AS BIGINT)")
+            .as("s"),
+          when(col("event_type") === "view", 1L).otherwise(0L).as("isa"))
+      val g = e.groupBy("s")
+        .agg(sum("isa").cast("long").as("na"),
+          (count(lit(1)) - sum("isa")).cast("long").as("nb"))
+        .localCheckpoint(eager = false)
+      val t = g.agg(sum("na").cast("long").as("ta"),
+        sum("nb").cast("long").as("tb"))
+      val mm = g.agg(min("s").as("lo"), max("s").as("hi"))
+      val sh = g.crossJoin(broadcast(mm))
+        .withColumn("bkt",
+          when(col("hi") === col("lo"), lit(0L))
+            .otherwise(least(
+              floor((col("s") - col("lo")).cast("double") /
+                ((col("hi") - col("lo")).cast("double") / 1024.0)),
+              lit(1023.0)).cast("bigint")))
+      val bt = sh.groupBy("bkt")
+        .agg(sum("na").cast("long").as("bta"),
+          sum("nb").cast("long").as("btb"))
+      val pre = bt
+        .join(broadcast(bt.select(col("bkt").as("ob"),
+          col("bta").as("obta"), col("btb").as("obtb"))),
+          col("ob") < col("bkt"), "left")
+        .groupBy("bkt")
+        .agg(coalesce(sum("obta"), lit(0L)).cast("long").as("prea"),
+          coalesce(sum("obtb"), lit(0L)).cast("long").as("preb"))
+      val w = Window.partitionBy("bkt").orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val c = sh.join(broadcast(pre), "bkt")
+        .withColumn("ca", col("prea") + sum("na").over(w))
+        .withColumn("cb", col("preb") + sum("nb").over(w))
+      c.crossJoin(broadcast(t))
+        .withColumn("dnum",
+          abs(col("ca").cast(DecimalType(38, 0)) * col("tb") -
+            col("cb").cast(DecimalType(38, 0)) * col("ta")))
+        .orderBy(col("dnum").desc, col("s")).limit(1)
+        .selectExpr(
+          "round(CAST(s AS DOUBLE) / 1000000, 6) AS ks_value",
+          "ta AS n_a", "tb AS n_b",
+          "round(CAST(dnum AS DOUBLE) / (CAST(ta AS DOUBLE) * tb), 9)" +
+            " AS d_stat",
+          "round(least(CAST(1 AS DOUBLE), 2 * exp(round(" +
+            "-2 * (CAST(dnum AS DOUBLE) / (CAST(ta AS DOUBLE) * tb))" +
+            " * (CAST(dnum AS DOUBLE) / (CAST(ta AS DOUBLE) * tb))" +
+            " * (CAST(ta AS DOUBLE) * tb / (ta + tb)), 9))), 6)" +
+            " AS p_asymp")
+    },
   )
 
   /** The nine OLS moment sums for the oracle — identical per-row

@@ -477,5 +477,87 @@ object DedupSketches {
             "CAST(floor((2 * hits * 1000000 + n_cand) / (2.0 * n_cand))" +
             " / 1000000.0 AS DOUBLE) END AS precision")
     },
+
+    // EXPLICIT BLOOM FILTER — build an m=4096-bit, k=3 Bloom filter
+    // over the distinct custkeys holding an 'F'-status order, probe
+    // it with EVERY customer, and audit: bits set, observed vs
+    // predicted (fill^k) false-positive rate, and the no-false-
+    // negative invariant (every in-set key probes positive — the
+    // membership contract). This is the EXPOSED-state twin of
+    // Spark's opaque runtime BloomFilterAggregate (q_join_runtime_
+    // bloom USES one inside a join; this MATERIALIZES the bit set as
+    // a portable frame — the cross-system/cross-day pre-filter
+    // contract, mergeable by union like q_hll_registers' registers).
+    // Scale: the build folds to the ≤m-row distinct-bit frame in ONE
+    // partial-aggregated groupBy and BROADCASTS onto the probe side
+    // (the probe scan never shuffles — the whole point of a Bloom
+    // pre-filter); per-key hit counts fold in one partial-aggregated
+    // groupBy over 3n seed rows. The exact in-set audit join is the
+    // full shuffle the filter exists to avoid — the AUDIT arm,
+    // dropped at 100 TB (q_hll_registers discipline). Determinism:
+    // positions are md5-derived h60 mod 4096 (engine-portable, no
+    // rand()); every output is exact-integer except two divisions of
+    // exact operands rounded 9dp.
+    Q("q_bloom_probe", {
+      val posB = s"${h60Duck("'bloom#' || i::VARCHAR || '#' || k::VARCHAR")} % 4096"
+      s"""WITH b AS (SELECT DISTINCT o_custkey AS k FROM orders
+         |       WHERE o_orderstatus = 'F'),
+         |seeds AS (SELECT unnest([0, 1, 2]) AS i),
+         |bits AS (SELECT DISTINCT $posB AS pos FROM b CROSS JOIN seeds),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_build FROM b),
+         |bs AS (SELECT CAST(count(*) AS BIGINT) AS bits_set FROM bits),
+         |p AS (SELECT c_custkey AS k FROM customer),
+         |ph AS (SELECT p.k, CAST(count(*) AS BIGINT) AS hits
+         |   FROM p CROSS JOIN seeds
+         |   JOIN bits ON $posB = bits.pos GROUP BY p.k),
+         |np AS (SELECT CAST(count(*) AS BIGINT) AS n_probe FROM p),
+         |po AS (SELECT CAST(count(*) AS BIGINT) AS n_positive
+         |   FROM ph WHERE hits = 3),
+         |ins AS (SELECT CAST(count(*) AS BIGINT) AS n_in_set
+         |   FROM p WHERE k IN (SELECT k FROM b))
+         |SELECT 4096 AS m, 3 AS k, n_build, bits_set,
+         |  round(CAST(bits_set AS DOUBLE) / 4096, 9) AS fill_ratio,
+         |  n_probe, n_in_set, n_positive,
+         |  n_positive - n_in_set AS n_false_pos,
+         |  round(CAST(n_positive - n_in_set AS DOUBLE)
+         |    / (n_probe - n_in_set), 9) AS fpr_observed,
+         |  round((CAST(bits_set AS DOUBLE) / 4096)
+         |    * (CAST(bits_set AS DOUBLE) / 4096)
+         |    * (CAST(bits_set AS DOUBLE) / 4096), 9) AS fpr_predicted
+         |FROM nb CROSS JOIN bs CROSS JOIN np
+         |  CROSS JOIN po CROSS JOIN ins""".stripMargin
+    }) { (s, d) =>
+      val pos = h60("concat('bloom#', CAST(i AS STRING), '#'," +
+        " CAST(k AS STRING))") + " % 4096"
+      val b = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k")).distinct()
+        .localCheckpoint(eager = false)
+      val seeds = expr("explode(array(0, 1, 2))").as("i")
+      val bits = b.select(col("k"), seeds)
+        .select(expr(pos).as("pos")).distinct()
+        .localCheckpoint(eager = false)
+      val p = Tables.customer(s, d).select(col("c_custkey").as("k"))
+      val ph = p.select(col("k"), seeds)
+        .join(broadcast(bits), expr(pos) === bits("pos"))
+        .groupBy("k").agg(count(lit(1)).cast("long").as("hits"))
+      val nb = b.agg(count(lit(1)).cast("long").as("n_build"))
+      val bs = bits.agg(count(lit(1)).cast("long").as("bits_set"))
+      val np = p.agg(count(lit(1)).cast("long").as("n_probe"))
+      val po = ph.filter(col("hits") === 3)
+        .agg(count(lit(1)).cast("long").as("n_positive"))
+      val ins = p.join(b, "k")
+        .agg(count(lit(1)).cast("long").as("n_in_set"))
+      nb.crossJoin(broadcast(bs)).crossJoin(broadcast(np))
+        .crossJoin(broadcast(po)).crossJoin(broadcast(ins))
+        .selectExpr("4096 AS m", "3 AS k", "n_build", "bits_set",
+          "round(CAST(bits_set AS DOUBLE) / 4096, 9) AS fill_ratio",
+          "n_probe", "n_in_set", "n_positive",
+          "n_positive - n_in_set AS n_false_pos",
+          "round(CAST(n_positive - n_in_set AS DOUBLE)" +
+            " / (n_probe - n_in_set), 9) AS fpr_observed",
+          "round((CAST(bits_set AS DOUBLE) / 4096)" +
+            " * (CAST(bits_set AS DOUBLE) / 4096)" +
+            " * (CAST(bits_set AS DOUBLE) / 4096), 9) AS fpr_predicted")
+    },
   )
 }
