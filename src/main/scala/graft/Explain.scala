@@ -56,7 +56,9 @@ object Explain {
     // round-8 eleventh wave
     "q_psi", "q_als_rank1", "q_modularity",
     // round-8 twelfth wave
-    "q_zipf_alpha", "q_ks_test", "q_bloom_probe")
+    "q_zipf_alpha", "q_ks_test", "q_bloom_probe",
+    // round-8 thirteenth wave
+    "q_acf", "q_info_gain", "q_clustering_coeff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

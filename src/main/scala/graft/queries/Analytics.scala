@@ -1311,6 +1311,111 @@ object Analytics {
             " * (CAST(ta AS DOUBLE) * tb / (ta + tb)), 9))), 6)" +
             " AS p_asymp")
     },
+
+    // INFORMATION-GAIN STUMP — the best single split of order total
+    // price against the binary label status='F': the threshold s*
+    // maximizing IG = H(label) − (n_l/N)·H(left) − (n_r/N)·H(right)
+    // over EVERY distinct value — the depth-1 decision tree, i.e.
+    // the model-backed feature-importance probe (q_auc scores the
+    // RANKING quality of a signal; this finds the operating POINT
+    // and says how many bits the single best cut buys — the screen
+    // run per candidate feature before any tree/threshold ships).
+    // Scale: the q_auc fold + range-shard discipline verbatim —
+    // distinct-value frame in ONE partial-aggregated groupBy,
+    // INCLUSIVE prefix counts via ≤1024 monotone shards (partitioned
+    // windows + the triangular shard-total broadcast join), argmax
+    // by TakeOrderedAndProject on (ig DESC, s). Determinism: counts
+    // are exact BIGINT; each x·ln(x) term runs on exact-ratio
+    // operands and rounds 9dp (the ln-operand discipline); the IG
+    // combination is the same ANSI text in both engines, rounded
+    // 9dp, ties broken by the exact integer s.
+    Q("q_info_gain", {
+      def pl(c: String, n: String) =
+        s"CASE WHEN $c = 0 THEN CAST(0 AS DOUBLE) ELSE " +
+          s"round((CAST($c AS DOUBLE) / $n) * ln(CAST($c AS DOUBLE) / $n), 9) END"
+      val h0 = s"-(${pl("tp", "(tp + tn)")} + ${pl("tn", "(tp + tn)")})"
+      val hl = s"-(${pl("ca", "(ca + cb)")} + ${pl("cb", "(ca + cb)")})"
+      val hr = s"-(${pl("(tp - ca)", "(tp + tn - ca - cb)")}" +
+        s" + ${pl("(tn - cb)", "(tp + tn - ca - cb)")})"
+      s"""WITH g AS (SELECT
+         |    CAST(floor(round(o_totalprice, 2) * 100 + 0.5) AS BIGINT) AS s,
+         |    CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS np,
+         |    CAST(count(*) FILTER (o_orderstatus <> 'F') AS BIGINT) AS nn
+         |  FROM orders GROUP BY 1),
+         |t AS (SELECT CAST(sum(np) AS BIGINT) AS tp,
+         |    CAST(sum(nn) AS BIGINT) AS tn FROM g),
+         |c AS (SELECT s, tp, tn,
+         |    sum(np) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS ca,
+         |    sum(nn) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS cb
+         |  FROM g CROSS JOIN t),
+         |i AS (SELECT s, tp, tn, ca, cb,
+         |    round($h0 - (CAST(ca + cb AS DOUBLE) / (tp + tn)) * ($hl)
+         |      - (CAST(tp + tn - ca - cb AS DOUBLE) / (tp + tn)) * ($hr),
+         |      9) AS ig
+         |  FROM c WHERE ca + cb < tp + tn)
+         |SELECT round(CAST(s AS DOUBLE) / 100, 6) AS split_value,
+         |  CAST(ca + cb AS BIGINT) AS n_left,
+         |  CAST(tp + tn - ca - cb AS BIGINT) AS n_right,
+         |  CAST(ca AS BIGINT) AS pos_left,
+         |  CAST(tp - ca AS BIGINT) AS pos_right,
+         |  round($h0, 9) AS entropy_before, ig AS info_gain
+         |FROM i ORDER BY ig DESC, s LIMIT 1""".stripMargin
+    }) { (s, d) =>
+      def pl(c: String, n: String) =
+        s"CASE WHEN $c = 0 THEN CAST(0 AS DOUBLE) ELSE " +
+          s"round((CAST($c AS DOUBLE) / $n) * ln(CAST($c AS DOUBLE) / $n), 9) END"
+      val h0 = s"-(${pl("tp", "(tp + tn)")} + ${pl("tn", "(tp + tn)")})"
+      val hl = s"-(${pl("ca", "(ca + cb)")} + ${pl("cb", "(ca + cb)")})"
+      val hr = s"-(${pl("(tp - ca)", "(tp + tn - ca - cb)")}" +
+        s" + ${pl("(tn - cb)", "(tp + tn - ca - cb)")})"
+      val g = Tables.orders(s, d)
+        .select(
+          expr("CAST(floor(round(o_totalprice, 2) * 100 + 0.5) AS BIGINT)")
+            .as("s"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("isp"))
+        .groupBy("s")
+        .agg(sum("isp").cast("long").as("np"),
+          (count(lit(1)) - sum("isp")).cast("long").as("nn"))
+        .localCheckpoint(eager = false)
+      val t = g.agg(sum("np").cast("long").as("tp"),
+        sum("nn").cast("long").as("tn"))
+      val mm = g.agg(min("s").as("lo"), max("s").as("hi"))
+      val sh = g.crossJoin(broadcast(mm))
+        .withColumn("bkt",
+          when(col("hi") === col("lo"), lit(0L))
+            .otherwise(least(
+              floor((col("s") - col("lo")).cast("double") /
+                ((col("hi") - col("lo")).cast("double") / 1024.0)),
+              lit(1023.0)).cast("bigint")))
+      val bt = sh.groupBy("bkt")
+        .agg(sum("np").cast("long").as("btp"),
+          sum("nn").cast("long").as("btn"))
+      val pre = bt
+        .join(broadcast(bt.select(col("bkt").as("ob"),
+          col("btp").as("obtp"), col("btn").as("obtn"))),
+          col("ob") < col("bkt"), "left")
+        .groupBy("bkt")
+        .agg(coalesce(sum("obtp"), lit(0L)).cast("long").as("prep"),
+          coalesce(sum("obtn"), lit(0L)).cast("long").as("pren"))
+      val w = Window.partitionBy("bkt").orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val c = sh.join(broadcast(pre), "bkt")
+        .withColumn("ca", col("prep") + sum("np").over(w))
+        .withColumn("cb", col("pren") + sum("nn").over(w))
+        .crossJoin(broadcast(t))
+        .filter(col("ca") + col("cb") < col("tp") + col("tn"))
+      c.selectExpr("s", "tp", "tn", "ca", "cb",
+          s"round($h0 - (CAST(ca + cb AS DOUBLE) / (tp + tn)) * ($hl)" +
+            s" - (CAST(tp + tn - ca - cb AS DOUBLE) / (tp + tn)) * ($hr)" +
+            ", 9) AS ig")
+        .orderBy(col("ig").desc, col("s")).limit(1)
+        .selectExpr("round(CAST(s AS DOUBLE) / 100, 6) AS split_value",
+          "ca + cb AS n_left", "tp + tn - ca - cb AS n_right",
+          "ca AS pos_left", "tp - ca AS pos_right",
+          s"round($h0, 9) AS entropy_before", "ig AS info_gain")
+    },
   )
 
   /** The nine OLS moment sums for the oracle — identical per-row

@@ -494,6 +494,88 @@ object Graphs {
             " AS DOUBLE), 9) AS modularity")
         .orderBy("community")
     },
+
+    // LOCAL CLUSTERING COEFFICIENT — per-node c_v = 2·t_v/(d_v(d_v−1))
+    // over the same hash-sampled part co-purchase graph as
+    // q_triangle_count, top-50 by coefficient: "whose neighborhoods
+    // are actually cliques" (q_triangle_count's global 3T/W is the
+    // one-number transitivity; the LOCAL coefficient is the per-node
+    // embeddedness score — the community-seed / spam-hub separator:
+    // hubs with c≈0 bridge unrelated orders, nodes with c≈1 sit in
+    // closed baskets). Scale: the Schank-Wagner oriented wedge join
+    // bounds the pairwise stage at O(m^1.5) exactly as in
+    // q_triangle_count; each closed triangle then EXPLODES to its 3
+    // corners and folds in one partial-aggregated groupBy to the
+    // node-sized count frame, which joins the degree frame as a
+    // BROADCAST; top-50 = TakeOrderedAndProject. Determinism: exact
+    // integer counts; c_v = one double division of exact operands
+    // rounded 9dp; total order (coeff DESC, degree DESC, node).
+    Q("q_clustering_coeff",
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |           FROM lineitem
+         |           WHERE ${TextKit.h28Duck("'tri#' || l_partkey")} % 2 = 0),
+         |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a
+         |      JOIN li b ON a.o = b.o AND a.p < b.p),
+         |und AS (SELECT u, v FROM e UNION ALL SELECT v, u AS v FROM e),
+         |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d
+         |        FROM und GROUP BY 1),
+         |o AS (SELECT
+         |    CASE WHEN da.d < db.d OR (da.d = db.d AND a.u < a.v)
+         |      THEN a.u ELSE a.v END AS s,
+         |    CASE WHEN da.d < db.d OR (da.d = db.d AND a.u < a.v)
+         |      THEN a.v ELSE a.u END AS t,
+         |    CASE WHEN da.d < db.d OR (da.d = db.d AND a.u < a.v)
+         |      THEN db.d ELSE da.d END AS dt
+         |  FROM e a JOIN deg da ON da.node = a.u
+         |           JOIN deg db ON db.node = a.v),
+         |w AS (SELECT o1.s AS a, o1.t AS b, o2.t AS c
+         |      FROM o o1 JOIN o o2 ON o1.s = o2.s
+         |      AND (o1.dt < o2.dt OR (o1.dt = o2.dt AND o1.t < o2.t))),
+         |tri AS (SELECT a, b, c FROM w
+         |        JOIN o ON w.b = o.s AND w.c = o.t),
+         |pt AS (SELECT unnest([a, b, c]) AS node FROM tri),
+         |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS tri
+         |       FROM pt GROUP BY 1)
+         |SELECT dg.node, dg.d AS degree,
+         |  CAST(coalesce(tc.tri, 0) AS BIGINT) AS triangles,
+         |  round(2 * CAST(coalesce(tc.tri, 0) AS DOUBLE)
+         |    / (CAST(dg.d AS DOUBLE) * (dg.d - 1)), 9) AS coeff
+         |FROM deg dg LEFT JOIN tc USING (node) WHERE dg.d >= 2
+         |ORDER BY coeff DESC, degree DESC, node LIMIT 50""".stripMargin) {
+      (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .filter(expr(TextKit.h28(
+          "concat('tri#', CAST(l_partkey AS STRING))")) % 2 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val e = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+        .distinct()
+        .localCheckpoint(eager = false)
+      val deg = GraphStages.degrees(e).localCheckpoint(eager = false)
+      val o = GraphStages.orientedEdges(e, deg)
+      val wdg = o.as("o1").join(o.as("o2"),
+        col("o1.s") === col("o2.s") &&
+          (col("o1.dt") < col("o2.dt") ||
+            (col("o1.dt") === col("o2.dt") && col("o1.t") < col("o2.t"))))
+        .select(col("o1.s").as("a"), col("o1.t").as("b"),
+          col("o2.t").as("c"))
+      val tri = wdg.join(o,
+          col("b") === col("s") && col("c") === col("t"))
+        .select("a", "b", "c")
+      val tc = tri
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).cast("long").as("tri"))
+      deg.filter(col("d") >= 2)
+        .join(broadcast(tc), Seq("node"), "left")
+        .na.fill(Map("tri" -> 0L))
+        .selectExpr("node", "d AS degree", "tri AS triangles",
+          "round(2 * CAST(tri AS DOUBLE)" +
+            " / (CAST(d AS DOUBLE) * (d - 1)), 9) AS coeff")
+        .orderBy(col("coeff").desc, col("degree").desc, col("node"))
+        .limit(50)
+    },
   )
 
   /** Graph construction, ONCE per query: the deg-enriched edge frame

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 
 /** Time-series resampling over `events` — the regularization pass
@@ -554,6 +555,65 @@ object TimeSeries {
           " WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS depth")
         .groupBy("depth").agg(count(lit(1)).as("users"))
         .orderBy("depth")
+    },
+
+    // AUTOCORRELATION FUNCTION — ACF of the daily event-count series
+    // at lags 1..14: r_k = Σ(y_t−ȳ)(y_{t−k}−ȳ) / Σ(y_t−ȳ)² — the
+    // seasonality/memory detector that DATES the cycle length
+    // (q_seasonality profiles a grid you must already suspect;
+    // q_seasonal_decompose assumes the 7-day period; ACF is the
+    // assumption-free scan that says WHICH lag resonates — the
+    // pre-model diagnostic every forecasting pipeline runs first).
+    // Scale: the corpus folds to the CALENDAR-sized day frame in ONE
+    // partial-aggregated groupBy; the 1-row (n, Σy) frame broadcasts
+    // back; the 14 lag pairings are an explode + equi-join of the
+    // day frame against its broadcast self (calendar-sized both
+    // sides — no data-sized exchange after the first fold).
+    // Determinism: counts are exact BIGINT, deviations enter the
+    // EXACT integer form e_t = y_t·n − S (avoiding the rational
+    // mean), num/den accumulate e·e products in DECIMAL(38,0) —
+    // NOTHING rounds until the final one-division r_k at 6dp.
+    Q("q_acf",
+      """WITH day AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS s FROM day),
+        |dev AS (SELECT d, y * n - s AS e FROM day CROSS JOIN t),
+        |den AS (SELECT sum(CAST(e AS DECIMAL(38,0)) * e) AS den
+        |        FROM dev),
+        |lags AS (SELECT unnest(range(1, 15)) AS k),
+        |pr AS (SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    sum(CAST(a.e AS DECIMAL(38,0)) * b.e) AS num
+        |  FROM lags CROSS JOIN dev a
+        |  JOIN dev b ON b.d = a.d - CAST(k AS INTEGER)
+        |  GROUP BY k)
+        |SELECT k AS lag, n_pairs,
+        |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+        |FROM pr CROSS JOIN den ORDER BY lag""".stripMargin) { (s, d) =>
+      val day = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).cast("long").as("y"))
+        .localCheckpoint(eager = false)
+      val t = day.agg(count(lit(1)).cast("long").as("n"),
+        sum("y").cast("long").as("s"))
+      val dev = day.crossJoin(broadcast(t))
+        .select(col("d"), (col("y") * col("n") - col("s")).as("e"))
+        .localCheckpoint(eager = false)
+      val den = dev.agg(
+        sum(col("e").cast(DecimalType(38, 0)) * col("e")).as("den"))
+      val pr = dev.as("a")
+        .select(col("d"), col("e"),
+          explode(expr("sequence(1, 14)")).as("k"))
+        .withColumn("dprev", expr("date_sub(d, k)"))
+        .join(broadcast(dev.select(col("d").as("d2"), col("e").as("e2"))),
+          col("dprev") === col("d2"))
+        .groupBy("k")
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          sum(col("e").cast(DecimalType(38, 0)) * col("e2")).as("num"))
+      pr.crossJoin(broadcast(den))
+        .selectExpr("k AS lag", "n_pairs",
+          "round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf")
+        .orderBy("lag")
     },
   )
 }
