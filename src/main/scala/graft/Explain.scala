@@ -58,7 +58,9 @@ object Explain {
     // round-8 twelfth wave
     "q_zipf_alpha", "q_ks_test", "q_bloom_probe",
     // round-8 thirteenth wave
-    "q_acf", "q_info_gain", "q_clustering_coeff")
+    "q_acf", "q_info_gain", "q_clustering_coeff",
+    // round-8 fourteenth wave
+    "q_power_analysis", "q_conformal_interval", "q_gains_curve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -1416,6 +1416,251 @@ object Analytics {
           "ca AS pos_left", "tp - ca AS pos_right",
           s"round($h0, 9) AS entropy_before", "ig AS info_gain")
     },
+
+    // POWER ANALYSIS — per-event-type A/B sample size at 80% power /
+    // 5% two-sided α for detecting a 5%-of-mean lift: n/arm =
+    // 2σ²(z_{α/2}+z_β)²/δ² — the experiment-DESIGN companion to the
+    // readout suite (q_abtest judges a finished experiment;
+    // q_permutation_test re-judges it distribution-free; THIS says
+    // how long to run the NEXT one, from the same moments). Scale:
+    // ONE partial-aggregated groupBy folds the corpus to per-type
+    // (n, Σy, Σy²) — the q_abtest moment fold verbatim, no second
+    // pass. Determinism: moments via dsum (6dp per-row rounds into
+    // DECIMAL); the mean re-rounds in exact integer micro space
+    // (mean-rounding caveat); n_required = ceil(round(x, 6)) — the
+    // 6dp round pins the only engine-divergent operand before the
+    // integer boundary; z constants pinned via CAST(.. AS DOUBLE)
+    // (the decimal-literal hazard).
+    Q("q_power_analysis", {
+      val z2 = "(CAST(2.801585 AS DOUBLE) * CAST(2.801585 AS DOUBLE))"
+      s"""WITH e AS (SELECT event_type, round(value, 6) AS y FROM events),
+         |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    ${dsumSql("y")} AS s,
+         |    ${dsumSql("round(y * y, 6)")} AS q
+         |  FROM e GROUP BY event_type)
+         |SELECT event_type, n,
+         |  CAST(floor((2 * CAST(round(s * 1000000) AS BIGINT) + n)
+         |    / (2.0 * n)) / 1000000.0 AS DOUBLE) AS mean,
+         |  round((q - s * s / n) / (n - 1), 6) AS variance,
+         |  round((s / n) * CAST(0.05 AS DOUBLE), 6) AS mde,
+         |  CAST(ceil(round(2 * ((q - s * s / n) / (n - 1)) * $z2
+         |    / (((s / n) * CAST(0.05 AS DOUBLE))
+         |       * ((s / n) * CAST(0.05 AS DOUBLE))), 6)) AS BIGINT)
+         |    AS n_required
+         |FROM m WHERE n >= 2
+         |ORDER BY event_type""".stripMargin
+    }) { (s, d) =>
+      val z2 = "(CAST(2.801585 AS DOUBLE) * CAST(2.801585 AS DOUBLE))"
+      val e = Tables.events(s, d)
+        .select(col("event_type"), round(col("value"), 6).as("y"))
+      val m = e.groupBy("event_type").agg(
+        count(lit(1)).cast("long").as("n"),
+        dsum(col("y")).as("s"),
+        dsum(round(col("y") * col("y"), 6)).as("q"))
+        .filter(col("n") >= 2)
+      m.selectExpr("event_type", "n",
+          "CAST(floor((2 * CAST(round(s * 1000000) AS BIGINT) + n)" +
+            " / (2.0 * n)) / 1000000.0 AS DOUBLE) AS mean",
+          "round((q - s * s / n) / (n - 1), 6) AS variance",
+          "round((s / n) * CAST(0.05 AS DOUBLE), 6) AS mde",
+          s"CAST(ceil(round(2 * ((q - s * s / n) / (n - 1)) * $z2" +
+            " / (((s / n) * CAST(0.05 AS DOUBLE))" +
+            " * ((s / n) * CAST(0.05 AS DOUBLE))), 6)) AS BIGINT)" +
+            " AS n_required")
+        .orderBy("event_type")
+    },
+
+    // SPLIT-CONFORMAL INTERVAL — distribution-free prediction
+    // intervals for event value under the per-type-mean predictor:
+    // hash-split train/calibration, q̂ = the ⌈0.9(n+1)⌉-th smallest
+    // calibration residual per type — the FINITE-SAMPLE ≥90%
+    // coverage guarantee with NO normality assumption (q_abtest's ±z
+    // bands assume the CLT; conformal is the wrapper that makes ANY
+    // point predictor an interval predictor — the modern ML-serving
+    // calibration layer). Scale: the train-fold mean folds in ONE
+    // partial-aggregated groupBy and BROADCASTS back (type-sized);
+    // residuals are scan-local EXACT INTEGER micros; the k-th order
+    // statistic runs on the distinct-(type, residual) frame via a
+    // type-partitioned cumulative window (per-type range-sharding is
+    // the 100 TB refinement — the frame is distinct-residual-sized,
+    // not corpus-sized). Determinism: the fold membership is the
+    // q_split_assign salted hash (never rand()); residuals and k are
+    // exact integers; the only doubles are final display divisions.
+    Q("q_conformal_interval",
+      s"""WITH e AS (SELECT event_type,
+         |    CAST(floor(round(value, 6) * 1000000 + 0.5) AS BIGINT) AS ym,
+         |    ${h28Duck("'cf#' || event_id::VARCHAR")} % 2 = 0 AS tr
+         |  FROM events),
+         |yh AS (SELECT event_type,
+         |    CAST(floor((2 * sum(ym) + count(*)) / (2.0 * count(*)))
+         |      AS BIGINT) AS yhat_micro,
+         |    CAST(count(*) AS BIGINT) AS n_train
+         |  FROM e WHERE tr GROUP BY event_type),
+         |cal AS (SELECT e.event_type, abs(ym - yhat_micro) AS r
+         |  FROM e JOIN yh USING (event_type) WHERE NOT tr),
+         |nc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal
+         |  FROM cal GROUP BY event_type),
+         |g AS (SELECT event_type, r, CAST(count(*) AS BIGINT) AS c
+         |  FROM cal GROUP BY event_type, r),
+         |cum AS (SELECT event_type, r,
+         |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY r
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cc
+         |  FROM g),
+         |k AS (SELECT event_type, n_cal,
+         |    CAST(floor((9 * (n_cal + 1) + 9) / 10.0) AS BIGINT) AS kk
+         |  FROM nc),
+         |pick AS (SELECT event_type, CAST(min(r) AS BIGINT) AS q_micro
+         |  FROM cum JOIN k USING (event_type) WHERE cc >= kk
+         |  GROUP BY event_type),
+         |cov AS (SELECT cal.event_type,
+         |    CAST(count(*) FILTER (r <= q_micro) AS BIGINT) AS n_in
+         |  FROM cal JOIN pick USING (event_type) GROUP BY cal.event_type)
+         |SELECT event_type, n_train, n_cal, kk AS q_index,
+         |  round(CAST(yhat_micro AS DOUBLE) / 1000000, 6) AS yhat,
+         |  round(CAST(q_micro AS DOUBLE) / 1000000, 6) AS q_resid,
+         |  round(CAST(n_in AS DOUBLE) / n_cal, 9) AS coverage
+         |FROM yh JOIN k USING (event_type) JOIN pick USING (event_type)
+         |  JOIN cov USING (event_type)
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(floor(round(value, 6) * 1000000 + 0.5) AS BIGINT)")
+            .as("ym"),
+          (expr(h28("concat('cf#', CAST(event_id AS STRING))")) % 2 === 0)
+            .as("tr"))
+        .localCheckpoint(eager = false)
+      val yh = e.filter(col("tr")).groupBy("event_type")
+        .agg(floor((sum("ym") * 2 + count(lit(1))) /
+            (count(lit(1)).cast("double") * 2)).cast("long")
+            .as("yhat_micro"),
+          count(lit(1)).cast("long").as("n_train"))
+      val cal = e.filter(!col("tr"))
+        .join(broadcast(yh), "event_type")
+        .select(col("event_type"),
+          abs(col("ym") - col("yhat_micro")).as("r"))
+        .localCheckpoint(eager = false)
+      val nc = cal.groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_cal"))
+      val g = cal.groupBy("event_type", "r")
+        .agg(count(lit(1)).cast("long").as("c"))
+      val w = Window.partitionBy("event_type").orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = g.withColumn("cc", sum("c").over(w).cast("long"))
+      val k = nc.withColumn("kk",
+        floor((lit(9) * (col("n_cal") + 1) + 9) / lit(10.0)).cast("long"))
+      val pick = cum.join(broadcast(k), "event_type")
+        .filter(col("cc") >= col("kk"))
+        .groupBy("event_type").agg(min("r").cast("long").as("q_micro"))
+      val cov = cal.join(broadcast(pick), "event_type")
+        .groupBy("event_type")
+        .agg(sum(when(col("r") <= col("q_micro"), 1L).otherwise(0L))
+          .cast("long").as("n_in"))
+      yh.join(broadcast(k), "event_type")
+        .join(broadcast(pick), "event_type")
+        .join(broadcast(cov), "event_type")
+        .selectExpr("event_type", "n_train", "n_cal", "kk AS q_index",
+          "round(CAST(yhat_micro AS DOUBLE) / 1000000, 6) AS yhat",
+          "round(CAST(q_micro AS DOUBLE) / 1000000, 6) AS q_resid",
+          "round(CAST(n_in AS DOUBLE) / n_cal, 9) AS coverage")
+        .orderBy("event_type")
+    },
+
+    // CUMULATIVE GAINS / LIFT TABLE — orders ranked by total price
+    // (descending) cut into 10 equal-frequency deciles, with each
+    // decile's positives (status='F'), cumulative gain = share of
+    // all positives captured so far, and lift vs the base rate —
+    // the "how deep must the campaign dig" operating table (q_auc
+    // is the bin-free ranking summary; q_rank_calibrate checks
+    // score-vs-rate monotonicity; the gains table is what the
+    // CAMPAIGN OWNER reads: top-20% of scores captures X% of
+    // positives). Scale: the q_auc fold + range-shard discipline —
+    // distinct-score frame, EXCLUSIVE prefix counts via ≤1024
+    // monotone shards, decile = integer math on the descending
+    // prefix; the decile rollup and its cumulative window run on
+    // the ≤10-row frame. Determinism: all counts exact BIGINT;
+    // gain/lift are divisions of exact operands rounded 9/6dp;
+    // ties share a score and therefore a decile by construction.
+    Q("q_gains_curve",
+      """WITH g AS (SELECT
+        |    CAST(floor(round(o_totalprice, 2) * 100 + 0.5) AS BIGINT) AS s,
+        |    CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS np,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(np) AS BIGINT) AS tp FROM g),
+        |p AS (SELECT s, np, c,
+        |    CAST(coalesce(sum(c) OVER (ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS pd
+        |  FROM g),
+        |dd AS (SELECT least(CAST(9 AS BIGINT),
+        |      CAST(floor(CAST(10 AS DOUBLE) * pd / n) AS BIGINT)) AS decile,
+        |    CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(sum(np) AS BIGINT) AS n_pos
+        |  FROM p CROSS JOIN t GROUP BY 1),
+        |cum AS (SELECT decile, n_rows, n_pos,
+        |    CAST(sum(n_rows) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_rows,
+        |    CAST(sum(n_pos) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_pos
+        |  FROM dd)
+        |SELECT decile, n_rows, n_pos, cum_rows, cum_pos,
+        |  round(CAST(cum_pos AS DOUBLE) / tp, 9) AS gain,
+        |  round((CAST(cum_pos AS DOUBLE) / cum_rows)
+        |    / (CAST(tp AS DOUBLE) / n), 6) AS lift
+        |FROM cum CROSS JOIN t ORDER BY decile""".stripMargin) { (s, d) =>
+      val g = Tables.orders(s, d)
+        .select(
+          expr("CAST(floor(round(o_totalprice, 2) * 100 + 0.5) AS BIGINT)")
+            .as("s"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("isp"))
+        .groupBy("s")
+        .agg(sum("isp").cast("long").as("np"),
+          count(lit(1)).cast("long").as("c"))
+        .localCheckpoint(eager = false)
+      val t = g.agg(sum("c").cast("long").as("n"),
+        sum("np").cast("long").as("tp"))
+      val mm = g.agg(min("s").as("lo"), max("s").as("hi"))
+      val sh = g.crossJoin(broadcast(mm))
+        .withColumn("bkt",
+          when(col("hi") === col("lo"), lit(0L))
+            .otherwise(least(
+              floor((col("s") - col("lo")).cast("double") /
+                ((col("hi") - col("lo")).cast("double") / 1024.0)),
+              lit(1023.0)).cast("bigint")))
+      val bt = sh.groupBy("bkt").agg(sum("c").cast("long").as("btc"))
+      // descending prefix: rows in HIGHER buckets, plus higher
+      // scores within the bucket
+      val pre = bt
+        .join(broadcast(bt.select(col("bkt").as("ob"),
+          col("btc").as("obc"))), col("ob") > col("bkt"), "left")
+        .groupBy("bkt")
+        .agg(coalesce(sum("obc"), lit(0L)).cast("long").as("prec"))
+      val w = Window.partitionBy("bkt").orderBy(col("s").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val p = sh.join(broadcast(pre), "bkt")
+        .withColumn("pd",
+          col("prec") + coalesce(sum("c").over(w), lit(0L)))
+      val dd = p.crossJoin(broadcast(t))
+        .withColumn("decile", least(lit(9L),
+          floor(lit(10.0) * col("pd") / col("n")).cast("long")))
+        .groupBy("decile")
+        .agg(sum("c").cast("long").as("n_rows"),
+          sum("np").cast("long").as("n_pos"))
+      val wc = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      dd.withColumn("cum_rows", sum("n_rows").over(wc).cast("long"))
+        .withColumn("cum_pos", sum("n_pos").over(wc).cast("long"))
+        .crossJoin(broadcast(t))
+        .selectExpr("decile", "n_rows", "n_pos", "cum_rows", "cum_pos",
+          "round(CAST(cum_pos AS DOUBLE) / tp, 9) AS gain",
+          "round((CAST(cum_pos AS DOUBLE) / cum_rows)" +
+            " / (CAST(tp AS DOUBLE) / n), 6) AS lift")
+        .orderBy("decile")
+    },
   )
 
   /** The nine OLS moment sums for the oracle — identical per-row
