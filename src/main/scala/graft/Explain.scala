@@ -60,7 +60,9 @@ object Explain {
     // round-8 thirteenth wave
     "q_acf", "q_info_gain", "q_clustering_coeff",
     // round-8 fourteenth wave
-    "q_power_analysis", "q_conformal_interval", "q_gains_curve")
+    "q_power_analysis", "q_conformal_interval", "q_gains_curve",
+    // round-8 fifteenth wave
+    "q_kmv_sketch", "q_quantile_sketch", "q_greedy_cover")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

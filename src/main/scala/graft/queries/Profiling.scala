@@ -549,5 +549,245 @@ object Profiling {
             " THEN round(64 * ln(64.0 / v_zero), 6)" +
             " ELSE est_raw END - n_exact) / n_exact, 6) AS rel_err")
     },
+
+    // KMV SKETCH — k-minimum-values (k=256) distinct sketches of the
+    // 'F'-order and 'O'-order customer sets, with the SET-ALGEBRA
+    // estimates HLL cannot give: union, Jaccard, and INTERSECTION
+    // cardinality from the combined sketch (Beyer et al. 2007), each
+    // audited against the exact count. q_hll_registers answers "how
+    // many distinct" mergeably; KMV additionally answers "how much
+    // do two sets OVERLAP" from sketch state alone — the cross-
+    // dataset contamination / audience-overlap readout (merge = keep
+    // the k smallest of the union; the same portable-state contract
+    // as q_hll_registers / q_bloom_probe). Scale: each sketch is a
+    // distinct fold + TakeOrderedAndProject(k) — per-partition heaps,
+    // k rows to the driver side of the exchange, NEVER a global
+    // sort; sketch-vs-sketch ops are ≤k-row broadcast joins. The
+    // exact arms are the full shuffles the sketch avoids (AUDIT
+    // columns, dropped at 100 TB). Determinism: md5-h60 hashes
+    // (engine-portable, collision-free at these scales); estimates
+    // are one double division of exact integer operands; 255·2⁶⁰ is
+    // exactly representable (8 significant bits).
+    Q("q_kmv_sketch", {
+      val est = (mx: String, c: String, n: String) =>
+        s"CASE WHEN $n <= 256 THEN CAST($n AS DOUBLE) ELSE " +
+          s"round(CAST(255 AS DOUBLE) * 1152921504606846976 / $mx, 6) END"
+      val estU = (mx: String, c: String) =>
+        s"CASE WHEN $c < 256 THEN CAST($c AS DOUBLE) ELSE " +
+          s"round(CAST(255 AS DOUBLE) * 1152921504606846976 / $mx, 6) END"
+      s"""WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders
+         |       WHERE o_orderstatus = 'F'),
+         |b AS (SELECT DISTINCT o_custkey AS k FROM orders
+         |       WHERE o_orderstatus = 'O'),
+         |ha AS (SELECT ${h60Duck("'kmv#' || k::VARCHAR")} AS h FROM a
+         |       ORDER BY h LIMIT 256),
+         |hb AS (SELECT ${h60Duck("'kmv#' || k::VARCHAR")} AS h FROM b
+         |       ORDER BY h LIMIT 256),
+         |hu AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+         |       ORDER BY h LIMIT 256),
+         |sa AS (SELECT CAST(max(h) AS BIGINT) AS mxa,
+         |       CAST(count(*) AS BIGINT) AS ca FROM ha),
+         |sb AS (SELECT CAST(max(h) AS BIGINT) AS mxb,
+         |       CAST(count(*) AS BIGINT) AS cb FROM hb),
+         |su AS (SELECT CAST(max(h) AS BIGINT) AS mxu,
+         |       CAST(count(*) AS BIGINT) AS cu FROM hu),
+         |bo AS (SELECT CAST(count(*) AS BIGINT) AS n_both FROM hu
+         |       JOIN ha USING (h) JOIN hb USING (h)),
+         |na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM a),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM b),
+         |nu AS (SELECT CAST(count(*) AS BIGINT) AS n_union FROM
+         |       (SELECT k FROM a UNION SELECT k FROM b)),
+         |ni AS (SELECT CAST(count(*) AS BIGINT) AS n_inter
+         |       FROM a JOIN b USING (k)),
+         |s1 AS (SELECT 256 AS k, n_a, n_b, n_union, n_inter, n_both,
+         |    cu,
+         |    ${est("mxa", "ca", "n_a")} AS est_a,
+         |    ${est("mxb", "cb", "n_b")} AS est_b,
+         |    ${estU("mxu", "cu")} AS est_union,
+         |    round(CAST(n_both AS DOUBLE) / cu, 9) AS jaccard_est,
+         |    round(CAST(n_inter AS DOUBLE) / n_union, 9) AS jaccard_exact
+         |  FROM sa CROSS JOIN sb CROSS JOIN su CROSS JOIN bo
+         |    CROSS JOIN na CROSS JOIN nb CROSS JOIN nu CROSS JOIN ni)
+         |SELECT k, n_a, est_a, n_b, est_b, n_union, est_union,
+         |  n_inter, round(jaccard_est * est_union, 6) AS est_inter,
+         |  jaccard_est, jaccard_exact
+         |FROM s1""".stripMargin
+    }) { (s, d) =>
+      val est = (mx: String, c: String, n: String) =>
+        s"CASE WHEN $n <= 256 THEN CAST($n AS DOUBLE) ELSE " +
+          s"round(CAST(255 AS DOUBLE) * 1152921504606846976 / $mx, 6) END"
+      val estU = (mx: String, c: String) =>
+        s"CASE WHEN $c < 256 THEN CAST($c AS DOUBLE) ELSE " +
+          s"round(CAST(255 AS DOUBLE) * 1152921504606846976 / $mx, 6) END"
+      def keys(status: String) = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === status)
+        .select(col("o_custkey").as("k")).distinct()
+        .localCheckpoint(eager = false)
+      def sketch(df: org.apache.spark.sql.DataFrame) = df
+        .select(expr(h60("concat('kmv#', CAST(k AS STRING))")).as("h"))
+        .orderBy("h").limit(256).localCheckpoint(eager = false)
+      val a = keys("F"); val b = keys("O")
+      val ha = sketch(a); val hb = sketch(b)
+      val hu = ha.union(hb).distinct().orderBy("h").limit(256)
+        .localCheckpoint(eager = false)
+      val sa = ha.agg(max("h").cast("long").as("mxa"),
+        count(lit(1)).cast("long").as("ca"))
+      val sb = hb.agg(max("h").cast("long").as("mxb"),
+        count(lit(1)).cast("long").as("cb"))
+      val su = hu.agg(max("h").cast("long").as("mxu"),
+        count(lit(1)).cast("long").as("cu"))
+      val bo = hu.join(ha, "h").join(hb, "h")
+        .agg(count(lit(1)).cast("long").as("n_both"))
+      val na = a.agg(count(lit(1)).cast("long").as("n_a"))
+      val nb = b.agg(count(lit(1)).cast("long").as("n_b"))
+      val nu = a.union(b).distinct()
+        .agg(count(lit(1)).cast("long").as("n_union"))
+      val ni = a.join(b, "k")
+        .agg(count(lit(1)).cast("long").as("n_inter"))
+      sa.crossJoin(broadcast(sb)).crossJoin(broadcast(su))
+        .crossJoin(broadcast(bo)).crossJoin(broadcast(na))
+        .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+        .crossJoin(broadcast(ni))
+        .selectExpr("256 AS k", "n_a", "n_b", "n_union", "n_inter",
+          "n_both", "cu",
+          s"${est("mxa", "ca", "n_a")} AS est_a",
+          s"${est("mxb", "cb", "n_b")} AS est_b",
+          s"${estU("mxu", "cu")} AS est_union",
+          "round(CAST(n_both AS DOUBLE) / cu, 9) AS jaccard_est",
+          "round(CAST(n_inter AS DOUBLE) / n_union, 9) AS jaccard_exact")
+        .selectExpr("k", "n_a", "est_a", "n_b", "est_b",
+          "n_union", "est_union", "n_inter",
+          "round(jaccard_est * est_union, 6) AS est_inter",
+          "jaccard_est", "jaccard_exact")
+    },
+
+    // QUANTILE SKETCH — a 32-bin equal-width MERGEABLE histogram of
+    // event value with interpolated p50/p90/p99 estimates, each
+    // audited against the exact order statistic: the portable
+    // quantile contract (q_agg_approx_quantile uses Spark's opaque
+    // KLL-ish sketch; q_agg_histogram exposes the bins but not the
+    // quantile READOUT; this closes the loop — bin counts merge by
+    // element-wise ADD across days/systems, then any percentile
+    // reads off the merged state — and REPORTS its own error).
+    // Scale: the 1-row min/max frame broadcasts onto the scan; the
+    // corpus folds to ≤32 cells in ONE partial-aggregated groupBy;
+    // all quantile picks run on that constant frame. The exact arm
+    // is the q_auc range-shard order-statistic (the full shuffle the
+    // sketch avoids — AUDIT columns, dropped at 100 TB).
+    // Determinism: values in exact integer micro space; k-th
+    // positions via integer ceil (num·n+den−1)/den in exact double
+    // floor; interpolation is a shared-text double chain on exact
+    // integer operands rounded 6dp.
+    Q("q_quantile_sketch", {
+      val w = "(CAST(hi - lo AS DOUBLE) / 32)"
+      val estE = s"CASE WHEN hi = lo THEN CAST(lo AS DOUBLE) ELSE " +
+        s"CAST(lo AS DOUBLE) + $w * bin + $w * (kk - prevc) / cnt END"
+      s"""WITH e AS (SELECT
+         |    CAST(floor(round(value, 6) * 1000000 + 0.5) AS BIGINT) AS ym
+         |  FROM events),
+         |mm AS (SELECT CAST(min(ym) AS BIGINT) AS lo,
+         |    CAST(max(ym) AS BIGINT) AS hi FROM e),
+         |bb AS (SELECT CASE WHEN hi = lo THEN 0 ELSE
+         |      least(31, CAST(floor(CAST(ym - lo AS DOUBLE)
+         |        / (CAST(hi - lo AS DOUBLE) / 32)) AS BIGINT)) END AS bin
+         |  FROM e CROSS JOIN mm),
+         |bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM bb GROUP BY bin),
+         |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM bins),
+         |cum AS (SELECT bin, cnt,
+         |    CAST(sum(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cc
+         |  FROM bins),
+         |q AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
+         |    ('p99', 99, 100)) AS t(label, num, den)),
+         |kq AS (SELECT label,
+         |    CAST(floor((num * n + den - 1) / CAST(den AS DOUBLE))
+         |      AS BIGINT) AS kk
+         |  FROM q CROSS JOIN n),
+         |pick AS (SELECT label, kk, min(bin) AS bin FROM cum
+         |  CROSS JOIN mm JOIN kq ON cc >= kk GROUP BY label, kk),
+         |est AS (SELECT label, kk, p.bin, cnt,
+         |    cc - cnt AS prevc, lo, hi
+         |  FROM pick p JOIN cum USING (bin) CROSS JOIN mm),
+         |g AS (SELECT ym, CAST(count(*) AS BIGINT) AS c
+         |  FROM e GROUP BY ym),
+         |gc AS (SELECT ym, CAST(sum(c) OVER (ORDER BY ym ROWS BETWEEN
+         |    UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc
+         |  FROM g),
+         |exact AS (SELECT label, CAST(min(ym) AS BIGINT) AS xm
+         |  FROM gc JOIN kq ON cc >= kk GROUP BY label)
+         |SELECT e2.label, e2.kk AS k_pos,
+         |  round(($estE) / 1000000, 6) AS est,
+         |  round(CAST(xm AS DOUBLE) / 1000000, 6) AS exact,
+         |  round(abs(round(($estE) / 1000000, 6)
+         |    - round(CAST(xm AS DOUBLE) / 1000000, 6)), 6) AS abs_err
+         |FROM est e2 JOIN exact USING (label)
+         |ORDER BY label""".stripMargin
+    }) { (s, d) =>
+      val wE = "(CAST(hi - lo AS DOUBLE) / 32)"
+      val estE = s"CASE WHEN hi = lo THEN CAST(lo AS DOUBLE) ELSE " +
+        s"CAST(lo AS DOUBLE) + $wE * bin + $wE * (kk - prevc) / cnt END"
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select(
+          expr("CAST(floor(round(value, 6) * 1000000 + 0.5) AS BIGINT)")
+            .as("ym"))
+        .localCheckpoint(eager = false)
+      val mm = e.agg(min("ym").cast("long").as("lo"),
+        max("ym").cast("long").as("hi"))
+      val bins = e.crossJoin(broadcast(mm))
+        .selectExpr("CASE WHEN hi = lo THEN 0 ELSE " +
+          "least(31, CAST(floor(CAST(ym - lo AS DOUBLE)" +
+          " / (CAST(hi - lo AS DOUBLE) / 32)) AS BIGINT)) END AS bin")
+        .groupBy("bin").agg(count(lit(1)).cast("long").as("cnt"))
+        .localCheckpoint(eager = false)
+      val n = bins.agg(sum("cnt").cast("long").as("n"))
+      val wc = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = bins.withColumn("cc", sum("cnt").over(wc).cast("long"))
+        .localCheckpoint(eager = false)
+      val q = Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))
+        .toDF("label", "num", "den")
+      val kq = q.crossJoin(broadcast(n))
+        .selectExpr("label",
+          "CAST(floor((num * n + den - 1) / CAST(den AS DOUBLE))" +
+            " AS BIGINT) AS kk")
+        .localCheckpoint(eager = false)
+      val pick = cum.join(broadcast(kq), col("cc") >= col("kk"))
+        .groupBy("label", "kk").agg(min("bin").as("bin"))
+      val estF = pick.join(cum, "bin")
+        .withColumn("prevc", col("cc") - col("cnt"))
+        .crossJoin(broadcast(mm))
+      // exact arm: sharded order statistic over the distinct-value
+      // frame (q_auc discipline — per-shard partitioned windows)
+      val g = e.groupBy("ym").agg(count(lit(1)).cast("long").as("c"))
+        .localCheckpoint(eager = false)
+      val sh = g.crossJoin(broadcast(mm))
+        .withColumn("bkt",
+          when(col("hi") === col("lo"), lit(0L))
+            .otherwise(least(
+              floor((col("ym") - col("lo")).cast("double") /
+                ((col("hi") - col("lo")).cast("double") / 1024.0)),
+              lit(1023.0)).cast("bigint")))
+      val bt = sh.groupBy("bkt").agg(sum("c").cast("long").as("btc"))
+      val pre = bt
+        .join(broadcast(bt.select(col("bkt").as("ob"),
+          col("btc").as("obc"))), col("ob") < col("bkt"), "left")
+        .groupBy("bkt")
+        .agg(coalesce(sum("obc"), lit(0L)).cast("long").as("prec"))
+      val ws = Window.partitionBy("bkt").orderBy("ym")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val gc = sh.join(broadcast(pre), "bkt")
+        .withColumn("cc", (col("prec") + sum("c").over(ws)).cast("long"))
+      val exact = gc.join(broadcast(kq), col("cc") >= col("kk"))
+        .groupBy("label").agg(min("ym").cast("long").as("xm"))
+      estF.join(broadcast(exact), "label")
+        .selectExpr("label", "kk AS k_pos",
+          s"round(($estE) / 1000000, 6) AS est",
+          "round(CAST(xm AS DOUBLE) / 1000000, 6) AS exact",
+          s"round(abs(round(($estE) / 1000000, 6)" +
+            " - round(CAST(xm AS DOUBLE) / 1000000, 6)), 6) AS abs_err")
+        .orderBy("label")
+    },
   )
 }

@@ -471,5 +471,108 @@ object Sampling {
             " DIV (2 * (n - n_cell))) / 1e6, 6) AS encoding")
         .orderBy("prio", "fold")
     },
+
+    // GREEDY SET COVER — 5 rounds of max-coverage document
+    // selection: each round picks the document adding the MOST
+    // not-yet-covered vocabulary tokens (ties → lowest doc_id) and
+    // folds its tokens into the covered set — the classic (1−1/e)
+    // greedy submodular-maximization core of coverage-driven data
+    // selection ("which K documents teach the vocabulary fastest"
+    // — the curation counterpart to q_mixture_weights: mixtures
+    // RE-WEIGHT sources, cover SELECTS exemplars; same machinery =
+    // facility location / k-center seeding over any gain function).
+    // Scale: the posting frame (doc, token) builds ONCE and pins;
+    // per round ONE anti-join against the vocabulary-sized covered
+    // frame + ONE partial-aggregated groupBy, argmax by
+    // TakeOrderedAndProject(1); the winner's tokens attach by a
+    // 1-row BROADCAST semi-join; covered stays vocabulary-sized and
+    // localCheckpoints per round (q_kcore loop discipline — O(1)
+    // lineage). Determinism: exact integer gains, total tie-break
+    // (gain DESC, doc_id); oracle = 5 chained MATERIALIZED CTEs.
+    Q("q_greedy_cover", SamplingOracles.greedyCoverSql(5)) { (s, d) =>
+      // the cover universe is word BIGRAMS: the unigram vocabulary of
+      // the fixture saturates in one pick; bigrams give the greedy
+      // frontier real curvature (and are the unit q_ngram_counts /
+      // q_collocations already treat as the vocabulary of interest)
+      val post = Tables.documents(s, d)
+        .withColumn("w", expr(TextKit.toks))
+        .select(col("doc_id"),
+          explode(expr(TextKit.shinglesN("w", 2, distinct = true)))
+            .as("tok"))
+        .localCheckpoint(eager = false)
+      val vocab = post.agg(countDistinct("tok").cast("long").as("v"))
+        .localCheckpoint(eager = false)
+      var cov: org.apache.spark.sql.DataFrame = null
+      var rows: org.apache.spark.sql.DataFrame = null
+      for (r <- 1 to 5) {
+        val base =
+          if (cov == null) post
+          else post.join(cov, Seq("tok"), "left_anti")
+        val pick = base.groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("gain"))
+          .orderBy(col("gain").desc, col("doc_id")).limit(1)
+          .localCheckpoint(eager = false)
+        val newCov = post
+          .join(broadcast(pick.select("doc_id")), "doc_id")
+          .select("tok")
+        cov = (if (cov == null) newCov else cov.union(newCov))
+          .distinct().localCheckpoint(eager = false)
+        val row = pick.withColumn("step", lit(r.toLong))
+          .crossJoin(broadcast(
+            cov.agg(count(lit(1)).cast("long").as("covered"))))
+        rows = if (rows == null) row else rows.union(row)
+      }
+      rows.crossJoin(broadcast(vocab))
+        .selectExpr("step", "doc_id", "gain", "covered",
+          "round(CAST(covered AS DOUBLE) / v, 9) AS coverage_frac")
+        .orderBy("step")
+    },
   )
+}
+
+object SamplingOracles {
+  import TextKit.toksDuck
+
+  /** Chained-CTE oracle for the fixed greedy set-cover rounds: each
+    * round's pick and covered-set CTEs are MATERIALIZED (they are
+    * referenced by every later round — DuckDB's default inlining
+    * would re-expand the chain exponentially, the q_dbscan lesson).
+    * Same tie-break (gain DESC, doc_id) as the Spark loop. */
+  def greedyCoverSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      val notCovered =
+        if (r == 1) ""
+        else s" WHERE tok NOT IN (SELECT tok FROM c${r - 1})"
+      val pick =
+        s"""p$r AS MATERIALIZED (SELECT doc_id,
+           |    CAST(count(*) AS BIGINT) AS gain FROM post$notCovered
+           |  GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1)"""
+          .stripMargin
+      val cover =
+        if (r == 1)
+          s"""c1 AS MATERIALIZED (SELECT DISTINCT tok FROM post
+             |  JOIN p1 USING (doc_id))""".stripMargin
+        else
+          s"""c$r AS MATERIALIZED (SELECT tok FROM c${r - 1}
+             |  UNION SELECT tok FROM post JOIN p$r USING (doc_id))"""
+            .stripMargin
+      s"$pick,\n$cover"
+    }.mkString(",\n")
+    val rows = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS step, doc_id, gain,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM c$r) AS covered
+         |FROM p$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH wtok AS (SELECT doc_id, $toksDuck AS w FROM documents),
+       |post AS MATERIALIZED (SELECT doc_id,
+       |    unnest(${TextKit.shinglesNDuck("w", 2, distinct = true)})
+       |      AS tok FROM wtok),
+       |vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+       |          FROM post),
+       |$steps
+       |SELECT step, doc_id, gain, covered,
+       |  round(CAST(covered AS DOUBLE) / v, 9) AS coverage_frac
+       |FROM ($rows) u CROSS JOIN vocab
+       |ORDER BY step""".stripMargin
+  }
 }
