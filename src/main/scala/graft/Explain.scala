@@ -62,7 +62,9 @@ object Explain {
     // round-8 fourteenth wave
     "q_power_analysis", "q_conformal_interval", "q_gains_curve",
     // round-8 fifteenth wave
-    "q_kmv_sketch", "q_quantile_sketch", "q_greedy_cover")
+    "q_kmv_sketch", "q_quantile_sketch", "q_greedy_cover",
+    // round-8 sixteenth wave
+    "q_ewma_forecast", "q_eb_shrinkage", "q_feature_hashing")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

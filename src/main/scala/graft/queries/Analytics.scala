@@ -1661,6 +1661,70 @@ object Analytics {
             " / (CAST(tp AS DOUBLE) / n), 6) AS lift")
         .orderBy("decile")
     },
+
+    // EMPIRICAL-BAYES SHRINKAGE — Beta-Binomial shrinkage of
+    // per-part return rates (lineitem returnflag='R'): method-of-
+    // moments prior (α, β) from the rate distribution itself, then
+    // every part's rate shrinks toward the prior mean by its OWN
+    // sample size: shrunk = (x + α)/(n + α + β) — THE fix for
+    // "ranking by raw rate puts n=1 parts first" (q_target_encoding
+    // shrinks nothing and leaks small cells to their own mean;
+    // q_winsorize clips values; EB is the principled small-sample
+    // partial-pooling every rate leaderboard needs). Top-20 by
+    // shrunken rate. Scale: the corpus folds to the part-sized
+    // (n, x) frame in ONE partial-aggregated groupBy; the prior
+    // moments RE-AGGREGATE that frame (no second scan) and
+    // BROADCAST back; top-20 = TakeOrderedAndProject. Determinism:
+    // counts exact; per-part rate terms round 9dp into DECIMAL
+    // sums; the (m, v, K) prior chain and the shrunk rate are
+    // shared ANSI text on identical operands, rounded 6dp for
+    // display with (rate, partkey) total order.
+    Q("q_eb_shrinkage", {
+      val m = "(CAST(sr AS DOUBLE) / np)"
+      val v = "(CAST(sq AS DOUBLE) / np - " + m + " * " + m + ")"
+      val kk = s"($m * (1 - $m) / $v - 1)"
+      s"""WITH g AS (SELECT l_partkey AS part,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(*) FILTER (l_returnflag = 'R') AS BIGINT) AS x
+         |  FROM lineitem GROUP BY 1),
+         |r AS (SELECT part, n, x,
+         |    round(CAST(x AS DOUBLE) / n, 9) AS rate FROM g),
+         |pri AS (SELECT CAST(count(*) AS BIGINT) AS np,
+         |    CAST(sum(CAST(rate AS DECIMAL(38,9))) AS DOUBLE) AS sr,
+         |    CAST(sum(CAST(round(rate * rate, 9) AS DECIMAL(38,9)))
+         |      AS DOUBLE) AS sq
+         |  FROM r)
+         |SELECT part, n, x, rate,
+         |  round($m, 6) AS prior_mean,
+         |  round($kk, 6) AS prior_strength,
+         |  round((x + $kk * $m) / (n + $kk), 6) AS shrunk_rate
+         |FROM r CROSS JOIN pri
+         |ORDER BY round((x + $kk * $m) / (n + $kk), 6) DESC, part
+         |LIMIT 20""".stripMargin
+    }) { (s, d) =>
+      val m = "(CAST(sr AS DOUBLE) / np)"
+      val v = "(CAST(sq AS DOUBLE) / np - " + m + " * " + m + ")"
+      val kk = s"($m * (1 - $m) / $v - 1)"
+      val g = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("part"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .cast("long").as("x"))
+      val r = g.withColumn("rate",
+          round(col("x").cast("double") / col("n"), 9))
+        .localCheckpoint(eager = false)
+      val pri = r.agg(count(lit(1)).cast("long").as("np"),
+        sum(col("rate").cast(DecimalType(38, 9))).cast("double").as("sr"),
+        sum(round(col("rate") * col("rate"), 9).cast(DecimalType(38, 9)))
+          .cast("double").as("sq"))
+      r.crossJoin(broadcast(pri))
+        .selectExpr("part", "n", "x", "rate",
+          s"round($m, 6) AS prior_mean",
+          s"round($kk, 6) AS prior_strength",
+          s"round((x + $kk * $m) / (n + $kk), 6) AS shrunk_rate")
+        .orderBy(col("shrunk_rate").desc, col("part"))
+        .limit(20)
+    },
   )
 
   /** The nine OLS moment sums for the oracle — identical per-row

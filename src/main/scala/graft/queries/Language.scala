@@ -384,5 +384,53 @@ object Language {
         .selectExpr("vocab", "n_tokens", "n_tail",
           "round(1 + n_tail / s, 6) AS alpha")
     },
+
+    // FEATURE HASHING — the hashing-trick featurizer audit: every
+    // token maps to one of 64 dimensions by salted hash with a ±1
+    // sign bit (Weinberger 2009), and the op reports the per-dim
+    // load the trick actually produced — distinct tokens per dim
+    // (collision load), total token mass, signed mass (the
+    // cancellation the sign bit buys), and mass share. This is the
+    // pre-flight for every hashed-feature model ("is 64 dims enough,
+    // or is one bucket eating 10% of the mass"): q_encode_ids hashes
+    // IDS to a fixed vocab for tensors; this hashes FEATURES and
+    // audits the collision cost. Scale: corpus → token-count frame
+    // in ONE partial-aggregated groupBy (the q_zipf_alpha fold,
+    // pinned); the dim fold re-aggregates the VOCABULARY-sized frame
+    // (never the corpus); the 1-row grand total broadcasts.
+    // Determinism: md5-h28 dims and signs (never rand()); exact
+    // BIGINT counts; share = one double division rounded 9dp.
+    Q("q_feature_hashing",
+      s"""WITH tok AS (SELECT unnest($toksDuck) AS t FROM documents),
+         |f AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok
+         |      GROUP BY t),
+         |h AS (SELECT t, c, ${h28Duck("'fh#' || t")} % 64 AS dim,
+         |    CASE WHEN (${h28Duck("'fh#' || t")} // 64) % 2 = 0
+         |      THEN 1 ELSE -1 END AS sgn FROM f),
+         |dims AS (SELECT dim, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(c) AS BIGINT) AS mass,
+         |    CAST(sum(sgn * c) AS BIGINT) AS signed_mass
+         |  FROM h GROUP BY dim),
+         |t AS (SELECT CAST(sum(mass) AS BIGINT) AS total FROM dims)
+         |SELECT dim, n_tokens, mass, signed_mass,
+         |  round(CAST(mass AS DOUBLE) / total, 9) AS mass_share
+         |FROM dims CROSS JOIN t ORDER BY dim""".stripMargin) { (s, d) =>
+      val f = barrier(Tables.documents(s, d).withColumn("w", expr(toks)))
+        .select(explode(col("w")).as("t"))
+        .groupBy("t").agg(count(lit(1)).cast("long").as("c"))
+      val h = f.select(col("c"),
+        (expr(h28("concat('fh#', t)")) % 64).as("dim"),
+        when(expr(s"(${h28("concat('fh#', t)")} DIV 64) % 2") === 0, 1L)
+          .otherwise(-1L).as("sgn"))
+      val dims = h.groupBy("dim")
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          sum("c").cast("long").as("mass"),
+          sum(col("sgn") * col("c")).cast("long").as("signed_mass"))
+      val t = dims.agg(sum("mass").cast("long").as("total"))
+      dims.crossJoin(broadcast(t))
+        .selectExpr("dim", "n_tokens", "mass", "signed_mass",
+          "round(CAST(mass AS DOUBLE) / total, 9) AS mass_share")
+        .orderBy("dim")
+    },
   )
 }

@@ -615,5 +615,71 @@ object TimeSeries {
           "round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf")
         .orderBy("lag")
     },
+
+    // EWMA FORECAST — exponentially-weighted moving average of the
+    // daily event-count series (α=0.3, s₁=y₁) with the one-step-
+    // ahead forecast and its error per day: the level tracker /
+    // naive-forecast BASELINE every forecasting effort must beat
+    // (q_ts_decay time-decays a metric for ranking; q_seasonal_
+    // decompose explains the series; EWMA PREDICTS it — and its
+    // error column is the benchmark an ARIMA/Prophet replacement
+    // has to improve on). The recursion unrolls to the closed form
+    // s_T = Σᵢ wᵢ·yᵢ (w = α(1−α)^(T−i), the i=1 term un-α'd), so
+    // NO sequential scan is needed. Scale: the corpus folds to the
+    // CALENDAR-sized day frame in ONE partial-aggregated groupBy;
+    // the closed form is a triangular self-join of that frame
+    // against its BROADCAST self — calendar²/2 rows at ANY corpus
+    // size (the q_acf stance); weights beyond ~40 lags underflow
+    // the 9dp round to exact zero, so the triangle is effectively
+    // banded. Determinism: counts exact; each wᵢ·yᵢ term rounds 9dp
+    // (pow's ulp absorbed — the ln-operand discipline) into a
+    // DECIMAL(38,9) sum; α pinned via CAST(.. AS DOUBLE).
+    Q("q_ewma_forecast", {
+      val term = "CASE WHEN bi = 1 THEN round(pow(CAST(0.7 AS DOUBLE)," +
+        " ai - 1) * by, 9) ELSE round(CAST(0.3 AS DOUBLE)" +
+        " * pow(CAST(0.7 AS DOUBLE), ai - bi) * by, 9) END"
+      s"""WITH day AS (SELECT CAST(ts AS DATE) AS d,
+         |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
+         |ix AS (SELECT d, y, CAST(row_number() OVER (ORDER BY d)
+         |    AS BIGINT) AS i FROM day),
+         |s AS MATERIALIZED (SELECT a.d, a.y, a.ai AS i,
+         |    round(CAST(sum(CAST(($term) AS DECIMAL(38,9)))
+         |      AS DOUBLE), 6) AS ewma
+         |  FROM (SELECT d, y, i AS ai FROM ix) a
+         |  JOIN (SELECT y AS by, i AS bi FROM ix) b ON bi <= ai
+         |  GROUP BY a.d, a.y, a.ai)
+         |SELECT s.d, s.y, s.ewma,
+         |  p.ewma AS forecast,
+         |  CASE WHEN p.ewma IS NULL THEN NULL
+         |    ELSE round(abs(s.y - p.ewma), 6) END AS abs_err
+         |FROM s LEFT JOIN s p ON p.i = s.i - 1
+         |ORDER BY s.d""".stripMargin
+    }) { (s, d) =>
+      val term = "CASE WHEN bi = 1 THEN round(pow(CAST(0.7 AS DOUBLE)," +
+        " ai - 1) * by, 9) ELSE round(CAST(0.3 AS DOUBLE)" +
+        " * pow(CAST(0.7 AS DOUBLE), ai - bi) * by, 9) END"
+      val day = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).cast("long").as("y"))
+      val ix = day
+        .withColumn("i",
+          row_number().over(Window.orderBy("d")).cast("long"))
+        .localCheckpoint(eager = false)
+      val ewma = ix.select(col("d"), col("y"), col("i").as("ai"))
+        .join(broadcast(ix.select(col("y").as("by"), col("i").as("bi"))),
+          col("bi") <= col("ai"))
+        .groupBy("d", "y", "ai")
+        .agg(round(sum(expr(term).cast(DecimalType(38, 9)))
+          .cast("double"), 6).as("ewma"))
+        .localCheckpoint(eager = false)
+      ewma.as("s")
+        .join(broadcast(ewma.select(col("ai").as("pi"),
+          col("ewma").as("forecast"))), col("pi") === col("ai") - 1,
+          "left")
+        .selectExpr("d", "y", "ewma", "forecast",
+          "CASE WHEN forecast IS NULL THEN NULL" +
+            " ELSE round(abs(y - forecast), 6) END AS abs_err")
+        .orderBy("d")
+    },
   )
 }
