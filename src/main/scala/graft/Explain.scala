@@ -64,7 +64,9 @@ object Explain {
     // round-8 fifteenth wave
     "q_kmv_sketch", "q_quantile_sketch", "q_greedy_cover",
     // round-8 sixteenth wave
-    "q_ewma_forecast", "q_eb_shrinkage", "q_feature_hashing")
+    "q_ewma_forecast", "q_eb_shrinkage", "q_feature_hashing",
+    // round-8 seventeenth wave
+    "q_ate_strata", "q_item_cf", "q_mutual_knn")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -1725,6 +1725,116 @@ object Analytics {
         .orderBy(col("shrunk_rate").desc, col("part"))
         .limit(20)
     },
+
+    // STRATIFIED TREATMENT EFFECT — Neyman stratified estimation of
+    // the click-vs-view value difference, stratified by USER
+    // ACTIVITY (4 equal-width buckets of per-user event counts):
+    // per-stratum difference-in-means, then the pooled ATE =
+    // Σ wₛ·diffₛ with its stratified standard error — the
+    // OBSERVATIONAL-data companion to q_abtest (randomized arms can
+    // compare raw means; logged data can't — heavy users both click
+    // more AND spend differently, and stratification removes
+    // exactly that confounder before averaging; this is the
+    // workhorse adjustment under every "causal" product dashboard).
+    // Scale: the user-activity frame folds in ONE partial-aggregated
+    // groupBy (user-sized) and joins back — BROADCAST at fixture
+    // scale, a user-key co-partitioned shuffle join at 100 TB; the
+    // per-stratum moment fold is the q_abtest discipline (one
+    // conditional-aggregate pass); pooled terms are windows over
+    // the ≤4-row cell frame. Determinism: dsum moments, micro-int
+    // means, per-term 9dp rounds into DECIMAL window sums, shared
+    // ANSI text everywhere.
+    Q("q_ate_strata", {
+      val meanT = "CAST(floor((2 * CAST(round(st * 1000000) AS BIGINT)" +
+        " + nt) / (2.0 * nt)) / 1000000.0 AS DOUBLE)"
+      val meanC = "CAST(floor((2 * CAST(round(sc * 1000000) AS BIGINT)" +
+        " + nc) / (2.0 * nc)) / 1000000.0 AS DOUBLE)"
+      val vT = "((qt - st * st / nt) / (nt - 1))"
+      val vC = "((qc - sc * sc / nc) / (nc - 1))"
+      s"""WITH act AS (SELECT user_id, CAST(count(*) AS BIGINT) AS a
+         |  FROM events GROUP BY user_id),
+         |mm AS (SELECT CAST(min(a) AS BIGINT) AS lo,
+         |    CAST(max(a) AS BIGINT) AS hi FROM act),
+         |st AS (SELECT user_id, least(CAST(3 AS BIGINT),
+         |    CAST(floor(CAST(4 AS DOUBLE) * (a - lo) / (hi - lo + 1))
+         |      AS BIGINT)) AS stratum
+         |  FROM act CROSS JOIN mm),
+         |e AS (SELECT stratum,
+         |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS tr,
+         |    round(value, 6) AS y
+         |  FROM events JOIN st USING (user_id)
+         |  WHERE event_type IN ('view', 'click')),
+         |cell AS (SELECT stratum,
+         |    CAST(count(*) FILTER (tr = 1) AS BIGINT) AS nt,
+         |    CAST(count(*) FILTER (tr = 0) AS BIGINT) AS nc,
+         |    ${dsumSql("CASE WHEN tr = 1 THEN y END")} AS st,
+         |    ${dsumSql("CASE WHEN tr = 0 THEN y END")} AS sc,
+         |    ${dsumSql("CASE WHEN tr = 1 THEN round(y * y, 6) END")} AS qt,
+         |    ${dsumSql("CASE WHEN tr = 0 THEN round(y * y, 6) END")} AS qc
+         |  FROM e GROUP BY stratum),
+         |k AS (SELECT stratum, nt, nc,
+         |    $meanT AS mean_t, $meanC AS mean_c,
+         |    round($meanT - $meanC, 6) AS diff,
+         |    round(CAST(nt + nc AS DOUBLE)
+         |      * ($meanT - $meanC), 9) AS wdiff,
+         |    round(CAST(nt + nc AS DOUBLE) * (nt + nc)
+         |      * ($vT / nt + $vC / nc), 9) AS wvar
+         |  FROM cell WHERE nt >= 2 AND nc >= 2),
+         |tot AS (SELECT CAST(sum(nt + nc) AS BIGINT) AS n FROM k)
+         |SELECT stratum, nt, nc, mean_t, mean_c, diff,
+         |  round(CAST(sum(CAST(wdiff AS DECIMAL(38,9))) OVER ()
+         |    AS DOUBLE) / n, 6) AS ate,
+         |  round(sqrt(CAST(sum(CAST(wvar AS DECIMAL(38,9))) OVER ()
+         |    AS DOUBLE)) / n, 6) AS se
+         |FROM k CROSS JOIN tot ORDER BY stratum""".stripMargin
+    }) { (s, d) =>
+      val meanT = "CAST(floor((2 * CAST(round(st * 1000000) AS BIGINT)" +
+        " + nt) / (2.0 * nt)) / 1000000.0 AS DOUBLE)"
+      val meanC = "CAST(floor((2 * CAST(round(sc * 1000000) AS BIGINT)" +
+        " + nc) / (2.0 * nc)) / 1000000.0 AS DOUBLE)"
+      val vT = "((qt - st * st / nt) / (nt - 1))"
+      val vC = "((qc - sc * sc / nc) / (nc - 1))"
+      val act = Tables.events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("a"))
+      val mm = act.agg(min("a").cast("long").as("lo"),
+        max("a").cast("long").as("hi"))
+      val strata = act.crossJoin(broadcast(mm))
+        .selectExpr("user_id", "least(CAST(3 AS BIGINT)," +
+          " CAST(floor(CAST(4 AS DOUBLE) * (a - lo) / (hi - lo + 1))" +
+          " AS BIGINT)) AS stratum")
+      val e = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "click"))
+        .join(broadcast(strata), "user_id")
+        .select(col("stratum"),
+          when(col("event_type") === "click", 1).otherwise(0).as("tr"),
+          round(col("value"), 6).as("y"))
+      val cell = e.groupBy("stratum").agg(
+        sum(when(col("tr") === 1, 1L).otherwise(0L)).cast("long").as("nt"),
+        sum(when(col("tr") === 0, 1L).otherwise(0L)).cast("long").as("nc"),
+        dsum(when(col("tr") === 1, col("y"))).as("st"),
+        dsum(when(col("tr") === 0, col("y"))).as("sc"),
+        dsum(when(col("tr") === 1, round(col("y") * col("y"), 6)))
+          .as("qt"),
+        dsum(when(col("tr") === 0, round(col("y") * col("y"), 6)))
+          .as("qc"))
+      val k = cell.filter(col("nt") >= 2 && col("nc") >= 2)
+        .selectExpr("stratum", "nt", "nc",
+          s"$meanT AS mean_t", s"$meanC AS mean_c",
+          s"round($meanT - $meanC, 6) AS diff",
+          s"round(CAST(nt + nc AS DOUBLE) * ($meanT - $meanC), 9)" +
+            " AS wdiff",
+          s"round(CAST(nt + nc AS DOUBLE) * (nt + nc)" +
+            s" * ($vT / nt + $vC / nc), 9) AS wvar")
+        .localCheckpoint(eager = false)
+      val tot = k.agg(sum(col("nt") + col("nc")).cast("long").as("n"))
+      k.crossJoin(broadcast(tot))
+        .selectExpr("stratum", "nt", "nc", "mean_t", "mean_c", "diff",
+          "round(CAST(sum(CAST(wdiff AS DECIMAL(38,9))) OVER ()" +
+            " AS DOUBLE) / n, 6) AS ate",
+          "round(sqrt(CAST(sum(CAST(wvar AS DECIMAL(38,9))) OVER ()" +
+            " AS DOUBLE)) / n, 6) AS se")
+        .orderBy("stratum")
+    },
   )
 
   /** The nine OLS moment sums for the oracle — identical per-row

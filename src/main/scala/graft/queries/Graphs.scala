@@ -576,6 +576,55 @@ object Graphs {
         .orderBy(col("coeff").desc, col("degree").desc, col("node"))
         .limit(50)
     },
+
+    // ITEM-ITEM COLLABORATIVE FILTERING — cosine co-occurrence
+    // similarity of parts over order baskets: sim(u,v) =
+    // co(u,v)/√(n_u·n_v) where co counts orders holding BOTH and n
+    // counts orders holding each, top-20 pairs (min co-support 2) —
+    // the neighborhood recommender ("customers who bought u also
+    // bought v"): q_als_rank1 FITS latent factors globally; item-CF
+    // reads similarity straight off co-occurrence — the
+    // cold-start-robust baseline every recommender ships first.
+    // Scale: the co-order self-join is bounded by per-basket size
+    // (the q_assortativity edge build, aggregated to pair counts in
+    // the SAME shuffle); the part-sized order-frequency frame
+    // attaches as two BROADCAST joins; top-20 =
+    // TakeOrderedAndProject. Determinism: exact BIGINT counts;
+    // cosine = one double division with √ of an exact product,
+    // rounded 6dp; (sim DESC, u, v) total order.
+    Q("q_item_cf",
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |           FROM lineitem),
+        |co AS (SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY a.p, b.p HAVING count(*) >= 2),
+        |deg AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM li
+        |        GROUP BY p)
+        |SELECT u, v, c AS co_count, du.n AS n_u, dv.n AS n_v,
+        |  round(CAST(c AS DOUBLE)
+        |    / sqrt(CAST(du.n AS DOUBLE) * dv.n), 6) AS cosine
+        |FROM co JOIN deg du ON du.p = u JOIN deg dv ON dv.p = v
+        |ORDER BY cosine DESC, u, v LIMIT 20""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint(eager = false)
+      val co = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).cast("long").as("c"))
+        .filter(col("c") >= 2)
+      val deg = li.groupBy("p").agg(count(lit(1)).cast("long").as("n"))
+      co.join(broadcast(deg.select(col("p").as("pu"),
+          col("n").as("n_u"))), col("pu") === col("u"))
+        .join(broadcast(deg.select(col("p").as("pv"),
+          col("n").as("n_v"))), col("pv") === col("v"))
+        .selectExpr("u", "v", "c AS co_count", "n_u", "n_v",
+          "round(CAST(c AS DOUBLE)" +
+            " / sqrt(CAST(n_u AS DOUBLE) * n_v), 6) AS cosine")
+        .orderBy(col("cosine").desc, col("u"), col("v"))
+        .limit(20)
+    },
   )
 
   /** Graph construction, ONCE per query: the deg-enriched edge frame

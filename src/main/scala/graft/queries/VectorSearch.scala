@@ -663,5 +663,57 @@ object VectorSearch {
             " / (2.0 * n)) / 1000000.0 AS DOUBLE) AS load_factor")
         .orderBy("cid")
     },
+
+    // MUTUAL k-NN PAIRS — pairs of embeddings that appear in EACH
+    // OTHER'S top-3 neighbor lists: the high-precision reciprocity
+    // filter over plain kNN (a one-directional neighbor is often a
+    // hub artifact — B is "near" everything; MUTUAL neighbors are
+    // each other's evidence, the signal semantic-dedup and
+    // cluster-seeding pipelines act on before any threshold tuning;
+    // q_semdedup clusters then prunes, q_dedup_embed thresholds a
+    // distance — reciprocity needs neither constant). Scale: the
+    // pairwise stage is the q_similarity_join stance (broadcast side
+    // locally; block-chunked or IVF-pruned at 100 TB); top-3 is a
+    // vec-id-PARTITIONED window; the reciprocity check is a
+    // self-join of the n·3 edge frame on the REVERSED pair key —
+    // co-partitioned by construction. Determinism: distances round
+    // 6dp with (dist, vec_id) tie-break; output (dist, a, b) total
+    // order on the a<b canonical orientation.
+    Q("q_mutual_knn",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+        |           FROM embeddings),
+        |p AS (SELECT a.vec_id AS aid, b.vec_id AS bid,
+        |    round(1 - list_cosine_similarity(a.v, b.v), 6) AS dist
+        |  FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id),
+        |r AS (SELECT aid, bid, dist, row_number() OVER (
+        |    PARTITION BY aid ORDER BY dist, bid) AS rn FROM p),
+        |top AS (SELECT aid, bid, dist, rn FROM r WHERE rn <= 3)
+        |SELECT t1.aid AS a, t1.bid AS b, t1.dist,
+        |  t1.rn AS rank_ab, t2.rn AS rank_ba
+        |FROM top t1 JOIN top t2 ON t1.aid = t2.bid AND t1.bid = t2.aid
+        |WHERE t1.aid < t1.bid
+        |ORDER BY t1.dist, a, b""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val p = e.select(col("vec_id").as("aid"),
+          col("embedding").as("av"))
+        .crossJoin(broadcast(e.select(col("vec_id").as("bid"),
+          col("embedding").as("bv"))))
+        .filter(col("aid") =!= col("bid"))
+        .select(col("aid"), col("bid"),
+          round(cosine_distance(col("av"), col("bv")), 6).as("dist"))
+      val w = Window.partitionBy("aid").orderBy(col("dist"), col("bid"))
+      val top = p.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .localCheckpoint(eager = false)
+      top.as("t1")
+        .join(broadcast(top.select(col("aid").as("raid"),
+          col("bid").as("rbid"), col("rn").as("rank_ba")).as("t2")),
+          col("aid") === col("rbid") && col("bid") === col("raid"))
+        .filter(col("aid") < col("bid"))
+        .selectExpr("aid AS a", "bid AS b", "dist",
+          "rn AS rank_ab", "rank_ba")
+        .orderBy("dist", "a", "b")
+    },
   )
 }
