@@ -66,7 +66,9 @@ object Explain {
     // round-8 sixteenth wave
     "q_ewma_forecast", "q_eb_shrinkage", "q_feature_hashing",
     // round-8 seventeenth wave
-    "q_ate_strata", "q_item_cf", "q_mutual_knn")
+    "q_ate_strata", "q_item_cf", "q_mutual_knn",
+    // round-8 eighteenth wave
+    "q_bfs_hops", "q_lsh_embed", "q_rolling_corr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -625,6 +625,55 @@ object Graphs {
         .orderBy(col("cosine").desc, col("u"), col("v"))
         .limit(20)
     },
+
+    // BFS REACH — 4-hop breadth-first expansion from the minimum
+    // part node over the part↔supplier bipartite graph: per hop the
+    // frontier size and cumulative reach — the "blast radius" probe
+    // (q_pagerank weights ALL nodes, q_kcore certifies density;
+    // BFS answers the LOCAL question every impact analysis asks:
+    // "if this part's supply breaks, how much of the graph is k
+    // hops away") and the connectivity diagnostic behind diameter /
+    // component size estimates. Scale: the q_kcore loop discipline
+    // — the edge frame builds ONCE (pinned, symmetric); per hop the
+    // NODE-sized frontier BROADCASTS into one semi-equi-join, new
+    // nodes anti-join the visited frame (node-sized), both
+    // localCheckpoint per hop (O(1) lineage); per-hop counts are
+    // 1-row folds assembled by broadcast cross joins. Determinism:
+    // pure set algebra on exact keys — no floats anywhere; oracle =
+    // chained MATERIALIZED CTEs.
+    Q("q_bfs_hops", GraphsOracles.bfsSql(4)) { (s, d) =>
+      val e0 = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("su"))
+        .distinct()
+      val edges = e0
+        .select(concat(lit("p"), col("p")).as("src"),
+          concat(lit("s"), col("su")).as("dst"))
+        .unionAll(e0.select(concat(lit("s"), col("su")).as("src"),
+          concat(lit("p"), col("p")).as("dst")))
+        .localCheckpoint(eager = false)
+      val seed = e0.agg(min("p").as("mp"))
+        .select(concat(lit("p"), col("mp")).as("node"))
+        .localCheckpoint(eager = false)
+      var visited = seed
+      var frontier = seed
+      var rows: org.apache.spark.sql.DataFrame = null
+      for (h <- 1 to 4) {
+        val nbrs = edges.join(broadcast(frontier),
+            edges("src") === frontier("node"))
+          .select(col("dst").as("node")).distinct()
+        frontier = nbrs.join(visited, Seq("node"), "left_anti")
+          .localCheckpoint(eager = false)
+        visited = visited.union(frontier).distinct()
+          .localCheckpoint(eager = false)
+        val row = frontier
+          .agg(count(lit(1)).cast("long").as("frontier_size"))
+          .withColumn("hop", lit(h.toLong))
+          .crossJoin(broadcast(
+            visited.agg(count(lit(1)).cast("long").as("reached"))))
+        rows = if (rows == null) row else rows.union(row)
+      }
+      rows.select("hop", "frontier_size", "reached").orderBy("hop")
+    },
   )
 
   /** Graph construction, ONCE per query: the deg-enriched edge frame
@@ -741,6 +790,40 @@ object GraphsOracles {
     * 4^rounds expression tree — materialization keeps the oracle
     * linear, exactly like the Spark side's per-round
     * localCheckpoint. */
+  /** Chained-CTE oracle for the fixed-hop BFS: frontier/visited CTEs
+    * MATERIALIZED per hop (each is referenced by the next hop AND
+    * the result row — default inlining would re-expand the chain).
+    * Same neighbors-minus-visited step as the Spark loop. */
+  def bfsSql(hops: Int): String = {
+    val steps = (1 to hops).map { h =>
+      val prevF = if (h == 1) "v0" else s"f${h - 1}"
+      val prevV = if (h == 1) "v0" else s"vis${h - 1}"
+      s"""f$h AS MATERIALIZED (SELECT DISTINCT dst AS node FROM edges
+         |  JOIN $prevF pf ON edges.src = pf.node
+         |  WHERE dst NOT IN (SELECT node FROM $prevV)),
+         |vis$h AS MATERIALIZED (SELECT node FROM $prevV
+         |  UNION SELECT node FROM f$h)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to hops).map { h =>
+      s"""SELECT CAST($h AS BIGINT) AS hop,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM f$h) AS frontier_size,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM vis$h) AS reached"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS su
+       |            FROM lineitem),
+       |edges AS MATERIALIZED (
+       |  SELECT 'p' || p::VARCHAR AS src, 's' || su::VARCHAR AS dst
+       |  FROM e0
+       |  UNION ALL
+       |  SELECT 's' || su::VARCHAR, 'p' || p::VARCHAR FROM e0),
+       |v0 AS MATERIALIZED (SELECT 'p' || min(p)::VARCHAR AS node
+       |                    FROM e0),
+       |$steps
+       |SELECT hop, frontier_size, reached FROM ($rows) u
+       |ORDER BY hop""".stripMargin
+  }
+
   def kcoreSql(rounds: Int, k: Int): String = {
     val steps = (1 to rounds).map { i =>
       s"""n$i AS MATERIALIZED (SELECT src AS node FROM e${i - 1}

@@ -681,5 +681,64 @@ object TimeSeries {
             " ELSE round(abs(y - forecast), 6) END AS abs_err")
         .orderBy("d")
     },
+
+    // ROLLING CORRELATION — 7-day rolling Pearson correlation of the
+    // daily view-count and click-count series: the co-movement
+    // monitor ("are these two metrics still coupled, and WHEN did
+    // they decouple") — q_corr_matrix gives one global coefficient;
+    // the ROLLING form dates a relationship change the way
+    // q_changepoint dates a level shift; a decoupling week is
+    // invisible to both. Scale: the corpus folds to the
+    // CALENDAR-sized (day × 2 counts) frame in ONE conditional
+    // partial-aggregated groupBy; the five rolling sums are windows
+    // over that calendar frame (the q_seasonal_decompose stance —
+    // constant-sized at any corpus size); only full 7-day windows
+    // emit. Determinism: counts and all five rolling sums are EXACT
+    // BIGINTs; corr = the textbook formula as ONE shared-text double
+    // chain on exact operands, rounded 6dp (degenerate zero-variance
+    // windows → NULL, guarded identically in both engines).
+    Q("q_rolling_corr", {
+      val num = "(7 * sxy - sx * sy)"
+      val den = "((7 * sxx - sx * sx) * (7 * syy - sy * sy))"
+      s"""WITH day AS (SELECT CAST(ts AS DATE) AS d,
+         |    CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS x,
+         |    CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |r AS (SELECT d, x, y,
+         |    count(*) OVER w AS c7,
+         |    CAST(sum(x) OVER w AS BIGINT) AS sx,
+         |    CAST(sum(y) OVER w AS BIGINT) AS sy,
+         |    CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+         |    CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+         |  FROM day WINDOW w AS (ORDER BY d
+         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         |SELECT d, x, y,
+         |  CASE WHEN $den <= 0 THEN NULL ELSE
+         |    round($num / sqrt(CAST($den AS DOUBLE)), 6) END AS corr7
+         |FROM r WHERE c7 = 7 ORDER BY d""".stripMargin
+    }) { (s, d) =>
+      val num = "(7 * sxy - sx * sy)"
+      val den = "((7 * sxx - sx * sx) * (7 * syy - sy * sy))"
+      val day = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("d"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .cast("long").as("x"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .cast("long").as("y"))
+      val w = Window.orderBy("d").rowsBetween(-6, 0)
+      day
+        .withColumn("c7", count(lit(1)).over(w))
+        .withColumn("sx", sum("x").over(w).cast("long"))
+        .withColumn("sy", sum("y").over(w).cast("long"))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w).cast("long"))
+        .withColumn("syy", sum(col("y") * col("y")).over(w).cast("long"))
+        .withColumn("sxy", sum(col("x") * col("y")).over(w).cast("long"))
+        .filter(col("c7") === 7)
+        .selectExpr("d", "x", "y",
+          s"CASE WHEN $den <= 0 THEN NULL ELSE " +
+            s"round($num / sqrt(CAST($den AS DOUBLE)), 6) END AS corr7")
+        .orderBy("d")
+    },
   )
 }

@@ -715,5 +715,107 @@ object VectorSearch {
           "rn AS rank_ab", "rank_ba")
         .orderBy("dist", "a", "b")
     },
+
+    // COSINE LSH (SRP) — signed-random-projection LSH over the
+    // embedding cloud, 4 bands × 4 hyperplane sign bits, with the
+    // recall/precision audit against the exact sim≥0.4 pair set:
+    // the COSINE-space scale path for similarity join (q_dedup_
+    // minhash bands JACCARD over shingles; q_knn_ivf prunes by
+    // Voronoi cell; SRP banding is the third leg — embedding pairs,
+    // no codebook, candidates = same (band, 4-bit signature) — the
+    // Charikar 2002 sketch behind every "LSH dedup at web scale"
+    // recipe, with its measured operating point attached like
+    // q_minhash_recall). Scale: signatures are scan-local lambda
+    // folds (16 deterministic md5-seeded hyperplanes — at
+    // production scale the plane matrix is a precomputed broadcast
+    // constant); candidates = equi-join on the band key (the
+    // q_dedup_minhash shape, NEVER all-pairs); the exact truth arm
+    // is the audit's cost, paid per index build, dropped at 100 TB.
+    // Determinism: md5-derived plane components; the dot fold is
+    // left-to-right over the same element order in both engines
+    // (the q_vector_quantize precedent); sign bits read a 9dp-
+    // rounded dot (ulp absorbed); counts exact, rates micro-int.
+    Q("q_lsh_embed", {
+      val planeD = "(CAST(2 AS DOUBLE) * (('0x' || substr(md5(" +
+        "'lsh#' || p::VARCHAR || '#' || (i - 1)::VARCHAR" +
+        "), 1, 7))::BIGINT + 1) / 268435456 - 1)"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+         |           FROM embeddings),
+         |pl AS (SELECT unnest(range(0, 16)) AS p),
+         |bits AS (SELECT vec_id, p,
+         |    CASE WHEN round(list_reduce(
+         |      [v[i] * $planeD for i in range(1, len(v) + 1)],
+         |      (a, b) -> a + b), 9) >= 0 THEN 1 ELSE 0 END AS bit
+         |  FROM e CROSS JOIN pl),
+         |sig AS (SELECT vec_id, p // 4 AS band,
+         |    CAST(sum(bit << (p % 4)) AS BIGINT) AS s
+         |  FROM bits GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM sig a JOIN sig b
+         |  ON a.band = b.band AND a.s = b.s AND a.vec_id < b.vec_id),
+         |truth AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+         |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM e),
+         |h AS (SELECT CAST(count(*) AS BIGINT) AS hits
+         |  FROM truth JOIN cand USING (id1, id2))
+         |SELECT n_vecs, n_cand, n_true, hits,
+         |  CASE WHEN n_true = 0 THEN NULL ELSE
+         |    CAST(floor((2 * hits * 1000000 + n_true) / (2.0 * n_true))
+         |    / 1000000.0 AS DOUBLE) END AS recall,
+         |  CASE WHEN n_cand = 0 THEN NULL ELSE
+         |    CAST(floor((2 * hits * 1000000 + n_cand) / (2.0 * n_cand))
+         |    / 1000000.0 AS DOUBLE) END AS precision
+         |FROM nv CROSS JOIN nc CROSS JOIN nt CROSS JOIN h"""
+        .stripMargin
+    }) { (s, d) =>
+      val planeS = "(CAST(2 AS DOUBLE) * (CAST(conv(substr(md5(" +
+        "concat('lsh#', CAST(p AS STRING), '#', CAST(k AS STRING))" +
+        "), 1, 7), 16, 10) AS BIGINT) + 1) / 268435456 - 1)"
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("v"))
+        .localCheckpoint(eager = false)
+      val bits = e.select(col("vec_id"), col("v"),
+          explode(expr("sequence(0, 15)")).as("p"))
+        .selectExpr("vec_id", "p",
+          "CASE WHEN round(aggregate(" +
+            "transform(sequence(0, size(v) - 1)," +
+            s" k -> element_at(v, k + 1) * $planeS)," +
+            " CAST(0 AS DOUBLE), (a, b) -> a + b), 9) >= 0" +
+            " THEN 1 ELSE 0 END AS bit")
+      val sig = bits
+        .selectExpr("vec_id", "p DIV 4 AS band",
+          "shiftleft(bit, CAST(p % 4 AS INT)) AS sb")
+        .groupBy("vec_id", "band")
+        .agg(sum("sb").cast("long").as("s"))
+        .localCheckpoint(eager = false)
+      val cand = sig.as("a")
+        .join(sig.select(col("vec_id").as("id2"), col("band").as("b2"),
+          col("s").as("s2")),
+          col("band") === col("b2") && col("s") === col("s2") &&
+            col("vec_id") < col("id2"))
+        .select(col("vec_id").as("id1"), col("id2")).distinct()
+        .localCheckpoint(eager = false)
+      val truth = SimilarityStages
+        .allPairsSim(Tables.embeddings(s, d), tau = 0.4)
+        .select("id1", "id2").localCheckpoint(eager = false)
+      val nv = e.agg(count(lit(1)).cast("long").as("n_vecs"))
+      val nc = cand.agg(count(lit(1)).cast("long").as("n_cand"))
+      val nt = truth.agg(count(lit(1)).cast("long").as("n_true"))
+      val h = truth.join(cand, Seq("id1", "id2"))
+        .agg(count(lit(1)).cast("long").as("hits"))
+      nv.crossJoin(broadcast(nc)).crossJoin(broadcast(nt))
+        .crossJoin(broadcast(h))
+        .selectExpr("n_vecs", "n_cand", "n_true", "hits",
+          "CASE WHEN n_true = 0 THEN NULL ELSE " +
+            "CAST(floor((2 * hits * 1000000 + n_true) / (2.0 * n_true))" +
+            " / 1000000.0 AS DOUBLE) END AS recall",
+          "CASE WHEN n_cand = 0 THEN NULL ELSE " +
+            "CAST(floor((2 * hits * 1000000 + n_cand) / (2.0 * n_cand))" +
+            " / 1000000.0 AS DOUBLE) END AS precision")
+    },
   )
 }
