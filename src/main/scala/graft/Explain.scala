@@ -68,7 +68,9 @@ object Explain {
     // round-8 seventeenth wave
     "q_ate_strata", "q_item_cf", "q_mutual_knn",
     // round-8 eighteenth wave
-    "q_bfs_hops", "q_lsh_embed", "q_rolling_corr")
+    "q_bfs_hops", "q_lsh_embed", "q_rolling_corr",
+    // round-8 nineteenth wave
+    "q_pareto_mass", "q_mmr_rerank", "q_skew_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

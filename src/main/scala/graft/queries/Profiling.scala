@@ -789,5 +789,143 @@ object Profiling {
             " - round(CAST(xm AS DOUBLE) / 1000000, 6)), 6) AS abs_err")
         .orderBy("label")
     },
+
+    // PARETO MASS CONCENTRATION — how many orders (counted from the
+    // most valuable down) carry 50% / 90% / 99% of total order
+    // value: the operational 80/20 readout (q_gini scores
+    // inequality as ONE number; this answers the question a
+    // capacity planner actually asks — "how FEW rows hold half the
+    // mass", which sets cache sizes, hot-tier cutoffs, and review
+    // queue depths). Scale: the q_auc fold + DESCENDING range-shard
+    // prefix (the q_gains_curve shape) over the distinct-value
+    // frame; threshold picks are ≤3-row broadcast joins against
+    // that frame. Determinism: value mass in exact integer cents;
+    // the crossing test cum·100 ≥ pct·total runs in EXACT BIGINT
+    // space (DECIMAL at 100 TB); fractions are micro-int means.
+    Q("q_pareto_mass",
+      """WITH g AS (SELECT
+        |    CAST(floor(round(o_totalprice, 2) * 100 + 0.5) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(s * c) AS BIGINT) AS total FROM g),
+        |p AS (SELECT s, c, s * c AS mass,
+        |    CAST(coalesce(sum(c) OVER (ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+        |      AS BIGINT) AS crows,
+        |    CAST(coalesce(sum(s * c) OVER (ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+        |      AS BIGINT) AS cmass
+        |  FROM g),
+        |th AS (SELECT * FROM (VALUES (50), (90), (99)) AS v(pct)),
+        |hit AS (SELECT pct, CAST(min(crows) AS BIGINT) AS rows_needed,
+        |    CAST(max(s) AS BIGINT) AS cutoff_s
+        |  FROM p JOIN th ON cmass * 100 >= pct * (SELECT total FROM t)
+        |  GROUP BY pct)
+        |SELECT pct, rows_needed,
+        |  CAST(floor((2 * rows_needed * 1000000 + n) / (2.0 * n))
+        |    / 1000000.0 AS DOUBLE) AS rows_frac,
+        |  round(CAST(cutoff_s AS DOUBLE) / 100, 6) AS cutoff_value
+        |FROM hit CROSS JOIN t ORDER BY pct""".stripMargin) { (s, d) =>
+      val g = Tables.orders(s, d)
+        .select(
+          expr("CAST(floor(round(o_totalprice, 2) * 100 + 0.5) AS BIGINT)")
+            .as("s"))
+        .groupBy("s").agg(count(lit(1)).cast("long").as("c"))
+        .localCheckpoint(eager = false)
+      val t = g.agg(sum("c").cast("long").as("n"),
+        sum(col("s") * col("c")).cast("long").as("total"))
+        .localCheckpoint(eager = false)
+      val mm = g.agg(min("s").as("lo"), max("s").as("hi"))
+      val sh = g.crossJoin(broadcast(mm))
+        .withColumn("bkt",
+          when(col("hi") === col("lo"), lit(0L))
+            .otherwise(least(
+              floor((col("s") - col("lo")).cast("double") /
+                ((col("hi") - col("lo")).cast("double") / 1024.0)),
+              lit(1023.0)).cast("bigint")))
+      val bt = sh.groupBy("bkt")
+        .agg(sum("c").cast("long").as("btc"),
+          sum(col("s") * col("c")).cast("long").as("btm"))
+      val pre = bt
+        .join(broadcast(bt.select(col("bkt").as("ob"),
+          col("btc").as("obc"), col("btm").as("obm"))),
+          col("ob") > col("bkt"), "left")
+        .groupBy("bkt")
+        .agg(coalesce(sum("obc"), lit(0L)).cast("long").as("prec"),
+          coalesce(sum("obm"), lit(0L)).cast("long").as("prem"))
+      val w = Window.partitionBy("bkt").orderBy(col("s").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val p = sh.join(broadcast(pre), "bkt")
+        .withColumn("crows", (col("prec") + sum("c").over(w)).cast("long"))
+        .withColumn("cmass",
+          (col("prem") + sum(col("s") * col("c")).over(w)).cast("long"))
+      import s.implicits._
+      val th = Seq(50, 90, 99).toDF("pct")
+      val hit = p.crossJoin(broadcast(t))
+        .join(broadcast(th), col("cmass") * 100 >= col("pct") * col("total"))
+        .groupBy("pct")
+        .agg(min("crows").cast("long").as("rows_needed"),
+          max("s").cast("long").as("cutoff_s"))
+      hit.crossJoin(broadcast(t))
+        .selectExpr("pct", "rows_needed",
+          "CAST(floor((2 * rows_needed * 1000000 + n) / (2.0 * n))" +
+            " / 1000000.0 AS DOUBLE) AS rows_frac",
+          "round(CAST(cutoff_s AS DOUBLE) / 100, 6) AS cutoff_value")
+        .orderBy("pct")
+    },
+
+    // SHUFFLE-SKEW AUDIT — per-candidate-key distribution of rows
+    // over 32 hash buckets (the partition layout a
+    // groupBy/join/repartition on that key would produce): bucket
+    // min/max/mean and the max/mean SKEW RATIO per key — the
+    // pre-flight a 100 TB pipeline runs BEFORE picking shuffle keys
+    // (q_join_salted is the cure; this is the diagnosis — a skew
+    // ratio near 1 means the key partitions evenly, a big one means
+    // salting/AQE-skew-join is mandatory). Scale: ONE scan fans both
+    // candidate keys via a 2-element explode, ONE partial-aggregated
+    // groupBy to ≤64 cells, per-key rollup + windows on that
+    // constant frame. Determinism: engine-portable md5 buckets,
+    // exact integer counts, micro-int mean, one division rounded 6dp.
+    Q("q_skew_audit",
+      s"""WITH k AS (SELECT 'l_partkey' AS keyname,
+         |    ${TextKit.h28Duck("'skew#' || l_partkey")} % 32 AS bucket
+         |  FROM lineitem
+         |  UNION ALL SELECT 'l_suppkey',
+         |    ${TextKit.h28Duck("'skew#' || l_suppkey")} % 32
+         |  FROM lineitem),
+         |cell AS (SELECT keyname, bucket,
+         |    CAST(count(*) AS BIGINT) AS rows_in FROM k GROUP BY 1, 2)
+         |SELECT keyname, CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(min(rows_in) AS BIGINT) AS min_rows,
+         |  CAST(max(rows_in) AS BIGINT) AS max_rows,
+         |  CAST(floor((2 * sum(rows_in) * 1000000 + count(*))
+         |    / (2.0 * count(*))) / 1000000.0 AS DOUBLE) AS mean_rows,
+         |  round(CAST(max(rows_in) AS DOUBLE) * count(*)
+         |    / sum(rows_in), 6) AS skew_ratio
+         |FROM cell GROUP BY keyname ORDER BY keyname""".stripMargin) {
+      (s, d) =>
+      val k = Tables.lineitem(s, d)
+        .select(explode(array(
+          struct(lit("l_partkey").as("keyname"),
+            (expr(TextKit.h28("concat('skew#', CAST(l_partkey AS STRING))"))
+              % 32).as("bucket")),
+          struct(lit("l_suppkey").as("keyname"),
+            (expr(TextKit.h28("concat('skew#', CAST(l_suppkey AS STRING))"))
+              % 32).as("bucket")))).as("kb"))
+        .select(col("kb.keyname").as("keyname"),
+          col("kb.bucket").as("bucket"))
+      val cell = k.groupBy("keyname", "bucket")
+        .agg(count(lit(1)).cast("long").as("rows_in"))
+      cell.groupBy("keyname")
+        .agg(count(lit(1)).cast("long").as("n_buckets"),
+          min("rows_in").cast("long").as("min_rows"),
+          max("rows_in").cast("long").as("max_rows"),
+          expr("CAST(floor((2 * sum(rows_in) * 1000000 + count(*))" +
+            " / (2.0 * count(*))) / 1000000.0 AS DOUBLE)").as("mean_rows"),
+          expr("round(CAST(max(rows_in) AS DOUBLE) * count(*)" +
+            " / sum(rows_in), 6)").as("skew_ratio"))
+        .orderBy("keyname")
+    },
   )
 }

@@ -817,5 +817,131 @@ object VectorSearch {
             "CAST(floor((2 * hits * 1000000 + n_cand) / (2.0 * n_cand))" +
             " / 1000000.0 AS DOUBLE) END AS precision")
     },
+
+    // MMR RERANK — maximal-marginal-relevance diversification of
+    // the vec_id-0 query's top-20 cosine candidates: 5 greedy picks
+    // maximizing λ·rel(d) − (1−λ)·max_sim(d, selected), λ=0.7
+    // (Carbonell-Goldstein 1998) — plain top-k returns 5 near-
+    // duplicates of the same best match; MMR is THE standard fix
+    // every retrieval/RAG stack applies between kNN and the user
+    // (q_mutual_knn finds redundancy; MMR actively AVOIDS it at
+    // serve time). Scale: the candidate set is top-k-sized BY
+    // CONSTRUCTION (the kNN stage bounds it), so the 20×20 pairwise
+    // sim frame and all 5 greedy rounds run on constant-sized
+    // broadcast frames — the loop costs nothing at any corpus
+    // scale; only the initial kNN touches data (the q_knn_text
+    // plan). Determinism: distances/sims round 6dp; per-round
+    // argmax ties break on vec_id; MMR scores round 9dp; oracle =
+    // chained MATERIALIZED CTEs mirroring the 5 picks.
+    Q("q_mmr_rerank", VectorOracles.mmrSql(5)) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val cand = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"),
+          round(lit(1) - round(cosine_distance(col("embedding"),
+            col("qv")), 6), 6).as("rel"))
+        .orderBy((lit(1) - col("rel")).asc, col("vec_id"))
+        .limit(20)
+        .localCheckpoint(eager = false)
+      val sims = cand.select(col("vec_id").as("i"),
+          col("embedding").as("vi"))
+        .crossJoin(broadcast(cand.select(col("vec_id").as("j"),
+          col("embedding").as("vj"))))
+        .filter(col("i") =!= col("j"))
+        .select(col("i"), col("j"),
+          round(lit(1) - round(cosine_distance(col("vi"), col("vj")), 6),
+            6).as("sim"))
+        .localCheckpoint(eager = false)
+      var selected: org.apache.spark.sql.DataFrame = null
+      var rows: org.apache.spark.sql.DataFrame = null
+      for (r <- 1 to 5) {
+        val remaining =
+          if (selected == null) cand.select("vec_id", "rel")
+          else cand.select("vec_id", "rel")
+            .join(selected, Seq("vec_id"), "left_anti")
+        val red =
+          if (selected == null)
+            remaining.withColumn("redund", lit(0.0))
+          else remaining
+            .join(broadcast(sims.join(broadcast(selected),
+              sims("j") === selected("vec_id"))
+              .groupBy("i").agg(max("sim").as("redund"))),
+              remaining("vec_id") === col("i"), "left")
+            .select(remaining("vec_id"), col("rel"),
+              coalesce(col("redund"), lit(0.0)).as("redund"))
+        val pick = red
+          .withColumn("mmr", round(lit(0.7) * col("rel") -
+            lit(0.3) * col("redund"), 9))
+          .orderBy(col("mmr").desc, col("vec_id")).limit(1)
+          .localCheckpoint(eager = false)
+        selected =
+          (if (selected == null) pick.select("vec_id")
+           else selected.union(pick.select("vec_id")))
+            .localCheckpoint(eager = false)
+        val row = pick.withColumn("rank", lit(r.toLong))
+        rows = if (rows == null) row else rows.union(row)
+      }
+      rows.selectExpr("rank", "vec_id", "rel AS relevance",
+          "round(redund, 6) AS redundancy", "mmr AS mmr_score")
+        .orderBy("rank")
+    },
   )
+}
+
+object VectorOracles {
+  /** Chained-CTE oracle for the fixed MMR rounds: cand/sims pin as
+    * MATERIALIZED (every round references both — default inlining
+    * would re-expand the 20×20 sim build per round); each round's
+    * pick and selected-set CTEs chain exactly like the Spark loop,
+    * with the same λ arithmetic and (mmr DESC, vec_id) tie-break. */
+  def mmrSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      val mmr = (red: String) =>
+        s"round(CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) * $red, 9)"
+      val pick =
+        if (r == 1)
+          s"""p1 AS MATERIALIZED (SELECT c.vec_id, c.rel,
+             |    CAST(0.0 AS DOUBLE) AS redund,
+             |    ${mmr("CAST(0.0 AS DOUBLE)")} AS mmr
+             |  FROM cand c ORDER BY mmr DESC, c.vec_id LIMIT 1)"""
+            .stripMargin
+        else
+          s"""p$r AS MATERIALIZED (SELECT c.vec_id, c.rel,
+             |    coalesce(mx.redund, CAST(0.0 AS DOUBLE)) AS redund,
+             |    ${mmr(s"coalesce(mx.redund, CAST(0.0 AS DOUBLE))")} AS mmr
+             |  FROM cand c LEFT JOIN (SELECT i, max(sim) AS redund
+             |    FROM sims WHERE j IN (SELECT vec_id FROM sel${r - 1})
+             |    GROUP BY i) mx ON mx.i = c.vec_id
+             |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+             |  ORDER BY mmr DESC, c.vec_id LIMIT 1)""".stripMargin
+      val sel =
+        if (r == 1) "sel1 AS MATERIALIZED (SELECT vec_id FROM p1)"
+        else
+          s"""sel$r AS MATERIALIZED (SELECT vec_id FROM sel${r - 1}
+             |  UNION SELECT vec_id FROM p$r)""".stripMargin
+      s"$pick,\n$sel"
+    }.mkString(",\n")
+    val rows = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS rank, vec_id, rel AS relevance,
+         |  round(redund, 6) AS redundancy, mmr AS mmr_score
+         |FROM p$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+       |           FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |cand AS MATERIALIZED (SELECT vec_id, v,
+       |    round(1 - round(1 - list_cosine_similarity(v, qv), 6), 6)
+       |      AS rel
+       |  FROM e CROSS JOIN q WHERE vec_id <> 0
+       |  ORDER BY (1 - rel), vec_id LIMIT 20),
+       |sims AS MATERIALIZED (SELECT a.vec_id AS i, b.vec_id AS j,
+       |    round(1 - round(1 - list_cosine_similarity(a.v, b.v), 6), 6)
+       |      AS sim
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+       |$steps
+       |SELECT rank, vec_id, relevance, redundancy, mmr_score
+       |FROM ($rows) u ORDER BY rank""".stripMargin
+  }
 }
