@@ -1835,6 +1835,76 @@ object Analytics {
             " AS DOUBLE)) / n, 6) AS se")
         .orderBy("stratum")
     },
+
+    // ONE-WAY ANOVA — F-test of event value across the 5 event
+    // types: F = (SSB/(k−1)) / (SSW/(N−k)) from per-group moments —
+    // the NUMERIC-outcome × CATEGORICAL-factor member of the
+    // inference suite (q_chi2_indep tests two categoricals;
+    // q_abtest compares exactly TWO arms; ANOVA asks "do ANY of the
+    // k groups differ" before any pairwise drill-down — the
+    // screening test that controls the k² multiple-comparison
+    // explosion). Scale: ONE partial-aggregated conditional-moment
+    // groupBy folds the corpus to the ≤k-row group frame (the
+    // q_abtest discipline); grand totals re-aggregate THAT frame
+    // and broadcast back; SSB/SSW are windowed DECIMAL(38,9) sums
+    // of per-group terms rounded 9dp. Determinism: dsum moments;
+    // every mean is a division of exact operands; shared ANSI text.
+    Q("q_anova",
+      s"""WITH m AS (SELECT event_type,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    ${dsumSql("round(value, 6)")} AS s,
+         |    ${dsumSql("round(round(value, 6) * round(value, 6), 6)")} AS q
+         |  FROM events GROUP BY event_type),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+         |    CAST(count(*) AS BIGINT) AS k,
+         |    CAST(sum(CAST(s AS DECIMAL(38,6))) AS DOUBLE) AS stot
+         |  FROM m),
+         |g AS (SELECT event_type, n, nn, k,
+         |    CAST(floor((2 * CAST(round(s * 1000000) AS BIGINT) + n)
+         |      / (2.0 * n)) / 1000000.0 AS DOUBLE) AS group_mean,
+         |    round(n * ((s / n) - (stot / nn)) * ((s / n) - (stot / nn)),
+         |      9) AS ssb_term,
+         |    round(q - s * s / n, 9) AS ssw_term
+         |  FROM m CROSS JOIN t),
+         |w AS (SELECT event_type, n, group_mean, nn, k,
+         |    CAST(sum(CAST(ssb_term AS DECIMAL(38,9))) OVER ()
+         |      AS DOUBLE) AS ssb,
+         |    CAST(sum(CAST(ssw_term AS DECIMAL(38,9))) OVER ()
+         |      AS DOUBLE) AS ssw
+         |  FROM g)
+         |SELECT event_type, n, group_mean,
+         |  round(ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
+         |  k - 1 AS df1, nn - k AS df2,
+         |  round((ssb / (k - 1)) / (ssw / (nn - k)), 6) AS f_stat
+         |FROM w ORDER BY event_type""".stripMargin) { (s, d) =>
+      val m = Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          dsum(round(col("value"), 6)).as("s"),
+          dsum(round(round(col("value"), 6) * round(col("value"), 6), 6))
+            .as("q"))
+        .localCheckpoint(eager = false)
+      val t = m.agg(sum("n").cast("long").as("nn"),
+        count(lit(1)).cast("long").as("k"),
+        sum(col("s").cast(DecimalType(38, 6))).cast("double").as("stot"))
+      m.crossJoin(broadcast(t))
+        .selectExpr("event_type", "n", "nn", "k",
+          "CAST(floor((2 * CAST(round(s * 1000000) AS BIGINT) + n)" +
+            " / (2.0 * n)) / 1000000.0 AS DOUBLE) AS group_mean",
+          "round(n * ((s / n) - (stot / nn)) * ((s / n) - (stot / nn))" +
+            ", 9) AS ssb_term",
+          "round(q - s * s / n, 9) AS ssw_term")
+        .selectExpr("event_type", "n", "group_mean", "nn", "k",
+          "CAST(sum(CAST(ssb_term AS DECIMAL(38,9))) OVER ()" +
+            " AS DOUBLE) AS ssb",
+          "CAST(sum(CAST(ssw_term AS DECIMAL(38,9))) OVER ()" +
+            " AS DOUBLE) AS ssw")
+        .selectExpr("event_type", "n", "group_mean",
+          "round(ssb, 6) AS ss_between", "round(ssw, 6) AS ss_within",
+          "k - 1 AS df1", "nn - k AS df2",
+          "round((ssb / (k - 1)) / (ssw / (nn - k)), 6) AS f_stat")
+        .orderBy("event_type")
+    },
   )
 
   /** The nine OLS moment sums for the oracle — identical per-row
