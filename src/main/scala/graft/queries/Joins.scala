@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -402,15 +402,25 @@ object SimilarityStages {
     * `probes` nearest cells (deterministic codebook = vec_id < cells,
     * as q_knn_ivf). One broadcast of the codebook, one keyed window
     * for the top-P assignment, one equi-join per shared cell —
-    * never an all-pairs comparison. */
-  def annCandidates(e: DataFrame, cells: Int, probes: Int): DataFrame = {
+    * never an all-pairs comparison. `metric` picks the cell-distance
+    * kernel: cosine (the simjoin/mutual-kNN space) or l2 (the
+    * LOF/DBSCAN space — probing cells by the WRONG metric would
+    * silently cost recall on unnormalized embeddings). */
+  def annCandidates(e: DataFrame, cells: Int, probes: Int,
+                    metric: String = "cosine"): DataFrame = {
     val cents = e.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cid"),
         col("embedding").cast("array<double>").as("cv"))
+    val cdist = metric match {
+      case "cosine" => cosine_distance(col("v"), col("cv"))
+      case "l2" => sqDist(col("v"), col("cv"))
+      case other => throw new IllegalArgumentException(
+        s"annCandidates metric must be cosine|l2, got '$other'")
+    }
     val asg = e.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       .crossJoin(broadcast(cents))
-      .withColumn("cdist", round(cosine_distance(col("v"), col("cv")), 6))
+      .withColumn("cdist", round(cdist, 6))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("cdist"), col("cid"))))
       .filter(col("rn") <= probes)
@@ -419,6 +429,65 @@ object SimilarityStages {
       .join(asg.select(col("vec_id").as("id2"), col("cid")), "cid")
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
+  }
+
+  /** Squared L2 over two DOUBLE array columns — the lambda fold every
+    * L2 caller shares (left-to-right element order, so both engines
+    * accumulate identically). */
+  def sqDist(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, t) => acc + t)
+
+  /** Directed neighbor-candidate stage for the kNN-shaped operators
+    * (q_mutual_knn top-3, q_lof top-5, q_dbscan eps-neighbors).
+    * Input contract: (vec_id, v ARRAY<DOUBLE>); output (a, b, av, bv)
+    * rows with a ≠ b — callers apply their own distance kernel,
+    * top-k window, or eps filter on top.
+    *
+    * `spark.graft.knn.mode`:
+    *  - `exact` (default, the declared/oracled semantics): every
+    *    directed pair, block-chunked exactly like [[allPairsSim]]'s
+    *    exact arm — NO broadcast hint (a whole-table block on every
+    *    executor hits the 8 GB broadcast ceiling long before 100 TB;
+    *    at tiny sfs Catalyst picks a broadcast by size estimate on
+    *    its own, and past the threshold the plan degrades to a
+    *    spillable cartesian instead of an executor OOM). Build sides
+    *    are bounded by `spark.graft.simjoin.blocks` (B blocks of
+    *    ~n/B rows; ScalePathSpec pins the partition-of-unity).
+    *  - `ann`: the 100 TB route — IVF multi-probe candidates in the
+    *    CALLER'S metric (`spark.graft.knn.ann.cells` /
+    *    `spark.graft.knn.ann.probes`), expanded to both orientations
+    *    so per-`a` top-k windows see every candidate, then the same
+    *    exact verify. Recall is governed by probes/cells; at the
+    *    test sfs the defaults have total recall, so ScalePathSpec
+    *    pins ann ≡ exact per operator (the simjoin precedent).
+    */
+  def knnCandidates(e: DataFrame, metric: String): DataFrame = {
+    val conf = e.sparkSession.conf
+    conf.get("spark.graft.knn.mode", "exact") match {
+      case "exact" =>
+        val blocks = conf.get("spark.graft.simjoin.blocks", "4").toInt
+        val a = fanout(e.select(col("vec_id").as("a"), col("v").as("av")))
+        val bAll = e.select(col("vec_id").as("b"), col("v").as("bv"))
+        (0 until blocks).map { k =>
+          val b = if (blocks == 1) bAll
+                  else bAll.filter(pmod(col("b"), lit(blocks)) === k)
+          a.join(b, col("a") =!= col("b"))
+        }.reduce(_ unionByName _)
+      case "ann" =>
+        val cells = conf.get("spark.graft.knn.ann.cells", "16").toInt
+        val probes = conf.get("spark.graft.knn.ann.probes", "8").toInt
+        val und = annCandidates(
+          e.select(col("vec_id"), col("v").as("embedding")),
+          cells, probes, metric)
+        val dir = und.select(col("id1").as("a"), col("id2").as("b"))
+          .unionByName(und.select(col("id2").as("a"), col("id1").as("b")))
+        dir.join(e.select(col("vec_id").as("a"), col("v").as("av")), "a")
+          .join(e.select(col("vec_id").as("b"), col("v").as("bv")), "b")
+          .select("a", "b", "av", "bv")
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.knn.mode must be exact|ann, got '$other'")
+    }
   }
 
   private def annSim(e: DataFrame, tau: Double): DataFrame = {

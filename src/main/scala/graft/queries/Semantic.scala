@@ -461,10 +461,11 @@ object Semantic {
     // where a raw distance z-score is not). The DENSITY-aware
     // complement to q_embed_outlier's global-centroid z-score and
     // q_anomaly_mad's univariate screen: a point can sit near the
-    // global centroid yet be locally anomalous. Scale: the exact
-    // n² kNN here uses the q_similarity_join stance (one side
-    // broadcast locally; block-chunked at 100 TB — or swap the
-    // q_knn_ivf pruned search for the kNN stage); everything after
+    // global centroid yet be locally anomalous. Scale: the kNN
+    // pair stage is SimilarityStages.knnCandidates — block-chunked
+    // exact by default (no broadcast hint), `spark.graft.knn.mode=
+    // ann` = IVF multi-probe L2 candidates + exact verify, set-equal
+    // at the test sfs (ScalePathSpec); everything after
     // the kNN edge frame is n·k-sized: the kdist fold, the
     // reachability join (co-partitioned on the neighbor key), the
     // lrd fold, and the ratio fold are all partial-aggregated or
@@ -495,16 +496,14 @@ object Semantic {
         |SELECT a AS vec_id, round(((2 * s_nano + 5) // 10) / 1e9, 6) AS lof
         |FROM lf ORDER BY lof DESC, vec_id LIMIT 20""".stripMargin) {
       (s, dir) =>
-      val e = fanout(Tables.embeddings(s, dir)
+      val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>")
-          .as("v")))
+          .as("v"))
         .localCheckpoint(eager = false)
       val d2e = round(expr(
         """aggregate(zip_with(av, bv, (x, y) -> (x - y) * (x - y)),
           |CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)""".stripMargin), 6)
-      val knn = e.select(col("vec_id").as("a"), col("v").as("av"))
-        .join(broadcast(e.select(col("vec_id").as("b"), col("v").as("bv"))),
-          col("a") =!= col("b"))
+      val knn = SimilarityStages.knnCandidates(e, metric = "l2")
         .select(col("a"), col("b"), d2e.as("d2"))
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window
@@ -543,8 +542,10 @@ object Semantic {
     // shape dense regions and REFUSES the sparse remainder — the
     // shape a curation pipeline wants for "keep the modes, flag the
     // stragglers". Scale: the eps-neighbor stage is the one pairwise
-    // pass (q_similarity_join stance — broadcast locally,
-    // block-chunked or IVF-pruned at 100 TB); everything after is
+    // pass, routed through SimilarityStages.knnCandidates
+    // (block-chunked exact default, no broadcast hint;
+    // `spark.graft.knn.mode=ann` = IVF-probed L2 candidates,
+    // set-equal at the test sfs — ScalePathSpec); everything after is
     // edge-frame-sized: degree fold, core filter, and the
     // q_dup_clusters CC machinery (bounded min-label propagation
     // with pointer jumping, 6 rounds → covers component diameter
@@ -579,16 +580,14 @@ object Semantic {
         |FROM e LEFT JOIN cc ON cc.node = e.vec_id
         |LEFT JOIN border ON border.id = e.vec_id
         |ORDER BY e.vec_id""".stripMargin) { (s, dir) =>
-      val e = fanout(Tables.embeddings(s, dir)
+      val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>")
-          .as("v")))
+          .as("v"))
         .localCheckpoint(eager = false)
       val d2e = round(expr(
         """aggregate(zip_with(av, bv, (x, y) -> (x - y) * (x - y)),
           |CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)""".stripMargin), 6)
-      val nbr = e.select(col("vec_id").as("a"), col("v").as("av"))
-        .join(broadcast(e.select(col("vec_id").as("b"), col("v").as("bv"))),
-          col("a") =!= col("b"))
+      val nbr = SimilarityStages.knnCandidates(e, metric = "l2")
         .select(col("a"), col("b"), d2e.as("d2"))
         .filter(col("d2") <= 1.34).select("a", "b")
         .localCheckpoint(eager = false)

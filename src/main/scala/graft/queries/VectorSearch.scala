@@ -672,13 +672,17 @@ object VectorSearch {
     // cluster-seeding pipelines act on before any threshold tuning;
     // q_semdedup clusters then prunes, q_dedup_embed thresholds a
     // distance — reciprocity needs neither constant). Scale: the
-    // pairwise stage is the q_similarity_join stance (broadcast side
-    // locally; block-chunked or IVF-pruned at 100 TB); top-3 is a
-    // vec-id-PARTITIONED window; the reciprocity check is a
-    // self-join of the n·3 edge frame on the REVERSED pair key —
-    // co-partitioned by construction. Determinism: distances round
-    // 6dp with (dist, vec_id) tie-break; output (dist, a, b) total
-    // order on the a<b canonical orientation.
+    // pairwise stage is SimilarityStages.knnCandidates — the
+    // block-chunked exact join by default (NO broadcast hint; the
+    // exactSim stance), `spark.graft.knn.mode=ann` = IVF multi-probe
+    // candidates + exact verify, set-equal at the test sfs
+    // (ScalePathSpec); top-3 is a vec-id-PARTITIONED window; the
+    // reciprocity check is a plain self-equi-join of the n·3 edge
+    // frame on the REVERSED pair key — both sides shuffle by the
+    // same composite key, nothing data-sized broadcasts.
+    // Determinism: distances round 6dp with (dist, vec_id)
+    // tie-break; output (dist, a, b) total order on the a<b
+    // canonical orientation.
     Q("q_mutual_knn",
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
         |           FROM embeddings),
@@ -694,21 +698,19 @@ object VectorSearch {
         |WHERE t1.aid < t1.bid
         |ORDER BY t1.dist, a, b""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"))
-      val p = e.select(col("vec_id").as("aid"),
-          col("embedding").as("av"))
-        .crossJoin(broadcast(e.select(col("vec_id").as("bid"),
-          col("embedding").as("bv"))))
-        .filter(col("aid") =!= col("bid"))
-        .select(col("aid"), col("bid"),
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .localCheckpoint(eager = false)
+      val p = SimilarityStages.knnCandidates(e, metric = "cosine")
+        .select(col("a").as("aid"), col("b").as("bid"),
           round(cosine_distance(col("av"), col("bv")), 6).as("dist"))
       val w = Window.partitionBy("aid").orderBy(col("dist"), col("bid"))
       val top = p.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .localCheckpoint(eager = false)
       top.as("t1")
-        .join(broadcast(top.select(col("aid").as("raid"),
-          col("bid").as("rbid"), col("rn").as("rank_ba")).as("t2")),
+        .join(top.select(col("aid").as("raid"),
+          col("bid").as("rbid"), col("rn").as("rank_ba")).as("t2"),
           col("aid") === col("rbid") && col("bid") === col("raid"))
         .filter(col("aid") < col("bid"))
         .selectExpr("aid AS a", "bid AS b", "dist",
