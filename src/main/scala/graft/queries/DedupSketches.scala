@@ -461,13 +461,22 @@ object DedupSketches {
       // pinned once for both arms.
       val sh = DedupStages.shingleSets(Tables.documents(s, d))
         .localCheckpoint(eager = false)
-      val truth = DedupStages.nearDupPairsFromShingles(sh, tau = 0.6)
-        .select("id1", "id2")
       val cand = DedupStages.bandCandidates(DedupStages.bandKeys(sh))
-      val nt = truth.agg(count(lit(1)).as("n_true"))
       val nc = cand.agg(count(lit(1)).as("n_cand"))
-      val nh = truth.join(cand, Seq("id1", "id2"))
-        .agg(count(lit(1)).as("hits"))
+      // Truth arm under spark.graft.audit=false: never built — n_true
+      // and hits come back NULL and recall/precision NULL out through
+      // the CASE arithmetic; the candidate arm (the deployed sketch)
+      // is all that runs.
+      val (nt, nh) =
+        if (auditOn(s)) {
+          val truth = DedupStages.nearDupPairsFromShingles(sh, tau = 0.6)
+            .select("id1", "id2")
+          (truth.agg(count(lit(1)).as("n_true")),
+            truth.join(cand, Seq("id1", "id2"))
+              .agg(count(lit(1)).as("hits")))
+        } else (
+          s.sql("SELECT CAST(NULL AS BIGINT) AS n_true"),
+          s.sql("SELECT CAST(NULL AS BIGINT) AS hits"))
       nt.crossJoin(nc).crossJoin(nh)
         .selectExpr("n_true", "n_cand", "hits",
           "CASE WHEN n_true = 0 THEN NULL ELSE " +
@@ -545,8 +554,10 @@ object DedupSketches {
       val np = p.agg(count(lit(1)).cast("long").as("n_probe"))
       val po = ph.filter(col("hits") === 3)
         .agg(count(lit(1)).cast("long").as("n_positive"))
-      val ins = p.join(b, "k")
-        .agg(count(lit(1)).cast("long").as("n_in_set"))
+      val ins =
+        if (auditOn(s)) p.join(b, "k")
+          .agg(count(lit(1)).cast("long").as("n_in_set"))
+        else s.sql("SELECT CAST(NULL AS BIGINT) AS n_in_set")
       nb.crossJoin(broadcast(bs)).crossJoin(broadcast(np))
         .crossJoin(broadcast(po)).crossJoin(broadcast(ins))
         .selectExpr("4096 AS m", "3 AS k", "n_build", "bits_set",

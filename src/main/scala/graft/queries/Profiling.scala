@@ -534,8 +534,10 @@ object Profiling {
           .cast("long").as("s2"),
         sum(when(col("m_j") === 0, 1L).otherwise(0L)).cast("long")
           .as("v_zero"))
-      val ex = Tables.orders(s, d)
-        .agg(countDistinct("o_custkey").cast("long").as("n_exact"))
+      val ex =
+        if (auditOn(s)) Tables.orders(s, d)
+          .agg(countDistinct("o_custkey").cast("long").as("n_exact"))
+        else s.sql("SELECT CAST(NULL AS BIGINT) AS n_exact")
       a.crossJoin(broadcast(ex))
         .selectExpr("v_zero", "n_exact",
           "round(CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE)" +
@@ -638,12 +640,23 @@ object Profiling {
         count(lit(1)).cast("long").as("cu"))
       val bo = hu.join(ha, "h").join(hb, "h")
         .agg(count(lit(1)).cast("long").as("n_both"))
-      val na = a.agg(count(lit(1)).cast("long").as("n_a"))
-      val nb = b.agg(count(lit(1)).cast("long").as("n_b"))
-      val nu = a.union(b).distinct()
-        .agg(count(lit(1)).cast("long").as("n_union"))
-      val ni = a.join(b, "k")
-        .agg(count(lit(1)).cast("long").as("n_inter"))
+      // Exact arms (set sizes + exact Jaccard): NULL literals under
+      // spark.graft.audit=false — the est_* CASEs then fall through
+      // their NULL size predicate to the sketch estimate, which is
+      // exactly the production readout.
+      val (na, nb, nu, ni) =
+        if (auditOn(s)) (
+          a.agg(count(lit(1)).cast("long").as("n_a")),
+          b.agg(count(lit(1)).cast("long").as("n_b")),
+          a.union(b).distinct()
+            .agg(count(lit(1)).cast("long").as("n_union")),
+          a.join(b, "k")
+            .agg(count(lit(1)).cast("long").as("n_inter")))
+        else (
+          s.sql("SELECT CAST(NULL AS BIGINT) AS n_a"),
+          s.sql("SELECT CAST(NULL AS BIGINT) AS n_b"),
+          s.sql("SELECT CAST(NULL AS BIGINT) AS n_union"),
+          s.sql("SELECT CAST(NULL AS BIGINT) AS n_inter"))
       sa.crossJoin(broadcast(sb)).crossJoin(broadcast(su))
         .crossJoin(broadcast(bo)).crossJoin(broadcast(na))
         .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
@@ -779,8 +792,11 @@ object Profiling {
         .rowsBetween(Window.unboundedPreceding, 0)
       val gc = sh.join(broadcast(pre), "bkt")
         .withColumn("cc", (col("prec") + sum("c").over(ws)).cast("long"))
-      val exact = gc.join(broadcast(kq), col("cc") >= col("kk"))
-        .groupBy("label").agg(min("ym").cast("long").as("xm"))
+      val exact =
+        if (auditOn(s)) gc.join(broadcast(kq), col("cc") >= col("kk"))
+          .groupBy("label").agg(min("ym").cast("long").as("xm"))
+        else kq.select(col("label"),
+          lit(null).cast("long").as("xm"))
       estF.join(broadcast(exact), "label")
         .selectExpr("label", "kk AS k_pos",
           s"round(($estE) / 1000000, 6) AS est",

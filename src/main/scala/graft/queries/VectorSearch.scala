@@ -451,13 +451,6 @@ object VectorSearch {
         .select(col("vec_id"), col("m.embedding").as("embedding"),
           col("m.cid").as("cid"))
       val wq = Window.partitionBy("qid")
-      val ex = e.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("qid"))
-        .withColumn("dist",
-          round(cosine_distance(col("embedding"), col("qv")), 6))
-        .withColumn("rn", row_number().over(
-          wq.orderBy(col("dist"), col("vec_id"))))
-        .filter(col("rn") <= K).select("qid", "vec_id")
       val pr = cents.crossJoin(broadcast(q))
         .withColumn("qdist", round(cosine_distance(col("cv"), col("qv")), 6))
         .withColumn("rn", row_number().over(
@@ -471,11 +464,28 @@ object VectorSearch {
           wq.orderBy(col("dist"), col("vec_id"))))
         .filter(col("rn") <= K)
         .select(col("qid").as("iqid"), col("vec_id").as("ivec"))
-      ex.join(iv, col("iqid") === col("qid") && col("ivec") === col("vec_id"),
-          "left")
-        .groupBy("qid")
-        .agg(count(col("ivec")).as("hits"),
-          round(count(col("ivec")) / lit(K.toDouble), 6).as("recall"))
+      // Exact arm under spark.graft.audit=false: the brute-force
+      // top-k (the full scan the IVF probe path exists to avoid) is
+      // never planned — the probe arm still runs per query and the
+      // hits/recall audit columns come back NULL.
+      if (auditOn(s)) {
+        val ex = e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("dist",
+            round(cosine_distance(col("embedding"), col("qv")), 6))
+          .withColumn("rn", row_number().over(
+            wq.orderBy(col("dist"), col("vec_id"))))
+          .filter(col("rn") <= K).select("qid", "vec_id")
+        ex.join(iv,
+            col("iqid") === col("qid") && col("ivec") === col("vec_id"),
+            "left")
+          .groupBy("qid")
+          .agg(count(col("ivec")).as("hits"),
+            round(count(col("ivec")) / lit(K.toDouble), 6).as("recall"))
+          .orderBy("qid")
+      } else iv.groupBy(col("iqid").as("qid"))
+        .agg(lit(null).cast("long").as("hits"),
+          lit(null).cast("double").as("recall"))
         .orderBy("qid")
     },
 
@@ -801,14 +811,23 @@ object VectorSearch {
             col("vec_id") < col("id2"))
         .select(col("vec_id").as("id1"), col("id2")).distinct()
         .localCheckpoint(eager = false)
-      val truth = SimilarityStages
-        .allPairsSim(Tables.embeddings(s, d), tau = 0.4)
-        .select("id1", "id2").localCheckpoint(eager = false)
       val nv = e.agg(count(lit(1)).cast("long").as("n_vecs"))
       val nc = cand.agg(count(lit(1)).cast("long").as("n_cand"))
-      val nt = truth.agg(count(lit(1)).cast("long").as("n_true"))
-      val h = truth.join(cand, Seq("id1", "id2"))
-        .agg(count(lit(1)).cast("long").as("hits"))
+      // Truth arm under spark.graft.audit=false: the exact sim≥0.4
+      // pair set is never planned — the band-key candidate join (the
+      // deployed sketch) is all that runs; n_true/hits/recall/
+      // precision come back NULL.
+      val (nt, h) =
+        if (auditOn(s)) {
+          val truth = SimilarityStages
+            .allPairsSim(Tables.embeddings(s, d), tau = 0.4)
+            .select("id1", "id2").localCheckpoint(eager = false)
+          (truth.agg(count(lit(1)).cast("long").as("n_true")),
+            truth.join(cand, Seq("id1", "id2"))
+              .agg(count(lit(1)).cast("long").as("hits")))
+        } else (
+          s.sql("SELECT CAST(NULL AS BIGINT) AS n_true"),
+          s.sql("SELECT CAST(NULL AS BIGINT) AS hits"))
       nv.crossJoin(broadcast(nc)).crossJoin(broadcast(nt))
         .crossJoin(broadcast(h))
         .selectExpr("n_vecs", "n_cand", "n_true", "hits",

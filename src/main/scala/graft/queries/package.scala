@@ -81,6 +81,19 @@ package object queries {
     }
   }
 
+  /** Audit-arm switch. The sketch/candidate operators (q_lsh_embed,
+    * q_minhash_recall, q_knn_recall, q_hll_registers, q_kmv_sketch,
+    * q_quantile_sketch, q_bloom_probe) each run an EXACT truth arm
+    * next to the sketch — the full shuffle the sketch exists to
+    * avoid, priced in as an audit at index-build time and dropped at
+    * 100 TB. `spark.graft.audit=false` actually drops it: the exact
+    * arm's frames are replaced by 1-row NULL literals, so the audit
+    * columns come back NULL and the expensive lineage is never
+    * built (the q_mixture_apply_threshold precedent: the declared,
+    * oracled form keeps the default `true`). */
+  def auditOn(s: SparkSession): Boolean =
+    s.conf.get("spark.graft.audit", "true").toBoolean
+
   /** One declared operator from SURVEY.md §2: a Spark builder and an
     * optional DuckDB oracle (ANSI SQL over the same parquet tables).
     * `oracle = None` → driver records a weaker rows-only check
