@@ -276,8 +276,11 @@ object Graphs {
     // tells a pipeline whether hub-splitting / salting will be
     // needed downstream (strongly disassortative = hub-dominated).
     // Over symmetrized edges Sx = Sy and Sxx = Syy, so
-    // r = (S1·Sxy − Sx²) / (S1·Sxx − Sx²) on exact BIGINT moments —
-    // one double division, identical operands in both engines.
+    // r = (S1·Sxy − Sx²) / (S1·Sxx − Sx²). The moment SUMS stay
+    // exact BIGINT, but the PRODUCTS (S1·Sxx, Sx², S1·Sxy) are
+    // formed in DOUBLE: on a hub-heavy graph S1 ≈ 2|E| and
+    // Sxx = Σd² each clear 2³¹, so their BIGINT product can pass
+    // 2⁶³ and silently wrap — the q_chi2_indep rt·ct treatment.
     // Scale: edge scan + broadcast node-sized deg frame; the moment
     // fold is ONE partial-aggregated global aggregate.
     Q("q_assortativity",
@@ -295,9 +298,11 @@ object Graphs {
         |           JOIN deg db ON db.node = und.v)
         |SELECT (SELECT count(*) FROM deg) AS nodes,
         |  (SELECT count(*) FROM e) AS edges,
-        |  CASE WHEN s1 * sxx - sx * sx = 0 THEN NULL ELSE
-        |    round(CAST(s1 * sxy - sx * sx AS DOUBLE)
-        |        / (s1 * sxx - sx * sx), 6) END AS assortativity
+        |  CASE WHEN CAST(s1 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx = 0
+        |  THEN NULL ELSE
+        |    round((CAST(s1 AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+        |        / (CAST(s1 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+        |  END AS assortativity
         |FROM m""".stripMargin) { (s, d) =>
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
@@ -321,9 +326,11 @@ object Graphs {
       m.crossJoin(broadcast(deg.agg(count(lit(1)).as("nodes"))))
         .crossJoin(broadcast(e.agg(count(lit(1)).as("edges"))))
         .selectExpr("nodes", "edges",
-          "CASE WHEN s1 * sxx - sx * sx = 0 THEN NULL ELSE " +
-            "round(CAST(s1 * sxy - sx * sx AS DOUBLE)" +
-            " / (s1 * sxx - sx * sx), 6) END AS assortativity")
+          "CASE WHEN CAST(s1 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx = 0" +
+            " THEN NULL ELSE " +
+            "round((CAST(s1 AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)" +
+            " / (CAST(s1 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)" +
+            " END AS assortativity")
     },
 
     // K-CORE — the 3-core of the bipartite part↔supplier graph via
