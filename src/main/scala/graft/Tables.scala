@@ -25,22 +25,47 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read nanos as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`, set at session build —
-    * [[Sessions]]) and truncate to microsecond TimestampType —
-    * lossless here (the generator emits µs-precision values; verified
-    * ns remainder is 0 across sf0.01) and matches DuckDB's
-    * `CAST(ts AS TIMESTAMP)` in every oracle.
+  /** events.ts normalization to session-zoned microsecond
+    * TimestampType, robust to the parquet vintage the generator
+    * emitted — the testdata has shipped `ts` both as
+    * TIMESTAMP(NANOS) (read as BIGINT under
+    * `spark.sql.legacy.parquet.nanosAsLong`, set at session build —
+    * [[Sessions]]) and as plain timestamp[us] (read as
+    * TIMESTAMP_NTZ). Branch on the READ dtype, not an assumed file
+    * layout, so a regenerated table never breaks every downstream
+    * plan again:
     *
-    * `DIV 1000` truncates toward zero, which equals floor only for
-    * ts >= 0 — the generator emits 2024 epochs only; a pre-1970 feed
-    * would need floor semantics ((ts - ((ts % 1000) + 1000) % 1000)
-    * DIV 1000) to round consistently. */
+    *  - BIGINT → nanos: truncate to micros. Lossless here (the
+    *    generator emits µs-precision values) and matches DuckDB's
+    *    `CAST(ts AS TIMESTAMP)` in every oracle. `DIV 1000`
+    *    truncates toward zero, which equals floor only for ts >= 0 —
+    *    the generator emits 2024 epochs only.
+    *  - TIMESTAMP/TIMESTAMP_NTZ → `CAST(ts AS TIMESTAMP)`; the
+    *    session timezone is UTC ([[Sessions]]), so the NTZ wall
+    *    clock maps to the same instant the nanos path produced.
+    */
   def events(s: SparkSession, d: String): DataFrame = {
     Sessions.prepare(s)
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")))
+    val raw = table(s, d, "events")
+    normalizeTs(raw)
+  }
+
+  /** Shared by the batch loader and the streaming source
+    * ([[graft.streaming.StreamingOps]]) so both read paths stay in
+    * lockstep on future schema drift. */
+  def normalizeTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")))
+      case TimestampType => raw
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported parquet-read type $other; " +
+            "expected BIGINT (nanosAsLong), TIMESTAMP, or TIMESTAMP_NTZ")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

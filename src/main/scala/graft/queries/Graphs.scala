@@ -277,10 +277,14 @@ object Graphs {
     // needed downstream (strongly disassortative = hub-dominated).
     // Over symmetrized edges Sx = Sy and Sxx = Syy, so
     // r = (S1·Sxy − Sx²) / (S1·Sxx − Sx²). The moment SUMS stay
-    // exact BIGINT, but the PRODUCTS (S1·Sxx, Sx², S1·Sxy) are
-    // formed in DOUBLE: on a hub-heavy graph S1 ≈ 2|E| and
-    // Sxx = Σd² each clear 2³¹, so their BIGINT product can pass
-    // 2⁶³ and silently wrap — the q_chi2_indep rt·ct treatment.
+    // exact BIGINT; the PRODUCTS and their differences are formed in
+    // 128-bit EXACT arithmetic (DECIMAL(38,0) here, HUGEINT in the
+    // oracle — (2⁶³)² ≈ 8.5e37 fits 38 digits), because a BIGINT
+    // product can pass 2⁶³ and wrap, while a DOUBLE product rounds
+    // above 2⁵³ — which would both un-zero an exactly-zero
+    // denominator on a degenerate regular graph (huge spurious r
+    // instead of NULL) and cost cancellation accuracy. Only the
+    // final num/den division is DOUBLE, of exactly-computed values.
     // Scale: edge scan + broadcast node-sized deg frame; the moment
     // fold is ONE partial-aggregated global aggregate.
     Q("q_assortativity",
@@ -298,10 +302,12 @@ object Graphs {
         |           JOIN deg db ON db.node = und.v)
         |SELECT (SELECT count(*) FROM deg) AS nodes,
         |  (SELECT count(*) FROM e) AS edges,
-        |  CASE WHEN CAST(s1 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx = 0
+        |  CASE WHEN CAST(s1 AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0
         |  THEN NULL ELSE
-        |    round((CAST(s1 AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
-        |        / (CAST(s1 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+        |    round(CAST(CAST(s1 AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sx
+        |           AS DOUBLE)
+        |        / CAST(CAST(s1 AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |           AS DOUBLE), 6)
         |  END AS assortativity
         |FROM m""".stripMargin) { (s, d) =>
       val li = Tables.lineitem(s, d)
@@ -326,10 +332,12 @@ object Graphs {
       m.crossJoin(broadcast(deg.agg(count(lit(1)).as("nodes"))))
         .crossJoin(broadcast(e.agg(count(lit(1)).as("edges"))))
         .selectExpr("nodes", "edges",
-          "CASE WHEN CAST(s1 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx = 0" +
-            " THEN NULL ELSE " +
-            "round((CAST(s1 AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)" +
-            " / (CAST(s1 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)" +
+          "CASE WHEN CAST(s1 AS DECIMAL(38,0)) * sxx" +
+            " - CAST(sx AS DECIMAL(38,0)) * sx = 0 THEN NULL ELSE " +
+            "round(CAST(CAST(s1 AS DECIMAL(38,0)) * sxy" +
+            " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)" +
+            " / CAST(CAST(s1 AS DECIMAL(38,0)) * sxx" +
+            " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE), 6)" +
             " END AS assortativity")
     },
 

@@ -368,10 +368,36 @@ object Joins {
   * per-stage pair volume are bounded by CHOOSING B ∝ n, while the
   * union of disjoint blocks keeps the result exactly the all-pairs
   * set (partition-of-unity over id2; ScalePathSpec pins both
-  * properties). `spark.graft.simjoin.blocks` tunes B (default 4;
-  * 1 = the single-join plan for small inputs).
+  * properties). `spark.graft.simjoin.blocks` tunes B: an explicit
+  * integer pins the count (1 = the single-join plan); the default
+  * `auto` sizes B from the plan's size ESTIMATE so a small input
+  * pays zero chunking overhead while a large one still gets
+  * bounded build sides (B ∝ bytes — the same posture, chosen by
+  * the data instead of a constant; round-9 VERDICT #6).
   */
 object SimilarityStages {
+
+  /** Blocks for the chunked exact pair stages. `auto` = ceil(input
+    * size estimate / `spark.graft.simjoin.blockBytes`, default
+    * 256 MB): each block's build side stays a bounded fraction, and
+    * the count GROWS with the data — the property the 100 TB claim
+    * needs — while sf0.1-scale inputs (tens of MB) collapse to one
+    * block and skip the 4× join overhead measured in round 9
+    * (q_lof 2.83→6.17 s, q_dbscan 7.59→10.41 s). Size comes from
+    * Catalyst's plan statistics (file-size-derived for parquet
+    * scans) — no extra job. Capped at 4096 so a pathological
+    * estimate can't explode the plan's operator count. */
+  def blockCount(e: DataFrame): Int = {
+    val conf = e.sparkSession.conf
+    conf.get("spark.graft.simjoin.blocks", "auto") match {
+      case "auto" =>
+        val bytes = e.queryExecution.optimizedPlan.stats.sizeInBytes
+        val target = BigInt(conf.get(
+          "spark.graft.simjoin.blockBytes", (256L << 20).toString))
+        (((bytes + target - 1) / target) max 1 min 4096).toInt
+      case explicit => explicit.toInt
+    }
+  }
 
   /** Pair stage dispatcher. `spark.graft.simjoin.mode`:
     *  - `exact` (default, the declared/oracled semantics): the
@@ -466,7 +492,7 @@ object SimilarityStages {
     val conf = e.sparkSession.conf
     conf.get("spark.graft.knn.mode", "exact") match {
       case "exact" =>
-        val blocks = conf.get("spark.graft.simjoin.blocks", "4").toInt
+        val blocks = blockCount(e)
         val a = fanout(e.select(col("vec_id").as("a"), col("v").as("av")))
         val bAll = e.select(col("vec_id").as("b"), col("v").as("bv"))
         (0 until blocks).map { k =>
@@ -506,7 +532,7 @@ object SimilarityStages {
   }
 
   private def exactSim(e: DataFrame, tau: Double): DataFrame = {
-    val blocks = e.sparkSession.conf.get("spark.graft.simjoin.blocks", "4").toInt
+    val blocks = blockCount(e)
     // Cast f32→f64 BEFORE the join on both sides: projections below
     // a join are evaluated once per input row (never per pair), so
     // the per-pair kernel reads doubles directly instead of

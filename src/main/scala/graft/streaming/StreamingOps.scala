@@ -42,8 +42,10 @@ object StreamingOps {
       tmp.toString
     })
 
-  /** readStream over the events table with the same nanos→micros
-    * normalization as the batch loader (graft.Tables.events).
+  /** readStream over the events table with the same ts
+    * normalization as the batch loader ([[graft.Tables.normalizeTs]]
+    * — schema-branched, so it tracks whichever parquet vintage the
+    * generator emitted).
     *
     * Runs in a CHILD session with fewer shuffle partitions: every
     * stateful operator materializes one state-store instance and one
@@ -58,9 +60,8 @@ object StreamingOps {
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     Sessions.prepare(ss)
     val dir = eventsDir(d)
-    val schema = ss.read.parquet(dir).schema // nanos read as LONG
-    ss.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")))
+    val schema = ss.read.parquet(dir).schema // dtype depends on parquet vintage
+    graft.Tables.normalizeTs(ss.readStream.schema(schema).parquet(dir))
   }
 
   /** Run a streaming DataFrame to completion on currently-available

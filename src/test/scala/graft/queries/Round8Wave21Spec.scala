@@ -106,11 +106,25 @@ class Round8Wave21Spec extends SparkTestBase {
     assert(top3(a).contains(b) && top3(b).contains(a))
   }
 
-  test("mutual_knn: one pairwise BNLJ, key-equi reciprocity join") {
-    val plan = SparkEntry.queries("q_mutual_knn")(spark, sf)
-      .queryExecution.executedPlan.toString
-    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
-    assert(bnlj <= 1, s"expected <=1 pairwise join, got $bnlj")
-    assert(!plan.contains("SortMergeJoin"))
+  test("mutual_knn: chunked equi-keyed pair stage, no forced broadcast") {
+    // Round-9 contract (97ae39e): the pairwise BNLJ was replaced by
+    // SimilarityStages.knnCandidates — pmod-block-chunked equi-joins
+    // whose build sides are bounded fractions of the table, plus an
+    // equi-keyed reciprocity join. With the size-estimate broadcast
+    // path disabled, a HINT is the only way a broadcast could
+    // appear, so the plan must be broadcast-free (the scale claim:
+    // nothing data-sized is ever shipped to every executor). Mirrors
+    // ScalePathSpec's knnCandidates pin at the full-query level.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan =
+      try SparkEntry.queries("q_mutual_knn")(spark, sf)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"pairwise BNLJ resurfaced:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"forced data-sized broadcast:\n$plan")
+    assert(plan.contains("SortMergeJoin"),
+      "expected equi-keyed (block + reciprocity) shuffle joins")
   }
 }
