@@ -407,10 +407,15 @@ object SimilarityStages {
     *    `spark.graft.simjoin.ann.probes` nearest codebook cells, cell
     *    count `spark.graft.simjoin.ann.cells`) followed by the SAME
     *    exact cosine verify. Precision is always exact; recall is
-    *    governed by probes/cells. With cells ∝ n the candidate volume
-    *    is ~n²·P²/C — sub-quadratic — while at the test sfs the
-    *    default P=6 of 16 cells has TOTAL recall, so ScalePathSpec
-    *    pins ann ≡ exact by set equality (the
+    *    governed by probes/cells. Candidate volume is ~n²·P²/C and
+    *    assignment volume is n·C, so the joint optimum is C ≈ √n
+    *    with FEW probes (measured at 10× sf0.1: C=√n, P=2 beats the
+    *    exact arm 1.3–2×, while C ∝ n makes the assignment stage the
+    *    new quadratic term and the P=8-of-16 default degenerates to
+    *    all-pairs — see BENCH.md round 10). `cells=auto` derives
+    *    C ≈ √n from the plan's size estimate ([[annCells]]); at the
+    *    test sfs the default P=6 of 16 cells has TOTAL recall, so
+    *    ScalePathSpec pins ann ≡ exact by set equality (the
     *    q_mixture_apply_threshold precedent: declared form stays the
     *    oracle, scale form proven equivalent where recall allows).
     */
@@ -421,6 +426,30 @@ object SimilarityStages {
       case "ann" => annSim(e, tau)
       case other => throw new IllegalArgumentException(
         s"spark.graft.simjoin.mode must be exact|ann, got '$other'")
+    }
+  }
+
+  /** IVF cell count for the ann candidate stages. An explicit
+    * integer pins it (the default 16 keeps the recall-total
+    * spec-pinned behavior at the test sfs); `auto` derives C ≈ √n
+    * from Catalyst's plan statistics — the joint optimum of the
+    * n·C assignment stage and the n²·P²/C bucket stage (both
+    * sub-quadratic at √n; BENCH.md round 10 has the measurements).
+    * Row count falls back to sizeInBytes over an assumed ~540-byte
+    * row (BIGINT id + 64-dim DOUBLE array) when the estimate
+    * carries no rowCount — C only needs the right ORDER, not the
+    * exact n. Floor 16 (never fewer cells than the pinned default),
+    * cap 65536 (beyond that the codebook broadcast itself needs the
+    * hierarchical treatment). */
+  def annCells(e: DataFrame, key: String): Int = {
+    val conf = e.sparkSession.conf
+    conf.get(key, "16") match {
+      case "auto" =>
+        val stats = e.queryExecution.optimizedPlan.stats
+        val rows = stats.rowCount.map(_.toLong).getOrElse(
+          (stats.sizeInBytes / 540).toLong max 1L)
+        (math.sqrt(rows.toDouble).ceil.toInt max 16) min 65536
+      case explicit => explicit.toInt
     }
   }
 
@@ -501,7 +530,7 @@ object SimilarityStages {
           a.join(b, col("a") =!= col("b"))
         }.reduce(_ unionByName _)
       case "ann" =>
-        val cells = conf.get("spark.graft.knn.ann.cells", "16").toInt
+        val cells = annCells(e, "spark.graft.knn.ann.cells")
         val probes = conf.get("spark.graft.knn.ann.probes", "8").toInt
         val und = annCandidates(
           e.select(col("vec_id"), col("v").as("embedding")),
@@ -518,7 +547,7 @@ object SimilarityStages {
 
   private def annSim(e: DataFrame, tau: Double): DataFrame = {
     val conf = e.sparkSession.conf
-    val cells = conf.get("spark.graft.simjoin.ann.cells", "16").toInt
+    val cells = annCells(e, "spark.graft.simjoin.ann.cells")
     val probes = conf.get("spark.graft.simjoin.ann.probes", "6").toInt
     val cand = annCandidates(e, cells, probes)
     val v1 = e.select(col("vec_id").as("id1"),

@@ -516,4 +516,33 @@ class ScalePathSpec extends SparkTestBase {
     assert(cand < n * (n - 1),
       s"ann directed candidates $cand not below all-pairs ${n * (n - 1)}")
   }
+
+  test("annCells: explicit pins, auto scales ~sqrt(n) with a 16 floor") {
+    // The 10×-scale measurement (BENCH.md round 10): C ∝ n makes the
+    // n·C assignment stage quadratic, C too small makes probe overlap
+    // degenerate to all-pairs — C ≈ √n is the joint optimum, so
+    // `auto` must track the ROOT of the input size, floored at the
+    // recall-total default.
+    val s = spark
+    import s.implicits._
+    def frame(n: Int) = (0 until n)
+      .map(i => (i.toLong, Array.fill(64)(i.toDouble))).toDF("vec_id", "v")
+    val key = "spark.graft.knn.ann.cells"
+    // explicit value wins untouched
+    s.conf.set(key, "48")
+    try assert(SimilarityStages.annCells(frame(5000), key) === 48)
+    finally s.conf.unset(key)
+    // default (conf unset) stays the pinned 16
+    assert(SimilarityStages.annCells(frame(5000), key) === 16)
+    s.conf.set(key, "auto")
+    try {
+      val small = SimilarityStages.annCells(frame(100), key)
+      assert(small === 16, s"floor: got $small")
+      val big = SimilarityStages.annCells(frame(40000), key)
+      // √40000 = 200; allow the size-estimate fallback's row-width
+      // guess a generous band — auto needs the right ORDER, not n.
+      assert(big >= 60 && big <= 700, s"sqrt scaling: got $big")
+      assert(big > small, "auto must grow with input size")
+    } finally s.conf.unset(key)
+  }
 }
