@@ -517,6 +517,33 @@ class ScalePathSpec extends SparkTestBase {
       s"ann directed candidates $cand not below all-pairs ${n * (n - 1)}")
   }
 
+  test("blockCount: explicit pins, auto grows with the size estimate, floor 1") {
+    // Round-10 gate: small inputs must pay ZERO chunking overhead
+    // (blocks=1), large ones must chunk in proportion to bytes so
+    // build sides stay bounded — B = ceil(estimate / blockBytes).
+    val s = spark
+    import s.implicits._
+    def frame(n: Int) = (0 until n)
+      .map(i => (i.toLong, Array.fill(64)(i.toDouble))).toDF("vec_id", "v")
+    s.conf.set("spark.graft.simjoin.blocks", "7")
+    try assert(SimilarityStages.blockCount(frame(1000)) === 7)
+    finally s.conf.unset("spark.graft.simjoin.blocks")
+    // default auto: tiny input → one block (the estimate is far
+    // below the 256 MB default target)
+    assert(SimilarityStages.blockCount(frame(100)) === 1)
+    // auto with a squeezed byte target must chunk, proportionally
+    // (in-memory relations estimate ~24 bytes/row — the array column
+    // reports its type-default size; 512 B target ⇒ ~5 / ~47 blocks)
+    s.conf.set("spark.graft.simjoin.blockBytes", "512")
+    try {
+      val small = SimilarityStages.blockCount(frame(100))
+      val big = SimilarityStages.blockCount(frame(1000))
+      assert(small > 1, s"512 B target must chunk even 100 rows: $small")
+      assert(big > small, "blocks must grow with the size estimate")
+      assert(big <= 4096, "cap must hold")
+    } finally s.conf.unset("spark.graft.simjoin.blockBytes")
+  }
+
   test("annCells: explicit pins, auto scales ~sqrt(n) with a 16 floor") {
     // The 10×-scale measurement (BENCH.md round 10): C ∝ n makes the
     // n·C assignment stage quadratic, C too small makes probe overlap
