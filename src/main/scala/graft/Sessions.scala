@@ -65,8 +65,18 @@ object Sessions {
 
   /** Idempotent per-session preparation for sessions we did NOT build
     * (the driver calls `SparkEntry.entry`/`queries` with its own):
-    * the nanos conf must be set before any `events` scan is planned. */
-  def prepare(s: SparkSession): Unit =
+    * the nanos conf must be set before any `events` scan is planned,
+    * and the session timezone must be UTC — it is part of the
+    * engine's declared semantics (every oracle hash-compares against
+    * DuckDB under UTC, SURVEY §5.1), and [[Tables.normalizeTs]]'s
+    * TIMESTAMP_NTZ branch maps the NTZ wall clock to an instant
+    * through it, so a non-UTC foreign session would silently read
+    * different instants from the timestamp[us] testdata vintage than
+    * from the nanos vintage (round-10 advice). */
+  def prepare(s: SparkSession): Unit = {
     if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (s.conf.get("spark.sql.session.timeZone") != "UTC")
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+  }
 }

@@ -103,27 +103,44 @@ object DedupStages {
       .select("id1", "id2", "jac")
   }
 
-  /** Bounded iterative MIN-LABEL PROPAGATION with pointer jumping —
-    * connected components over a near-dup pair list. Each round:
-    * (1) propagate: lab(v) ← min(lab(v), min over neighbors u of
-    * lab(u)) — one edge join + one min-groupBy; (2) jump:
-    * lab(v) ← lab(lab(v)) — one self-join (every label IS a node id,
-    * so the join is total). Propagate extends reach by one hop and
-    * jump doubles it, so covered component diameter after r rounds
-    * is 2^(r+1) - 1 ≥ 15 at the default r = 4 — far beyond any
-    * near-dup clique chain (convergence on a 12-hop path graph is
-    * pinned in ScalePathSpec). Each round's n_docs-row label frame
-    * is localCheckpoint'ed: without lineage truncation the jump
-    * self-join DOUBLES the logical plan per round (the analyzed-plan
-    * string hit the 2 GiB cap at 4 rounds) and every round would
-    * re-derive the pair list; with it, a round's plan is two joins
-    * over materialized partitions. Total work is rounds ×
-    * O(|V| + |E|) shuffles of tiny frames — the MapReduce CC recipe
-    * that holds at any corpus size (cf. Kiveris et al., "Connected
-    * Components in MapReduce and Beyond").
+  /** CONVERGENCE-BOUNDED iterative MIN-LABEL PROPAGATION with
+    * pointer jumping — connected components over a near-dup pair
+    * list. Each round: (1) propagate: lab(v) ← min(lab(v), min over
+    * neighbors u of lab(u)) — one edge join + one min-groupBy;
+    * (2) jump: lab(v) ← lab(lab(v)) — one self-join (every label IS
+    * a node id, so the join is total). Propagate extends reach by
+    * one hop and jump doubles it, so covered component diameter
+    * grows ≥ 2^r — but instead of a fixed round budget the loop
+    * STOPS at the fixpoint (round-10 verdict #2: q_dbscan's core
+    * graph converges in 5 rounds at sf0.1 while the old 16-round
+    * budget spent ~⅔ of its cost idle, 211 s at 10×). Detection is
+    * O(labels) per round: labels only DECREASE (every assignment is
+    * a min), so Σlab — summed in DECIMAL(38,0), no wraparound —
+    * strictly decreases until the fixpoint; an unchanged sum IS
+    * convergence. The fixpoint equals the full RECURSIVE oracle by
+    * construction, so the budget-outgrown failure mode of the fixed
+    * unroll is gone; `maxRounds` (default 64 ⇒ diameter ≥ 2^64)
+    * only guards a cyclic-update impossibility. Each round's
+    * n_docs-row label frame is localCheckpoint'ed: without lineage
+    * truncation the jump self-join DOUBLES the logical plan per
+    * round (the analyzed-plan string hit the 2 GiB cap at 4 rounds)
+    * and every round would re-derive the pair list; with it, a
+    * round's plan is two joins over materialized partitions. Total
+    * work is fixpointRounds × O(|V| + |E|) shuffles of tiny frames —
+    * the MapReduce CC recipe that holds at any corpus size (cf.
+    * Kiveris et al., "Connected Components in MapReduce and
+    * Beyond").
     */
   def minLabelPropagate(nodes: DataFrame, pairs: DataFrame,
-      rounds: Int = 4): DataFrame = {
+      maxRounds: Int = 64): DataFrame =
+    minLabelPropagateCounted(nodes, pairs, maxRounds)._1
+
+  /** [[minLabelPropagate]] plus the number of rounds executed —
+    * which is the fixpoint round count + 1 (the final round proves
+    * convergence by reproducing the previous sum). Exposed so specs
+    * can pin the measured convergence instead of trusting a budget. */
+  def minLabelPropagateCounted(nodes: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 64): (DataFrame, Int) = {
     // Self-loops fold "min over self AND neighbors" into ONE
     // edge join + groupBy per round (no union with the label frame —
     // a union whose second child joins through the first trips
@@ -132,8 +149,16 @@ object DedupStages {
       .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .unionByName(nodes.select(col("node").as("a"), col("node").as("b")))
       .localCheckpoint()
+    def labSum(l: DataFrame): Option[java.math.BigDecimal] =
+      Option(l.agg(sum(col("lab")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head.getDecimal(0))
     val init = nodes.select(col("node"), col("node").as("lab"))
-    (1 to rounds).foldLeft(init) { (l, _) =>
+    var l = init
+    var prevSum = labSum(init)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
       // prop is checkpointed BEFORE the jump self-join references it
       // twice — otherwise both join sides recompute the propagate
       // stage (measured ~2× the per-round cost).
@@ -141,12 +166,25 @@ object DedupStages {
         .groupBy("b").agg(min("lab").as("lab"))
         .select(col("b").as("node"), col("lab"))
         .localCheckpoint()
-      prop.as("x")
+      l = prop.as("x")
         .join(prop.select(col("node").as("ln"), col("lab").as("lab2")).as("y"),
           col("x.lab") === col("y.ln"))
         .select(col("x.node").as("node"), col("y.lab2").as("lab"))
         .localCheckpoint()
+      round += 1
+      val s = labSum(l)
+      converged = (s, prevSum) match {
+        case (Some(a), Some(b)) => a.compareTo(b) == 0
+        case (None, None) => true
+        case _ => false
+      }
+      prevSum = s
     }
+    if (!converged)
+      System.err.println(s"[graft] minLabelPropagate: label sum still " +
+        s"moving after maxRounds=$maxRounds — result may be a partial " +
+        "fixpoint (the oracle hash-compare will fail loudly if so)")
+    (l, round)
   }
 
   /** Naive share-any-shingle candidates — the baseline the prefix

@@ -377,6 +377,30 @@ object Joins {
   */
 object SimilarityStages {
 
+  private def parsePositive(raw: String, key: String, floor: Int): Int = {
+    val v = try raw.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$key must be an integer >= $floor or 'auto', got '$raw'")
+    }
+    if (v < floor) throw new IllegalArgumentException(
+      s"$key must be >= $floor (or 'auto'), got '$raw'")
+    v
+  }
+
+  /** Catalyst's size estimate for a frame, or None when the plan
+    * reports the UNKNOWN sentinel (`spark.sql.defaultSizeInBytes`,
+    * Long.MaxValue by default — RDD-backed frames without
+    * originStats, foreign sources, anything Catalyst can't size).
+    * Every sizing formula below must treat unknown as unknown: a
+    * saturated estimate fed into ceil(bytes/target) would silently
+    * absorb into the cap (4096-way union of cartesian blocks —
+    * round-10 advice) instead of picking a sane default. */
+  def planBytes(e: DataFrame): Option[BigInt] = {
+    val bytes = e.queryExecution.optimizedPlan.stats.sizeInBytes
+    val unknown = BigInt(e.sparkSession.sessionState.conf.defaultSizeInBytes)
+    if (bytes >= unknown) None else Some(bytes)
+  }
+
   /** Blocks for the chunked exact pair stages. `auto` = ceil(input
     * size estimate / `spark.graft.simjoin.blockBytes`, default
     * 256 MB): each block's build side stays a bounded fraction, and
@@ -386,21 +410,65 @@ object SimilarityStages {
     * (q_lof 2.83→6.17 s, q_dbscan 7.59→10.41 s). Size comes from
     * Catalyst's plan statistics (file-size-derived for parquet
     * scans) — no extra job. Capped at 4096 so a pathological
-    * estimate can't explode the plan's operator count. */
+    * estimate can't explode the plan's operator count; an UNKNOWN
+    * estimate ([[planBytes]]) falls back to a fixed 4 blocks (bounded
+    * build sides without the plan-size explosion the cap would
+    * otherwise absorb) and says so on stderr. */
   def blockCount(e: DataFrame): Int = {
     val conf = e.sparkSession.conf
     conf.get("spark.graft.simjoin.blocks", "auto") match {
       case "auto" =>
-        val bytes = e.queryExecution.optimizedPlan.stats.sizeInBytes
-        val target = BigInt(conf.get(
-          "spark.graft.simjoin.blockBytes", (256L << 20).toString))
-        (((bytes + target - 1) / target) max 1 min 4096).toInt
-      case explicit => explicit.toInt
+        val target = BigInt(parsePositive(conf.get(
+          "spark.graft.simjoin.blockBytes", (256L << 20).toString),
+          "spark.graft.simjoin.blockBytes", floor = 1))
+        planBytes(e) match {
+          case Some(bytes) =>
+            (((bytes + target - 1) / target) max 1 min 4096).toInt
+          case None =>
+            System.err.println("[graft] simjoin.blocks=auto: plan size " +
+              "estimate is unknown (defaultSizeInBytes sentinel); " +
+              "falling back to 4 blocks — set spark.graft.simjoin.blocks " +
+              "explicitly to override")
+            4
+        }
+      case explicit =>
+        parsePositive(explicit, "spark.graft.simjoin.blocks", floor = 1)
     }
   }
 
-  /** Pair stage dispatcher. `spark.graft.simjoin.mode`:
-    *  - `exact` (default, the declared/oracled semantics): the
+  /** Pair-stage mode resolution shared by [[allPairsSim]] and
+    * [[knnCandidates]]. Explicit `exact`/`ann` pins; the default
+    * `auto` picks by the input's size estimate against
+    * `spark.graft.ann.autoThresholdBytes` (default 4 MiB — the
+    * measured crossover: at sf0.1 (~0.8 MB embeddings) the chunked
+    * exact stage wins, at 10× (~8 MB) IVF multi-probe with C ≈ √n and
+    * few probes beats it 1.3–2× and the gap widens with n — BENCH.md
+    * round 10). Below the threshold — which includes every oracled
+    * test sf — the plan IS the declared exact semantics; at or above
+    * it the ann route takes over, whose recall is total at the
+    * settings the specs pin and the standard IVF trade beyond.
+    * An unknown estimate resolves to exact (declared semantics). */
+  def resolveMode(e: DataFrame, key: String): String =
+    e.sparkSession.conf.get(key, "auto") match {
+      case "auto" =>
+        val thr = BigInt(parsePositive(
+          e.sparkSession.conf.get(
+            "spark.graft.ann.autoThresholdBytes", (4L << 20).toString),
+          "spark.graft.ann.autoThresholdBytes", floor = 1))
+        planBytes(e) match {
+          case Some(b) if b >= thr => "ann"
+          case _ => "exact"
+        }
+      case m @ ("exact" | "ann") => m
+      case other => throw new IllegalArgumentException(
+        s"$key must be exact|ann|auto, got '$other'")
+    }
+
+  /** Pair stage dispatcher. `spark.graft.simjoin.mode` (default
+    * `auto` — size-gated via [[resolveMode]], so every oracled test
+    * sf stays on the declared exact plan while estimates past the
+    * measured crossover route to ann WITHOUT a conf change):
+    *  - `exact` (the declared/oracled semantics): the
     *    block-chunked exact all-pairs join below;
     *  - `ann`: the 100 TB route — IVF-style multi-probe candidate
     *    generation (each vector joins only vectors sharing one of its
@@ -419,39 +487,57 @@ object SimilarityStages {
     *    q_mixture_apply_threshold precedent: declared form stays the
     *    oracle, scale form proven equivalent where recall allows).
     */
-  def allPairsSim(e: DataFrame, tau: Double): DataFrame = {
-    val mode = e.sparkSession.conf.get("spark.graft.simjoin.mode", "exact")
-    mode match {
+  def allPairsSim(e: DataFrame, tau: Double): DataFrame =
+    resolveMode(e, "spark.graft.simjoin.mode") match {
       case "exact" => exactSim(e, tau)
       case "ann" => annSim(e, tau)
-      case other => throw new IllegalArgumentException(
-        s"spark.graft.simjoin.mode must be exact|ann, got '$other'")
+    }
+
+  /** IVF cell count for the ann candidate stages. An explicit
+    * integer pins it; the default `auto` derives C ≈ √n from
+    * Catalyst's plan statistics — the joint optimum of the n·C
+    * assignment stage and the n²·P²/C bucket stage (both
+    * sub-quadratic at √n; BENCH.md round 10 has the measurements —
+    * C=16 fixed degenerates to all-pairs at 10×, C ∝ n makes the
+    * assignment the new quadratic term). Row count falls back to
+    * sizeInBytes over an assumed ~540-byte row (BIGINT id + 64-dim
+    * DOUBLE array) when the estimate carries no rowCount — C only
+    * needs the right ORDER, not the exact n. Floor 16 (never fewer
+    * cells than the round-10 pinned constant, so the small-sf
+    * recall-total behavior the specs pin is unchanged), cap 65536
+    * (beyond that the codebook broadcast itself needs the
+    * hierarchical treatment). An UNKNOWN size estimate
+    * ([[planBytes]]) resolves to the 16 floor. */
+  def annCells(e: DataFrame, key: String): Int = {
+    val conf = e.sparkSession.conf
+    conf.get(key, "auto") match {
+      case "auto" =>
+        val rows = e.queryExecution.optimizedPlan.stats.rowCount
+          .map(_.toLong)
+          .orElse(planBytes(e).map(b => (b / 540).toLong max 1L))
+        rows match {
+          case Some(n) => (math.sqrt(n.toDouble).ceil.toInt max 16) min 65536
+          case None => 16
+        }
+      case explicit => parsePositive(explicit, key, floor = 1)
     }
   }
 
-  /** IVF cell count for the ann candidate stages. An explicit
-    * integer pins it (the default 16 keeps the recall-total
-    * spec-pinned behavior at the test sfs); `auto` derives C ≈ √n
-    * from Catalyst's plan statistics — the joint optimum of the
-    * n·C assignment stage and the n²·P²/C bucket stage (both
-    * sub-quadratic at √n; BENCH.md round 10 has the measurements).
-    * Row count falls back to sizeInBytes over an assumed ~540-byte
-    * row (BIGINT id + 64-dim DOUBLE array) when the estimate
-    * carries no rowCount — C only needs the right ORDER, not the
-    * exact n. Floor 16 (never fewer cells than the pinned default),
-    * cap 65536 (beyond that the codebook broadcast itself needs the
-    * hierarchical treatment). */
-  def annCells(e: DataFrame, key: String): Int = {
-    val conf = e.sparkSession.conf
-    conf.get(key, "16") match {
-      case "auto" =>
-        val stats = e.queryExecution.optimizedPlan.stats
-        val rows = stats.rowCount.map(_.toLong).getOrElse(
-          (stats.sizeInBytes / 540).toLong max 1L)
-        (math.sqrt(rows.toDouble).ceil.toInt max 16) min 65536
-      case explicit => explicit.toInt
+  /** Probe count for the ann candidate stages. An explicit integer
+    * pins it; the default `auto` scales DOWN from the family's
+    * pinned coverage at the 16-cell floor (`pinned` of 16 — total
+    * recall at the test sfs, spec-pinned set-equality) as the cell
+    * count grows: P = max(2, ceil(16·pinned / C)), i.e. constant
+    * P/C coverage until it bottoms out at the measured large-n
+    * optimum of 2 probes (BENCH.md round 10: C≈√n with P=2 beats
+    * the exact arm 1.3–2× at 10×, while P=8-of-16 re-degenerates to
+    * all-pairs). At C = the 16 floor this is exactly the pinned
+    * constant, so small-sf behavior is unchanged. */
+  def annProbes(e: DataFrame, key: String, cells: Int, pinned: Int): Int =
+    e.sparkSession.conf.get(key, "auto") match {
+      case "auto" => math.max(2, math.ceil(16.0 * pinned / cells).toInt)
+      case explicit => parsePositive(explicit, key, floor = 1)
     }
-  }
 
   /** Multi-probe IVF candidates: pairs sharing ≥1 of each side's
     * `probes` nearest cells (deterministic codebook = vec_id < cells,
@@ -499,8 +585,10 @@ object SimilarityStages {
     * rows with a ≠ b — callers apply their own distance kernel,
     * top-k window, or eps filter on top.
     *
-    * `spark.graft.knn.mode`:
-    *  - `exact` (default, the declared/oracled semantics): every
+    * `spark.graft.knn.mode` (default `auto` — size-gated via
+    * [[resolveMode]]: the oracled test sfs stay on the declared exact
+    * plan, estimates past the measured crossover route to ann):
+    *  - `exact` (the declared/oracled semantics): every
     *    directed pair, block-chunked exactly like [[allPairsSim]]'s
     *    exact arm — NO broadcast hint (a whole-table block on every
     *    executor hits the 8 GB broadcast ceiling long before 100 TB;
@@ -517,9 +605,8 @@ object SimilarityStages {
     *    test sfs the defaults have total recall, so ScalePathSpec
     *    pins ann ≡ exact per operator (the simjoin precedent).
     */
-  def knnCandidates(e: DataFrame, metric: String): DataFrame = {
-    val conf = e.sparkSession.conf
-    conf.get("spark.graft.knn.mode", "exact") match {
+  def knnCandidates(e: DataFrame, metric: String): DataFrame =
+    resolveMode(e, "spark.graft.knn.mode") match {
       case "exact" =>
         val blocks = blockCount(e)
         val a = fanout(e.select(col("vec_id").as("a"), col("v").as("av")))
@@ -531,7 +618,8 @@ object SimilarityStages {
         }.reduce(_ unionByName _)
       case "ann" =>
         val cells = annCells(e, "spark.graft.knn.ann.cells")
-        val probes = conf.get("spark.graft.knn.ann.probes", "8").toInt
+        val probes = annProbes(
+          e, "spark.graft.knn.ann.probes", cells, pinned = 8)
         val und = annCandidates(
           e.select(col("vec_id"), col("v").as("embedding")),
           cells, probes, metric)
@@ -540,15 +628,12 @@ object SimilarityStages {
         dir.join(e.select(col("vec_id").as("a"), col("v").as("av")), "a")
           .join(e.select(col("vec_id").as("b"), col("v").as("bv")), "b")
           .select("a", "b", "av", "bv")
-      case other => throw new IllegalArgumentException(
-        s"spark.graft.knn.mode must be exact|ann, got '$other'")
     }
-  }
 
   private def annSim(e: DataFrame, tau: Double): DataFrame = {
-    val conf = e.sparkSession.conf
     val cells = annCells(e, "spark.graft.simjoin.ann.cells")
-    val probes = conf.get("spark.graft.simjoin.ann.probes", "6").toInt
+    val probes = annProbes(
+      e, "spark.graft.simjoin.ann.probes", cells, pinned = 6)
     val cand = annCandidates(e, cells, probes)
     val v1 = e.select(col("vec_id").as("id1"),
       col("embedding").cast("array<double>").as("v1"))

@@ -547,11 +547,12 @@ object Semantic {
     // `spark.graft.knn.mode=ann` = IVF-probed L2 candidates,
     // set-equal at the test sfs — ScalePathSpec); everything after is
     // edge-frame-sized: degree fold, core filter, and the
-    // q_dup_clusters CC machinery (bounded min-label propagation
-    // with pointer jumping, 6 rounds → covers component diameter
-    // 127; the full-fixpoint RECURSIVE oracle fails the hash loudly
-    // if a component ever outgrows that). Determinism: distances
-    // round 6dp against a literal eps²; every label pick is a min.
+    // q_dup_clusters CC machinery (min-label propagation with
+    // pointer jumping, run to its label-sum fixpoint — the same
+    // fixpoint the full RECURSIVE oracle computes, so the hash
+    // compare is exact at any component diameter). Determinism:
+    // distances round 6dp against a literal eps²; every label pick
+    // is a min.
     Q("q_dbscan",
       """WITH RECURSIVE e AS (SELECT vec_id,
         |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -599,21 +600,23 @@ object Semantic {
         .join(core.select(col("id").as("b")), "b")
         .filter(col("a") < col("b"))
         .select(col("a").as("id1"), col("b").as("id2"))
-      // rounds = 16. The DBSCAN core graph near the density
-      // threshold is TREE-like (measured: 130 edges over 125 cores
-      // at sf0.01, one 101-node component of graph diameter 13), so
-      // unlike near-dup cliques its diameter scales with component
-      // size — and the pointer-jump round is only OPPORTUNISTIC
+      // The DBSCAN core graph near the density threshold is
+      // TREE-like (measured: 130 edges over 125 cores at sf0.01,
+      // one 101-node component of graph diameter 13), so unlike
+      // near-dup cliques its diameter scales with component size —
+      // and the pointer-jump round is only OPPORTUNISTIC
       // acceleration (the min id within k hops can point away from
       // the component minimum, so jumps don't guarantee doubling on
       // adversarial id layouts; measured convergence: 12 rounds at
       // sf0.01, 5 at sf0.1 where density shrinks the diameter).
-      // Budget = propagate-guaranteed hops ≥ observed diameter with
-      // margin; each round shuffles only core-count-sized label
-      // frames, and the full-fixpoint RECURSIVE oracle fails the
-      // hash loudly if a corpus ever outgrows the budget.
+      // minLabelPropagate stops AT the measured fixpoint (label-sum
+      // convergence) instead of the old fixed 16-round budget that
+      // spent most rounds idle (round-10 verdict #2); each round
+      // shuffles only core-count-sized label frames, and the
+      // full-fixpoint RECURSIVE oracle fails the hash loudly if the
+      // stop rule were ever wrong.
       val lab = DedupStages.minLabelPropagate(
-        core.select(col("id").as("node")), cePairs, rounds = 16)
+        core.select(col("id").as("node")), cePairs)
       val border = nbr
         .join(lab.select(col("node").as("b"), col("lab")), "b")
         .join(core.select(col("id").as("a")), Seq("a"), "left_anti")

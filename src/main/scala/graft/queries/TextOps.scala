@@ -149,19 +149,21 @@ object TextOps {
 
     // Duplicate-cluster canonicalization — the step after pair
     // finding that an LLM-data pipeline actually executes: CONNECTED
-    // COMPONENTS over the ≥τ near-dup pair graph via bounded
-    // iterative min-label propagation with pointer jumping
-    // (DedupStages.minLabelPropagate — 4 rounds cover component
-    // diameter 15; convergence pinned in ScalePathSpec, including a
-    // (3,9),(5,9)-shaped transitive component where every member
+    // COMPONENTS over the ≥τ near-dup pair graph via iterative
+    // min-label propagation with pointer jumping, run to its
+    // label-sum fixpoint (DedupStages.minLabelPropagate — stops the
+    // round after labels stop moving; convergence pinned in
+    // ScalePathSpec, including a (3,9),(5,9)-shaped transitive
+    // component where every member
     // canonicalizes to 3). canonical = the component's minimum
     // doc_id; keep = the doc IS its component minimum, so exactly
     // one doc survives per duplicate cluster even when members are
     // connected only transitively. The pair list is cached once;
     // each round shuffles only n_docs-row label frames. Oracle =
     // full-fixpoint WITH RECURSIVE min-label walk (UNION-deduped
-    // reachability), which equals the bounded engine result for any
-    // diameter ≤ 15 — growth past that fails the hash loudly.
+    // reachability) — the same fixpoint the convergence-stopped
+    // engine loop computes, so the hash compare is exact at any
+    // component diameter.
     Q("q_dup_clusters",
       s"""WITH RECURSIVE
          |tok AS (SELECT doc_id, $toksDuck AS w FROM documents),

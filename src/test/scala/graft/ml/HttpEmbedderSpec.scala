@@ -18,9 +18,10 @@ class HttpEmbedderSpec extends SparkTestBase {
   private val surrogate = new HashTextEmbedder(16)
 
   /** (server, port, requestLog); handler fails the first `failures`
-    * requests with HTTP 503, then serves surrogate embeddings of
-    * `dim` components. */
-  private def startServer(failures: Int, dim: Int = 16)
+    * requests with HTTP `failCode` (503 by default; pass 429 to
+    * simulate a rate-limited endpoint), then serves surrogate
+    * embeddings of `dim` components. */
+  private def startServer(failures: Int, dim: Int = 16, failCode: Int = 503)
       : (HttpServer, Int, ArrayBuffer[(Long, Int)]) = {
     val sur = new HashTextEmbedder(dim)
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -31,7 +32,7 @@ class HttpEmbedderSpec extends SparkTestBase {
         .split("\n", -1).filter(_.nonEmpty)
       log.synchronized { log += ((System.currentTimeMillis(), lines.length)) }
       if (remainingFailures.getAndDecrement() > 0) {
-        ex.sendResponseHeaders(503, -1)
+        ex.sendResponseHeaders(failCode, -1)
         ex.close()
       } else {
         val body = lines.map { l =>
@@ -127,6 +128,40 @@ class HttpEmbedderSpec extends SparkTestBase {
     } finally {
       s.conf.unset("spark.graft.embedder")
       s.conf.unset("spark.graft.embedder.endpoint")
+      server.stop(0)
+    }
+  }
+
+  test("q_embed_text e2e through a 429-ing, rate-limited endpoint (round-10 verdict #4)") {
+    // The full production posture in ONE pass: the declared
+    // q_embed_text plan, spark.graft.embedder=http, an endpoint that
+    // answers the first two requests HTTP 429 (the rate-limit reply a
+    // real inference service sends), batching via the conf'd batch
+    // size, and the per-partition min-interval limiter — the result
+    // must still be bit-equal to the verified surrogate baseline.
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    val s = spark
+    val expected = graft.SparkEntry.queries("q_embed_text")(s, sf).collect()
+    val (server, port, log) = startServer(failures = 2, dim = 64, failCode = 429)
+    try {
+      s.conf.set("spark.graft.embedder", "http")
+      s.conf.set("spark.graft.embedder.endpoint", s"http://127.0.0.1:$port/embed")
+      s.conf.set("spark.graft.embedder.batchSize", "16")
+      s.conf.set("spark.graft.embedder.minIntervalMs", "5")
+      val viaHttp = graft.SparkEntry.queries("q_embed_text")(s, sf).collect()
+      assert(viaHttp.length === expected.length)
+      viaHttp.zip(expected).foreach { case (a, b) => assert(a === b) }
+      // The 429s really happened and were absorbed by retry: the log
+      // has (2 failed + retried) more requests than pure batches.
+      val batches = log.map(_._2).toSeq
+      assert(batches.length >= 3, s"expected 429 retries in the log: $batches")
+      assert(batches.forall(_ <= 16), s"batch size conf ignored: $batches")
+    } finally {
+      s.conf.unset("spark.graft.embedder")
+      s.conf.unset("spark.graft.embedder.endpoint")
+      s.conf.unset("spark.graft.embedder.batchSize")
+      s.conf.unset("spark.graft.embedder.minIntervalMs")
       server.stop(0)
     }
   }

@@ -108,9 +108,11 @@ class Round8Wave21Spec extends SparkTestBase {
 
   test("mutual_knn: chunked equi-keyed pair stage, no forced broadcast") {
     // Round-9 contract (97ae39e): the pairwise BNLJ was replaced by
-    // SimilarityStages.knnCandidates — pmod-block-chunked equi-joins
-    // whose build sides are bounded fractions of the table, plus an
-    // equi-keyed reciprocity join. With the size-estimate broadcast
+    // SimilarityStages.knnCandidates — pmod blocks THETA-joined
+    // (a =!= b plans as a spillable CartesianProduct per block once
+    // broadcast is off) with build sides bounded fractions of the
+    // table; only the reciprocity join is equi-keyed, and it is the
+    // SortMergeJoin asserted below. With the size-estimate broadcast
     // path disabled, a HINT is the only way a broadcast could
     // appear, so the plan must be broadcast-free (the scale claim:
     // nothing data-sized is ever shipped to every executor). Mirrors

@@ -559,8 +559,9 @@ class ScalePathSpec extends SparkTestBase {
     s.conf.set(key, "48")
     try assert(SimilarityStages.annCells(frame(5000), key) === 48)
     finally s.conf.unset(key)
-    // default (conf unset) stays the pinned 16
-    assert(SimilarityStages.annCells(frame(5000), key) === 16)
+    // default (conf unset) IS auto (round-11: the measured posture
+    // became the default): small inputs sit on the pinned 16 floor…
+    assert(SimilarityStages.annCells(frame(100), key) === 16)
     s.conf.set(key, "auto")
     try {
       val small = SimilarityStages.annCells(frame(100), key)
@@ -570,6 +571,146 @@ class ScalePathSpec extends SparkTestBase {
       // guess a generous band — auto needs the right ORDER, not n.
       assert(big >= 60 && big <= 700, s"sqrt scaling: got $big")
       assert(big > small, "auto must grow with input size")
+      // …and default-unset equals explicit auto.
+      val defaulted = { s.conf.unset(key)
+        SimilarityStages.annCells(frame(40000), key) }
+      assert(defaulted === big, "conf-unset default must equal auto")
     } finally s.conf.unset(key)
+  }
+
+  test("annProbes: explicit pins, auto holds the pinned coverage at the floor and decays to 2") {
+    // Round-11 posture: P = max(2, ceil(16·pinned / C)) — exactly the
+    // pinned constant at the 16-cell floor (so every small-sf
+    // set-equality pin is unchanged) and the measured large-n optimum
+    // P=2 once C ≈ √n grows (BENCH.md round 10: P=8-of-16 at 10×
+    // degenerates to all-pairs; C=√n, P=2 beats exact 1.3–2×).
+    val s = spark
+    import s.implicits._
+    val frame = Seq((1L, Array.fill(8)(0.5))).toDF("vec_id", "v")
+    val key = "spark.graft.knn.ann.probes"
+    s.conf.set(key, "5")
+    try assert(SimilarityStages.annProbes(frame, key, cells = 999, pinned = 8) === 5)
+    finally s.conf.unset(key)
+    assert(SimilarityStages.annProbes(frame, key, cells = 16, pinned = 8) === 8)
+    assert(SimilarityStages.annProbes(frame, key, cells = 16, pinned = 6) === 6)
+    assert(SimilarityStages.annProbes(frame, key, cells = 32, pinned = 8) === 4)
+    assert(SimilarityStages.annProbes(frame, key, cells = 128, pinned = 8) === 2)
+    assert(SimilarityStages.annProbes(frame, key, cells = 65536, pinned = 8) === 2,
+      "auto must bottom out at 2 probes")
+  }
+
+  test("mode auto: size-gated — exact below the threshold, ann at it, explicit wins") {
+    // Round-10 verdict #1: the measured scale posture is the DEFAULT.
+    // `spark.graft.{knn,simjoin}.mode` default `auto` resolves by the
+    // input's size estimate against spark.graft.ann.autoThresholdBytes:
+    // the oracled test sfs stay on the declared exact plan, scaled-up
+    // frames route to IVF multi-probe without any conf change.
+    val s = spark
+    import s.implicits._
+    val emb = Seq.tabulate(64)(i =>
+      (i.toLong, Array.fill(8)(i / 64.0 - 0.5))).toDF("vec_id", "v")
+    // tiny frame, default threshold (4 MiB) → exact
+    assert(SimilarityStages.resolveMode(emb, "spark.graft.knn.mode") === "exact")
+    // threshold forced to 1 byte → every frame is "large" → ann
+    s.conf.set("spark.graft.ann.autoThresholdBytes", "1")
+    try {
+      assert(SimilarityStages.resolveMode(emb, "spark.graft.knn.mode") === "ann")
+      // the ann-routed candidate stage must genuinely prune: no
+      // CartesianProduct in the plan (IVF equi-join on cell keys)
+      val plan = SimilarityStages.knnCandidates(emb, "l2")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"auto-ann plan still carries an all-pairs stage:\n$plan")
+      // explicit mode beats the size gate in both directions
+      s.conf.set("spark.graft.knn.mode", "exact")
+      try assert(SimilarityStages.resolveMode(emb, "spark.graft.knn.mode") === "exact")
+      finally s.conf.unset("spark.graft.knn.mode")
+    } finally s.conf.unset("spark.graft.ann.autoThresholdBytes")
+    s.conf.set("spark.graft.knn.mode", "ann")
+    try assert(SimilarityStages.resolveMode(emb, "spark.graft.knn.mode") === "ann")
+    finally s.conf.unset("spark.graft.knn.mode")
+    // malformed mode names the key
+    s.conf.set("spark.graft.simjoin.mode", "fuzzy")
+    try {
+      val ex = intercept[IllegalArgumentException](
+        SimilarityStages.resolveMode(emb, "spark.graft.simjoin.mode"))
+      assert(ex.getMessage.contains("spark.graft.simjoin.mode"))
+    } finally s.conf.unset("spark.graft.simjoin.mode")
+  }
+
+  test("sizing treats an unknown estimate as unknown: RDD-backed frame → 4 blocks, exact mode, 16 cells") {
+    // Round-10 advice (medium): a plan whose leaves report
+    // spark.sql.defaultSizeInBytes (Long.MaxValue — RDD-backed
+    // frames, foreign sources) must NOT saturate blocks=auto into a
+    // 4096-way union of cartesian joins; it falls back to a small
+    // constant, and the mode gate resolves to the declared exact
+    // semantics rather than pretending the input is 100 TB.
+    val s = spark
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    val rdd = s.sparkContext.parallelize(Seq.tabulate(8)(i =>
+      org.apache.spark.sql.Row(i.toLong, Seq.fill(4)(i.toDouble))))
+    val rddFrame = s.createDataFrame(rdd, schema)
+    assert(SimilarityStages.planBytes(rddFrame).isEmpty,
+      "RDD-backed frame must report an unknown size estimate")
+    assert(SimilarityStages.blockCount(rddFrame) === 4,
+      "unknown estimate must fall back to 4 blocks, not the 4096 cap")
+    assert(SimilarityStages.resolveMode(rddFrame, "spark.graft.knn.mode")
+      === "exact", "unknown estimate must resolve to the declared exact mode")
+    assert(SimilarityStages.annCells(rddFrame, "spark.graft.knn.ann.cells")
+      === 16, "unknown estimate must resolve to the 16-cell floor")
+  }
+
+  test("sizing confs are validated at read time with the offending key named") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq((1L, Array.fill(8)(0.5))).toDF("vec_id", "v")
+    def failsNaming(key: String, value: String)(body: => Any): Unit = {
+      s.conf.set(key, value)
+      try {
+        val ex = intercept[IllegalArgumentException](body)
+        assert(ex.getMessage.contains(key),
+          s"error for $key=$value does not name the key: ${ex.getMessage}")
+      } finally s.conf.unset(key)
+    }
+    failsNaming("spark.graft.simjoin.blockBytes", "0")(
+      SimilarityStages.blockCount(emb))
+    failsNaming("spark.graft.simjoin.blocks", "0")(
+      SimilarityStages.blockCount(emb))
+    failsNaming("spark.graft.simjoin.blocks", "-3")(
+      SimilarityStages.blockCount(emb))
+    failsNaming("spark.graft.simjoin.blocks", "many")(
+      SimilarityStages.blockCount(emb))
+    failsNaming("spark.graft.ann.autoThresholdBytes", "-1")(
+      SimilarityStages.resolveMode(emb, "spark.graft.knn.mode"))
+    failsNaming("spark.graft.knn.ann.cells", "0")(
+      SimilarityStages.annCells(emb, "spark.graft.knn.ann.cells"))
+    failsNaming("spark.graft.knn.ann.probes", "zero")(
+      SimilarityStages.annProbes(emb, "spark.graft.knn.ann.probes", 16, 8))
+  }
+
+  test("min-label propagation stops at the fixpoint: round count = diameter-bound + proof round") {
+    val s = spark
+    import s.implicits._
+    // A 12-hop path converges once labels stop moving; propagate+jump
+    // covers it in ≤ 5 working rounds, plus ONE proof round that
+    // reproduces the previous label sum. The old fixed budget ran 16
+    // rounds on q_dbscan regardless (round-10 verdict #2).
+    val pairs = (100L until 112L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val nodes = (100L to 112L).toDF("node")
+    val (lab, rounds) = DedupStages.minLabelPropagateCounted(nodes, pairs)
+    val got = lab.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (100L to 112L).foreach(n => assert(got(n) == 100L))
+    assert(rounds >= 2 && rounds <= 6,
+      s"expected fixpoint in 2..6 rounds (5 working + 1 proof max), ran $rounds")
+    // A no-edge graph is its own fixpoint: exactly 1 proof round.
+    val (_, r0) = DedupStages.minLabelPropagateCounted(
+      (1L to 5L).toDF("node"),
+      s.emptyDataset[(Long, Long)].toDF("id1", "id2"))
+    assert(r0 === 1, s"edgeless graph must converge in one proof round, ran $r0")
   }
 }
