@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
   */
 object GraftFunctions {
   val names: Seq[String] =
-    Seq("dot_product", "cosine_distance", "l2_distance", "l2_norm",
-      "char_shingles")
+    Seq("dot_product", "cosine_distance", "l2_distance", "sq_l2_distance",
+      "l2_norm", "char_shingles")
 
   // Names graft itself registered, per session (weak keys — a closed
   // session drops its entry). A foreign squatter is also recorded
@@ -85,6 +85,7 @@ object GraftFunctions {
     ensure("dot_product")(es => DotProduct(d(es(0)), d(es(1))))
     ensure("cosine_distance")(es => CosineDistance(d(es(0)), d(es(1))))
     ensure("l2_distance")(es => L2Distance(d(es(0)), d(es(1))))
+    ensure("sq_l2_distance")(es => SqL2Distance(d(es(0)), d(es(1))))
     ensure("l2_norm")(es => L2Norm(d(es.head)))
     ensure("char_shingles")(es => CharShingles(es(0), es(1)))
   }
@@ -97,6 +98,8 @@ object GraftFunctions {
     lit(1.0) - call_function("cosine_distance", a, b)
   def l2_distance(a: Column, b: Column): Column =
     call_function("l2_distance", a, b)
+  def sq_l2_distance(a: Column, b: Column): Column =
+    call_function("sq_l2_distance", a, b)
   def l2_norm(a: Column): Column = call_function("l2_norm", a)
 
   // ---- Higher-order-function fallbacks (pure built-in Catalyst

@@ -169,6 +169,61 @@ case class L2Distance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared Euclidean distance ||a - b||_2² — the kNN/eps-neighbor
+  * kernel (monotone in L2, so top-k and threshold semantics are
+  * unchanged while the sqrt is skipped). Accumulates (x-y)·(x-y)
+  * LEFT-TO-RIGHT, the exact op sequence of the
+  * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0, +)` fold it
+  * replaces in the pair-volume paths (q_lof/q_dbscan's d², the ann
+  * cell assignment) — bit-identical doubles, so every 6dp-rounded
+  * oracle comparison is unaffected. The interpreted HOF fold it
+  * replaces allocates a fresh array per PAIR and evaluates the
+  * lambda through megamorphic dispatch — at 64 M pairs per sf0.1
+  * pair stage that is both ~5× slower and wildly variance-prone
+  * (the fold's interpreter call sites get polluted by whatever ran
+  * earlier in the JVM; measured 9.5 s → 44-70 s on the same plan).
+  * A codegen while-loop has neither failure mode. */
+case class SqL2Distance(left: Expression, right: Expression)
+    extends BinaryVectorExpression {
+  override def prettyName: String = "sq_l2_distance"
+
+  override protected def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (a.isNullAt(i)) 0.0 else a.getDouble(i)
+      val y = if (b.isNullAt(i)) 0.0 else b.getDouble(i)
+      val d = x - y
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i"); val x = ctx.freshName("x")
+      val y = ctx.freshName("y"); val dd = ctx.freshName("dd")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.isNullAt($i) ? 0.0 : $a.getDouble($i);
+         |  double $y = $b.isNullAt($i) ? 0.0 : $b.getDouble($i);
+         |  double $dd = $x - $y;
+         |  $acc += $dd * $dd;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** ||a||_2 */
 case class L2Norm(child: Expression) extends UnaryExpression
     with Serializable {

@@ -41,6 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("l2_distance"),
       info("l2_distance", "l2_distance(a, b) - ||a - b||_2"),
       (es: Seq[Expression]) => L2Distance(widen(es(0)), widen(es(1)))))
+    ext.injectFunction((FunctionIdentifier("sq_l2_distance"),
+      info("sq_l2_distance", "sq_l2_distance(a, b) - ||a - b||_2^2"),
+      (es: Seq[Expression]) => SqL2Distance(widen(es(0)), widen(es(1)))))
     ext.injectFunction((FunctionIdentifier("l2_norm"),
       info("l2_norm", "l2_norm(a) - ||a||_2"),
       (es: Seq[Expression]) => L2Norm(widen(es.head))))

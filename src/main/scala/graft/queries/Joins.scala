@@ -572,12 +572,12 @@ object SimilarityStages {
       .select("id1", "id2").distinct()
   }
 
-  /** Squared L2 over two DOUBLE array columns — the lambda fold every
-    * L2 caller shares (left-to-right element order, so both engines
-    * accumulate identically). */
+  /** Squared L2 over two DOUBLE array columns — the codegen kernel
+    * (graft.functions.SqL2Distance), which accumulates (x-y)·(x-y)
+    * left-to-right exactly like the HOF fold it replaced, so both
+    * engines still see identical doubles. */
   def sqDist(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, t) => acc + t)
+    graft.functions.GraftFunctions.sq_l2_distance(x, y)
 
   /** Directed neighbor-candidate stage for the kNN-shaped operators
     * (q_mutual_knn top-3, q_lof top-5, q_dbscan eps-neighbors).

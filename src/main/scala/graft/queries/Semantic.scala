@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
-import graft.functions.GraftFunctions.cosine_distance
+import graft.functions.GraftFunctions.{cosine_distance, sq_l2_distance}
 import TextKit.toksDuck
 
 /** SEMANTIC (clustered) embedding dedup — the SemDeDup recipe
@@ -500,9 +500,11 @@ object Semantic {
         .select(col("vec_id"), col("embedding").cast("array<double>")
           .as("v"))
         .localCheckpoint(eager = false)
-      val d2e = round(expr(
-        """aggregate(zip_with(av, bv, (x, y) -> (x - y) * (x - y)),
-          |CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)""".stripMargin), 6)
+      // Codegen kernel, bit-identical to the HOF fold it replaced
+      // (same left-to-right (x-y)*(x-y) accumulation — see
+      // functions.SqL2Distance scaladoc for why the interpreted fold
+      // was a variance trap at pair volume).
+      val d2e = round(sq_l2_distance(col("av"), col("bv")), 6)
       val knn = SimilarityStages.knnCandidates(e, metric = "l2")
         .select(col("a"), col("b"), d2e.as("d2"))
         .withColumn("rn", row_number().over(
@@ -585,9 +587,11 @@ object Semantic {
         .select(col("vec_id"), col("embedding").cast("array<double>")
           .as("v"))
         .localCheckpoint(eager = false)
-      val d2e = round(expr(
-        """aggregate(zip_with(av, bv, (x, y) -> (x - y) * (x - y)),
-          |CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)""".stripMargin), 6)
+      // Codegen kernel, bit-identical to the HOF fold it replaced
+      // (same left-to-right (x-y)*(x-y) accumulation — see
+      // functions.SqL2Distance scaladoc for why the interpreted fold
+      // was a variance trap at pair volume).
+      val d2e = round(sq_l2_distance(col("av"), col("bv")), 6)
       val nbr = SimilarityStages.knnCandidates(e, metric = "l2")
         .select(col("a"), col("b"), d2e.as("d2"))
         .filter(col("d2") <= 1.34).select("a", "b")

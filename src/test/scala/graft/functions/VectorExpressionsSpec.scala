@@ -102,6 +102,32 @@ class VectorExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("sq_l2_distance: hand-computed, codegen == interpreted") {
+    // (3-0)² + (4-0)² = 25 — the 3-4-5 triangle squared.
+    val (c, i) = evalBoth(d(3, 4), d(0, 0), "sq_l2_distance(a, b)")
+    assert(c === 25.0); assert(i === 25.0)
+  }
+
+  test("sq_l2_distance is BIT-identical to the HOF fold it replaced") {
+    // The kernel's claim (used by q_lof/q_dbscan's 6dp-rounded d²) is
+    // the exact left-to-right (x-y)*(x-y) accumulation of the
+    // aggregate(zip_with(...)) fold — assert EXACT equality, not an
+    // epsilon, on random vectors.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(100)((Seq.fill(64)(rnd.nextDouble() * 10 - 5),
+      Seq.fill(64)(rnd.nextDouble() * 10 - 5)))
+    val base = rows.toDF("a", "b")
+    base.select(
+      GraftFunctions.sq_l2_distance(col("a"), col("b")).as("k"),
+      expr("aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), " +
+        "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)").as("h"))
+      .collect().foreach { case Row(k: Double, h: Double) =>
+        assert(k == h, s"kernel $k != fold $h")
+      }
+  }
+
   test("distance properties: symmetric, in [0, 2], d(x,x) ~ 0") {
     val s = spark
     import s.implicits._
