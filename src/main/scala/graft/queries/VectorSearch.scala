@@ -783,21 +783,42 @@ object VectorSearch {
          |FROM nv CROSS JOIN nc CROSS JOIN nt CROSS JOIN h"""
         .stripMargin
     }) { (s, d) =>
-      val planeS = "(CAST(2 AS DOUBLE) * (CAST(conv(substr(md5(" +
-        "concat('lsh#', CAST(p AS STRING), '#', CAST(k AS STRING))" +
-        "), 1, 7), 16, 10) AS BIGINT) + 1) / 268435456 - 1)"
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>")
           .as("v"))
         .localCheckpoint(eager = false)
-      val bits = e.select(col("vec_id"), col("v"),
-          explode(expr("sequence(0, 15)")).as("p"))
-        .selectExpr("vec_id", "p",
-          "CASE WHEN round(aggregate(" +
-            "transform(sequence(0, size(v) - 1)," +
-            s" k -> element_at(v, k + 1) * $planeS)," +
-            " CAST(0 AS DOUBLE), (a, b) -> a + b), 9) >= 0" +
-            " THEN 1 ELSE 0 END AS bit")
+      // The 16 hyperplanes are a CONSTANT of the operator (md5-seeded,
+      // data-independent), so materialize the plane matrix ONCE on the
+      // driver and broadcast it — the previous inline-SQL form
+      // re-derived md5('lsh#p#k') per (vector, plane, element) =
+      // n·16·dim interpreted digest calls inside the scan. Arithmetic
+      // is kept IDENTICAL to the oracle's SQL derivation
+      // (2.0·(hex7+1)/2²⁸ − 1, same op order), and the sign bit reads
+      // the codegen dot kernel's left-to-right fold — the exact fold
+      // order of the transform/aggregate it replaces — so signatures
+      // are bit-identical and the hash gate is unaffected. This is
+      // the production shape the original comment promised ("the
+      // plane matrix is a precomputed broadcast constant").
+      val dim = e.select(size(col("v"))).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(0)
+      def planeVal(p: Int, k: Int): Double = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"lsh#$p#$k".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        2.0 * (java.lang.Long.parseLong(hex.substring(0, 7), 16) + 1L)
+          .toDouble / 268435456 - 1
+      }
+      val planes = {
+        val sp = s
+        import sp.implicits._
+        (0 until 16).map(p =>
+          (p, (0 until dim).map(k => planeVal(p, k)))).toDF("p", "plane")
+      }
+      val bits = e.crossJoin(broadcast(planes))
+        .select(col("vec_id"), col("p"),
+          when(round(graft.functions.GraftFunctions
+            .dot_product(col("v"), col("plane")), 9) >= 0, lit(1))
+            .otherwise(lit(0)).as("bit"))
       val sig = bits
         .selectExpr("vec_id", "p DIV 4 AS band",
           "shiftleft(bit, CAST(p % 4 AS INT)) AS sb")
