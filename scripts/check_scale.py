@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Large-SF variant of check.py: same compare, plus a per-oracle time
+budget. At sf1.0-scale the engine side is fine, but a few DECLARED
+brute-force oracles (the O(n^2) pair enumerations DuckDB runs to
+verify the dedup/kNN family) cost hours of DuckDB time at 10x rows —
+oracle cost, not engine cost (the round-8 sf0.1 sweep precedent).
+Those are reported as ORACLE TIMEOUT (budget exceeded) distinctly
+from mismatches, and the caller documents them in BENCH.md; every
+oracle that completes must still match exactly.
+
+Usage: python3 scripts/check_scale.py <sfDir> <outDir> [budget_s]
+Exit code = number of MISMATCHES (timeouts excluded, reported).
+"""
+import json, os, sys, multiprocessing as mp
+import duckdb
+import pandas as pd
+
+sf_dir = sys.argv[1]
+out_dir = sys.argv[2]
+budget = float(sys.argv[3]) if len(sys.argv) > 3 else 300.0
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].reset_index(drop=True)
+
+    def cell(v, is_dt=False):
+        if isinstance(v, float):
+            if v == 0:
+                v = 0.0
+            return f"{v:.6f}"
+        s = str(v)
+        if is_dt and s.endswith(" 00:00:00"):
+            return s[:-9]
+        return s
+
+    out = pd.DataFrame(index=df.index)
+    for c in df.columns:
+        is_dt = pd.api.types.is_datetime64_any_dtype(df[c])
+        out[c] = df[c].map(lambda v: cell(v, is_dt))
+    return out
+
+
+def run_oracle(sql, q):
+    """Child process: run one oracle, ship the frame back via parquet."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    con.execute(f"SET threads TO 16")
+    con.execute(sql).df().to_parquet(q)
+
+
+def main():
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    fails, timeouts, ok = [], [], 0
+    for name in names:
+        got = pd.read_parquet(os.path.join(out_dir, name))
+        if name not in oracles:
+            print(f"{name:28s} rows-only: {len(got)} rows (no oracle)", flush=True)
+            continue
+        tmp = f"/tmp/_oracle_{name}.parquet"
+        p = mp.Process(target=run_oracle, args=(oracles[name], tmp))
+        p.start()
+        p.join(budget)
+        if p.is_alive():
+            p.terminate()
+            p.join()
+            print(f"{name:28s} ORACLE TIMEOUT (> {budget:.0f}s DuckDB — "
+                  "declared brute-force oracle cost)", flush=True)
+            timeouts.append(name)
+            continue
+        if p.exitcode != 0 or not os.path.exists(tmp):
+            print(f"{name:28s} ORACLE ERROR (exit {p.exitcode})", flush=True)
+            fails.append(name)
+            continue
+        exp = pd.read_parquet(tmp)
+        os.remove(tmp)
+        gc, ec = canon(got), canon(exp)
+        if sorted(got.columns) != sorted(exp.columns):
+            print(f"{name:28s} COLUMN MISMATCH spark={sorted(got.columns)} "
+                  f"duck={sorted(exp.columns)}", flush=True)
+            fails.append(name)
+        elif len(gc) != len(ec):
+            print(f"{name:28s} ROWCOUNT MISMATCH spark={len(gc)} duck={len(ec)}",
+                  flush=True)
+            fails.append(name)
+        elif not gc.equals(ec):
+            diff = (gc != ec).any(axis=1)
+            idx = diff[diff].index[:3]
+            print(f"{name:28s} VALUE MISMATCH ({diff.sum()} rows); first diffs:",
+                  flush=True)
+            for i in idx:
+                print(f"  row {i}: spark={gc.loc[i].to_dict()}")
+                print(f"  row {i}:  duck={ec.loc[i].to_dict()}")
+            fails.append(name)
+        else:
+            ok += 1
+            print(f"{name:28s} OK ({len(gc)} rows)", flush=True)
+    missing = sorted(set(oracles) - set(names))
+    for m in missing:
+        print(f"{m:28s} NO RESULT PARQUET (query failed?)", flush=True)
+        fails.append(m)
+    print(f"\n{len(names)} queries: {ok} OK, {len(fails)} mismatches, "
+          f"{len(timeouts)} oracle-timeouts {timeouts}")
+    sys.exit(min(len(fails), 120))
+
+
+if __name__ == "__main__":
+    main()

@@ -1905,6 +1905,61 @@ object Analytics {
           "round((ssb / (k - 1)) / (ssw / (nn - k)), 6) AS f_stat")
         .orderBy("event_type")
     },
+
+    // Cohen's kappa (Cohen 1960): chance-corrected agreement between
+    // two annotators — the label-quality gate a supervised-data
+    // pipeline runs before trusting a labeling pass. The two "raters"
+    // are deterministic document heuristics (a length rule and a
+    // stopword rule), so the 2×2 confusion table is reproducible:
+    // κ = (p_o − p_e) / (1 − p_e) with p_o the observed agreement and
+    // p_e the marginal-product chance agreement. Scale: ONE
+    // partial-aggregated pass folds the corpus to four counters
+    // (conditional sums — the q_abtest discipline); everything after
+    // is arithmetic on a 1-row frame. Determinism: integer counts,
+    // identical double expressions both sides.
+    Q("q_cohens_kappa",
+      """WITH l AS (SELECT
+        |    CAST(n_chars >= 300 AS INT) AS a,
+        |    CAST(len(list_filter(list_filter(string_split(lower(text), ' '),
+        |      t -> t <> ''), x -> x IN ('the', 'a'))) >= 3 AS INT) AS b
+        |  FROM documents),
+        |c AS (SELECT count(*) AS n,
+        |    CAST(sum(a * b) AS BIGINT) AS n11,
+        |    CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+        |    CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+        |    CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+        |  FROM l)
+        |SELECT n, n11, n10, n01, n00,
+        |  round((n11 + n00) / CAST(n AS DOUBLE), 6) AS po,
+        |  round(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+        |    / (CAST(n AS DOUBLE) * n), 6) AS pe,
+        |  round(((n11 + n00) / CAST(n AS DOUBLE)
+        |      - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+        |        / (CAST(n AS DOUBLE) * n))
+        |    / (1 - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+        |        / (CAST(n AS DOUBLE) * n)), 6) AS kappa
+        |FROM c""".stripMargin) { (s, d) =>
+      import TextKit.toks
+      Tables.documents(s, d)
+        .select(
+          expr("CAST(n_chars >= 300 AS INT)").as("a"),
+          expr(s"CAST(size(filter($toks, x -> x IN ('the', 'a'))) >= 3" +
+            " AS INT)").as("b"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("a * b")).as("n11"),
+          sum(expr("a * (1 - b)")).as("n10"),
+          sum(expr("(1 - a) * b")).as("n01"),
+          sum(expr("(1 - a) * (1 - b)")).as("n00"))
+        .selectExpr("n", "n11", "n10", "n01", "n00",
+          "round((n11 + n00) / CAST(n AS DOUBLE), 6) AS po",
+          "round(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))" +
+            " / (CAST(n AS DOUBLE) * n), 6) AS pe",
+          "round(((n11 + n00) / CAST(n AS DOUBLE)" +
+            " - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))" +
+            " / (CAST(n AS DOUBLE) * n))" +
+            " / (1 - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))" +
+            " / (CAST(n AS DOUBLE) * n)), 6) AS kappa")
+    },
   )
 
   /** The nine OLS moment sums for the oracle — identical per-row

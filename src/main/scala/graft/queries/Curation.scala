@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import TextKit._
 
@@ -177,6 +178,47 @@ object Curation {
           round(least(col("n_chars").cast("double"), col("p95")), 6).as("clipped"),
           (col("n_chars").cast("double") > col("p95")).cast("int").as("was_clipped"))
         .orderBy("doc_id")
+    },
+
+    // Z-SCORE NORMALIZATION: standardize event values within their
+    // event_type group — the feature-scaling pass every training
+    // pipeline runs before mixing heterogeneous metrics. Same
+    // two-pass broadcast shape as q_winsorize: pass 1 folds the fact
+    // scan to a |types|-row moment frame (ONE partial-aggregated
+    // groupBy — count + DECIMAL sums of value and value², so the
+    // group mean/stddev are accumulation-order exact), pass 2 is a
+    // scan-local (v − μ)/σ against the broadcast moments. The corpus
+    // side never shuffles; contrast with a percent_rank/window
+    // formulation, which would sort each full group inside ONE task.
+    // Determinism: moments round-trip through DECIMAL(38,6); the
+    // per-row z uses the same double expression both sides
+    // (population σ, the moment identity σ² = q/n − μ²).
+    Q("q_zscore_normalize",
+      """WITH m AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
+        |    CAST(sum(CAST(round(value * value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS q
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
+        |  round(m.s / m.n, 6) AS mu,
+        |  round(sqrt(m.q / m.n - (m.s / m.n) * (m.s / m.n)), 6) AS sigma,
+        |  round((e.value - m.s / m.n)
+        |    / sqrt(m.q / m.n - (m.s / m.n) * (m.s / m.n)), 6) AS z
+        |FROM events e JOIN m USING (event_type)
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val m = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(38, 6))).cast("double").as("s"),
+        sum(round(col("value") * col("value"), 6).cast(DecimalType(38, 6)))
+          .cast("double").as("q"))
+      ev.join(broadcast(m), Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value"),
+          round(expr("s / n"), 6).as("mu"),
+          round(expr("sqrt(q / n - (s / n) * (s / n))"), 6).as("sigma"),
+          round(expr("(value - s / n) / sqrt(q / n - (s / n) * (s / n))"), 6)
+            .as("z"))
+        .orderBy("event_id")
     },
   )
 }

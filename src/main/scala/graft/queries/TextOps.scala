@@ -861,5 +861,96 @@ object TextOps {
           col("top_postings"))
         .orderBy(col("df").desc, col("token")).limit(100)
     },
+
+    // Gopher-style quality rule battery (Rae et al. 2021, "Scaling
+    // Language Models: ... Gopher", Table A1 — adapted thresholds):
+    // word-count bounds, mean-word-length bounds, stopword presence,
+    // alphabetic-word fraction, and a max-token-repetition bound.
+    // Unlike q_quality_score's weighted composite, this is the
+    // hard-filter form pre-training corpora actually apply: every
+    // rule is an independent boolean and a document must pass ALL.
+    // Scale: entirely scan-local per-document expressions (one
+    // projection, no shuffle until the final total-order sort) —
+    // a 100 TB corpus filters at scan bandwidth. Determinism: ratios
+    // are exact rationals of integer token stats; rule comparisons
+    // evaluate on the RAW doubles (round-half hazards only exist in
+    // display columns, rounded 6dp).
+    Q("q_gopher_filters",
+      s"""WITH t AS (SELECT doc_id, $toksDuck AS w FROM documents),
+         |f AS (SELECT doc_id, len(w) AS wc,
+         |  list_sum(list_transform(w, x -> length(x))) / len(w) AS mwl_raw,
+         |  len(list_filter(w, x -> x IN ('the', 'a', 'of', 'to', 'and'))) AS stop_cnt,
+         |  len(list_filter(w, x -> NOT regexp_matches(x, '[^a-z]'))) / len(w) AS alpha_raw,
+         |  list_max(list_transform(list_distinct(w),
+         |    u -> len(list_filter(w, x -> x = u)))) / len(w) AS rep_raw
+         |  FROM t WHERE len(w) > 0)
+         |SELECT doc_id, wc, round(mwl_raw, 6) AS mean_wl, stop_cnt,
+         |  round(alpha_raw, 6) AS alpha_frac, round(rep_raw, 6) AS top_ratio,
+         |  CAST(wc BETWEEN 30 AND 80 AS INT) AS r_wc,
+         |  CAST(mwl_raw BETWEEN 3 AND 10 AS INT) AS r_mwl,
+         |  CAST(stop_cnt >= 2 AS INT) AS r_stop,
+         |  CAST(alpha_raw >= 0.9 AS INT) AS r_alpha,
+         |  CAST(rep_raw <= 0.12 AS INT) AS r_rep,
+         |  CAST(wc BETWEEN 30 AND 80 AND mwl_raw BETWEEN 3 AND 10
+         |    AND stop_cnt >= 2 AND alpha_raw >= 0.9 AND rep_raw <= 0.12
+         |    AS INT) AS pass
+         |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+      barrier(Tables.documents(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .withColumn("w", expr(toks)))
+        .select(col("doc_id"),
+          size(col("w")).as("wc"),
+          expr("aggregate(w, 0, (acc, x) -> acc + length(x)) / size(w)")
+            .as("mwl_raw"),
+          expr("size(filter(w, x -> x IN ('the', 'a', 'of', 'to', 'and')))")
+            .cast("long").as("stop_cnt"),
+          expr("size(filter(w, x -> x NOT RLIKE '[^a-z]')) / size(w)")
+            .as("alpha_raw"),
+          expr("array_max(transform(array_distinct(w)," +
+            " u -> size(filter(w, x -> x = u)))) / size(w)").as("rep_raw"))
+        .select(col("doc_id"), col("wc").cast("long").as("wc"),
+          round(col("mwl_raw"), 6).as("mean_wl"), col("stop_cnt"),
+          round(col("alpha_raw"), 6).as("alpha_frac"),
+          round(col("rep_raw"), 6).as("top_ratio"),
+          expr("CAST(wc BETWEEN 30 AND 80 AS INT)").as("r_wc"),
+          expr("CAST(mwl_raw BETWEEN 3 AND 10 AS INT)").as("r_mwl"),
+          expr("CAST(stop_cnt >= 2 AS INT)").as("r_stop"),
+          expr("CAST(alpha_raw >= 0.9 AS INT)").as("r_alpha"),
+          expr("CAST(rep_raw <= 0.12 AS INT)").as("r_rep"),
+          expr("CAST(wc BETWEEN 30 AND 80 AND mwl_raw BETWEEN 3 AND 10" +
+            " AND stop_cnt >= 2 AND alpha_raw >= 0.9 AND rep_raw <= 0.12" +
+            " AS INT)").as("pass"))
+        .orderBy("doc_id")
+    },
+
+    // Positional phrase search: the inverted-index companion that
+    // q_inverted_index's doc-level postings can't answer — "value
+    // table" as ADJACENT tokens, not co-occurrence. Postings carry
+    // (token, doc, position); the phrase is an equi-join of the two
+    // terms' posting lists on (doc_id, position+1). Scale: the
+    // per-term filters push to the postings build, so join volume is
+    // df(term) not corpus size; on a cluster posting lists co-locate
+    // by the (doc_id) join key, and a k-term phrase chains k-1 such
+    // joins. Determinism: integer positions, exact counts.
+    Q("q_phrase_search",
+      s"""WITH t AS (SELECT doc_id, $toksDuck AS w FROM documents),
+         |p AS (SELECT doc_id, w[i] AS t, i AS pos FROM t,
+         |      LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)),
+         |hit AS (SELECT a.doc_id, count(*) AS hits
+         |  FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  WHERE a.t = 'value' AND b.t = 'table' GROUP BY a.doc_id)
+         |SELECT doc_id, hits FROM hit ORDER BY hits DESC, doc_id""".stripMargin) {
+      (s, d) =>
+        val post = barrier(Tables.documents(s, d).withColumn("w", expr(toks)))
+          .select(col("doc_id"), posexplode(col("w")).as(Seq("pos0", "t")))
+          .select(col("doc_id"), col("t"), (col("pos0") + 1).as("pos"))
+        val a = post.filter(col("t") === "value")
+          .select(col("doc_id"), col("pos"))
+        val b = post.filter(col("t") === "table")
+          .select(col("doc_id"), (col("pos") - 1).as("pos"))
+        a.join(b, Seq("doc_id", "pos"))
+          .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+          .orderBy(col("hits").desc, col("doc_id"))
+    },
   )
 }

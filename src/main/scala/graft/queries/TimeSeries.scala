@@ -740,5 +740,43 @@ object TimeSeries {
             s"round($num / sqrt(CAST($den AS DOUBLE)), 6) END AS corr7")
         .orderBy("d")
     },
+
+    // Theil–Sen robust trend (Theil 1950 / Sen 1968): per-user slope
+    // as the MEDIAN of all pairwise (Δvalue/Δt) slopes — the
+    // outlier-immune alternative to the OLS trend (one wild value
+    // corrupts OLS's moment sums; it moves only one of C(n,2) slopes
+    // here). Per-GROUP quadratic by declaration: the pair stage is a
+    // self-equi-join on user_id, so volume is Σ_u C(n_u, 2) with n_u
+    // bounded by per-user activity, not corpus size — at 100 TB the
+    // join co-partitions on the user key and each group's pair set
+    // stays local (the q_butterfly wedge-volume discipline).
+    // Determinism: Δt in exact integer MICROSECONDS (unix_micros ↔
+    // epoch_us), slope doubles computed by the identical expression,
+    // exact interpolated median (q_agg_median portability contract).
+    Q("q_theil_sen",
+      """WITH p AS (SELECT a.user_id,
+        |    (b.value - a.value) / ((epoch_us(b.ts) - epoch_us(a.ts)) / 1e6)
+        |      AS slope
+        |  FROM events a JOIN events b ON a.user_id = b.user_id
+        |    AND a.ts < b.ts)
+        |SELECT user_id, count(*) AS n_pairs,
+        |  round(quantile_cont(slope, 0.5), 6) AS sen_slope
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("value"),
+          expr("unix_micros(ts)").as("us"))
+      val a = ev.select(col("user_id"), col("value").as("v1"),
+        col("us").as("us1"))
+      val b = ev.select(col("user_id"), col("value").as("v2"),
+        col("us").as("us2"))
+      a.join(b, Seq("user_id"))
+        .filter(col("us1") < col("us2"))
+        .select(col("user_id"),
+          expr("(v2 - v1) / ((us2 - us1) / 1e6)").as("slope"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(expr("percentile(slope, 0.5)"), 6).as("sen_slope"))
+        .orderBy("user_id")
+    },
   )
 }

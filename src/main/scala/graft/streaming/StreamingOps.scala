@@ -32,13 +32,29 @@ object StreamingOps {
 
   /** The streaming file source requires a DIRECTORY to watch (it is
     * a feed, not a file); the testdata ships one parquet file per
-    * table, so stage it into a per-sf temp dir once per JVM. */
+    * table, so stage it into a per-sf temp dir once per JVM.
+    * `events.parquet` itself comes in two vintages: the driver's
+    * single pyarrow FILE, and a Spark-written DIRECTORY of part
+    * files (ScaleData's large-SF fixtures) — stage whichever exists
+    * (a shallow `Files.copy` of a directory copies an EMPTY dir, so
+    * the directory vintage enumerates and copies its part files). */
   private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def eventsDir(d: String): String =
     staged.computeIfAbsent(d, { _ =>
       val tmp = Files.createTempDirectory("graft_events_src_")
-      Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
-        tmp.resolve("events.parquet"))
+      val src = java.nio.file.Paths.get(s"$d/events.parquet")
+      if (Files.isDirectory(src)) {
+        val parts = Files.list(src).iterator()
+        var i = 0
+        while (parts.hasNext) {
+          val p = parts.next()
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            Files.copy(p, tmp.resolve(f"part-$i%05d.parquet"))
+            i += 1
+          }
+        }
+        require(i > 0, s"no parquet part files under $src")
+      } else Files.copy(src, tmp.resolve("events.parquet"))
       tmp.toString
     })
 

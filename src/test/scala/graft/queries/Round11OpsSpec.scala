@@ -1,0 +1,206 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestBase, Tables}
+
+/** Round-11 operator specs: the Gopher rule battery, positional
+  * phrase search, Cohen's kappa, broadcast z-score normalization, and
+  * the Theil–Sen robust trend. Each is re-derived in plain Scala from
+  * the raw tables (the Round9OpsSpec discipline) and the SURVEY row's
+  * plan-shape claim is asserted where it carries the scale story. */
+class Round11OpsSpec extends SparkTestBase {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def toks(text: String): Array[String] =
+    text.toLowerCase.split(" ").filter(_.nonEmpty)
+
+  private def docs(): Array[(Long, String, Long)] =
+    Tables.documents(spark, sf).select("doc_id", "text", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+
+  // -------------------------------------------------- gopher_filters
+
+  test("gopher_filters: rules and pass recompute per document") {
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    val expected = docs().filter(_._2.trim.nonEmpty).map { case (id, text, _) =>
+      val w = toks(text)
+      val wc = w.length
+      val mwl = w.map(_.length).sum.toDouble / wc
+      val stops = w.count(Set("the", "a", "of", "to", "and"))
+      val alpha = w.count(_.forall(c => c >= 'a' && c <= 'z')).toDouble / wc
+      val rep = w.groupBy(identity).values.map(_.length).max.toDouble / wc
+      val rules = Seq(wc >= 30 && wc <= 80, mwl >= 3 && mwl <= 10,
+        stops >= 2, alpha >= 0.9, rep <= 0.12)
+      id -> (wc.toLong, stops.toLong, rules.map(b => if (b) 1 else 0),
+        rules.forall(identity))
+    }.toMap
+
+    val out = SparkEntry.queries("q_gopher_filters")(spark, sf).collect()
+    assert(out.length === expected.size)
+    out.foreach { r =>
+      val (wc, stops, rules, pass) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("wc") === wc)
+      assert(r.getAs[Long]("stop_cnt") === stops)
+      assert(Seq("r_wc", "r_mwl", "r_stop", "r_alpha", "r_rep")
+        .map(c => r.getAs[Int](c)) === rules)
+      assert(r.getAs[Int]("pass") === (if (pass) 1 else 0))
+    }
+    // The battery must discriminate on this corpus (not all-pass /
+    // all-fail), or the thresholds have drifted off the data.
+    val passes = out.count(_.getAs[Int]("pass") == 1)
+    assert(passes > 0 && passes < out.length,
+      s"degenerate rule battery: $passes/${out.length} pass")
+  }
+
+  test("gopher_filters plan is scan-local: no shuffle before the sort") {
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    val plan = SparkEntry.queries("q_gopher_filters")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // One barrier round-robin (local parallelism) + the final total
+    // order sort; no aggregation or join exchange anywhere.
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join"),
+      s"rule battery must not aggregate or join:\n$plan")
+  }
+
+  // --------------------------------------------------- phrase_search
+
+  test("phrase_search: positional adjacency counts recompute") {
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    val expected = docs().map { case (id, text, _) =>
+      val w = toks(text)
+      id -> w.sliding(2).count(p =>
+        p.length == 2 && p(0) == "value" && p(1) == "table")
+    }.filter(_._2 > 0).toMap
+    val out = SparkEntry.queries("q_phrase_search")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("hits").toInt).toMap
+    assert(out === expected)
+  }
+
+  test("phrase_search filters postings to the query terms before joining") {
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    val qe = SparkEntry.queries("q_phrase_search")(spark, sf).queryExecution
+    // The per-term selections must survive into the optimized plan as
+    // filters below the join (posting-list volume, not corpus volume).
+    val optimized = qe.optimizedPlan.toString
+    assert(optimized.contains("= value") || optimized.contains("value)"),
+      s"term filter missing from optimized plan:\n$optimized")
+    assert(!qe.executedPlan.toString.contains("CartesianProduct"),
+      "phrase join must be an equi-join on (doc_id, pos)")
+  }
+
+  // ---------------------------------------------------- cohens_kappa
+
+  test("cohens_kappa: confusion table and kappa recompute") {
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    val labels = docs().map { case (_, text, nChars) =>
+      val a = nChars >= 300
+      val b = toks(text).count(Set("the", "a")) >= 3
+      (a, b)
+    }
+    val n = labels.length
+    val n11 = labels.count(l => l._1 && l._2)
+    val n10 = labels.count(l => l._1 && !l._2)
+    val n01 = labels.count(l => !l._1 && l._2)
+    val n00 = labels.count(l => !l._1 && !l._2)
+    val po = (n11 + n00).toDouble / n
+    val pe = ((n11 + n10).toDouble * (n11 + n01) +
+      (n01 + n00).toDouble * (n10 + n00)) / (n.toDouble * n)
+    val kappa = (po - pe) / (1 - pe)
+
+    val out = SparkEntry.queries("q_cohens_kappa")(spark, sf).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n") === n.toLong)
+    assert((r.getAs[Long]("n11"), r.getAs[Long]("n10"),
+      r.getAs[Long]("n01"), r.getAs[Long]("n00")) ===
+      ((n11.toLong, n10.toLong, n01.toLong, n00.toLong)))
+    assert(math.abs(r.getAs[Double]("kappa") - kappa) < 1e-6)
+    // κ must sit strictly between chance and perfect agreement on
+    // this corpus — a degenerate rater pair (constant labels) would
+    // collapse pe → po and the statistic to 0/0.
+    assert(r.getAs[Double]("kappa") > 0 && r.getAs[Double]("kappa") < 1)
+  }
+
+  // ------------------------------------------------ zscore_normalize
+
+  test("zscore_normalize: group moments and z recompute") {
+    assume(new java.io.File(s"$sf/events.parquet").exists())
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val stats = ev.groupBy(_._2).map { case (t, rows) =>
+      val vs = rows.map(_._3)
+      val n = vs.length
+      val mu = vs.sum / n
+      val sigma = math.sqrt(vs.map(v => v * v).sum / n - mu * mu)
+      t -> (mu, sigma)
+    }
+    val out = SparkEntry.queries("q_zscore_normalize")(spark, sf).collect()
+    assert(out.length === ev.length)
+    val byId = ev.map(e => e._1 -> e).toMap
+    out.foreach { r =>
+      val (_, typ, v) = byId(r.getAs[Long]("event_id"))
+      val (mu, sigma) = stats(typ)
+      assert(math.abs(r.getAs[Double]("mu") - mu) < 1e-4)
+      assert(math.abs(r.getAs[Double]("sigma") - sigma) < 1e-4)
+      assert(math.abs(r.getAs[Double]("z") - (v - mu) / sigma) < 1e-3)
+    }
+  }
+
+  test("zscore_normalize broadcasts the moment frame (corpus never shuffles)") {
+    assume(new java.io.File(s"$sf/events.parquet").exists())
+    val plan = SparkEntry.queries("q_zscore_normalize")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"moment join must broadcast the |types|-row side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"fact side must not shuffle for the moment join:\n$plan")
+  }
+
+  // -------------------------------------------------------- theil_sen
+
+  test("theil_sen: per-user median pairwise slope recomputes") {
+    assume(new java.io.File(s"$sf/events.parquet").exists())
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "value", "unix_micros(ts) AS us").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).map { case (u, rows) =>
+      val sorted = rows.sortBy(_._3)
+      val slopes = (for {
+        i <- sorted.indices; j <- (i + 1) until sorted.length
+        if sorted(j)._3 != sorted(i)._3
+      } yield (sorted(j)._2 - sorted(i)._2) /
+        ((sorted(j)._3 - sorted(i)._3) / 1e6)).sorted
+      val n = slopes.length
+      val med =
+        if (n % 2 == 1) slopes(n / 2)
+        else (slopes(n / 2 - 1) + slopes(n / 2)) / 2
+      u -> (n, med)
+    }
+    val out = SparkEntry.queries("q_theil_sen")(spark, sf).collect()
+    assert(out.length === expected.size)
+    out.foreach { r =>
+      val (n, med) = expected(r.getAs[Long]("user_id"))
+      assert(r.getAs[Long]("n_pairs") === n.toLong)
+      assert(math.abs(r.getAs[Double]("sen_slope") - med) < 1e-5)
+    }
+  }
+
+  test("theil_sen is robust where OLS is not: one planted outlier") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // 10 points on value = 2·t; one wild outlier at the end.
+    val base = (1 to 10).map(i => (1L, i.toDouble * 2, i.toLong * 1000000L))
+    val wild = Seq((1L, 1e6, 11L * 1000000L))
+    val df = (base ++ wild).toDF("user_id", "v", "us")
+    val a = df.selectExpr("user_id", "v AS v1", "us AS us1")
+    val b = df.selectExpr("user_id", "v AS v2", "us AS us2")
+    val slope = a.join(b, Seq("user_id")).filter(col("us1") < col("us2"))
+      .selectExpr("user_id", "(v2 - v1) / ((us2 - us1) / 1e6) AS slope")
+      .groupBy("user_id")
+      .agg(expr("percentile(slope, 0.5)").as("sen"))
+      .head.getAs[Double]("sen")
+    assert(math.abs(slope - 2.0) < 1e-9,
+      s"median slope must ignore the outlier, got $slope")
+  }
+}
