@@ -286,4 +286,37 @@ class StreamingSpec extends SparkTestBase {
         "late purchase matched an evicted click — join state not bounded")
     } finally q.stop()
   }
+
+  test("stream source stages the Spark-written DIRECTORY vintage of events") {
+    // The driver's testdata ships events.parquet as ONE pyarrow file;
+    // ScaleData's large-SF fixtures write it as a Spark DIRECTORY of
+    // part files. A shallow Files.copy of a directory stages an EMPTY
+    // dir (round-11 sf1.0 sweep: all 8 q_stream_* failed schema
+    // inference), so the stager must enumerate part files. Recreate
+    // the directory vintage from sf0.001 and run a stream query's
+    // full plan over it against its batch twin.
+    val src = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$src/events.parquet").exists())
+    val dir = java.nio.file.Files.createTempDirectory("graft_dirvint_")
+    try {
+      graft.Sessions.prepare(spark)
+      spark.read.parquet(s"$src/events.parquet")
+        .repartition(3) // several part files, like a real job's output
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val streamed = graft.SparkEntry.queries("q_stream_tumbling")(
+        spark, dir.toString).collect()
+      val batch = graft.Tables.events(spark, dir.toString)
+        .groupBy(date_trunc("hour", col("ts")).as("ws"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(streamed.nonEmpty, "directory-vintage source produced no rows")
+      streamed.foreach { r =>
+        val k = (r.getTimestamp(0), r.getString(1))
+        assert(batch(k) === r.getAs[Long]("n"), s"count @ $k")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
 }
