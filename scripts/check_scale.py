@@ -47,7 +47,12 @@ def run_oracle(sql, q):
     """Child process: run one oracle, ship the frame back via parquet."""
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # Spark-written fixtures are DIRECTORIES of part files; the
+        # driver's testdata is one pyarrow file per table.
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     con.execute(f"SET threads TO 16")
     con.execute(sql).df().to_parquet(q)
 
@@ -59,7 +64,50 @@ def main():
                    if os.path.isdir(os.path.join(out_dir, d)))
     fails, timeouts, ok = [], [], 0
     for name in names:
-        got = pd.read_parquet(os.path.join(out_dir, name))
+        rd = os.path.join(out_dir, name)
+        # Guard: a scale fixture can make a pair operator's TRUE
+        # result quadratic-sized (q_tfidf_pairs at sf1.0: 115 M rows
+        # — replica-suffix cliques at the df-screen boundary). The
+        # pandas canon compare would OOM; compare count + rounded
+        # numeric column sums through DuckDB instead and say so.
+        nrows = duckdb.sql(
+            f"SELECT count(*) FROM '{rd}/*.parquet'").fetchone()[0]
+        if nrows > 2_000_000:
+            tmp = f"/tmp/_oracle_{name}.parquet"
+            p = mp.Process(target=run_oracle, args=(oracles[name], tmp))
+            p.start()
+            p.join(budget * 4)  # big oracles get a bigger budget
+            if p.is_alive():
+                p.terminate(); p.join()
+                print(f"{name:28s} ORACLE TIMEOUT on {nrows}-row result "
+                      f"(> {budget*4:.0f}s)", flush=True)
+                timeouts.append(name)
+                continue
+            def summarize(src):
+                cols = duckdb.sql(f"DESCRIBE SELECT * FROM {src}").fetchall()
+                nums = [c for c, t, *_ in cols if any(
+                    k in t for k in ("INT", "DOUBLE", "FLOAT", "DECIMAL"))]
+                # DECIMAL sums: exact and accumulation-order-free
+                # (a double sum over 1e8 rows drifts past any fixed
+                # rounding).
+                sums = ", ".join(
+                    "sum(CAST(round(CAST(" + c + " AS DOUBLE), 6) "
+                    "AS DECIMAL(38,6)))" for c in nums)
+                return duckdb.sql(
+                    f"SELECT count(*), {sums} FROM {src}").fetchone()
+            got_sum = summarize(f"'{rd}/*.parquet'")
+            exp_sum = summarize(f"'{tmp}'")
+            os.remove(tmp)
+            if got_sum == exp_sum:
+                ok += 1
+                print(f"{name:28s} OK-LARGE ({nrows} rows; count+sum "
+                      "compare, not cell hash)", flush=True)
+            else:
+                print(f"{name:28s} LARGE MISMATCH got={got_sum} "
+                      f"exp={exp_sum}", flush=True)
+                fails.append(name)
+            continue
+        got = pd.read_parquet(rd)
         if name not in oracles:
             print(f"{name:28s} rows-only: {len(got)} rows (no oracle)", flush=True)
             continue

@@ -352,10 +352,16 @@ object Graphs {
     // edge frame (the q_pagerank loop discipline — the data-sized
     // side never re-shuffles); degrees are one partial-aggregated
     // groupBy per round; per-round localCheckpoint keeps lineage
-    // O(1). The unroll is fixed at 8 (oracle states the same 8
-    // peels); the spec verifies 8 reaches the true fixpoint on the
-    // fixtures — peeling converges in O(graph-diameter-ish) rounds
-    // on dense graphs (measured: 2 rounds at sf0.001, 1 at sf0.01).
+    // O(1). The oracle states 8 fixed peels; peeling is MONOTONE
+    // (each round's edge set is a subset of the last), so an
+    // UNCHANGED surviving-edge count means the keep filter retained
+    // everything — the fixpoint — and every remaining budgeted round
+    // is a no-op whose result the early stop reproduces exactly
+    // (the minLabelPropagate discipline, round-10 verdict #2:
+    // convergence is 1–2 rounds on the fixtures while the fixed
+    // unroll paid 8 groupBy+join+checkpoint rounds — 55.8 s of the
+    // 10× smoke was mostly idle machinery). The edge count is one
+    // O(edges) action per round over the just-checkpointed frame.
     Q("q_kcore", GraphsOracles.kcoreSql(8, 3)) { (s, d) =>
       val e0 = Tables.lineitem(s, d)
         .select(col("l_partkey").as("p"), col("l_suppkey").as("sid"))
@@ -365,15 +371,22 @@ object Graphs {
           concat(lit("s"), col("sid")).as("dst"))
         .unionAll(e0.select(concat(lit("s"), col("sid")).as("src"),
           concat(lit("p"), col("p")).as("dst")))
-        .localCheckpoint(eager = false)
-      for (_ <- 1 to 8) {
+        .localCheckpoint()
+      var prev = e.count()
+      var converged = false
+      var round = 0
+      while (!converged && round < 8) {
         val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= 3).select("src")
           .localCheckpoint(eager = false)
         e = e.join(broadcast(keep), Seq("src"))
           .join(broadcast(keep.select(col("src").as("dst"))), Seq("dst"))
           .select("src", "dst")
-          .localCheckpoint(eager = false)
+          .localCheckpoint()
+        round += 1
+        val n = e.count()
+        converged = n == prev
+        prev = n
       }
       e.groupBy("src").agg(count(lit(1)).as("deg"))
         .select(col("src").as("node"), col("deg"))
