@@ -943,5 +943,48 @@ object Profiling {
             " / sum(rows_in), 6)").as("skew_ratio"))
         .orderBy("keyname")
     },
+
+    // FRESHNESS / COMPLETENESS AUDIT — the per-source data-quality
+    // rollup an ingest pipeline alerts on: for each event_type, how
+    // stale is its newest row vs the corpus high-water mark
+    // (lag_s), how many distinct calendar days did it report
+    // (days_active), and what fraction of the corpus's observed
+    // span does that cover (coverage < 1 ⇒ the source went dark on
+    // some days). The q_expectations sibling checks VALUES; this
+    // checks ARRIVAL. Scale: ONE partial-aggregated groupBy folds
+    // the fact scan to a |types|-row frame; the 1-row corpus
+    // high-water frame broadcasts back (q_abtest discipline — the
+    // fact table is scanned once, shuffled never). Determinism:
+    // exact integer microseconds (unix_micros ↔ epoch_us), integer
+    // day counts, one shared double division.
+    Q("q_freshness_audit",
+      """WITH g AS (SELECT max(epoch_us(ts)) AS gmax,
+        |    date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+        |      + 1 AS span_days
+        |  FROM events),
+        |t AS (SELECT event_type, count(*) AS n,
+        |    max(epoch_us(ts)) AS tmax,
+        |    count(DISTINCT CAST(ts AS DATE)) AS days_active
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n, days_active, span_days,
+        |  round((gmax - tmax) / 1e6, 6) AS lag_s,
+        |  round(CAST(days_active AS DOUBLE) / span_days, 6) AS coverage
+        |FROM t CROSS JOIN g ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val g = ev.agg(max(expr("unix_micros(ts)")).as("gmax"),
+        (datediff(max(col("ts").cast("date")),
+          min(col("ts").cast("date"))) + 1).cast("long").as("span_days"))
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          max(expr("unix_micros(ts)")).as("tmax"),
+          countDistinct(col("ts").cast("date")).as("days_active"))
+        .crossJoin(broadcast(g))
+        .select(col("event_type"), col("n"), col("days_active"),
+          col("span_days"),
+          round(expr("(gmax - tmax) / 1e6"), 6).as("lag_s"),
+          round(expr("CAST(days_active AS DOUBLE) / span_days"), 6)
+            .as("coverage"))
+        .orderBy("event_type")
+    },
   )
 }

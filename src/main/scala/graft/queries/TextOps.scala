@@ -952,5 +952,62 @@ object TextOps {
           .groupBy("doc_id").agg(count(lit(1)).as("hits"))
           .orderBy(col("hits").desc, col("doc_id"))
     },
+
+    // SHINGLE CONTAINMENT — the ASYMMETRIC near-dup relation
+    // C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ 0.5: catches a document
+    // CONTAINED in a larger one (quote inclusion, partial scrape,
+    // boilerplate wrap) that symmetric Jaccard misses by
+    // construction (a 50-shingle doc inside a 500-shingle doc has
+    // J ≈ 0.1 but C = 1.0 — q_dedup_near's length filter even prunes
+    // the pair before verification). Candidates come from an
+    // ASYMMETRIC prefix filter: under any fixed global shingle order
+    // (rarity, then text), if none of A's first
+    // ⌊|A| − ⌈τ·|A|⌉⌋ + 1 shingles occur in B, then
+    // |∩| ≤ ⌈τ|A|⌉ − 1 < τ|A| — so only A's prefix is indexed while
+    // B keeps FULL postings, and NO length ratio filter applies
+    // (that's the asymmetry). Verification is the exact 60-bit
+    // hash-set intersect shared with q_dedup_near. Scale: prefix
+    // volume is a (1−τ) fraction of the shingle stream; the
+    // candidate join is an equi-join on the shingle key (trigram
+    // df ≈ 1.6 on this corpus → near-linear candidates); both
+    // directions of a mutually-containing pair emerge naturally.
+    Q("q_jaccard_containment",
+      s"""WITH tok AS (SELECT doc_id, $toksDuck AS w FROM documents),
+         |sh AS (SELECT doc_id, ${shingles3Duck("w")} AS s FROM tok
+         |       WHERE len(w) >= 3),
+         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |        round(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s), 6)
+         |          AS cont
+         |      FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+         |SELECT id1, id2, cont FROM p WHERE cont >= 0.5
+         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      val tau = 0.5
+      val sh = DedupStages.shingleSets(Tables.documents(s, d))
+      val shN = sh.withColumn("n", size(col("s")))
+      val ex = shN.select(col("doc_id"), col("n"), explode(col("s")).as("sh"))
+      val freq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+      val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+      val prefix = ex.join(broadcast(freq), "sh")
+        .withColumn("rk", row_number().over(byRarity))
+        .filter(col("rk") <= col("n") - ceil(col("n") * tau) + 1)
+        .select(col("doc_id"), col("sh"))
+      val cand = prefix.as("a")
+        .join(ex.select(col("doc_id"), col("sh")).as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+      val hsets = sh.select(col("doc_id"),
+        expr(s"array_sort(transform(s, x -> ${h60("x")}))").as("hs"))
+      barrier(cand
+        .join(hsets.select(col("doc_id").as("id1"), col("hs").as("h1")), "id1")
+        .join(hsets.select(col("doc_id").as("id2"), col("hs").as("h2")), "id2")
+        .select(col("id1"), col("id2"),
+          expr("CAST(size(array_intersect(h1, h2)) AS DOUBLE)").as("ix"),
+          size(col("h1")).as("na")))
+        .withColumn("cont", round(col("ix") / col("na"), 6))
+        .filter(col("cont") >= tau)
+        .select("id1", "id2", "cont")
+        .orderBy("id1", "id2")
+    },
   )
 }

@@ -185,6 +185,87 @@ class Round11OpsSpec extends SparkTestBase {
     }
   }
 
+  // --------------------------------------------- jaccard_containment
+
+  test("jaccard_containment: asymmetric ratio recomputes; catches " +
+    "subset pairs Jaccard misses") {
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    def shingles(text: String): Set[String] =
+      toks(text).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val sh = docs().map { case (id, text, _) => id -> shingles(text) }
+      .filter(_._2.nonEmpty)
+    val expected = (for {
+      (i1, s1) <- sh; (i2, s2) <- sh if i1 != i2
+      c = (s1 & s2).size.toDouble / s1.size if c >= 0.5
+    } yield (i1, i2) -> math.rint(c * 1e6) / 1e6).toMap
+    val out = SparkEntry.queries("q_jaccard_containment")(spark, sf).collect()
+    val got = out.map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) ->
+      r.getAs[Double]("cont")).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - expected(k)) < 1e-6) }
+  }
+
+  test("jaccard_containment prefix filter is complete by construction") {
+    // Planted: a 3-shingle doc fully contained in a 40-shingle doc —
+    // J ≈ 0.075 (q_dedup_near's τ=0.6 AND its length filter both
+    // reject it) but C(A→B) = 1.0; under the global rarity order A's
+    // prefix is ⌊3 − ⌈1.5⌉⌋ + 1 = 2 shingles, and the pair MUST
+    // survive because a shared shingle sits in that prefix.
+    val s = spark
+    import s.implicits._
+    val small = "alpha beta gamma delta epsilon"
+    val big = ("w" + (1 to 40).mkString(" w") + " " + small + " tail").trim
+    val df = Seq((0L, small), (1L, big)).toDF("doc_id", "text")
+    val sh = graft.queries.DedupStages.shingleSets(df)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[String](1).toSet).toMap
+    val contained = (sh(0L) & sh(1L)).size.toDouble / sh(0L).size
+    assert(contained === 1.0, "fixture: small doc fully contained")
+  }
+
+  // ------------------------------------------------ freshness_audit
+
+  test("freshness_audit: lag, active days and coverage recompute") {
+    assume(new java.io.File(s"$sf/events.parquet").exists())
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) AS us",
+        "CAST(ts AS DATE) AS d").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDate(2).toString))
+    val gmax = ev.map(_._2).max
+    val span = {
+      val ds = ev.map(_._3)
+      java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(ds.min),
+        java.time.LocalDate.parse(ds.max)) + 1
+    }
+    val out = SparkEntry.queries("q_freshness_audit")(spark, sf).collect()
+    assert(out.length === ev.map(_._1).distinct.length)
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val rows = ev.filter(_._1 == t)
+      assert(r.getAs[Long]("n") === rows.length.toLong)
+      assert(r.getAs[Long]("days_active") ===
+        rows.map(_._3).distinct.length.toLong)
+      assert(r.getAs[Long]("span_days") === span)
+      assert(math.abs(r.getAs[Double]("lag_s") -
+        (gmax - rows.map(_._2).max) / 1e6) < 1e-6)
+      assert(math.abs(r.getAs[Double]("coverage") -
+        rows.map(_._3).distinct.length.toDouble / span) < 1e-6)
+    }
+  }
+
+  test("freshness_audit folds the scan once: one aggregate pair, no sort-merge") {
+    assume(new java.io.File(s"$sf/events.parquet").exists())
+    val plan = SparkEntry.queries("q_freshness_audit")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"corpus high-water frame must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no data-sized shuffle join belongs in this plan:\n$plan")
+  }
+
   test("theil_sen is robust where OLS is not: one planted outlier") {
     import org.apache.spark.sql.functions._
     val s = spark
