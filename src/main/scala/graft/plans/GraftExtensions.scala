@@ -47,5 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("l2_norm"),
       info("l2_norm", "l2_norm(a) - ||a||_2"),
       (es: Seq[Expression]) => L2Norm(widen(es.head))))
+    ext.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count",
+        "sorted_intersect_count(a, b) - |a n b| over sorted distinct " +
+          "ARRAY<BIGINT> (merge walk)"),
+      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))))
   }
 }

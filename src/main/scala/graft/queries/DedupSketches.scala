@@ -91,11 +91,16 @@ object DedupStages {
     val cand = prefixCandidates(sh, tau)
     val hsets = sh.select(col("doc_id"),
       expr(s"array_sort(transform(s, x -> ${TextKit.h60("x")}))").as("hs"))
+    // sorted_intersect_count: allocation-free merge walk over the
+    // array_sort'ed distinct hash sets — exactly size(array_intersect)
+    // on these inputs, without the per-pair OpenHashSet+array the
+    // built-in allocates (the hot expression of the whole dedup
+    // family at bucket volume).
     val pairs = barrier(cand
       .join(hsets.select(col("doc_id").as("id1"), col("hs").as("h1")), "id1")
       .join(hsets.select(col("doc_id").as("id2"), col("hs").as("h2")), "id2")
       .select(col("id1"), col("id2"),
-        expr("CAST(size(array_intersect(h1, h2)) AS DOUBLE)").as("ix"),
+        expr("CAST(sorted_intersect_count(h1, h2) AS DOUBLE)").as("ix"),
         size(col("h1")).as("na"), size(col("h2")).as("nb")))
     pairs
       .withColumn("jac", round(col("ix") / (col("na") + col("nb") - col("ix")), 6))

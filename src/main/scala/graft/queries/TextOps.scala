@@ -1002,7 +1002,7 @@ object TextOps {
         .join(hsets.select(col("doc_id").as("id1"), col("hs").as("h1")), "id1")
         .join(hsets.select(col("doc_id").as("id2"), col("hs").as("h2")), "id2")
         .select(col("id1"), col("id2"),
-          expr("CAST(size(array_intersect(h1, h2)) AS DOUBLE)").as("ix"),
+          expr("CAST(sorted_intersect_count(h1, h2) AS DOUBLE)").as("ix"),
           size(col("h1")).as("na")))
         .withColumn("cont", round(col("ix") / col("na"), 6))
         .filter(col("cont") >= tau)

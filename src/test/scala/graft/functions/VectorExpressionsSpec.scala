@@ -128,6 +128,37 @@ class VectorExpressionsSpec extends SparkTestBase {
       }
   }
 
+  test("sorted_intersect_count == size(array_intersect) on sorted distinct " +
+    "arrays, codegen == interpreted") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    // Random sorted distinct long sets of varying sizes incl. empty
+    // and disjoint — the exact shapes the dedup verify stage feeds.
+    val rows = Seq.fill(200)((
+      rnd.shuffle((0L to 400L).toList).take(rnd.nextInt(60)).sorted,
+      rnd.shuffle((0L to 400L).toList).take(rnd.nextInt(60)).sorted))
+    val base = rows.toDF("a", "b")
+    base.selectExpr("sorted_intersect_count(a, b) AS k",
+      "CAST(size(array_intersect(a, b)) AS BIGINT) AS r")
+      .collect().foreach { case Row(k: Long, r: Long) =>
+        assert(k === r, s"merge walk $k != array_intersect $r")
+      }
+    // Interpreted parity on one fixture.
+    val one = Seq((Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)))
+      .toDF("a", "b")
+    val conf = spark.conf
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp =
+      try one.selectExpr("sorted_intersect_count(a, b)").head.getLong(0)
+      finally {
+        conf.set("spark.sql.codegen.wholeStage", "true")
+        conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    assert(interp === 2L)
+  }
+
   test("distance properties: symmetric, in [0, 2], d(x,x) ~ 0") {
     val s = spark
     import s.implicits._
