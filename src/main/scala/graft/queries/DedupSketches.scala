@@ -275,11 +275,21 @@ object DedupSketches {
       // must never be forced onto every executor (8 GB ceiling at
       // scale). At this sf Catalyst's size estimate picks broadcast
       // by itself; at 100 TB it degrades to sort-merge on doc_id,
-      // which is the right plan there.
+      // which is the right plan there. Verification runs on sorted
+      // 60-bit shingle hashes through the allocation-free
+      // sorted_intersect_count merge walk (the q_dedup_near verify
+      // representation — same counts as raw-string array_intersect,
+      // oracle-checked) instead of two string-set intersections.
+      val hsets = sh.select(col("doc_id"),
+        expr(s"array_sort(transform(s, x -> ${TextKit.h60("x")}))").as("hs"))
       cand
-        .join(sh.select(col("doc_id").as("id1"), col("s").as("s1")), "id1")
-        .join(sh.select(col("doc_id").as("id2"), col("s").as("s2")), "id2")
-        .withColumn("jac", round(expr(jaccard("s1", "s2")), 6))
+        .join(hsets.select(col("doc_id").as("id1"), col("hs").as("h1")), "id1")
+        .join(hsets.select(col("doc_id").as("id2"), col("hs").as("h2")), "id2")
+        .select(col("id1"), col("id2"),
+          expr("CAST(sorted_intersect_count(h1, h2) AS DOUBLE)").as("ix"),
+          size(col("h1")).as("na"), size(col("h2")).as("nb"))
+        .withColumn("jac",
+          round(col("ix") / (col("na") + col("nb") - col("ix")), 6))
         .filter(col("jac") >= 0.6)
         .select("id1", "id2", "jac")
         .orderBy("id1", "id2")
