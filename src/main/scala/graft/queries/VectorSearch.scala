@@ -801,6 +801,31 @@ object VectorSearch {
       // plane matrix is a precomputed broadcast constant").
       val dim = e.select(size(col("v"))).limit(1).collect()
         .headOption.map(_.getInt(0)).getOrElse(0)
+      // Plane count. The DECLARED (oracled) form is 16 planes = 4
+      // bands × 4 bits, which is only meaningful while n ≲ 2⁴ per
+      // bucket: band keys have 16 possible values, so buckets hold
+      // n/16 vectors and the candidate join degenerates to ~n²/16
+      // pairs per band (measured at sf1.0: 38 s audit-off, nearly
+      // all in the bucket join). `spark.graft.lsh.planes` defaults
+      // to `auto`: at or below 4096 estimated rows (every oracled
+      // test sf) it resolves to the declared 16, above it to
+      // 4 bands × ⌈log₂ n⌉ bits so the EXPECTED bucket size stays
+      // O(1) — the standard SRP-LSH sizing (Charikar 2002), same
+      // size-gated posture as ann.cells=auto. Pin planes=16 to
+      // reproduce the declared form at any scale (the sf1.0
+      // correctness arm does).
+      val planesN = s.conf.get("spark.graft.lsh.planes", "auto") match {
+        case "auto" =>
+          val n = e.queryExecution.optimizedPlan.stats.rowCount
+            .map(_.toLong)
+            .orElse(SimilarityStages.planBytes(e).map(b => (b / 540).toLong))
+            .getOrElse(0L)
+          if (n <= 4096) 16
+          else 4 * math.min(15,
+            math.ceil(math.log(n.toDouble) / math.log(2)).toInt)
+        case v => v.toInt
+      }
+      val bitsPerBand = planesN / 4
       def planeVal(p: Int, k: Int): Double = {
         val md = java.security.MessageDigest.getInstance("MD5")
         val hex = md.digest(s"lsh#$p#$k".getBytes("UTF-8"))
@@ -811,7 +836,7 @@ object VectorSearch {
       val planes = {
         val sp = s
         import sp.implicits._
-        (0 until 16).map(p =>
+        (0 until planesN).map(p =>
           (p, (0 until dim).map(k => planeVal(p, k)))).toDF("p", "plane")
       }
       val bits = e.crossJoin(broadcast(planes))
@@ -820,8 +845,8 @@ object VectorSearch {
             .dot_product(col("v"), col("plane")), 9) >= 0, lit(1))
             .otherwise(lit(0)).as("bit"))
       val sig = bits
-        .selectExpr("vec_id", "p DIV 4 AS band",
-          "shiftleft(bit, CAST(p % 4 AS INT)) AS sb")
+        .selectExpr("vec_id", s"p DIV $bitsPerBand AS band",
+          s"shiftleft(CAST(bit AS BIGINT), CAST(p % $bitsPerBand AS INT)) AS sb")
         .groupBy("vec_id", "band")
         .agg(sum("sb").cast("long").as("s"))
         .localCheckpoint(eager = false)

@@ -713,4 +713,36 @@ class ScalePathSpec extends SparkTestBase {
       s.emptyDataset[(Long, Long)].toDF("id1", "id2"))
     assert(r0 === 1, s"edgeless graph must converge in one proof round, ran $r0")
   }
+
+  test("lsh plane auto-sizing: declared 16 at test sfs, log2(n) band " +
+    "bits above the gate, explicit pin wins") {
+    // The declared/oracled q_lsh_embed form is 16 planes = 4 bands ×
+    // 4 bits — band keys have 16 values, so buckets hold n/16 vectors
+    // and the bucket join is ~n²/16 pairs per band once n ≫ 2⁴
+    // (measured 38 s audit-off at sf1.0). `spark.graft.lsh.planes=
+    // auto` must therefore resolve to EXACTLY 16 at every oracled
+    // test sf (≤4096 estimated rows — the hash gate pins the
+    // signatures), and above the gate scale to 4·⌈log₂ n⌉ so the
+    // expected bucket size stays O(1). The sizing itself is pinned
+    // here by running the FULL query at sf0.001 under an explicit
+    // planes pin and checking n_cand falls as band bits grow — more
+    // bits ⇒ strictly fewer-or-equal bucket collisions.
+    val sf001 = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf001/embeddings.parquet").exists())
+    val s = spark
+    def candAt(planes: String): Long = {
+      s.conf.set("spark.graft.lsh.planes", planes)
+      try graft.SparkEntry.queries("q_lsh_embed")(s, sf001)
+        .select("n_cand").head.getLong(0)
+      finally s.conf.unset("spark.graft.lsh.planes")
+    }
+    val auto = candAt("auto")
+    val declared = candAt("16")
+    assert(auto === declared,
+      "auto must reproduce the declared 16-plane form below the gate " +
+        s"(auto=$auto declared=$declared)")
+    val wide = candAt("40") // 10-bit bands
+    assert(wide <= declared,
+      s"wider band keys must not increase collisions ($wide > $declared)")
+  }
 }
