@@ -1009,5 +1009,42 @@ object TextOps {
         .select("id1", "id2", "cont")
         .orderBy("id1", "id2")
     },
+
+    // N-GRAM NOVELTY — per document, the fraction of its distinct
+    // word-trigram shingles that occur in NO other document
+    // (corpus-wide df = 1): the cheap novelty/boilerplate signal a
+    // curation pass ranks by (novelty ≈ 0 ⇒ assembled from corpus
+    // commonplaces; ≈ 1 ⇒ genuinely new text), and the complement of
+    // q_decontaminate's overlap test. Scale: shingle df is ONE
+    // partial-aggregated groupBy on the shingle key; the score join
+    // is an equi-join on that same key (both sides co-partition —
+    // shingle-stream volume, no pair stage anywhere); per-doc
+    // re-aggregation is a second partial agg. Determinism: integer
+    // counts, one shared double division rounded 6dp.
+    Q("q_ngram_novelty",
+      s"""WITH tok AS (SELECT doc_id, $toksDuck AS w FROM documents),
+         |sh AS (SELECT doc_id, unnest(${shingles3Duck("w")}) AS g
+         |       FROM tok WHERE len(w) >= 3),
+         |df AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+         |d AS (SELECT doc_id, count(*) AS n_shingles,
+         |    CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel
+         |  FROM sh JOIN df USING (g) GROUP BY doc_id)
+         |SELECT doc_id, n_shingles, novel,
+         |  round(CAST(novel AS DOUBLE) / n_shingles, 6) AS novelty
+         |FROM d ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sh = DedupStages.shingleSets(Tables.documents(s, d))
+        .filter(size(col("s")) > 0)
+        .select(col("doc_id"), explode(col("s")).as("g"))
+      val dfr = sh.groupBy("g").agg(count(lit(1)).as("df"))
+      sh.join(dfr, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).cast("long")
+            .as("novel"))
+        .select(col("doc_id"), col("n_shingles"), col("novel"),
+          round(col("novel").cast("double") / col("n_shingles"), 6)
+            .as("novelty"))
+        .orderBy("doc_id")
+    },
   )
 }

@@ -224,6 +224,44 @@ class Round11OpsSpec extends SparkTestBase {
     assert(contained === 1.0, "fixture: small doc fully contained")
   }
 
+  // -------------------------------------------------- ngram_novelty
+
+  test("ngram_novelty: df=1 fraction recomputes per document") {
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    def shingles(text: String): Set[String] =
+      toks(text).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val sh = docs().map { case (id, text, _) => id -> shingles(text) }
+      .filter(_._2.nonEmpty)
+    val df = sh.flatMap(_._2.toSeq).groupBy(identity).map {
+      case (g, xs) => g -> xs.length
+    }
+    val out = SparkEntry.queries("q_ngram_novelty")(spark, sf).collect()
+    assert(out.length === sh.length)
+    val byId = sh.toMap
+    out.foreach { r =>
+      val s0 = byId(r.getAs[Long]("doc_id"))
+      val novel = s0.count(df(_) == 1)
+      assert(r.getAs[Long]("n_shingles") === s0.size.toLong)
+      assert(r.getAs[Long]("novel") === novel.toLong)
+      assert(math.abs(r.getAs[Double]("novelty") -
+        novel.toDouble / s0.size) < 1e-6)
+    }
+    // Non-degenerate on the fixture: the planted near-dup docs share
+    // shingles (novelty < 1 somewhere), originals keep unique ones.
+    assert(out.exists(_.getAs[Double]("novelty") < 1.0))
+    assert(out.exists(_.getAs[Double]("novelty") > 0.0))
+  }
+
+  test("ngram_novelty plan has no pair stage: two aggs and one equi-join") {
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    val plan = SparkEntry.queries("q_ngram_novelty")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"novelty must never build a pair stage:\n$plan")
+  }
+
   // ------------------------------------------------ freshness_audit
 
   test("freshness_audit: lag, active days and coverage recompute") {
