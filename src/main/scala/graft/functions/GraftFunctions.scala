@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
 object GraftFunctions {
   val names: Seq[String] =
     Seq("dot_product", "cosine_distance", "l2_distance", "sq_l2_distance",
-      "l2_norm", "char_shingles", "sorted_intersect_count")
+      "l2_norm", "char_shingles", "sorted_intersect_count",
+      "word_shingles")
 
   // Names graft itself registered, per session (weak keys — a closed
   // session drops its entry). A foreign squatter is also recorded
@@ -89,6 +90,7 @@ object GraftFunctions {
     ensure("l2_norm")(es => L2Norm(d(es.head)))
     ensure("char_shingles")(es => CharShingles(es(0), es(1)))
     ensure("sorted_intersect_count")(es => SortedIntersectCount(es(0), es(1)))
+    ensure("word_shingles")(es => WordShingles(es(0), es(1), es(2)))
   }
 
   def dot_product(a: Column, b: Column): Column =

@@ -341,3 +341,80 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Distinct word n-gram shingles of a (pre-lowercased) text column in
+  * ONE compiled pass — the kernel form of
+  * `array_distinct(transform(sequence(...), i -> concat_ws(' ',
+  * element_at(w,i)...)))` over `filter(split(text,' '), t -> t<>'')`.
+  * That HOF chain is evaluated by the interpreted expression
+  * evaluator, whose lambda call sites go MEGAMORPHIC once other
+  * queries have run in the JVM — the same pathology the
+  * sq_l2_distance kernel closed (q_ngram_novelty's shingle stage:
+  * ~0.7 s in a fresh JVM, 5–6 s mid-sweep). Semantics are replicated
+  * exactly: tokens split on single spaces with empties dropped,
+  * n-grams joined with one space, `distinct` keeps first occurrence
+  * order, fewer than n tokens yields an empty array — so every
+  * md5-derived shingle hash downstream is unchanged (oracle
+  * hash-match is the proof).
+  */
+case class WordShingles(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression with Serializable {
+  override def prettyName: String = "word_shingles"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, BooleanType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (STRING, INT, BOOLEAN), got $other")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(t: Any, n: Any, d: Any): Any =
+    WordShingles.compute(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      n.asInstanceOf[Int], d.asInstanceOf[Boolean])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n, d) => {
+      s"${ev.value} = graft.functions.WordShingles.compute($t, $n, $d);"
+    })
+
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+object WordShingles {
+  /** One-pass tokenizer + shingler; static so codegen calls it
+    * directly (one monomorphic call per row, no lambda dispatch). */
+  def compute(text: org.apache.spark.unsafe.types.UTF8String, n: Int,
+      distinct: Boolean): ArrayData = {
+    val s = text.toString
+    val toks = new java.util.ArrayList[String]()
+    val len = s.length
+    var start = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        if (i > start) toks.add(s.substring(start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    val m = toks.size
+    val out = new java.util.ArrayList[AnyRef]()
+    val seen = if (distinct) new java.util.HashSet[String]() else null
+    var j = 0
+    while (j + n <= m) {
+      val sb = new java.lang.StringBuilder(toks.get(j))
+      var k = 1
+      while (k < n) { sb.append(' ').append(toks.get(j + k)); k += 1 }
+      val sh = sb.toString
+      if (!distinct || seen.add(sh))
+        out.add(org.apache.spark.unsafe.types.UTF8String.fromString(sh))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size())))
+  }
+}

@@ -52,5 +52,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "sorted_intersect_count(a, b) - |a n b| over sorted distinct " +
           "ARRAY<BIGINT> (merge walk)"),
       (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles",
+        "word_shingles(text, n, distinct) - word n-grams of the " +
+          "space-tokenized text, one compiled pass"),
+      (es: Seq[Expression]) => WordShingles(es(0), es(1), es(2))))
   }
 }

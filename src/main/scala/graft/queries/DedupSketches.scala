@@ -21,11 +21,19 @@ object DedupStages {
   def aCoef(i: Int): Long = graft.ml.Embedders.h28("a#" + i) * 2 + 1
   def bCoef(i: Int): Long = graft.ml.Embedders.h28("b#" + i)
 
-  /** (doc_id, s): distinct word-trigram shingle sets. */
-  def shingleSets(docs: DataFrame): DataFrame = {
-    val tokd = barrier(docs.withColumn("w", expr(toks)))
-    barrier(tokd.select(col("doc_id"), expr(shingles3("w")).as("s")))
-  }
+  /** (doc_id, s): distinct word-trigram shingle sets — via the
+    * compiled [[graft.functions.WordShingles]] kernel. The HOF chain
+    * it replaces (filter(split) → transform(sequence) → concat_ws →
+    * array_distinct) runs in the interpreted expression evaluator,
+    * whose lambda call sites go megamorphic once other queries have
+    * run in the JVM: the same shingle stage measured ~0.7 s in a
+    * fresh JVM and 5–6 s mid-sweep (the sq_l2_distance pathology).
+    * The kernel's output is string-identical (spec-pinned against
+    * the HOF form), so every downstream md5 hash and the oracle
+    * compare are unchanged. One barrier keeps scan parallelism. */
+  def shingleSets(docs: DataFrame): DataFrame =
+    barrier(docs.select(col("doc_id"),
+      expr("word_shingles(lower(text), 3, true)").as("s")))
 
   /** (doc_id, band, bk): 8 bands × 4 rows of 32 minhash permutations,
     * computed scan-locally (one md5 per shingle + arithmetic rehash,

@@ -224,6 +224,42 @@ class Round11OpsSpec extends SparkTestBase {
     assert(contained === 1.0, "fixture: small doc fully contained")
   }
 
+  // ------------------------------------------------- word_shingles
+
+  test("word_shingles kernel is string-identical to the HOF chain on " +
+    "real docs and edge cases") {
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    import org.apache.spark.sql.functions._
+    val hof = "array_distinct(if(size(w) < 3, array(), " +
+      "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', " +
+      "element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))"
+    val both = Tables.documents(spark, sf)
+      .withColumn("w", expr(
+        "filter(split(lower(text), ' '), t -> t <> '')"))
+      .select(
+        expr("word_shingles(lower(text), 3, true)").as("k"),
+        expr(hof).as("h"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+    }
+    // Edge cases: empty, 1-2 tokens, repeated shingles, multi-space.
+    val s0 = spark
+    import s0.implicits._
+    val edge = Seq("", "a", "a b", "a b c", "a b c a b c a b c",
+      "a  b   c", " x y z ").toDF("text")
+      .select(expr("word_shingles(lower(text), 3, true)").as("k"),
+        expr("array_distinct(if(size(filter(split(lower(text), ' '), " +
+          "t -> t <> '')) < 3, array(), transform(sequence(1, " +
+          "size(filter(split(lower(text), ' '), t -> t <> '')) - 2), " +
+          "i -> concat_ws(' ', element_at(filter(split(lower(text), ' '), " +
+          "t -> t <> ''), i), element_at(filter(split(lower(text), ' '), " +
+          "t -> t <> ''), i + 1), element_at(filter(split(lower(text), " +
+          "' '), t -> t <> ''), i + 2)))))").as("h"))
+      .collect()
+    edge.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
+
   // -------------------------------------------------- ngram_novelty
 
   test("ngram_novelty: df=1 fraction recomputes per document") {
