@@ -282,6 +282,85 @@ object Semantic {
         .orderBy("d1", "d2")
     },
 
+    // TF-IDF TOP-K NEIGHBORS — the BOUNDED-OUTPUT posture of
+    // q_tfidf_pairs: per document, its k=5 most-cosine-similar
+    // documents instead of EVERY pair above τ. The full τ-threshold
+    // pair set is inherently quadratic in near-dup clique size
+    // (round-11 sf1.0 self-check: the true q_tfidf_pairs answer is
+    // 115 M rows — the fixture's 5000-doc replica cliques), so a
+    // 100 TB pipeline asking "what is each doc similar to" runs THIS
+    // form: output is exactly n·k rows at ANY clique structure.
+    // Same sparse machinery — df-screened tf-idf postings,
+    // inverted-index candidate equi-join (never all-pairs) — then a
+    // per-doc top-k window over the CANDIDATE pairs (each doc's
+    // candidate list is its posting-overlap neighborhood, bounded by
+    // the df screen, so the window partition is candidate-sized, not
+    // corpus-sized). Determinism: ranks order by the 6dp-rounded
+    // cosine then doc id — total order both engines.
+    Q("q_tfidf_topk",
+      s"""WITH tok AS (SELECT doc_id, unnest($toksDuck) AS t FROM documents),
+         |tf AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+         |dl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS len FROM tf
+         |       GROUP BY doc_id),
+         |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+         |nd AS (SELECT count(*) AS nn FROM documents),
+         |w AS (SELECT tf.doc_id, tf.t,
+         |    round((CAST(c AS DOUBLE) / len) *
+         |          ln(CAST(nn AS DOUBLE) / df), 9) AS w
+         |  FROM tf JOIN dl USING (doc_id) JOIN df USING (t)
+         |  CROSS JOIN nd WHERE df * 10 <= nn),
+         |nrm AS (SELECT doc_id,
+         |    CAST(sum(CAST(round(w * w, 12) AS DECIMAL(38,12)))
+         |         AS DOUBLE) AS n2
+         |  FROM w GROUP BY doc_id),
+         |dot AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |    CAST(sum(CAST(round(a.w * b.w, 12) AS DECIMAL(38,12)))
+         |         AS DOUBLE) AS dp
+         |  FROM w a JOIN w b ON a.t = b.t AND a.doc_id <> b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |sc AS (SELECT d1, d2,
+         |    round(dp / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos
+         |  FROM dot JOIN nrm na ON na.doc_id = d1
+         |  JOIN nrm nb ON nb.doc_id = d2),
+         |r AS (SELECT d1, d2, cos, row_number() OVER (
+         |    PARTITION BY d1 ORDER BY cos DESC, d2) AS rk FROM sc)
+         |SELECT d1, d2, cos, CAST(rk AS BIGINT) AS rk FROM r
+         |WHERE rk <= 5 ORDER BY d1, rk""".stripMargin) { (s, d) =>
+      val tok = barrier(Tables.documents(s, d)
+        .withColumn("wt", expr(TextKit.toks)))
+        .select(col("doc_id"), explode(col("wt")).as("t"))
+      val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val dl = tf.groupBy("doc_id").agg(sum("c").as("len"))
+      val dfr = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val nd = broadcast(Tables.documents(s, d).agg(count(lit(1)).as("nn")))
+      val w = tf.join(dl, "doc_id").join(dfr, "t").crossJoin(nd)
+        .filter(col("df") * 10 <= col("nn"))
+        .select(col("doc_id"), col("t"),
+          round((col("c").cast("double") / col("len")) *
+            log(col("nn").cast("double") / col("df")), 9).as("w"))
+        .localCheckpoint()
+      val nrm = w.groupBy("doc_id")
+        .agg(sum(round(col("w") * col("w"), 12).cast(DecimalType(38, 12)))
+          .cast("double").as("n2"))
+      val dot = w.as("a").join(w.as("b"),
+        col("a.t") === col("b.t") && col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(sum(round(col("a.w") * col("b.w"), 12).cast(DecimalType(38, 12)))
+          .cast("double").as("dp"))
+      val sc = dot.join(nrm.as("na"), col("na.doc_id") === col("d1"))
+        .join(nrm.as("nb"), col("nb.doc_id") === col("d2"))
+        .select(col("d1"), col("d2"),
+          round(col("dp") / (sqrt(col("na.n2")) * sqrt(col("nb.n2"))), 6)
+            .as("cos"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("d1").orderBy(col("cos").desc, col("d2"))
+      sc.withColumn("rk", row_number().over(win).cast("long"))
+        .filter(col("rk") <= 5)
+        .select("d1", "d2", "cos", "rk")
+        .orderBy("d1", "rk")
+    },
+
     // DISTRIBUTED PCA (top principal axis) — 3 power iterations of
     // the covariance operator over the mean-centered embedding
     // cloud, without ever materializing a covariance matrix: each

@@ -298,6 +298,35 @@ class Round11OpsSpec extends SparkTestBase {
       s"novelty must never build a pair stage:\n$plan")
   }
 
+  // --------------------------------------------------- tfidf_topk
+
+  test("tfidf_topk: per-doc rows bounded by k; ranks follow (cos desc, d2)") {
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    val out = SparkEntry.queries("q_tfidf_topk")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byDoc = out.groupBy(_.getAs[Long]("d1"))
+    byDoc.foreach { case (d1, rows) =>
+      assert(rows.length <= 5, s"doc $d1 has ${rows.length} > k rows")
+      val sorted = rows.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq ===
+        (1L to rows.length).toSeq, s"ranks not dense @ $d1")
+      // rank order == (cos desc, d2 asc)
+      val pairs = sorted.map(r => (-r.getAs[Double]("cos"),
+        r.getAs[Long]("d2"))).toSeq
+      assert(pairs === pairs.sorted, s"rank order broken @ $d1")
+    }
+  }
+
+  test("tfidf_topk output is n·k-bounded where tfidf_pairs is clique-quadratic") {
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    // The scale contract this op exists for: rows ≤ 5 per participating
+    // doc regardless of how large a near-dup clique grows, while the
+    // τ-threshold pair form grows with clique².
+    val topk = SparkEntry.queries("q_tfidf_topk")(spark, sf).count()
+    val docs = Tables.documents(spark, sf).count()
+    assert(topk <= docs * 5)
+  }
+
   // ------------------------------------------------ freshness_audit
 
   test("freshness_audit: lag, active days and coverage recompute") {
