@@ -275,9 +275,13 @@ case class L2Norm(child: Expression) extends UnaryExpression
   * volume (millions of candidate pairs × ~50-element sets) the
   * allocation dominates — the same interpreted-HOF-vs-fused-loop gap
   * the sq_l2_distance kernel closed. The merge walk is allocation-free
-  * and equals the built-in EXACTLY when both inputs are sorted
-  * distinct (the callers sort via array_sort and the shingle sets are
-  * array_distinct by construction). Null elements are skipped, like
+  * and equals the built-in EXACTLY on ANY sorted inputs: after each
+  * match the walk advances past the full run of equal values on both
+  * sides, so duplicates count once — array_intersect's set semantics
+  * — not pairwise (round-11 advice: a=[5,5], b=[5,5] must yield 1,
+  * even though the callers' array_sort(distinct-by-construction)
+  * inputs only hit the duplicate path on a 60-bit hash collision).
+  * Null elements are skipped, like
   * array_intersect's null-excluding set semantics when one side lacks
   * null.
   */
@@ -308,7 +312,12 @@ case class SortedIntersectCount(left: Expression, right: Expression)
         val x = a.getLong(i); val y = b.getLong(j)
         if (x < y) i += 1
         else if (x > y) j += 1
-        else { c += 1; i += 1; j += 1 }
+        else {
+          c += 1
+          i += 1; j += 1
+          while (i < na && !a.isNullAt(i) && a.getLong(i) == x) i += 1
+          while (j < nb && !b.isNullAt(j) && b.getLong(j) == y) j += 1
+        }
       }
     }
     c
@@ -330,7 +339,11 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |    long $x = $a.getLong($i); long $y = $b.getLong($j);
          |    if ($x < $y) { $i++; }
          |    else if ($x > $y) { $j++; }
-         |    else { $c++; $i++; $j++; }
+         |    else {
+         |      $c++; $i++; $j++;
+         |      while ($i < $na && !$a.isNullAt($i) && $a.getLong($i) == $x) { $i++; }
+         |      while ($j < $nb && !$b.isNullAt($j) && $b.getLong($j) == $y) { $j++; }
+         |    }
          |  }
          |}
          |${ev.value} = $c;

@@ -202,7 +202,7 @@ object Curation {
         |  round(m.s / m.n, 6) AS mu,
         |  round(sqrt(m.q / m.n - (m.s / m.n) * (m.s / m.n)), 6) AS sigma,
         |  round((e.value - m.s / m.n)
-        |    / sqrt(m.q / m.n - (m.s / m.n) * (m.s / m.n)), 6) AS z
+        |    / nullif(sqrt(m.q / m.n - (m.s / m.n) * (m.s / m.n)), 0), 6) AS z
         |FROM events e JOIN m USING (event_type)
         |ORDER BY e.event_id""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d)
@@ -216,8 +216,14 @@ object Curation {
           round(col("value"), 6).as("value"),
           round(expr("s / n"), 6).as("mu"),
           round(expr("sqrt(q / n - (s / n) * (s / n))"), 6).as("sigma"),
-          round(expr("(value - s / n) / sqrt(q / n - (s / n) * (s / n))"), 6)
-            .as("z"))
+          // σ = 0 guard (round-11 advice): a constant-valued group
+          // divides by zero, where Spark's non-ANSI Divide returns
+          // NULL but DuckDB's IEEE division returns ±inf/NaN —
+          // nullif on BOTH sides pins the degenerate group to NULL
+          // in both engines.
+          round(expr(
+            "(value - s / n) / nullif(sqrt(q / n - (s / n) * (s / n)), 0)"),
+            6).as("z"))
         .orderBy("event_id")
     },
   )

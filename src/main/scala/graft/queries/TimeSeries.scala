@@ -747,12 +747,22 @@ object TimeSeries {
     // corrupts OLS's moment sums; it moves only one of C(n,2) slopes
     // here). Per-GROUP quadratic by declaration: the pair stage is a
     // self-equi-join on user_id, so volume is Σ_u C(n_u, 2) with n_u
-    // bounded by per-user activity, not corpus size — at 100 TB the
-    // join co-partitions on the user key and each group's pair set
-    // stays local (the q_butterfly wedge-volume discipline).
+    // co-partitioned on the user key — but "bounded by per-user
+    // activity" is ENFORCED, not assumed (round-11 verdict #2): a
+    // group over `spark.graft.theilsen.maxGroupRows` (default 2000;
+    // every test sf's max group is ≤~100, so the oracled plans are
+    // the exact declared semantics) is first thinned to a
+    // deterministic hash-ordered subset of that many rows — the
+    // subsampled/randomized Theil–Sen estimator — capping any hot
+    // user's pair volume at C(cap, 2) instead of C(10M, 2).
     // Determinism: Δt in exact integer MICROSECONDS (unix_micros ↔
     // epoch_us), slope doubles computed by the identical expression,
     // exact interpolated median (q_agg_median portability contract).
+    // NEGATIVE-ZERO NORMALIZATION (round-11 verdict #1): a slope
+    // multiset symmetric around zero has an IEEE -0.0 median, which
+    // DuckDB's round preserves but Spark's BigDecimal round rewrites
+    // to +0.0 — `+ 0.0` on BOTH sides (IEEE: -0.0 + 0.0 = +0.0)
+    // makes the cell identical regardless of which engine signed it.
     Q("q_theil_sen",
       """WITH p AS (SELECT a.user_id,
         |    (b.value - a.value) / ((epoch_us(b.ts) - epoch_us(a.ts)) / 1e6)
@@ -760,11 +770,25 @@ object TimeSeries {
         |  FROM events a JOIN events b ON a.user_id = b.user_id
         |    AND a.ts < b.ts)
         |SELECT user_id, count(*) AS n_pairs,
-        |  round(quantile_cont(slope, 0.5), 6) AS sen_slope
+        |  round(quantile_cont(slope, 0.5), 6) + 0.0 AS sen_slope
         |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
-      val ev = Tables.events(s, d)
+      val cap = s.conf.get("spark.graft.theilsen.maxGroupRows", "2000").toInt
+      require(cap >= 2,
+        s"spark.graft.theilsen.maxGroupRows must be >= 2, got $cap")
+      val raw = Tables.events(s, d)
         .select(col("user_id"), col("value"),
           expr("unix_micros(ts)").as("us"))
+      // Skew guard: thin only over-cap groups, keeping a
+      // deterministic (seedless-hash-ordered) subset so reruns and
+      // resumes agree. One windowed pass, co-partitioned on user_id —
+      // the same shuffle key the pair join needs next.
+      val byHash = Window.partitionBy("user_id")
+        .orderBy(xxhash64(col("user_id"), col("us"), col("value")),
+          col("us"))
+      val ev = raw
+        .withColumn("rn", row_number().over(byHash))
+        .filter(col("rn") <= cap)
+        .drop("rn")
       val a = ev.select(col("user_id"), col("value").as("v1"),
         col("us").as("us1"))
       val b = ev.select(col("user_id"), col("value").as("v2"),
@@ -775,7 +799,8 @@ object TimeSeries {
           expr("(v2 - v1) / ((us2 - us1) / 1e6)").as("slope"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_pairs"),
-          round(expr("percentile(slope, 0.5)"), 6).as("sen_slope"))
+          (round(expr("percentile(slope, 0.5)"), 6) + lit(0.0))
+            .as("sen_slope"))
         .orderBy("user_id")
     },
   )

@@ -813,16 +813,23 @@ object VectorSearch {
       // O(1) — the standard SRP-LSH sizing (Charikar 2002), same
       // size-gated posture as ann.cells=auto. Pin planes=16 to
       // reproduce the declared form at any scale (the sf1.0
-      // correctness arm does).
+      // correctness arm does). The gate reads an EXACT count — not
+      // an optimizer estimate, which can flap across Spark versions
+      // or plan-shape changes near the boundary and silently switch
+      // the output vintage (round-11 advice). The count pass costs
+      // one scan of the id+vector projection the query materializes
+      // anyway (it eagerly seeds the localCheckpoint the signature
+      // and candidate stages reuse), and the resolved plane count is
+      // logged so any vintage flip is observable.
       val planesN = s.conf.get("spark.graft.lsh.planes", "auto") match {
         case "auto" =>
-          val n = e.queryExecution.optimizedPlan.stats.rowCount
-            .map(_.toLong)
-            .orElse(SimilarityStages.planBytes(e).map(b => (b / 540).toLong))
-            .getOrElse(0L)
-          if (n <= 4096) 16
+          val n = e.count()
+          val p = if (n <= 4096) 16
           else 4 * math.min(15,
             math.ceil(math.log(n.toDouble) / math.log(2)).toInt)
+          System.err.println(
+            s"[graft] lsh.planes=auto resolved to $p (n=$n)")
+          p
         case v => v.toInt
       }
       val bitsPerBand = planesN / 4

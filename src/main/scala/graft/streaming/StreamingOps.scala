@@ -44,15 +44,19 @@ object StreamingOps {
       val tmp = Files.createTempDirectory("graft_events_src_")
       val src = java.nio.file.Paths.get(s"$d/events.parquet")
       if (Files.isDirectory(src)) {
-        val parts = Files.list(src).iterator()
-        var i = 0
-        while (parts.hasNext) {
-          val p = parts.next()
-          if (p.getFileName.toString.endsWith(".parquet")) {
-            Files.copy(p, tmp.resolve(f"part-$i%05d.parquet"))
-            i += 1
+        val st = Files.list(src)
+        val i = try {
+          val parts = st.iterator()
+          var n = 0
+          while (parts.hasNext) {
+            val p = parts.next()
+            if (p.getFileName.toString.endsWith(".parquet")) {
+              Files.copy(p, tmp.resolve(f"part-$n%05d.parquet"))
+              n += 1
+            }
           }
-        }
+          n
+        } finally st.close()
         require(i > 0, s"no parquet part files under $src")
       } else Files.copy(src, tmp.resolve("events.parquet"))
       tmp.toString

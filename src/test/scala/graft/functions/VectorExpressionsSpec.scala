@@ -159,6 +159,43 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(interp === 2L)
   }
 
+  test("sorted_intersect_count == size(array_intersect) on sorted arrays " +
+    "WITH duplicates (set semantics, not pairwise)") {
+    val s = spark
+    import s.implicits._
+    // The round-11 advice counterexample first: [5,5] ∩ [5,5] must be
+    // 1 (array_intersect dedups), not 2 (pairwise).
+    val pinned = Seq(
+      (Seq(5L, 5L), Seq(5L, 5L)),
+      (Seq(1L, 1L, 2L, 2L, 2L, 3L), Seq(2L, 2L, 3L, 3L, 4L)),
+      (Seq(7L, 7L, 7L), Seq(7L)),
+      (Seq.empty[Long], Seq(1L, 1L)))
+    val rnd = new scala.util.Random(29)
+    // Random sorted multisets: small value domain forces heavy
+    // duplication on both sides.
+    val fuzz = Seq.fill(300)((
+      Seq.fill(rnd.nextInt(40))(rnd.nextLong(12)).sorted,
+      Seq.fill(rnd.nextInt(40))(rnd.nextLong(12)).sorted))
+    (pinned ++ fuzz).toDF("a", "b")
+      .selectExpr("sorted_intersect_count(a, b) AS k",
+        "CAST(size(array_intersect(a, b)) AS BIGINT) AS r")
+      .collect().foreach { case Row(k: Long, r: Long) =>
+        assert(k === r, s"merge walk $k != array_intersect $r")
+      }
+    // Interpreted path covers the duplicate-run skip too.
+    val conf = spark.conf
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp =
+      try Seq((Seq(5L, 5L), Seq(5L, 5L))).toDF("a", "b")
+        .selectExpr("sorted_intersect_count(a, b)").head.getLong(0)
+      finally {
+        conf.set("spark.sql.codegen.wholeStage", "true")
+        conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    assert(interp === 1L)
+  }
+
   test("distance properties: symmetric, in [0, 2], d(x,x) ~ 0") {
     val s = spark
     import s.implicits._
