@@ -251,6 +251,26 @@ object Semantic {
          |JOIN nrm nb ON nb.doc_id = d2
          |WHERE round(dp / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= 0.25
          |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      // SCALE ROUTE WARNING (round-11 verdict #3): the τ-threshold
+      // contract — EVERY pair with cosine ≥ 0.25 — is
+      // output-quadratic in near-dup clique size (sf1.0 self-check:
+      // the true answer is 115 M rows from 5000-member replica
+      // cliques). The plan has no all-pairs stage, but no plan can
+      // beat its own output size; past the doc-count gate (exact
+      // parquet-footer count, deterministic — the lsh.planes=auto
+      // discipline) tell the user the bounded form exists. The
+      // contract itself is unchanged: the warning routes, it never
+      // truncates.
+      val nDocs = Tables.documents(s, d).count()
+      val warnDocs = s.conf
+        .get("spark.graft.tfidf.pairsWarnDocs", "20000").toLong
+      require(warnDocs >= 1,
+        s"spark.graft.tfidf.pairsWarnDocs must be >= 1, got $warnDocs")
+      if (nDocs >= warnDocs) System.err.println(
+        s"[graft] q_tfidf_pairs: $nDocs documents — the cosine>=tau " +
+          "pair contract is output-quadratic in near-dup clique " +
+          "size; for bounded output at scale run q_tfidf_topk " +
+          "(exactly n*k rows at any clique structure)")
       val tok = barrier(Tables.documents(s, d)
         .withColumn("wt", expr(TextKit.toks)))
         .select(col("doc_id"), explode(col("wt")).as("t"))

@@ -110,6 +110,42 @@ class Round12OpsSpec extends SparkTestBase {
     assert(e.getMessage.contains("maxGroupRows"))
   }
 
+  // ------------------------------------------------ tfidf_pairs route
+
+  private def capturingErr[T](body: => T): (T, String) = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val orig = System.err
+    System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+    val r = try body finally System.setErr(orig)
+    (r, buf.toString("UTF-8"))
+  }
+
+  test("tfidf_pairs: doc-count gate warns toward q_tfidf_topk at " +
+    "scale; silent and unchanged below the gate") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    // Below the gate (500 docs < default 20000): no warning.
+    val (_, quiet) = capturingErr {
+      SparkEntry.queries("q_tfidf_pairs")(spark, sf)
+    }
+    assert(!quiet.contains("q_tfidf_pairs:"),
+      s"no warning expected below the gate, got: $quiet")
+    // Gate forced to 1: the warning names the bounded route. The
+    // frame itself is untouched — same schema, still analyzes.
+    spark.conf.set("spark.graft.tfidf.pairsWarnDocs", "1")
+    val (df, loud) = try capturingErr {
+      SparkEntry.queries("q_tfidf_pairs")(spark, sf)
+    } finally spark.conf.unset("spark.graft.tfidf.pairsWarnDocs")
+    assert(loud.contains("q_tfidf_topk"),
+      s"warning must route to the bounded form, got: $loud")
+    assert(df.columns.toSeq === Seq("d1", "d2", "n_shared", "cos"))
+    // Conf validation.
+    spark.conf.set("spark.graft.tfidf.pairsWarnDocs", "0")
+    try intercept[IllegalArgumentException] {
+      SparkEntry.queries("q_tfidf_pairs")(spark, sf)
+    } finally spark.conf.unset("spark.graft.tfidf.pairsWarnDocs")
+  }
+
   // ------------------------------------------------ zscore_normalize
 
   test("zscore_normalize: constant-valued group gets NULL z (σ=0 " +
