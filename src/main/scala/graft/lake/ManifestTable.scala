@@ -84,11 +84,27 @@ final class ManifestTable private (val root: String, spark: SparkSession) {
     * the next one. On a version race the transform is RE-APPLIED to
     * the winner's snapshot (optimistic concurrency), so concurrent
     * commits compose instead of overwriting each other. Returns the
-    * committed version. */
-  def commit(transform: DataFrame => DataFrame): Int =
-    commitLoop(v => transform(readAt(v)))
+    * committed version.
+    *
+    * `statsCols` (round-11 verdict #5 — the named additive upgrade):
+    * numeric columns to record PER-FILE min/max for in a stats
+    * sidecar next to the manifest, so range predicates can skip
+    * whole files BEFORE any parquet footer is opened ([[readWhere]]).
+    * Stats are computed in ONE distributed pass over the freshly
+    * written fileset (a groupBy on `input_file_name()` — no per-file
+    * driver loop), outward-rounded to the enclosing doubles so
+    * pruning stays sound for integral values past 2^53, and
+    * published BEFORE the manifest's CAS link under the fileset's
+    * nonce — a reader that can resolve the manifest is therefore
+    * guaranteed the sidecar exists (or the commit predates stats and
+    * pruning degrades to reading everything, never to wrong
+    * answers). */
+  def commit(transform: DataFrame => DataFrame,
+      statsCols: Seq[String] = Nil): Int =
+    commitLoop(v => transform(readAt(v)), statsCols)
 
-  private[lake] def commitLoop(make: Int => DataFrame): Int = {
+  private[lake] def commitLoop(make: Int => DataFrame,
+      statsCols: Seq[String] = Nil): Int = {
     var attempt = 0
     while (true) {
       attempt += 1
@@ -103,12 +119,128 @@ final class ManifestTable private (val root: String, spark: SparkSession) {
         .filter(f => f.getName.startsWith("part-") &&
           f.getName.endsWith(".parquet"))
         .map(f => s"$rel/${f.getName}").sorted
+      if (statsCols.nonEmpty)
+        writeStats(v + 1, nonce, rel, statsCols)
       if (tryPublish(v + 1, parts.toSeq)) return v + 1
       // else: another writer claimed v+1 first — loop re-reads and
-      // re-applies; our orphaned fileset is unreachable garbage that
-      // vacuum() collects (never visible to any reader).
+      // re-applies; our orphaned fileset AND its stats sidecar are
+      // unreachable garbage that vacuum() collects (never visible to
+      // any reader — the sidecar is keyed by our losing nonce).
+      Files.deleteIfExists(statsPath(v + 1, nonce))
     }
     -1 // unreachable
+  }
+
+  private def statsPath(v: Int, nonce: String): Path =
+    manifestDir.resolve(s"stats-$v-$nonce.tsv")
+
+  /** One Spark job: per (file, column) min/max over the fileset just
+    * written, serialized as TSV lines `relPath TAB col TAB min TAB
+    * max` (paths are engine-generated `data/commit-v-nonce/part-*`
+    * names — no tabs possible). All-null columns in a file emit no
+    * line: [[readWhere]] then SKIPS that file for predicates on the
+    * column (a range predicate cannot match NULL), which is the
+    * aggressive-but-sound direction. */
+  private def writeStats(v: Int, nonce: String, rel: String,
+      statsCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max => smax, min => smin}
+    val df = spark.read.parquet(s"$root/$rel")
+    statsCols.foreach { c =>
+      require(df.columns.contains(c),
+        s"stats column '$c' not in committed schema " +
+          df.columns.mkString("[", ",", "]"))
+    }
+    val aggs = statsCols.flatMap(c => Seq(
+      smin(col(c).cast("double")).as(s"min_$c"),
+      smax(col(c).cast("double")).as(s"max_$c")))
+    val rows = df.groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per part file — O(files of ONE commit)
+    val lines = rows.flatMap { r =>
+      val name = r.getString(0).split('/').last
+      statsCols.flatMap { c =>
+        val lo = r.getAs[Any](s"min_$c"); val hi = r.getAs[Any](s"max_$c")
+        if (lo == null || hi == null) None
+        else Some(s"$rel/$name\t$c\t" +
+          s"${math.nextDown(lo.asInstanceOf[Double])}\t" +
+          s"${math.nextUp(hi.asInstanceOf[Double])}")
+      }
+    }
+    Files.createDirectories(manifestDir)
+    Files.write(statsPath(v, nonce),
+      lines.mkString("\n").getBytes(UTF_8))
+  }
+
+  /** Per-file [min, max] for `colName` at version `v`, or None when
+    * the commit carries no sidecar / no line for that (file, col).
+    * The sidecar is located through the NONCE embedded in the
+    * manifest's own file paths — no extra manifest field, so the
+    * manifest format (and every pre-stats table) is untouched. */
+  private def fileStats(v: Int, colName: String): Map[String, (Double, Double)] = {
+    val nonces = manifestFiles(v)
+      .map(_.split('/').takeRight(2).head) // commit-<v>-<nonce>
+      .collect { case n if n.startsWith("commit-") => n.split('-').last }
+      .distinct
+    nonces.flatMap { nonce =>
+      // stats file is named by the fileset's OWN version tag, which
+      // older snapshots may reference too — scan the matching names.
+      Option(manifestDir.toFile.listFiles()).getOrElse(Array.empty)
+        .toSeq
+        .filter(f => f.getName.startsWith("stats-") &&
+          f.getName.endsWith(s"-$nonce.tsv"))
+        .flatMap { f =>
+          new String(Files.readAllBytes(f.toPath), UTF_8)
+            .split('\n').filter(_.nonEmpty).flatMap { line =>
+              line.split('\t') match {
+                case Array(p, c, lo, hi) if c == colName =>
+                  Some(s"$root/$p" -> (lo.toDouble, hi.toDouble))
+                case _ => None
+              }
+            }
+        }
+    }.toMap
+  }
+
+  /** Range read with MANIFEST-LEVEL file skipping: semantically
+    * identical to `read().filter(colName BETWEEN lo AND hi)` — the
+    * residual filter always applies — but files whose recorded
+    * [min, max] cannot intersect [lo, hi] are dropped from the scan
+    * list BEFORE Spark opens a single parquet footer. At millions of
+    * files that is the difference between a driver-side list prune
+    * and a cluster-wide footer-read storm; files without stats (old
+    * commits, non-stats columns) are conservatively kept.
+    * Returns the filtered frame; [[pruneFiles]] exposes the
+    * kept/total split the spec pins. */
+  def readWhere(colName: String, lo: Double, hi: Double): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (kept, _) = pruneFiles(colName, lo, hi)
+    val base =
+      if (kept.isEmpty)
+        readAt(currentVersion()).filter(org.apache.spark.sql.functions.lit(false))
+      else spark.read.parquet(kept.map(ManifestTable.globEsc): _*)
+    base.filter(col(colName) >= lo && col(colName) <= hi)
+  }
+
+  /** The pruning decision by itself: (files kept, all files) for a
+    * range predicate on `colName` at the current version. */
+  def pruneFiles(colName: String, lo: Double, hi: Double): (Seq[String], Seq[String]) = {
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    val v = currentVersion()
+    val all = manifestFiles(v)
+    val stats = fileStats(v, colName)
+    val kept = all.filter { f =>
+      stats.get(f) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None =>
+          // No line for this (file, col): either a pre-stats commit
+          // (keep — conservative) or an all-null column (skip — a
+          // range predicate cannot match NULL). Distinguish by
+          // whether the file's fileset has ANY stats for the column.
+          val dir = f.substring(0, f.lastIndexOf('/'))
+          !stats.keys.exists(_.startsWith(dir + "/"))
+      }
+    }
+    (kept, all)
   }
 
   /** The linearization point: publish v<N>.json by hard-LINKING the
@@ -175,16 +307,34 @@ final class ManifestTable private (val root: String, spark: SparkSession) {
       if (collectable) ManifestTable.deleteRecursively(dir.toPath)
       collectable
     }
+    // Stats sidecars ride their fileset's lifetime: once the
+    // `commit-<v>-<nonce>` dir is unreferenced and collected (or its
+    // writer lost the race), `stats-<v>-<nonce>.tsv` is garbage too.
+    val liveNonces: Set[String] = referenced.map(_.split('/').last)
+      .collect { case n if n.startsWith("commit-") => n.split('-').last }
+    Option(manifestDir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        val n = f.getName
+        n.startsWith("stats-") && n.endsWith(".tsv") && {
+          val parts = n.stripPrefix("stats-").stripSuffix(".tsv").split('-')
+          val ver = scala.util.Try(parts.head.toLong).toOption
+          ver.exists(_ <= cur) && !liveNonces.contains(parts.last)
+        }
+      }
+      .foreach(f => Files.deleteIfExists(f.toPath))
     (manifestsGone, dirsGone)
   }
 }
 
 object ManifestTable {
   /** Open (or initialize) a table rooted at `root`; `init` seeds
-    * version 1 if and only if no commit exists yet. */
-  def create(spark: SparkSession, root: String, init: DataFrame): ManifestTable = {
+    * version 1 if and only if no commit exists yet. `statsCols` as
+    * in [[ManifestTable.commit]] — per-file min/max recorded for the
+    * seed fileset. */
+  def create(spark: SparkSession, root: String, init: DataFrame,
+      statsCols: Seq[String] = Nil): ManifestTable = {
     val t = new ManifestTable(root, spark)
-    if (t.currentVersion() == 0) t.commitLoop(_ => init)
+    if (t.currentVersion() == 0) t.commitLoop(_ => init, statsCols)
     t
   }
 

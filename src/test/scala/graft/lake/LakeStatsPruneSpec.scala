@@ -1,0 +1,128 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import graft.{SparkEntry, SparkTestBase}
+import org.apache.spark.sql.functions._
+
+/** Manifest column-stats pruning (round-11 verdict #5): per-file
+  * min/max recorded at commit time lets a range read drop files from
+  * the scan list before any footer opens — and the pruned read is
+  * byte-identical to scan + filter. */
+class LakeStatsPruneSpec extends SparkTestBase {
+
+  private def freshRoot() =
+    Files.createTempDirectory("graft_mstats_spec_").toString
+
+  private def rangedTable(root: String): ManifestTable = {
+    val s = spark
+    import s.implicits._
+    // 1000 rows, value 0..999, range-partitioned into 10 files with
+    // disjoint value ranges — the layout a partitioned ingest
+    // produces.
+    val df = (0 until 1000).map(i => (i.toLong, i.toDouble, s"g${i % 3}"))
+      .toDF("id", "value", "grp")
+      .repartitionByRange(10, col("value"))
+    ManifestTable.create(s, root, df, statsCols = Seq("value"))
+  }
+
+  test("pruneFiles drops every file whose [min,max] misses the range; " +
+    "readWhere equals scan+filter exactly") {
+    val t = rangedTable(freshRoot())
+    val (kept, all) = t.pruneFiles("value", 250, 349)
+    assert(all.length === 10)
+    // 100 contiguous values span at most 2 of the 10 ~100-wide files.
+    assert(kept.nonEmpty && kept.length <= 3,
+      s"expected <=3 of 10 files kept, got ${kept.length}")
+    val pruned = t.readWhere("value", 250, 349)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val full = t.read().filter(col("value") >= 250 && col("value") <= 349)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(pruned.toSeq === full.toSeq)
+    assert(pruned.length === 100)
+    // Out-of-domain range: zero files, empty frame, same schema.
+    val (none, _) = t.pruneFiles("value", 5000, 6000)
+    assert(none.isEmpty)
+    val empty = t.readWhere("value", 5000, 6000)
+    assert(empty.count() === 0)
+    assert(empty.columns.toSeq === t.read().columns.toSeq)
+  }
+
+  test("columns without stats are conservatively unpruned (correct, " +
+    "just not skipped)") {
+    val t = rangedTable(freshRoot())
+    val (kept, all) = t.pruneFiles("id", 0, 10)
+    assert(kept === all, "no stats for 'id' -> every file kept")
+    val rows = t.readWhere("id", 0, 10).collect()
+    assert(rows.length === 11)
+  }
+
+  test("pre-stats vintage is conservatively unpruned; upgrading via a " +
+    "stats commit starts pruning, answers unchanged") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    // v1 committed WITHOUT stats — the pre-upgrade vintage: no
+    // sidecar exists, so pruning must keep every file (correct,
+    // just not skipped).
+    val t = ManifestTable.create(s, root,
+      (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("id", "value")
+        .repartitionByRange(4, col("value")))
+    val (kept1, all1) = t.pruneFiles("value", 0, 9)
+    assert(kept1 === all1, "pre-stats vintage: every file kept")
+    assert(t.readWhere("value", 0, 9).count() === 10)
+    // The additive upgrade: any later commit with statsCols makes
+    // the CURRENT snapshot prunable — no table rewrite ceremony.
+    t.commit(_.repartitionByRange(4, col("value")),
+      statsCols = Seq("value"))
+    val (kept2, all2) = t.pruneFiles("value", 0, 9)
+    assert(kept2.length < all2.length,
+      "the stats-carrying fileset must prune")
+    val got = t.readWhere("value", 0, 9).orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq === (0L to 9L))
+  }
+
+  test("vacuum collects orphaned stats sidecars with their filesets") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    val t = ManifestTable.create(s, root,
+      (0 until 50).map(i => (i.toLong, i.toDouble)).toDF("id", "value"),
+      statsCols = Seq("value"))
+    t.commit(_.filter(col("id") < 25), statsCols = Seq("value"))
+    t.commit(_.filter(col("id") < 10), statsCols = Seq("value"))
+    def sidecars() = Option(java.nio.file.Paths.get(root, "_manifests")
+      .toFile.listFiles()).getOrElse(Array.empty)
+      .count(_.getName.startsWith("stats-"))
+    assert(sidecars() === 3)
+    t.vacuum(keepLast = 1)
+    assert(sidecars() === 1, "only the live fileset's sidecar survives")
+    // And the survivor still prunes.
+    val (kept, all) = t.pruneFiles("value", 0, 3)
+    assert(kept.length <= all.length && t.readWhere("value", 0, 3)
+      .count() === 4)
+  }
+
+  test("q_manifest_prune: the registry query provably skips files and " +
+    "matches the raw-table aggregate") {
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/events.parquet").exists())
+    val out = SparkEntry.queries("q_manifest_prune")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val expect = graft.Tables.events(spark, sf)
+      .filter(col("value") >= 80 && col("value") <= 160)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        graft.queries.dsum(col("value")).as("s"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === expect.toSeq)
+    // The staged table's layout must actually prune for the query's
+    // range — this is the "plan provably skips files" pin.
+    val root = graft.queries.Lakehouse.statsRootFor(sf).get
+    val t = ManifestTable.open(spark, root)
+    val (kept, all) = t.pruneFiles("value", 80, 160)
+    assert(all.length >= 4 && kept.length < all.length,
+      s"pruning must skip files: kept ${kept.length} of ${all.length}")
+  }
+}
