@@ -61,26 +61,34 @@ object Windows {
 
     // Explicit frames: running total (unbounded preceding) + moving
     // 3-row average.
+    // Frame sums ride the integer-micros form (msum discipline,
+    // package.scala — native long adds per frame instead of a
+    // Decimal128 object per row, bit-identical rounded output):
+    // value ≤ ~330 with 2 dp, so even an unbounded running frame
+    // sums exactly through ~10¹⁰ rows per user.
     Q("q_win_frame",
       """SELECT event_id, user_id,
-        |  round(CAST(sum(CAST(value AS DECIMAL(38,6)))
+        |  round(CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT))
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS running,
-        |  round(CAST(sum(CAST(value AS DECIMAL(38,6)))
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / 1000000, 6) AS running,
+        |  round(CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT))
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / 1000000
         |    / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg
         |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
       val base = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val runW = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val movW = base.rowsBetween(-2, Window.currentRow)
+      val micros = round(col("value") * lit(1000000L), 0).cast("long")
       Tables.events(s, d).select(
         col("event_id"), col("user_id"),
-        round(sum(col("value").cast("decimal(38,6)")).over(runW)
-          .cast("double"), 6).alias("running"),
-        round(sum(col("value").cast("decimal(38,6)")).over(movW)
-          .cast("double") / count(lit(1)).over(movW), 6).alias("mov_avg"))
+        round(sum(micros).over(runW).cast("double") / lit(1000000L), 6)
+          .alias("running"),
+        round(sum(micros).over(movW).cast("double") / lit(1000000L)
+          / count(lit(1)).over(movW), 6).alias("mov_avg"))
         .orderBy("user_id", "event_id")
     },
 
