@@ -486,8 +486,10 @@ object DedupSketches {
       s"""WITH tok AS (SELECT doc_id, $toksDuck AS w FROM documents),
          |sh AS (SELECT doc_id, ${shingles3Duck("w")} AS s FROM tok
          |       WHERE len(w) >= 3),
-         |tr AS (SELECT a.doc_id AS id1, b.doc_id AS id2
-         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |${sharedShingleCandDuck(ordered = true, name = "tc")},
+         |tr AS (SELECT c.id1, c.id2
+         |      FROM tc c JOIN sh a ON a.doc_id = c.id1
+         |      JOIN sh b ON b.doc_id = c.id2
          |      WHERE round(${jaccardDuck("a.s", "b.s")}, 6) >= 0.6),
          |ex AS (SELECT doc_id, ${h28Duck("sh")} AS h0
          |       FROM (SELECT doc_id, unnest(s) AS sh FROM sh) u),

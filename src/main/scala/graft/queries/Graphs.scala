@@ -742,26 +742,32 @@ object GraphsOracles {
     * Spark loop builds, stated k times (the q_pagerank oracle
     * technique; norm arithmetic per q_vector_pca). */
   def hitsSql(iters: Int): String = {
+    // Every CTE is MATERIALIZED (the alsSql discipline): DuckDB
+    // inlines plain CTEs per reference, so the k-th iteration would
+    // otherwise re-derive the whole chain below it — the sf1.0
+    // oracle timeout of round 11 was this exponential re-evaluation,
+    // not data volume. Semantics unchanged (it is an evaluation
+    // hint).
     val steps = (1 to iters).map { k =>
-      s"""h${k}r AS (SELECT p, sum(CAST(a AS DECIMAL(38,12))) AS hr
+      s"""h${k}r AS MATERIALIZED (SELECT p, sum(CAST(a AS DECIMAL(38,12))) AS hr
          |  FROM e JOIN a${k - 1} USING (sid) GROUP BY p),
-         |h${k}n AS (SELECT sqrt(CAST(sum(CAST(round(CAST(hr AS DOUBLE)
+         |h${k}n AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(round(CAST(hr AS DOUBLE)
          |    * CAST(hr AS DOUBLE), 12) AS DECIMAL(38,12))) AS DOUBLE))
          |    AS nrm FROM h${k}r),
-         |h$k AS (SELECT p, round(CAST(hr AS DOUBLE) / nrm, 12) AS h
+         |h$k AS MATERIALIZED (SELECT p, round(CAST(hr AS DOUBLE) / nrm, 12) AS h
          |        FROM h${k}r, h${k}n),
-         |a${k}r AS (SELECT sid, sum(CAST(h AS DECIMAL(38,12))) AS ar
+         |a${k}r AS MATERIALIZED (SELECT sid, sum(CAST(h AS DECIMAL(38,12))) AS ar
          |  FROM e JOIN h$k USING (p) GROUP BY sid),
-         |a${k}n AS (SELECT sqrt(CAST(sum(CAST(round(CAST(ar AS DOUBLE)
+         |a${k}n AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(round(CAST(ar AS DOUBLE)
          |    * CAST(ar AS DOUBLE), 12) AS DECIMAL(38,12))) AS DOUBLE))
          |    AS nrm FROM a${k}r),
-         |a$k AS (SELECT sid, round(CAST(ar AS DOUBLE) / nrm, 12) AS a
+         |a$k AS MATERIALIZED (SELECT sid, round(CAST(ar AS DOUBLE) / nrm, 12) AS a
          |        FROM a${k}r, a${k}n)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sid
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey AS p, l_suppkey AS sid
        |           FROM lineitem),
-       |sn AS (SELECT count(DISTINCT sid) AS n FROM e),
-       |a0 AS (SELECT DISTINCT sid, round(1 / sqrt(n), 12) AS a
+       |sn AS MATERIALIZED (SELECT count(DISTINCT sid) AS n FROM e),
+       |a0 AS MATERIALIZED (SELECT DISTINCT sid, round(1 / sqrt(n), 12) AS a
        |       FROM e, sn),
        |$steps
        |SELECT side, node_id, score FROM (

@@ -547,8 +547,13 @@ object SimilarityStages {
     * kernel: cosine (the simjoin/mutual-kNN space) or l2 (the
     * LOF/DBSCAN space — probing cells by the WRONG metric would
     * silently cost recall on unnormalized embeddings). */
-  def annCandidates(e: DataFrame, cells: Int, probes: Int,
-                    metric: String = "cosine"): DataFrame = {
+  /** Top-`probes` IVF cell assignments, CARRYING the vector:
+    * (vec_id, v, cid) — one broadcast of the ≤`cells`-row codebook,
+    * one keyed window. Shared by [[annCandidates]] (which drops `v`)
+    * and the [[knnCandidates]] ann arm (which joins ON `v`'s cell so
+    * vectors never ride a pair-level exchange — see there). */
+  private def probeAssignments(e: DataFrame, cells: Int, probes: Int,
+      metric: String): DataFrame = {
     val cents = e.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cid"),
         col("embedding").cast("array<double>").as("cv"))
@@ -556,15 +561,21 @@ object SimilarityStages {
       case "cosine" => cosine_distance(col("v"), col("cv"))
       case "l2" => sqDist(col("v"), col("cv"))
       case other => throw new IllegalArgumentException(
-        s"annCandidates metric must be cosine|l2, got '$other'")
+        s"ann metric must be cosine|l2, got '$other'")
     }
-    val asg = e.select(col("vec_id"),
+    e.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       .crossJoin(broadcast(cents))
       .withColumn("cdist", round(cdist, 6))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("cdist"), col("cid"))))
       .filter(col("rn") <= probes)
+      .select(col("vec_id"), col("v"), col("cid"))
+  }
+
+  def annCandidates(e: DataFrame, cells: Int, probes: Int,
+                    metric: String = "cosine"): DataFrame = {
+    val asg = probeAssignments(e, cells, probes, metric)
       .select(col("vec_id"), col("cid"))
     asg.select(col("vec_id").as("id1"), col("cid"))
       .join(asg.select(col("vec_id").as("id2"), col("cid")), "cid")
@@ -579,11 +590,28 @@ object SimilarityStages {
   def sqDist(x: Column, y: Column): Column =
     graft.functions.GraftFunctions.sq_l2_distance(x, y)
 
+  /** The kNN family's verified distance: round(kernel, 6) in the
+    * caller's metric — computed INSIDE the candidate stage so the
+    * arrays die in the same stage that joined them. */
+  def knnDist(metric: String, x: Column, y: Column): Column = metric match {
+    case "cosine" => round(cosine_distance(x, y), 6)
+    case "l2" => round(sqDist(x, y), 6)
+    case other => throw new IllegalArgumentException(
+      s"knn metric must be cosine|l2, got '$other'")
+  }
+
   /** Directed neighbor-candidate stage for the kNN-shaped operators
     * (q_mutual_knn top-3, q_lof top-5, q_dbscan eps-neighbors).
-    * Input contract: (vec_id, v ARRAY<DOUBLE>); output (a, b, av, bv)
-    * rows with a ≠ b — callers apply their own distance kernel,
-    * top-k window, or eps filter on top.
+    * Input contract: (vec_id, v ARRAY<DOUBLE>); output (a, b, dist)
+    * rows with a ≠ b, dist = round(metric kernel, 6) — callers apply
+    * their top-k window or eps filter on top. Returning the DISTANCE
+    * rather than the vector pair is load-bearing at scale (round-12
+    * 100× smoke: the old (a, b, av, bv) contract re-attached both
+    * 64-dim arrays to every candidate pair, so the exchange between
+    * the two attachment joins shipped pairs × ~1 KB — ~200 GB at
+    * 200 k vectors, which filled the spill disk; with the kernel
+    * fused into the candidate join the only pair-sized exchange
+    * carries 24-byte (a, b, dist) rows).
     *
     * `spark.graft.knn.mode` (default `auto` — size-gated via
     * [[resolveMode]]: the oracled test sfs stay on the declared exact
@@ -597,13 +625,18 @@ object SimilarityStages {
     *    spillable cartesian instead of an executor OOM). Build sides
     *    are bounded by `spark.graft.simjoin.blocks` (B blocks of
     *    ~n/B rows; ScalePathSpec pins the partition-of-unity).
-    *  - `ann`: the 100 TB route — IVF multi-probe candidates in the
-    *    CALLER'S metric (`spark.graft.knn.ann.cells` /
-    *    `spark.graft.knn.ann.probes`), expanded to both orientations
-    *    so per-`a` top-k windows see every candidate, then the same
-    *    exact verify. Recall is governed by probes/cells; at the
-    *    test sfs the defaults have total recall, so ScalePathSpec
-    *    pins ann ≡ exact per operator (the simjoin precedent).
+    *  - `ann`: the 100 TB route — top-P IVF assignments KEEP their
+    *    vector ((vec_id, v, cid), [[probeAssignments]]) and the
+    *    candidate stage is a cell-keyed SELF-join: the exchange
+    *    ships n·P vector rows (not pairs), pairs materialize only
+    *    inside the join stage where the kernel immediately reduces
+    *    them to (a, b, dist), and the sole pair-sized exchange is
+    *    the 24-byte-row distinct (a pair sharing several probe
+    *    cells must count once for dbscan's k-threshold). Both
+    *    orientations emerge from the a ≠ b self-join. Recall is
+    *    governed by probes/cells; at the test sfs the defaults have
+    *    total recall, so ScalePathSpec pins ann ≡ exact per
+    *    operator (the simjoin precedent).
     */
   def knnCandidates(e: DataFrame, metric: String): DataFrame =
     resolveMode(e, "spark.graft.knn.mode") match {
@@ -615,19 +648,23 @@ object SimilarityStages {
           val b = if (blocks == 1) bAll
                   else bAll.filter(pmod(col("b"), lit(blocks)) === k)
           a.join(b, col("a") =!= col("b"))
+            .select(col("a"), col("b"),
+              knnDist(metric, col("av"), col("bv")).as("dist"))
         }.reduce(_ unionByName _)
       case "ann" =>
         val cells = annCells(e, "spark.graft.knn.ann.cells")
         val probes = annProbes(
           e, "spark.graft.knn.ann.probes", cells, pinned = 8)
-        val und = annCandidates(
+        val asg = probeAssignments(
           e.select(col("vec_id"), col("v").as("embedding")),
           cells, probes, metric)
-        val dir = und.select(col("id1").as("a"), col("id2").as("b"))
-          .unionByName(und.select(col("id2").as("a"), col("id1").as("b")))
-        dir.join(e.select(col("vec_id").as("a"), col("v").as("av")), "a")
-          .join(e.select(col("vec_id").as("b"), col("v").as("bv")), "b")
-          .select("a", "b", "av", "bv")
+        asg.select(col("cid"), col("vec_id").as("a"), col("v").as("av"))
+          .join(asg.select(col("cid"), col("vec_id").as("b"),
+            col("v").as("bv")), "cid")
+          .filter(col("a") =!= col("b"))
+          .select(col("a"), col("b"),
+            knnDist(metric, col("av"), col("bv")).as("dist"))
+          .distinct()
     }
 
   private def annSim(e: DataFrame, tau: Double): DataFrame = {

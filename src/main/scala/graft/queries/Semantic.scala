@@ -599,13 +599,11 @@ object Semantic {
         .select(col("vec_id"), col("embedding").cast("array<double>")
           .as("v"))
         .localCheckpoint(eager = false)
-      // Codegen kernel, bit-identical to the HOF fold it replaced
-      // (same left-to-right (x-y)*(x-y) accumulation — see
-      // functions.SqL2Distance scaladoc for why the interpreted fold
-      // was a variance trap at pair volume).
-      val d2e = round(sq_l2_distance(col("av"), col("bv")), 6)
+      // knnCandidates fuses the codegen sq_l2 kernel into the
+      // candidate join (round-12: pair exchanges carry 24-byte
+      // (a, b, dist) rows, never the vectors — see Joins.scala).
       val knn = SimilarityStages.knnCandidates(e, metric = "l2")
-        .select(col("a"), col("b"), d2e.as("d2"))
+        .select(col("a"), col("b"), col("dist").as("d2"))
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy("a").orderBy("d2", "b")))
@@ -686,13 +684,11 @@ object Semantic {
         .select(col("vec_id"), col("embedding").cast("array<double>")
           .as("v"))
         .localCheckpoint(eager = false)
-      // Codegen kernel, bit-identical to the HOF fold it replaced
-      // (same left-to-right (x-y)*(x-y) accumulation — see
-      // functions.SqL2Distance scaladoc for why the interpreted fold
-      // was a variance trap at pair volume).
-      val d2e = round(sq_l2_distance(col("av"), col("bv")), 6)
+      // knnCandidates fuses the codegen sq_l2 kernel into the
+      // candidate join (round-12: pair exchanges carry 24-byte
+      // (a, b, dist) rows, never the vectors — see Joins.scala).
       val nbr = SimilarityStages.knnCandidates(e, metric = "l2")
-        .select(col("a"), col("b"), d2e.as("d2"))
+        .select(col("a"), col("b"), col("dist").as("d2"))
         .filter(col("d2") <= 1.34).select("a", "b")
         .localCheckpoint(eager = false)
       val core = nbr.groupBy("a").agg(count(lit(1)).as("k"))

@@ -62,6 +62,28 @@ object TextKit {
   def h60(e: String): String = s"CAST(conv(substr(md5($e), 1, 15), 16, 10) AS BIGINT)"
   def h60Duck(e: String): String = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
+  /** Shared-shingle candidate CTEs over a prior `sh(doc_id, s)` CTE —
+    * the BOUNDED oracle form of the brute-force cross join (round-11
+    * verdict #4). For any pair predicate that implies a NONEMPTY
+    * shingle intersection (Jaccard ≥ τ > 0, containment ≥ τ > 0),
+    * the pair shares at least one shingle, so the inverted-index
+    * equi-join's DISTINCT pair set is a superset of every qualifying
+    * pair and the final predicate filter makes the rewrite EXACT —
+    * same answer, same hash, but DuckDB runs posting-list-sized work
+    * (trigram df ≈ 1.6 + clique overlap) instead of O(n²) list
+    * intersects. This is the weaker any-shared-shingle cousin of the
+    * engine's PPJoin prefix filter, chosen oracle-side for being
+    * one-line-auditable. `ordered` picks `<` (unordered pairs) vs
+    * `<>` (both directions, the containment shape). */
+  def sharedShingleCandDuck(ordered: Boolean,
+      name: String = "cand"): String = {
+    val cmp = if (ordered) "<" else "<>"
+    s"""${name}_ex AS (SELECT doc_id, unnest(s) AS t FROM sh),
+       |$name AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |         FROM ${name}_ex a JOIN ${name}_ex b
+       |           ON a.t = b.t AND a.doc_id $cmp b.doc_id)""".stripMargin
+  }
+
   /** Jaccard of two array columns, computed identically on both
     * sides: |∩| / (|a| + |b| - |∩|), all-integer until one double
     * division (bit-identical across engines). */

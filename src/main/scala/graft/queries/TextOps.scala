@@ -127,14 +127,19 @@ object TextOps {
     // frequent shingles that drive candidate blowup never enter the
     // index. A size-compatibility filter (τ·|A| ≤ |B| ≤ |A|/τ) prunes
     // further before the exact array_intersect verification. Oracle
-    // is the O(n²) brute force — small-sf only; the Spark plan is the
-    // scale path.
+    // uses the EXACT shared-shingle candidate rewrite
+    // (TextKit.sharedShingleCandDuck — J ≥ 0.6 > 0 implies a shared
+    // shingle, so the inverted-index pair set is complete and the
+    // final jac filter makes it identical to the brute force), which
+    // keeps the DuckDB side inside the sf1.0 oracle budget.
     Q("q_dedup_near",
       s"""WITH tok AS (SELECT doc_id, $toksDuck AS w FROM documents),
          |sh AS (SELECT doc_id, ${shingles3Duck("w")} AS s FROM tok WHERE len(w) >= 3),
-         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |${sharedShingleCandDuck(ordered = true)},
+         |p AS (SELECT c.id1, c.id2,
          |        round(${jaccardDuck("a.s", "b.s")}, 6) AS jac
-         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |      FROM cand c JOIN sh a ON a.doc_id = c.id1
+         |      JOIN sh b ON b.doc_id = c.id2)
          |SELECT id1, id2, jac FROM p WHERE jac >= 0.6
          |ORDER BY id1, id2""".stripMargin) { (s, d) =>
       // Full pipeline lives in DedupStages.nearDupPairs (shared with
@@ -168,8 +173,10 @@ object TextOps {
       s"""WITH RECURSIVE
          |tok AS (SELECT doc_id, $toksDuck AS w FROM documents),
          |sh AS (SELECT doc_id, ${shingles3Duck("w")} AS s FROM tok WHERE len(w) >= 3),
-         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
-         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |${sharedShingleCandDuck(ordered = true)},
+         |p AS (SELECT c.id1, c.id2
+         |      FROM cand c JOIN sh a ON a.doc_id = c.id1
+         |      JOIN sh b ON b.doc_id = c.id2
          |      WHERE round(${jaccardDuck("a.s", "b.s")}, 6) >= 0.6),
          |e AS (SELECT id1 AS a, id2 AS b FROM p
          |      UNION ALL SELECT id2, id1 FROM p),
@@ -975,10 +982,12 @@ object TextOps {
       s"""WITH tok AS (SELECT doc_id, $toksDuck AS w FROM documents),
          |sh AS (SELECT doc_id, ${shingles3Duck("w")} AS s FROM tok
          |       WHERE len(w) >= 3),
-         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |${sharedShingleCandDuck(ordered = false)},
+         |p AS (SELECT c.id1, c.id2,
          |        round(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s), 6)
          |          AS cont
-         |      FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+         |      FROM cand c JOIN sh a ON a.doc_id = c.id1
+         |      JOIN sh b ON b.doc_id = c.id2)
          |SELECT id1, id2, cont FROM p WHERE cont >= 0.5
          |ORDER BY id1, id2""".stripMargin) { (s, d) =>
       val tau = 0.5

@@ -712,8 +712,7 @@ object VectorSearch {
           col("embedding").cast("array<double>").as("v"))
         .localCheckpoint(eager = false)
       val p = SimilarityStages.knnCandidates(e, metric = "cosine")
-        .select(col("a").as("aid"), col("b").as("bid"),
-          round(cosine_distance(col("av"), col("bv")), 6).as("dist"))
+        .select(col("a").as("aid"), col("b").as("bid"), col("dist"))
       val w = Window.partitionBy("aid").orderBy(col("dist"), col("bid"))
       val top = p.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
