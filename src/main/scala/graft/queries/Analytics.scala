@@ -1960,6 +1960,109 @@ object Analytics {
             " / (1 - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))" +
             " / (CAST(n AS DOUBLE) * n)), 6) AS kappa")
     },
+
+    // SAMPLE-RATIO MISMATCH (SRM) — the first gate of every A/B
+    // readout: does the REALIZED split-arm allocation match the
+    // declared 80/10/10 design? A drifted ratio invalidates every
+    // downstream metric before any outcome is read (bot filtering,
+    // crash loss, assignment bugs all surface here first). Uses
+    // q_split_assign's own hash split as the assignment under test;
+    // chi-square GOF with df = 2 against the design ratios, flagged
+    // at the conventional SRM alpha 0.001 (chi2 > 13.816). One
+    // full-scan conditional aggregate → a 1-row frame; every
+    // arithmetic step is integer counts × design constants, so the
+    // statistic is the same double in both engines at any scale.
+    Q("q_ab_srm", {
+      val h = h28Duck("'split#' || doc_id")
+      """WITH s AS (SELECT CASE WHEN HH < 214748365 THEN 'train'
+        |       WHEN HH < 241591910 THEN 'val' ELSE 'test' END AS split
+        |  FROM documents),
+        |c AS (SELECT count(*) AS n,
+        |    CAST(count(*) FILTER (split = 'train') AS BIGINT) AS nt,
+        |    CAST(count(*) FILTER (split = 'val') AS BIGINT) AS nv,
+        |    CAST(count(*) FILTER (split = 'test') AS BIGINT) AS ns
+        |  FROM s)
+        |SELECT n, nt, nv, ns,
+        |  round(CHI, 6) AS chi2,
+        |  CHI > CAST(13.816 AS DOUBLE) AS srm
+        |FROM c""".stripMargin.replace("HH", h).replace("CHI", "(nt - n * CAST(0.8 AS DOUBLE)) * (nt - n * CAST(0.8 AS DOUBLE)) / (n * CAST(0.8 AS DOUBLE)) + (nv - n * CAST(0.1 AS DOUBLE)) * (nv - n * CAST(0.1 AS DOUBLE)) / (n * CAST(0.1 AS DOUBLE)) + (ns - n * CAST(0.1 AS DOUBLE)) * (ns - n * CAST(0.1 AS DOUBLE)) / (n * CAST(0.1 AS DOUBLE))")
+    }) { (s, d) =>
+      val h = expr(h28("concat('split#', CAST(doc_id AS STRING))"))
+      val split = Tables.documents(s, d)
+        .select(when(h < 214748365L, "train")
+          .when(h < 241591910L, "val").otherwise("test").as("split"))
+      // constants pinned CAST(.. AS DOUBLE) on BOTH sides: a bare
+      // 0.8 literal parses as DECIMAL in each engine and drags the
+      // whole statistic into engine-specific decimal arithmetic (the
+      // q_power_analysis decimal-literal hazard).
+      val chi2 = "(nt - n * CAST(0.8 AS DOUBLE)) * (nt - n * CAST(0.8 AS DOUBLE)) / (n * CAST(0.8 AS DOUBLE)) + (nv - n * CAST(0.1 AS DOUBLE)) * (nv - n * CAST(0.1 AS DOUBLE)) / (n * CAST(0.1 AS DOUBLE)) + (ns - n * CAST(0.1 AS DOUBLE)) * (ns - n * CAST(0.1 AS DOUBLE)) / (n * CAST(0.1 AS DOUBLE))"
+      split.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("split") === "train", 1L).otherwise(0L))
+          .cast("long").as("nt"),
+        sum(when(col("split") === "val", 1L).otherwise(0L))
+          .cast("long").as("nv"),
+        sum(when(col("split") === "test", 1L).otherwise(0L))
+          .cast("long").as("ns"))
+        .selectExpr("n", "nt", "nv", "ns",
+          s"round($chi2, 6) AS chi2",
+          s"$chi2 > CAST(13.816 AS DOUBLE) AS srm")
+    },
+
+    // CALIBRATION / RELIABILITY BINS + ECE — is a model score an
+    // actual probability? Scores (here the deterministic value/400
+    // pseudo-score) bucket into 10 equal-width bins; per bin the
+    // mean score (confidence) meets the realized click rate
+    // (accuracy), and the Expected Calibration Error is the
+    // bin-count-weighted mean |acc − conf| — the standard reliability
+    // audit run before trusting any score-gated filter at corpus
+    // scale. Determinism: score micros = value × 2500 is an exact
+    // integer (2 dp values); both means use the exact integer tie
+    // rule floor((2S + n) / 2n) (package.scala mean-rounding caveat);
+    // the ECE terms are products of integers with 6 dp-rounded
+    // doubles, decimal-summed. Plan: one scan → 10-row frame; the
+    // ECE scalar broadcasts back onto the bins.
+    Q("q_calibration_bins",
+      """WITH b AS (SELECT
+        |    least(CAST(floor(round(value / 400, 6) * 10) AS INT), 9) AS bin,
+        |    CAST(round(value * 2500, 0) AS BIGINT) AS sm,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |g AS (SELECT bin, count(*) AS nb,
+        |    CAST(sum(sm) AS BIGINT) AS ssum, CAST(sum(y) AS BIGINT) AS ysum
+        |  FROM b GROUP BY bin),
+        |g2 AS (SELECT bin, nb,
+        |    floor((2 * ssum + nb) / (2.0 * nb)) / 1e6 AS conf,
+        |    floor((2 * ysum * 1000000 + nb) / (2.0 * nb)) / 1e6 AS acc
+        |  FROM g),
+        |e AS (SELECT round(CAST(sum(CAST(round(nb * abs(acc - conf), 6)
+        |      AS DECIMAL(38,6))) AS DOUBLE)
+        |    / CAST(sum(nb) AS DOUBLE), 6) AS ece FROM g2)
+        |SELECT bin, nb, round(conf, 6) AS conf, round(acc, 6) AS acc,
+        |  round(abs(acc - conf), 6) AS gap, ece
+        |FROM g2 CROSS JOIN e ORDER BY bin""".stripMargin) { (s, d) =>
+      val b = Tables.events(s, d).select(
+        least(floor(round(col("value") / 400, 6) * 10).cast("int"), lit(9))
+          .as("bin"),
+        round(col("value") * 2500, 0).cast("long").as("sm"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("y"))
+      val g2 = b.groupBy("bin").agg(
+          count(lit(1)).as("nb"),
+          sum("sm").cast("long").as("ssum"),
+          sum("y").cast("long").as("ysum"))
+        .selectExpr("bin", "nb",
+          "floor((2 * ssum + nb) / (2.0 * nb)) / 1e6 AS conf",
+          "floor((2 * ysum * 1000000 + nb) / (2.0 * nb)) / 1e6 AS acc")
+      val e = g2.agg((sum(round(col("nb") * abs(col("acc") - col("conf")),
+          6).cast(DecimalType(38, 6))).cast("double") /
+          sum("nb").cast("double")).as("raw"))
+        .select(round(col("raw"), 6).as("ece"))
+      g2.crossJoin(broadcast(e))
+        .select(col("bin"), col("nb"),
+          round(col("conf"), 6).as("conf"), round(col("acc"), 6).as("acc"),
+          round(abs(col("acc") - col("conf")), 6).as("gap"), col("ece"))
+        .orderBy("bin")
+    },
   )
 
   /** The nine OLS moment sums for the oracle — identical per-row

@@ -226,5 +226,76 @@ object Curation {
             6).as("z"))
         .orderBy("event_id")
     },
+
+    // QUANTILE (RANK) NORMALIZATION — map each value to its
+    // per-group empirical quantile qn = percent_rank ∈ [0, 1]: the
+    // distribution-free feature transform (immune to outliers AND
+    // to scale, where z-scoring assumes near-normality). The engine
+    // plan is the 100 TB shape: a per-(group, value) HISTOGRAM
+    // (bounded by the value domain — 2 dp over a few hundred units
+    // here, so ≤ groups × ~33 k rows at ANY corpus size), a
+    // cumulative count over that small frame, then a broadcast join
+    // back — the corpus itself is never sorted, unlike the naive
+    // percent_rank window whose per-group sort is corpus-sized.
+    // percent_rank ties: qn = (#strictly-smaller) / (n − 1), which
+    // the cumulative-histogram form reproduces exactly; the oracle
+    // states the naive window form, proving the equivalence per row.
+    Q("q_quantile_normalize",
+      """SELECT event_id, event_type, round(value, 6) AS value,
+        |  round(percent_rank() OVER (PARTITION BY event_type
+        |    ORDER BY value), 6) AS qn
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val hist = ev.groupBy("event_type", "value")
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("value")
+      val cum = hist
+        .withColumn("below",
+          coalesce(sum("c").over(w) - col("c"), lit(0L)))
+      val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      ev.join(broadcast(cum), Seq("event_type", "value"))
+        .join(broadcast(n), "event_type")
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value"),
+          when(col("n") === 1, lit(0.0)).otherwise(
+            round(col("below").cast("double") / (col("n") - 1), 6))
+            .as("qn"))
+        .orderBy("event_id")
+    },
+
+    // ROBUST SCALING — (x − median) / IQR per group: the
+    // outlier-immune sibling of q_zscore_normalize (one wild value
+    // moves a mean/σ arbitrarily far; it moves a median/IQR by at
+    // most one rank). Exact interpolated quantiles (the q_agg_median
+    // Spark-percentile ≡ DuckDB-quantile_cont portability contract);
+    // the group frame is ≤ #groups rows and broadcasts; IQR = 0
+    // (degenerate constant-ish group) pins rz to NULL via the same
+    // nullif-on-both-sides discipline as the z-score σ=0 guard.
+    Q("q_robust_scale",
+      """WITH m AS (SELECT event_type,
+        |    quantile_cont(value, 0.5) AS med,
+        |    quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
+        |  round(med, 6) AS med, round(iqr, 6) AS iqr,
+        |  round((e.value - med) / nullif(iqr, 0), 6) AS rz
+        |FROM events e JOIN m USING (event_type)
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val m = ev.groupBy("event_type").agg(
+        expr("percentile(value, 0.5)").as("med"),
+        expr("percentile(value, 0.75) - percentile(value, 0.25)")
+          .as("iqr"))
+      ev.join(broadcast(m), Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value"),
+          round(col("med"), 6).as("med"),
+          round(col("iqr"), 6).as("iqr"),
+          round((col("value") - col("med")) /
+            expr("nullif(iqr, 0)"), 6).as("rz"))
+        .orderBy("event_id")
+    },
   )
 }

@@ -527,6 +527,54 @@ object Sampling {
           "round(CAST(covered AS DOUBLE) / v, 9) AS coverage_frac")
         .orderBy("step")
     },
+
+    // PACKING-EFFICIENCY AUDIT — the sizing study run BEFORE
+    // q_pack_sequences commits to a max_len: for each candidate
+    // context length, how much of the token stream survives
+    // clipping, how many docs clip, and how far naive
+    // one-doc-per-sequence padding sits from the bin-packing lower
+    // bound ⌈Σtokens/L⌉ (the gap IS the budget packing can
+    // reclaim — at 100 TB a 0.3 fill ratio triples the training
+    // cost of every epoch). One tokenize pass fanned out across the
+    // three candidate lengths by an explode of a 3-element literal
+    // (rows 3×docs, never reshuffled before the 3-row aggregate);
+    // all integer arithmetic until the final ratios.
+    Q("q_pack_efficiency",
+      s"""WITH t AS (SELECT doc_id, len($toksDuck) AS n_tok FROM documents),
+         |l AS (SELECT unnest([64, 128, 256]) AS max_len),
+         |j AS (SELECT max_len, n_tok,
+         |    least(n_tok, max_len) AS kept FROM t CROSS JOIN l)
+         |SELECT max_len, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS toks_total,
+         |  CAST(sum(kept) AS BIGINT) AS toks_kept,
+         |  CAST(count(*) FILTER (n_tok > max_len) AS BIGINT) AS n_clipped,
+         |  CAST(sum(max_len - kept) AS BIGINT) AS pad_naive,
+         |  CAST(ceil(CAST(sum(kept) AS DOUBLE) / max_len) AS BIGINT)
+         |    AS bins_lower_bound,
+         |  round(CAST(sum(kept) AS DOUBLE) / (count(*) * max_len), 6)
+         |    AS fill_naive
+         |FROM j GROUP BY max_len ORDER BY max_len""".stripMargin) {
+      (s, d) =>
+        val t = barrier(Tables.documents(s, d)
+          .select(col("doc_id"), size(expr(toks)).cast("long").as("n_tok")))
+        t.select(col("n_tok"),
+            explode(array(lit(64L), lit(128L), lit(256L))).as("max_len"))
+          .withColumn("kept", least(col("n_tok"), col("max_len")))
+          .groupBy("max_len")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tok").cast("long").as("toks_total"),
+            sum("kept").cast("long").as("toks_kept"),
+            sum(when(col("n_tok") > col("max_len"), 1L).otherwise(0L))
+              .cast("long").as("n_clipped"),
+            sum(col("max_len") - col("kept")).cast("long").as("pad_naive"))
+          .selectExpr("max_len", "n_docs", "toks_total", "toks_kept",
+            "n_clipped", "pad_naive",
+            "CAST(ceil(CAST(toks_kept AS DOUBLE) / max_len) AS BIGINT)" +
+              " AS bins_lower_bound",
+            "round(CAST(toks_kept AS DOUBLE) / (n_docs * max_len), 6)" +
+              " AS fill_naive")
+          .orderBy("max_len")
+    },
   )
 }
 
