@@ -2009,6 +2009,70 @@ object Analytics {
           s"$chi2 > CAST(13.816 AS DOUBLE) AS srm")
     },
 
+    // 1-D EARTH MOVER'S DISTANCE (Wasserstein-1) between the view
+    // and click value distributions — the third member of the drift
+    // triple: q_psi bins into 10 cells (loses within-bin shift),
+    // q_ks_test takes the sup of |ΔCDF| (ignores how WIDE the gap
+    // is), EMD integrates |F₁−F₂| dx — the metric that prices drift
+    // in the units of the variable itself. Exact on the empirical
+    // CDFs: over the sorted distinct values of the union,
+    // EMD = Σ |F₁(vᵢ)−F₂(vᵢ)|·(vᵢ₊₁−vᵢ). Scale: the corpus folds to
+    // the DISTINCT-VALUE frame in one conditional-aggregate groupBy
+    // (bounded by the 2 dp value domain — ≤ ~33 k rows at ANY corpus
+    // size), and the cumulative/lead windows run over that bounded
+    // frame only — no corpus-sized sort, unlike a naive rank
+    // formulation. Determinism: CDFs are exact-integer ratios in one
+    // double division; each term rounds 9 dp into a DECIMAL sum.
+    Q("q_emd_drift",
+      """WITH v AS (SELECT value AS x,
+        |    CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS ca,
+        |    CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS cb
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |  GROUP BY value),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM v),
+        |c AS (SELECT x,
+        |    CAST(sum(ca) OVER (ORDER BY x) AS BIGINT) AS cca,
+        |    CAST(sum(cb) OVER (ORDER BY x) AS BIGINT) AS ccb,
+        |    lead(x) OVER (ORDER BY x) AS nx
+        |  FROM v),
+        |term AS (SELECT
+        |    round(abs(CAST(cca AS DOUBLE) / na - CAST(ccb AS DOUBLE) / nb)
+        |      * (nx - x), 9) AS w
+        |  FROM c CROSS JOIN t WHERE nx IS NOT NULL)
+        |SELECT (SELECT na FROM t) AS n_view, (SELECT nb FROM t) AS n_click,
+        |  (SELECT count(*) FROM v) AS n_values,
+        |  round(CAST(sum(CAST(w AS DECIMAL(38,9))) AS DOUBLE), 6) AS emd
+        |FROM term""".stripMargin) { (s, d) =>
+      val v = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "click"))
+        .groupBy(col("value").as("x"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .cast("long").as("ca"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .cast("long").as("cb"))
+        .localCheckpoint(eager = false) // bounded distinct-value frame
+      val t = broadcast(v.agg(sum("ca").cast("long").as("na"),
+        sum("cb").cast("long").as("nb"),
+        count(lit(1)).as("n_values")))
+      val w = Window.orderBy("x")
+      val c = v
+        .withColumn("cca", sum("ca").over(w).cast("long"))
+        .withColumn("ccb", sum("cb").over(w).cast("long"))
+        .withColumn("nx", lead("x", 1).over(w))
+        .filter(col("nx").isNotNull)
+      c.crossJoin(t)
+        .select(round(abs(col("cca").cast("double") / col("na") -
+            col("ccb").cast("double") / col("nb")) *
+            (col("nx") - col("x")), 9).as("term"),
+          col("na"), col("nb"), col("n_values"))
+        .groupBy("na", "nb", "n_values")
+        .agg(round(sum(col("term").cast(DecimalType(38, 9)))
+          .cast("double"), 6).as("emd"))
+        .select(col("na").as("n_view"), col("nb").as("n_click"),
+          col("n_values"), col("emd"))
+    },
+
     // CALIBRATION / RELIABILITY BINS + ECE — is a model score an
     // actual probability? Scores (here the deterministic value/400
     // pseudo-score) bucket into 10 equal-width bins; per bin the

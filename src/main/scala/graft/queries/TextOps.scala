@@ -1064,5 +1064,40 @@ object TextOps {
             .as("novelty"))
         .orderBy("doc_id")
     },
+
+    // LEXICAL DIVERSITY — per-document type-token ratio and hapax
+    // fraction: TTR = distinct-token share (≈0 for template spam
+    // repeating a vocabulary, ≈1 for telegraphic text), hapax =
+    // share of tokens used exactly once in the doc (Zipf's head vs
+    // tail at document granularity). The within-doc complement of
+    // the corpus-level q_vocab_coverage / q_zipf_alpha, and a
+    // standard curation feature next to q_quality_score /
+    // q_repetition. Plan: the q_doc_entropy shape — ONE per-(doc,
+    // token) groupBy, then a per-doc fold of that tf frame; no
+    // second tokenize, no window over the corpus.
+    Q("q_ttr",
+      s"""WITH tok AS (SELECT doc_id, unnest($toksDuck) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  CAST(sum(tf) AS BIGINT) AS n_tok,
+         |  count(*) AS n_types,
+         |  CAST(count(*) FILTER (tf = 1) AS BIGINT) AS n_hapax,
+         |  round(CAST(count(*) AS DOUBLE) / sum(tf), 6) AS ttr,
+         |  round(CAST(count(*) FILTER (tf = 1) AS DOUBLE) / sum(tf), 6)
+         |    AS hapax_frac
+         |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tok = fanout(Tables.documents(s, d))
+        .select(col("doc_id"), explode(expr(toks)).as("token"))
+      tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .groupBy("doc_id")
+        .agg(sum("tf").cast("long").as("n_tok"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("tf") === 1, 1L).otherwise(0L)).cast("long")
+            .as("n_hapax"))
+        .selectExpr("doc_id", "n_tok", "n_types", "n_hapax",
+          "round(CAST(n_types AS DOUBLE) / n_tok, 6) AS ttr",
+          "round(CAST(n_hapax AS DOUBLE) / n_tok, 6) AS hapax_frac")
+        .orderBy("doc_id")
+    },
   )
 }

