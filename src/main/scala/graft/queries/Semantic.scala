@@ -644,7 +644,17 @@ object Semantic {
     // pass, routed through SimilarityStages.knnCandidates
     // (block-chunked exact default, no broadcast hint;
     // `spark.graft.knn.mode=ann` = IVF-probed L2 candidates,
-    // set-equal at the test sfs — ScalePathSpec); everything after is
+    // set-equal at the test sfs — ScalePathSpec. Past total-recall
+    // scale the ann arm's error is ONE-SIDED on core structure:
+    // every candidate edge is exact-verified ≤ eps, so ann core ⊆
+    // exact core and ann CORE connectivity refines exact core
+    // connectivity — missed edges can only SPLIT clusters, never
+    // merge distinct ones (border points may legally re-attach to
+    // an ADJACENT cluster's surviving core — DBSCAN's own tie
+    // freedom). Round12OpsSpec pins the refinement property under
+    // deliberately-degraded recall; the sf1.0 cross_check measures
+    // the divergence; raise spark.graft.knn.ann.probes to trade
+    // candidate volume for connectivity recall); everything after is
     // edge-frame-sized: degree fold, core filter, and the
     // q_dup_clusters CC machinery (min-label propagation with
     // pointer jumping, run to its label-sum fixpoint — the same

@@ -146,6 +146,56 @@ class Round12OpsSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.tfidf.pairsWarnDocs")
   }
 
+  // -------------------------------------------------- dbscan ann arm
+
+  test("dbscan under degraded ann recall: one-sided refinement — " +
+    "ann co-membership implies exact co-membership, ann core ⊆ exact") {
+    val sfe = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sfe/embeddings.parquet").exists())
+    def run(): Map[Long, (String, Option[Long])] =
+      SparkEntry.queries("q_dbscan")(spark, sfe).collect().map { r =>
+        r.getAs[Long]("vec_id") -> (r.getAs[String]("role"),
+          Option(r.getAs[Any]("cluster")).map(_.asInstanceOf[Long]))
+      }.toMap
+    val exact = run()
+    // Deliberately degrade recall: force ann with MANY cells and the
+    // minimum probes, so the candidate stage misses eps-edges.
+    spark.conf.set("spark.graft.knn.mode", "ann")
+    spark.conf.set("spark.graft.knn.ann.cells", "64")
+    spark.conf.set("spark.graft.knn.ann.probes", "2")
+    val ann = try run() finally {
+      spark.conf.unset("spark.graft.knn.mode")
+      spark.conf.unset("spark.graft.knn.ann.cells")
+      spark.conf.unset("spark.graft.knn.ann.probes")
+    }
+    assert(ann.keySet === exact.keySet)
+    // Candidate edges are exact-verified <= eps, so errors are
+    // one-sided: (1) an ann core point is an exact core point;
+    val annCore = ann.collect { case (id, ("core", _)) => id }.toSet
+    val exCore = exact.collect { case (id, ("core", _)) => id }.toSet
+    assert(annCore.subsetOf(exCore),
+      s"ann core not a subset of exact core: ${annCore -- exCore}")
+    assert(exCore.nonEmpty)
+    // (2) two CORE points the ann arm co-clusters are co-clustered
+    // by the exact arm (ann core connectivity refines exact core
+    // connectivity — edges are a verified subset, cores are a
+    // subset, so components can only split). BORDER points are
+    // exempt by DBSCAN semantics: a border point within eps of
+    // cores of TWO adjacent exact clusters legally re-attaches to
+    // whichever core the degraded candidate set still sees.
+    val annClusters = ann.toSeq
+      .collect { case (id, ("core", Some(c))) => (c, id) }
+      .groupBy(_._1).values.map(_.map(_._2))
+    assert(annClusters.nonEmpty)
+    annClusters.foreach { members =>
+      val exactLabels = members.flatMap(m => exact(m)._2).distinct
+      assert(exactLabels.size <= 1,
+        s"ann CORE cluster spans exact clusters $exactLabels — a " +
+          "wrong merge, which verified-subset candidate edges cannot " +
+          "produce")
+    }
+  }
+
   // ------------------------------------------------ zscore_normalize
 
   test("zscore_normalize: constant-valued group gets NULL z (σ=0 " +
