@@ -667,19 +667,30 @@ object SimilarityStages {
           .distinct()
     }
 
+  /** The same kernel-fusion shape as the [[knnCandidates]] ann arm
+    * (round-12): cell-keyed self-join over vector-carrying top-P
+    * assignments, sim computed INSIDE the join stage, τ-filter
+    * BEFORE the distinct — so the only pair-sized exchange carries
+    * the ≥τ survivors as 24-byte rows. The previous
+    * candidates-then-attach form shipped (id1, id2, v1) pair rows
+    * (~0.5 KB each) through the exchange between its two vector
+    * joins — ~100 GB at the 100× fixture's candidate volume. Result
+    * set identical: same verified pairs, same 6 dp sim, dedup on
+    * (id1, id2, sim) where sim is deterministic per pair. */
   private def annSim(e: DataFrame, tau: Double): DataFrame = {
     val cells = annCells(e, "spark.graft.simjoin.ann.cells")
     val probes = annProbes(
       e, "spark.graft.simjoin.ann.probes", cells, pinned = 6)
-    val cand = annCandidates(e, cells, probes)
-    val v1 = e.select(col("vec_id").as("id1"),
-      col("embedding").cast("array<double>").as("v1"))
-    val v2 = e.select(col("vec_id").as("id2"),
-      col("embedding").cast("array<double>").as("v2"))
-    cand.join(v1, "id1").join(v2, "id2")
+    val asg = probeAssignments(e, cells, probes, metric = "cosine")
+    asg.select(col("cid"), col("vec_id").as("id1"), col("v").as("v1"))
+      .join(asg.select(col("cid"), col("vec_id").as("id2"),
+        col("v").as("v2")), "cid")
+      .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
-        round(lit(1.0) - cosine_distance(col("v1"), col("v2")), 6).alias("sim"))
+        round(lit(1.0) - cosine_distance(col("v1"), col("v2")), 6)
+          .alias("sim"))
       .filter(col("sim") >= tau)
+      .distinct()
   }
 
   private def exactSim(e: DataFrame, tau: Double): DataFrame = {
