@@ -486,7 +486,7 @@ object DedupSketches {
       s"""WITH tok AS (SELECT doc_id, $toksDuck AS w FROM documents),
          |sh AS (SELECT doc_id, ${shingles3Duck("w")} AS s FROM tok
          |       WHERE len(w) >= 3),
-         |${sharedShingleCandDuck(ordered = true, name = "tc")},
+         |${prefixCandDuck(0.6, ordered = true, name = "tc")},
          |tr AS (SELECT c.id1, c.id2
          |      FROM tc c JOIN sh a ON a.doc_id = c.id1
          |      JOIN sh b ON b.doc_id = c.id2

@@ -62,26 +62,48 @@ object TextKit {
   def h60(e: String): String = s"CAST(conv(substr(md5($e), 1, 15), 16, 10) AS BIGINT)"
   def h60Duck(e: String): String = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
-  /** Shared-shingle candidate CTEs over a prior `sh(doc_id, s)` CTE —
-    * the BOUNDED oracle form of the brute-force cross join (round-11
-    * verdict #4). For any pair predicate that implies a NONEMPTY
-    * shingle intersection (Jaccard ≥ τ > 0, containment ≥ τ > 0),
-    * the pair shares at least one shingle, so the inverted-index
-    * equi-join's DISTINCT pair set is a superset of every qualifying
-    * pair and the final predicate filter makes the rewrite EXACT —
-    * same answer, same hash, but DuckDB runs posting-list-sized work
-    * (trigram df ≈ 1.6 + clique overlap) instead of O(n²) list
-    * intersects. This is the weaker any-shared-shingle cousin of the
-    * engine's PPJoin prefix filter, chosen oracle-side for being
-    * one-line-auditable. `ordered` picks `<` (unordered pairs) vs
-    * `<>` (both directions, the containment shape). */
-  def sharedShingleCandDuck(ordered: Boolean,
+  /** PREFIX-FILTERED candidate CTEs over a prior `sh(doc_id, s)` CTE
+    * — the BOUNDED oracle form of the brute-force cross join
+    * (round-11 verdict #4), mirroring the ENGINE's PPJoin lemma
+    * (DedupStages.prefixCandidates) in DuckDB SQL. Under any fixed
+    * total order of shingles (here ascending document frequency,
+    * then shingle — rarest first), two sets with Jaccard ≥ τ MUST
+    * share an element within their first |X| − ⌈τ·|X|⌉ + 1 shingles,
+    * so only those prefix shingles are indexed for the equi-join and
+    * the frequent shingles that drive Σdf² candidate blowup never
+    * enter the index (the first bounded-oracle attempt — plain
+    * any-shared-shingle — filled DuckDB's spill disk at sf1.0 on
+    * exactly those). The lemma holds for ANY consistent order, so an
+    * engine-vs-oracle tie-break difference only changes the
+    * candidate SUPERSET, never the final answer: the caller's
+    * predicate re-verifies every candidate, making the rewrite
+    * answer-identical to the brute force. `ordered = true` adds the
+    * symmetric size-compat filter (τ·|A| ≤ |B| ≤ |A|/τ, sound for
+    * Jaccard) and emits unordered pairs; `ordered = false` is the
+    * ASYMMETRIC containment shape — prefix(A) joined against B's
+    * FULL postings, no size filter, both directions. */
+  def prefixCandDuck(tau: Double, ordered: Boolean,
       name: String = "cand"): String = {
-    val cmp = if (ordered) "<" else "<>"
-    s"""${name}_ex AS (SELECT doc_id, unnest(s) AS t FROM sh),
-       |$name AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-       |         FROM ${name}_ex a JOIN ${name}_ex b
-       |           ON a.t = b.t AND a.doc_id $cmp b.doc_id)""".stripMargin
+    val base =
+      s"""${name}_ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS t FROM sh),
+         |${name}_freq AS (SELECT t, count(*) AS df FROM ${name}_ex GROUP BY t),
+         |${name}_pref AS (SELECT doc_id, n, t FROM (
+         |    SELECT e.doc_id, e.n, e.t,
+         |      row_number() OVER (PARTITION BY e.doc_id ORDER BY f.df, e.t)
+         |        AS rk
+         |    FROM ${name}_ex e JOIN ${name}_freq f USING (t)) p
+         |  WHERE rk <= n - ceil(n * $tau) + 1)""".stripMargin
+    val join =
+      if (ordered)
+        s"""$name AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           |  FROM ${name}_pref a JOIN ${name}_pref b
+           |    ON a.t = b.t AND a.doc_id < b.doc_id
+           |    AND a.n * $tau <= b.n AND b.n * $tau <= a.n)""".stripMargin
+      else
+        s"""$name AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           |  FROM ${name}_pref a JOIN ${name}_ex b
+           |    ON a.t = b.t AND a.doc_id <> b.doc_id)""".stripMargin
+    base + ",\n" + join
   }
 
   /** Jaccard of two array columns, computed identically on both

@@ -135,7 +135,7 @@ object TextOps {
     Q("q_dedup_near",
       s"""WITH tok AS (SELECT doc_id, $toksDuck AS w FROM documents),
          |sh AS (SELECT doc_id, ${shingles3Duck("w")} AS s FROM tok WHERE len(w) >= 3),
-         |${sharedShingleCandDuck(ordered = true)},
+         |${prefixCandDuck(0.6, ordered = true)},
          |p AS (SELECT c.id1, c.id2,
          |        round(${jaccardDuck("a.s", "b.s")}, 6) AS jac
          |      FROM cand c JOIN sh a ON a.doc_id = c.id1
@@ -173,7 +173,7 @@ object TextOps {
       s"""WITH RECURSIVE
          |tok AS (SELECT doc_id, $toksDuck AS w FROM documents),
          |sh AS (SELECT doc_id, ${shingles3Duck("w")} AS s FROM tok WHERE len(w) >= 3),
-         |${sharedShingleCandDuck(ordered = true)},
+         |${prefixCandDuck(0.6, ordered = true)},
          |p AS (SELECT c.id1, c.id2
          |      FROM cand c JOIN sh a ON a.doc_id = c.id1
          |      JOIN sh b ON b.doc_id = c.id2
@@ -982,7 +982,7 @@ object TextOps {
       s"""WITH tok AS (SELECT doc_id, $toksDuck AS w FROM documents),
          |sh AS (SELECT doc_id, ${shingles3Duck("w")} AS s FROM tok
          |       WHERE len(w) >= 3),
-         |${sharedShingleCandDuck(ordered = false)},
+         |${prefixCandDuck(0.5, ordered = false)},
          |p AS (SELECT c.id1, c.id2,
          |        round(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s), 6)
          |          AS cont
