@@ -483,14 +483,12 @@ object DedupSketches {
     // run (band equi-join / prefix-filtered exact join — nothing
     // all-pairs); the three count frames are 1-row broadcasts.
     Q("q_minhash_recall",
-      s"""WITH tok AS (SELECT doc_id, $toksDuck AS w FROM documents),
-         |sh AS (SELECT doc_id, ${shingles3Duck("w")} AS s FROM tok
+      s"""WITH tok AS MATERIALIZED (SELECT doc_id, $toksDuck AS w FROM documents),
+         |sh AS MATERIALIZED (SELECT doc_id, ${shingles3Duck("w")} AS s FROM tok
          |       WHERE len(w) >= 3),
          |${prefixCandDuck(0.6, ordered = true, name = "tc")},
-         |tr AS (SELECT c.id1, c.id2
-         |      FROM tc c JOIN sh a ON a.doc_id = c.id1
-         |      JOIN sh b ON b.doc_id = c.id2
-         |      WHERE round(${jaccardDuck("a.s", "b.s")}, 6) >= 0.6),
+         |${jaccardPairsDuck(name = "tc", out = "tv")},
+         |tr AS (SELECT id1, id2 FROM tv WHERE jac >= 0.6),
          |ex AS (SELECT doc_id, ${h28Duck("sh")} AS h0
          |       FROM (SELECT doc_id, unnest(s) AS sh FROM sh) u),
          |sd AS (SELECT i AS seed,

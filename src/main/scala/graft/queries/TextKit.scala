@@ -85,9 +85,9 @@ object TextKit {
   def prefixCandDuck(tau: Double, ordered: Boolean,
       name: String = "cand"): String = {
     val base =
-      s"""${name}_ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS t FROM sh),
-         |${name}_freq AS (SELECT t, count(*) AS df FROM ${name}_ex GROUP BY t),
-         |${name}_pref AS (SELECT doc_id, n, t FROM (
+      s"""${name}_ex AS MATERIALIZED (SELECT doc_id, len(s) AS n, unnest(s) AS t FROM sh),
+         |${name}_freq AS MATERIALIZED (SELECT t, count(*) AS df FROM ${name}_ex GROUP BY t),
+         |${name}_pref AS MATERIALIZED (SELECT doc_id, n, t FROM (
          |    SELECT e.doc_id, e.n, e.t,
          |      row_number() OVER (PARTITION BY e.doc_id ORDER BY f.df, e.t)
          |        AS rk
@@ -95,16 +95,41 @@ object TextKit {
          |  WHERE rk <= n - ceil(n * $tau) + 1)""".stripMargin
     val join =
       if (ordered)
-        s"""$name AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        s"""$name AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
            |  FROM ${name}_pref a JOIN ${name}_pref b
            |    ON a.t = b.t AND a.doc_id < b.doc_id
            |    AND a.n * $tau <= b.n AND b.n * $tau <= a.n)""".stripMargin
       else
-        s"""$name AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        s"""$name AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
            |  FROM ${name}_pref a JOIN ${name}_ex b
            |    ON a.t = b.t AND a.doc_id <> b.doc_id)""".stripMargin
     base + ",\n" + join
   }
+
+  /** Verified Jaccard over [[prefixCandDuck]]'s candidates as an
+    * UNNEST-JOIN COUNT: ix = |A∩B| via a candidate-scoped
+    * (doc, shingle) equi-join + group count, instead of a per-pair
+    * `list_intersect` — DuckDB evaluates list_intersect as an
+    * O(|A|·|B|) nested loop per pair, which at sf1.0's 19 M
+    * candidates × ~53-element sets is ~5·10¹⁰ string comparisons
+    * (the jaccardDuck form burned 45+ min; this joins-and-counts the
+    * same integer in ~6 min at 16 threads). On distinct shingle sets
+    * the shared-shingle count IS len(list_intersect), so
+    * jac = ix/(na+nb−ix) is the identical rational and the 6 dp
+    * round matches cell-for-cell. Emits `{out}_ix` and `{out}`
+    * (id1, id2, na, nb, jac); candidates sharing zero shingles
+    * cannot exist (a candidate shares a prefix shingle by
+    * construction), so the inner join drops nothing the τ > 0
+    * filter would keep. */
+  def jaccardPairsDuck(name: String = "cand", out: String = "p"): String =
+    s"""${out}_ix AS MATERIALIZED (SELECT c.id1, c.id2,
+       |    a.n AS na, b.n AS nb, count(*) AS ix
+       |  FROM $name c JOIN ${name}_ex a ON a.doc_id = c.id1
+       |  JOIN ${name}_ex b ON b.doc_id = c.id2 AND b.t = a.t
+       |  GROUP BY c.id1, c.id2, a.n, b.n),
+       |$out AS (SELECT id1, id2, na, nb,
+       |    round(ix::DOUBLE / (na + nb - ix), 6) AS jac,
+       |    round(ix::DOUBLE / na, 6) AS cont FROM ${out}_ix)""".stripMargin
 
   /** Jaccard of two array columns, computed identically on both
     * sides: |∩| / (|a| + |b| - |∩|), all-integer until one double

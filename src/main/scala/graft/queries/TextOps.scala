@@ -133,13 +133,10 @@ object TextOps {
     // final jac filter makes it identical to the brute force), which
     // keeps the DuckDB side inside the sf1.0 oracle budget.
     Q("q_dedup_near",
-      s"""WITH tok AS (SELECT doc_id, $toksDuck AS w FROM documents),
-         |sh AS (SELECT doc_id, ${shingles3Duck("w")} AS s FROM tok WHERE len(w) >= 3),
+      s"""WITH tok AS MATERIALIZED (SELECT doc_id, $toksDuck AS w FROM documents),
+         |sh AS MATERIALIZED (SELECT doc_id, ${shingles3Duck("w")} AS s FROM tok WHERE len(w) >= 3),
          |${prefixCandDuck(0.6, ordered = true)},
-         |p AS (SELECT c.id1, c.id2,
-         |        round(${jaccardDuck("a.s", "b.s")}, 6) AS jac
-         |      FROM cand c JOIN sh a ON a.doc_id = c.id1
-         |      JOIN sh b ON b.doc_id = c.id2)
+         |${jaccardPairsDuck()}
          |SELECT id1, id2, jac FROM p WHERE jac >= 0.6
          |ORDER BY id1, id2""".stripMargin) { (s, d) =>
       // Full pipeline lives in DedupStages.nearDupPairs (shared with
@@ -171,13 +168,11 @@ object TextOps {
     // component diameter.
     Q("q_dup_clusters",
       s"""WITH RECURSIVE
-         |tok AS (SELECT doc_id, $toksDuck AS w FROM documents),
-         |sh AS (SELECT doc_id, ${shingles3Duck("w")} AS s FROM tok WHERE len(w) >= 3),
+         |tok AS MATERIALIZED (SELECT doc_id, $toksDuck AS w FROM documents),
+         |sh AS MATERIALIZED (SELECT doc_id, ${shingles3Duck("w")} AS s FROM tok WHERE len(w) >= 3),
          |${prefixCandDuck(0.6, ordered = true)},
-         |p AS (SELECT c.id1, c.id2
-         |      FROM cand c JOIN sh a ON a.doc_id = c.id1
-         |      JOIN sh b ON b.doc_id = c.id2
-         |      WHERE round(${jaccardDuck("a.s", "b.s")}, 6) >= 0.6),
+         |${jaccardPairsDuck(out = "pv")},
+         |p AS (SELECT id1, id2 FROM pv WHERE jac >= 0.6),
          |e AS (SELECT id1 AS a, id2 AS b FROM p
          |      UNION ALL SELECT id2, id1 FROM p),
          |walk(node, lab) AS (
@@ -979,15 +974,11 @@ object TextOps {
     // df ≈ 1.6 on this corpus → near-linear candidates); both
     // directions of a mutually-containing pair emerge naturally.
     Q("q_jaccard_containment",
-      s"""WITH tok AS (SELECT doc_id, $toksDuck AS w FROM documents),
-         |sh AS (SELECT doc_id, ${shingles3Duck("w")} AS s FROM tok
+      s"""WITH tok AS MATERIALIZED (SELECT doc_id, $toksDuck AS w FROM documents),
+         |sh AS MATERIALIZED (SELECT doc_id, ${shingles3Duck("w")} AS s FROM tok
          |       WHERE len(w) >= 3),
          |${prefixCandDuck(0.5, ordered = false)},
-         |p AS (SELECT c.id1, c.id2,
-         |        round(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s), 6)
-         |          AS cont
-         |      FROM cand c JOIN sh a ON a.doc_id = c.id1
-         |      JOIN sh b ON b.doc_id = c.id2)
+         |${jaccardPairsDuck()}
          |SELECT id1, id2, cont FROM p WHERE cont >= 0.5
          |ORDER BY id1, id2""".stripMargin) { (s, d) =>
       val tau = 0.5
