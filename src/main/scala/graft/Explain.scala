@@ -70,7 +70,11 @@ object Explain {
     // round-8 eighteenth wave
     "q_bfs_hops", "q_lsh_embed", "q_rolling_corr",
     // round-8 nineteenth wave
-    "q_pareto_mass", "q_mmr_rerank", "q_skew_audit")
+    "q_pareto_mass", "q_mmr_rerank", "q_skew_audit",
+    // round-12 wave
+    "q_manifest_prune", "q_quantile_normalize", "q_robust_scale",
+    "q_ab_srm", "q_calibration_bins", "q_pack_efficiency", "q_ttr",
+    "q_emd_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
