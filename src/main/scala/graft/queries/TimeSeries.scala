@@ -780,15 +780,25 @@ object TimeSeries {
           expr("unix_micros(ts)").as("us"))
       // Skew guard: thin only over-cap groups, keeping a
       // deterministic (seedless-hash-ordered) subset so reruns and
-      // resumes agree. One windowed pass, co-partitioned on user_id —
-      // the same shuffle key the pair join needs next.
+      // resumes agree. The guard is pay-per-skew: the hot-user set
+      // (groups over the cap) is a tiny broadcast, under-cap rows
+      // pass through a codegen anti-join untouched, and the
+      // row_number window — a full shuffle+sort when placed on the
+      // whole table — sorts ONLY hot-group rows (zero at every
+      // oracled sf, so the exact declared semantics cost nothing).
+      val hot = raw.groupBy("user_id")
+        .agg(count(lit(1)).as("n_rows"))
+        .filter(col("n_rows") > cap)
+        .select("user_id")
       val byHash = Window.partitionBy("user_id")
         .orderBy(xxhash64(col("user_id"), col("us"), col("value")),
           col("us"))
-      val ev = raw
+      val thinned = raw.join(broadcast(hot), Seq("user_id"))
         .withColumn("rn", row_number().over(byHash))
         .filter(col("rn") <= cap)
         .drop("rn")
+      val ev = raw.join(broadcast(hot), Seq("user_id"), "left_anti")
+        .unionByName(thinned)
       val a = ev.select(col("user_id"), col("value").as("v1"),
         col("us").as("us1"))
       val b = ev.select(col("user_id"), col("value").as("v2"),
