@@ -74,7 +74,10 @@ object Explain {
     // round-12 wave
     "q_manifest_prune", "q_quantile_normalize", "q_robust_scale",
     "q_ab_srm", "q_calibration_bins", "q_pack_efficiency", "q_ttr",
-    "q_emd_drift")
+    "q_emd_drift",
+    // round-12 second wave
+    "q_cusum_alarms", "q_burstiness", "q_confusion_metrics",
+    "q_embed_drift", "q_contrastive_pairs", "q_sssp")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -702,6 +702,54 @@ object Graphs {
       }
       rows.select("hop", "frontier_size", "reached").orderBy("hop")
     },
+
+    // WEIGHTED SHORTEST PATHS — single-source Bellman–Ford over the
+    // part–supplier web with integer edge costs (min lot quantity
+    // per link — the cheapest-lot cost of traversing that supply
+    // edge): "how FAR is every node from this part, in accumulated
+    // cost" where q_bfs_hops counts only hops — the min-PLUS member of the
+    // iterative-graph family (pagerank: weighted sum; kcore: prune;
+    // bfs: set reach; this: min-plus semiring). Each relaxation is
+    // ONE dist⋈edges equi-join co-partitioned on the node key + a
+    // group-min — the Pregel SSSP superstep as a dataframe; frames
+    // stay node-sized, localCheckpoint cuts per-round lineage, and
+    // the loop STOPS at its fixpoint (unchanged reached-count +
+    // dist-sum invariant, the CC label-sum discipline) under the
+    // oracle's declared 4-round cap — on this bipartite web the
+    // 4-hop radius is the q_bfs_hops-measured reach. Determinism:
+    // weights are exact integer days, min-plus stays BIGINT
+    // end-to-end; no doubles anywhere.
+    Q("q_sssp", GraphsOracles.ssspSql(4)) { (s, d) =>
+      val ew = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("p"), col("l_suppkey").as("su"))
+        .agg(min("l_quantity").cast("long").as("w"))
+      val edges = ew
+        .select(concat(lit("p"), col("p")).as("src"),
+          concat(lit("s"), col("su")).as("dst"), col("w"))
+        .unionAll(ew.select(concat(lit("s"), col("su")).as("src"),
+          concat(lit("p"), col("p")).as("dst"), col("w")))
+        .localCheckpoint(eager = false)
+      val seed = ew.agg(min("p").as("mp"))
+        .select(concat(lit("p"), col("mp")).as("node"),
+          lit(0L).as("dist"))
+      var dist = seed.localCheckpoint(eager = false)
+      var inv: (Long, Long) = (-1L, -1L)
+      var it = 0
+      while (it < 4) {
+        it += 1
+        val relaxed = edges.join(dist, edges("src") === dist("node"))
+          .select(col("dst").as("node"),
+            (col("dist") + col("w")).as("dist"))
+        dist = dist.unionAll(relaxed)
+          .groupBy("node").agg(min("dist").cast("long").as("dist"))
+          .localCheckpoint(eager = false)
+        val r = dist.agg(count(lit(1)).cast("long"),
+          sum("dist").cast("long")).head()
+        val now = (r.getLong(0), r.getLong(1))
+        if (now == inv) it = 4 else inv = now
+      }
+      dist.orderBy("node")
+    },
   )
 
   /** Graph construction, ONCE per query: the deg-enriched edge frame
@@ -856,6 +904,37 @@ object GraphsOracles {
        |$steps
        |SELECT hop, frontier_size, reached FROM ($rows) u
        |ORDER BY hop""".stripMargin
+  }
+
+  /** Chained-CTE Bellman–Ford: each round materializes the min-plus
+    * relaxation d_i = min(d_{i-1}, min over in-edges of d_{i-1}+w) —
+    * MATERIALIZED because every round references the previous one
+    * (plain CTEs re-inline per reference, the q_hits lesson). The
+    * engine's fixpoint stop is answer-identical under this cap: a
+    * converged d_i persists through the remaining rounds. */
+  def ssspSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      val prev = s"d${i - 1}"
+      s"""d$i AS MATERIALIZED (SELECT node,
+         |    CAST(min(dist) AS BIGINT) AS dist FROM (
+         |  SELECT node, dist FROM $prev
+         |  UNION ALL
+         |  SELECT e.dst AS node, p.dist + e.w AS dist
+         |  FROM $prev p JOIN edges e ON e.src = p.node) u
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ew AS MATERIALIZED (SELECT l_partkey AS p, l_suppkey AS su,
+       |    CAST(min(l_quantity) AS BIGINT) AS w
+       |  FROM lineitem GROUP BY 1, 2),
+       |edges AS MATERIALIZED (
+       |  SELECT 'p' || p::VARCHAR AS src, 's' || su::VARCHAR AS dst, w
+       |  FROM ew
+       |  UNION ALL
+       |  SELECT 's' || su::VARCHAR, 'p' || p::VARCHAR, w FROM ew),
+       |d0 AS MATERIALIZED (SELECT 'p' || min(p)::VARCHAR AS node,
+       |    CAST(0 AS BIGINT) AS dist FROM ew),
+       |$steps
+       |SELECT node, dist FROM d$rounds ORDER BY node""".stripMargin
   }
 
   def kcoreSql(rounds: Int, k: Int): String = {

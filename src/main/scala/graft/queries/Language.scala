@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -24,6 +25,101 @@ import TextKit._
   *    double scores hash-match (the dsum discipline, package.scala).
   */
 object Language {
+
+  /** Shared NB prediction chain (fit on the 80% hash-split train
+    * docs, score the held-out 20%, argmax per doc) ending in a
+    * `conf(actual, predicted, n)` confusion CTE — written once so
+    * q_naive_bayes (the confusion report) and q_confusion_metrics
+    * (the per-class P/R/F1 readout over the SAME predictions) stay
+    * one definition. See q_naive_bayes's scaladoc for the fit/score
+    * scale design. */
+  private val nbConfDuck: String =
+    s"""s AS (SELECT doc_id, lang, $toksDuck AS w,
+       |    CASE WHEN ${h28Duck("'split#' || doc_id")} < 214748365
+       |         THEN 'train' ELSE 'test' END AS split
+       |  FROM documents),
+       |trtok AS (SELECT lang, unnest(w) AS tok FROM s
+       |          WHERE split = 'train'),
+       |ct AS (SELECT lang, tok, count(*) AS cnt FROM trtok
+       |       GROUP BY 1, 2),
+       |tokc AS (SELECT lang, count(*) AS ntok FROM trtok GROUP BY 1),
+       |vocab AS (SELECT DISTINCT tok FROM trtok),
+       |vsz AS (SELECT count(*) AS v FROM vocab),
+       |prior AS (SELECT lang, round(ln(CAST(count(*) AS DOUBLE) /
+       |      (SELECT count(*) FROM s WHERE split = 'train')), 9)
+       |      AS lnprior
+       |  FROM s WHERE split = 'train' GROUP BY 1),
+       |dense AS (SELECT vocab.tok, tokc.lang,
+       |    round(ln(CAST(coalesce(ct.cnt, 0) + 1 AS DOUBLE)
+       |             / (tokc.ntok + vsz.v)), 9) AS lnp
+       |  FROM vocab CROSS JOIN tokc CROSS JOIN vsz
+       |  LEFT JOIN ct ON ct.tok = vocab.tok AND ct.lang = tokc.lang),
+       |tetok AS (SELECT doc_id, unnest(w) AS tok FROM s
+       |          WHERE split = 'test'),
+       |tscore AS (SELECT t.doc_id, de.lang,
+       |    CAST(sum(CAST(de.lnp AS DECIMAL(38,9))) AS DOUBLE) AS tsum
+       |  FROM tetok t JOIN dense de ON t.tok = de.tok GROUP BY 1, 2),
+       |score AS (SELECT s.doc_id, s.lang AS actual, p.lang AS cand,
+       |    round(p.lnprior + coalesce(t.tsum, 0), 9) AS score
+       |  FROM s CROSS JOIN prior p
+       |  LEFT JOIN tscore t ON t.doc_id = s.doc_id AND t.lang = p.lang
+       |  WHERE s.split = 'test'),
+       |pred AS (SELECT doc_id, actual, cand AS predicted,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY score DESC, cand) AS rk
+       |  FROM score),
+       |conf AS (SELECT actual, predicted, count(*) AS n
+       |  FROM pred WHERE rk = 1 GROUP BY 1, 2)""".stripMargin
+
+  /** Spark twin of [[nbConfDuck]]: the unordered confusion frame. */
+  private def nbConfusion(s: SparkSession, d: String): DataFrame = {
+    val base = barrier(Tables.documents(s, d).withColumn("w", expr(toks)))
+      .withColumn("split",
+        when(expr(h28("concat('split#', CAST(doc_id AS STRING))"))
+          < 214748365L, "train").otherwise("test"))
+      .select("doc_id", "lang", "w", "split")
+      .localCheckpoint(eager = false)
+    val trtok = base.filter(col("split") === "train")
+      .select(col("lang"), explode(col("w")).as("tok"))
+    val ct = trtok.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+    val tokc = trtok.groupBy("lang").agg(count(lit(1)).as("ntok"))
+    val vocab = trtok.select("tok").distinct()
+    val vsz = vocab.agg(count(lit(1)).as("v"))
+    val ntr = base.filter(col("split") === "train")
+      .agg(count(lit(1)).as("nd"))
+    val prior = base.filter(col("split") === "train")
+      .groupBy("lang").agg(count(lit(1)).as("ndl"))
+      .crossJoin(broadcast(ntr))
+      .select(col("lang"),
+        round(log(col("ndl").cast("double") / col("nd")), 9)
+          .as("lnprior"))
+      .localCheckpoint(eager = false)
+    val dense = vocab.crossJoin(broadcast(tokc))
+      .crossJoin(broadcast(vsz))
+      .join(broadcast(ct), Seq("tok", "lang"), "left")
+      .select(col("tok"), col("lang"),
+        round(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+          (col("ntok") + col("v"))), 9).as("lnp"))
+    val tscore = base.filter(col("split") === "test")
+      .select(col("doc_id"), explode(col("w")).as("tok"))
+      .join(broadcast(dense), "tok")
+      .groupBy(col("doc_id"), col("lang").as("cand"))
+      .agg(sum(col("lnp").cast(DecimalType(38, 9))).cast("double")
+        .as("tsum"))
+    val scored = base.filter(col("split") === "test")
+      .select(col("doc_id"), col("lang").as("actual"))
+      .crossJoin(broadcast(prior.withColumnRenamed("lang", "cand")))
+      .join(tscore, Seq("doc_id", "cand"), "left")
+      .select(col("doc_id"), col("actual"), col("cand"),
+        round(col("lnprior") + coalesce(col("tsum"), lit(0.0)), 9)
+          .as("score"))
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("cand"))))
+      .filter(col("rk") === 1)
+      .groupBy(col("actual"), col("cand").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
 
   val qs: Seq[Q] = Seq(
 
@@ -258,90 +354,84 @@ object Language {
     // DECIMAL(38,9) sum (q_lm_score discipline); argmax ties break
     // on class name ascending in both engines.
     Q("q_naive_bayes",
-      s"""WITH s AS (SELECT doc_id, lang, $toksDuck AS w,
-         |    CASE WHEN ${h28Duck("'split#' || doc_id")} < 214748365
-         |         THEN 'train' ELSE 'test' END AS split
-         |  FROM documents),
-         |trtok AS (SELECT lang, unnest(w) AS tok FROM s
-         |          WHERE split = 'train'),
-         |ct AS (SELECT lang, tok, count(*) AS cnt FROM trtok
-         |       GROUP BY 1, 2),
-         |tokc AS (SELECT lang, count(*) AS ntok FROM trtok GROUP BY 1),
-         |vocab AS (SELECT DISTINCT tok FROM trtok),
-         |vsz AS (SELECT count(*) AS v FROM vocab),
-         |prior AS (SELECT lang, round(ln(CAST(count(*) AS DOUBLE) /
-         |      (SELECT count(*) FROM s WHERE split = 'train')), 9)
-         |      AS lnprior
-         |  FROM s WHERE split = 'train' GROUP BY 1),
-         |dense AS (SELECT vocab.tok, tokc.lang,
-         |    round(ln(CAST(coalesce(ct.cnt, 0) + 1 AS DOUBLE)
-         |             / (tokc.ntok + vsz.v)), 9) AS lnp
-         |  FROM vocab CROSS JOIN tokc CROSS JOIN vsz
-         |  LEFT JOIN ct ON ct.tok = vocab.tok AND ct.lang = tokc.lang),
-         |tetok AS (SELECT doc_id, unnest(w) AS tok FROM s
-         |          WHERE split = 'test'),
-         |tscore AS (SELECT t.doc_id, de.lang,
-         |    CAST(sum(CAST(de.lnp AS DECIMAL(38,9))) AS DOUBLE) AS tsum
-         |  FROM tetok t JOIN dense de ON t.tok = de.tok GROUP BY 1, 2),
-         |score AS (SELECT s.doc_id, s.lang AS actual, p.lang AS cand,
-         |    round(p.lnprior + coalesce(t.tsum, 0), 9) AS score
-         |  FROM s CROSS JOIN prior p
-         |  LEFT JOIN tscore t ON t.doc_id = s.doc_id AND t.lang = p.lang
-         |  WHERE s.split = 'test'),
-         |pred AS (SELECT doc_id, actual, cand AS predicted,
-         |    row_number() OVER (PARTITION BY doc_id
-         |                       ORDER BY score DESC, cand) AS rk
-         |  FROM score)
-         |SELECT actual, predicted, count(*) AS n
-         |FROM pred WHERE rk = 1 GROUP BY 1, 2
+      s"""WITH $nbConfDuck
+         |SELECT actual, predicted, n FROM conf
          |ORDER BY 1, 2""".stripMargin) { (s, d) =>
-      val base = barrier(Tables.documents(s, d).withColumn("w", expr(toks)))
-        .withColumn("split",
-          when(expr(h28("concat('split#', CAST(doc_id AS STRING))"))
-            < 214748365L, "train").otherwise("test"))
-        .select("doc_id", "lang", "w", "split")
+      nbConfusion(s, d).orderBy("actual", "predicted")
+    },
+
+    // CLASSIFIER METRICS — per-class precision / recall / F1 plus
+    // micro accuracy and macro-F1 over the q_naive_bayes held-out
+    // confusion: the eval-suite member that grades a CLASSIFIER
+    // (q_retrieval_eval grades a RANKING, q_auc a SCORER, q_abtest
+    // an INTERVENTION) — the report every labeling/filter model in
+    // a curation pipeline ships with before its predictions gate
+    // data. The prediction chain is the shared NB definition
+    // (nbConfDuck / nbConfusion — one source of truth with
+    // q_naive_bayes), so this op's scale posture is NB's; everything
+    // past the confusion runs on a ≤|classes|²-row frame.
+    // Determinism: precision = tp/pred and recall = tp/actual are
+    // single divisions of exact integers; F1 uses the count identity
+    // 2·tp/(actual+pred) (≡ the harmonic mean, but ONE division of
+    // exact integers instead of a chain of rounded ratios); macro-F1
+    // decimal-sums the rounded per-class F1s (dsum discipline);
+    // nullif guards a never-predicted class (prec NULL, its macro
+    // contribution 0 — the sklearn zero_division convention).
+    Q("q_confusion_metrics",
+      s"""WITH $nbConfDuck,
+         |a AS (SELECT actual AS class, CAST(sum(n) AS BIGINT)
+         |      AS n_actual FROM conf GROUP BY 1),
+         |p AS (SELECT predicted AS class, CAST(sum(n) AS BIGINT)
+         |      AS n_predicted FROM conf GROUP BY 1),
+         |tpt AS (SELECT actual AS class, CAST(sum(n) AS BIGINT) AS tp
+         |      FROM conf WHERE actual = predicted GROUP BY 1),
+         |cls AS (SELECT class, coalesce(n_actual, 0) AS n_actual,
+         |      coalesce(n_predicted, 0) AS n_predicted,
+         |      coalesce(tp, 0) AS tp
+         |  FROM a FULL JOIN p USING (class) LEFT JOIN tpt USING (class)),
+         |m AS (SELECT class, n_actual, n_predicted, tp,
+         |    round(tp / CAST(nullif(n_predicted, 0) AS DOUBLE), 6) AS prec,
+         |    round(tp / CAST(nullif(n_actual, 0) AS DOUBLE), 6) AS rec,
+         |    round(2 * tp / CAST(nullif(n_actual + n_predicted, 0)
+         |      AS DOUBLE), 6) AS f1 FROM cls),
+         |g AS (SELECT
+         |    round(CAST(sum(tp) AS BIGINT)
+         |      / CAST(sum(n_actual) AS DOUBLE), 6) AS accuracy,
+         |    round(CAST(sum(CAST(coalesce(f1, 0) AS DECIMAL(38,6)))
+         |      AS DOUBLE) / count(*), 6) AS macro_f1 FROM m)
+         |SELECT class, n_actual, n_predicted, tp, prec, rec, f1,
+         |  accuracy, macro_f1
+         |FROM m CROSS JOIN g ORDER BY class""".stripMargin) { (s, d) =>
+      val conf = nbConfusion(s, d).localCheckpoint(eager = false)
+      val a = conf.groupBy(col("actual").as("class"))
+        .agg(sum("n").cast("long").as("n_actual"))
+      val p = conf.groupBy(col("predicted").as("class"))
+        .agg(sum("n").cast("long").as("n_predicted"))
+      val tpt = conf.filter(col("actual") === col("predicted"))
+        .groupBy(col("actual").as("class"))
+        .agg(sum("n").cast("long").as("tp"))
+      val cls = a.join(p, Seq("class"), "full_outer")
+        .join(tpt, Seq("class"), "left")
+        .select(col("class"),
+          coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+          coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+          coalesce(col("tp"), lit(0L)).as("tp"))
+      val m = cls.selectExpr("class", "n_actual", "n_predicted", "tp",
+        "round(tp / CAST(nullif(n_predicted, 0) AS DOUBLE), 6) AS prec",
+        "round(tp / CAST(nullif(n_actual, 0) AS DOUBLE), 6) AS rec",
+        "round(2 * tp / CAST(nullif(n_actual + n_predicted, 0)" +
+          " AS DOUBLE), 6) AS f1")
         .localCheckpoint(eager = false)
-      val trtok = base.filter(col("split") === "train")
-        .select(col("lang"), explode(col("w")).as("tok"))
-      val ct = trtok.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
-      val tokc = trtok.groupBy("lang").agg(count(lit(1)).as("ntok"))
-      val vocab = trtok.select("tok").distinct()
-      val vsz = vocab.agg(count(lit(1)).as("v"))
-      val ntr = base.filter(col("split") === "train")
-        .agg(count(lit(1)).as("nd"))
-      val prior = base.filter(col("split") === "train")
-        .groupBy("lang").agg(count(lit(1)).as("ndl"))
-        .crossJoin(broadcast(ntr))
-        .select(col("lang"),
-          round(log(col("ndl").cast("double") / col("nd")), 9)
-            .as("lnprior"))
-        .localCheckpoint(eager = false)
-      val dense = vocab.crossJoin(broadcast(tokc))
-        .crossJoin(broadcast(vsz))
-        .join(broadcast(ct), Seq("tok", "lang"), "left")
-        .select(col("tok"), col("lang"),
-          round(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
-            (col("ntok") + col("v"))), 9).as("lnp"))
-      val tscore = base.filter(col("split") === "test")
-        .select(col("doc_id"), explode(col("w")).as("tok"))
-        .join(broadcast(dense), "tok")
-        .groupBy(col("doc_id"), col("lang").as("cand"))
-        .agg(sum(col("lnp").cast(DecimalType(38, 9))).cast("double")
-          .as("tsum"))
-      val scored = base.filter(col("split") === "test")
-        .select(col("doc_id"), col("lang").as("actual"))
-        .crossJoin(broadcast(prior.withColumnRenamed("lang", "cand")))
-        .join(tscore, Seq("doc_id", "cand"), "left")
-        .select(col("doc_id"), col("actual"), col("cand"),
-          round(col("lnprior") + coalesce(col("tsum"), lit(0.0)), 9)
-            .as("score"))
-      scored.withColumn("rk", row_number().over(
-          Window.partitionBy("doc_id")
-            .orderBy(col("score").desc, col("cand"))))
-        .filter(col("rk") === 1)
-        .groupBy(col("actual"), col("cand").as("predicted"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy("actual", "predicted")
+      val g = m.agg(
+        round(sum("tp").cast("long")
+          / sum("n_actual").cast("double"), 6).as("accuracy"),
+        round(sum(coalesce(col("f1"), lit(0.0))
+            .cast(DecimalType(38, 6))).cast("double")
+          / count(lit(1)), 6).as("macro_f1"))
+      m.crossJoin(broadcast(g))
+        .select("class", "n_actual", "n_predicted", "tp", "prec",
+          "rec", "f1", "accuracy", "macro_f1")
+        .orderBy("class")
     },
 
     // ZIPF TAIL EXPONENT — Clauset-style discrete power-law MLE over
@@ -431,6 +521,57 @@ object Language {
         .selectExpr("dim", "n_tokens", "mass", "signed_mass",
           "round(CAST(mass AS DOUBLE) / total, 9) AS mass_share")
         .orderBy("dim")
+    },
+
+    // TOKEN BURSTINESS (Church & Gale 1995): for each token with
+    // df ≥ 20, the variance-to-mean ratio of its per-document counts
+    // over the documents that CONTAIN it — the content-vs-function
+    // discriminator a frequency list alone cannot give (a Poisson
+    // token has VMR ≈ 1: 'the' appears everywhere, evenly; a bursty
+    // topical token clumps — rare in most docs, dense where its
+    // topic lives). Complements q_zipf_alpha (corpus frequency
+    // SHAPE) and q_collocations (token-PAIR association) with the
+    // per-token DISPERSION axis, and feeds stopword-list induction
+    // (low-VMR high-df tokens are the functional skeleton).
+    // Scale: corpus → (doc, token) tf frame in ONE partial-
+    // aggregated groupBy, then a second partial fold to the
+    // VOCABULARY-sized (df, Σc, Σc²) frame (the q_zipf_alpha
+    // discipline) — no window, no pair stage; top-50 is a
+    // TakeOrderedAndProject. Determinism: df/Σc/Σc² are exact
+    // BIGINTs (Σc² fits through token totals ~3·10⁹ — far past any
+    // test sf; swap the square to DECIMAL beyond), mean_tf uses the
+    // exact-integer half-up form (mean-rounding caveat), and VMR =
+    // (df·Σc² − (Σc)²) / ((df−1)·Σc) is ONE double division of
+    // exact integer operands rounded 6dp; ties order on the token.
+    Q("q_burstiness",
+      s"""WITH tok AS (SELECT doc_id, unnest($toksDuck) AS t
+         |             FROM documents),
+         |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+         |       FROM tok GROUP BY 1, 2),
+         |b AS (SELECT t, CAST(count(*) AS BIGINT) AS df,
+         |      CAST(sum(c) AS BIGINT) AS total,
+         |      CAST(sum(c * c) AS BIGINT) AS ss FROM tf GROUP BY t)
+         |SELECT t, df, total,
+         |  CAST(floor((2 * total * 1000000 + df) / (2.0 * df)) AS BIGINT)
+         |    / 1000000.0 AS mean_tf,
+         |  round((df * ss - total * total) / ((df - 1.0) * total), 6)
+         |    AS vmr
+         |FROM b WHERE df >= 20
+         |ORDER BY vmr DESC, t LIMIT 50""".stripMargin) { (s, d) =>
+      val tf = barrier(Tables.documents(s, d).withColumn("w", expr(toks)))
+        .select(col("doc_id"), explode(col("w")).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).cast("long").as("c"))
+      tf.groupBy("t")
+        .agg(count(lit(1)).cast("long").as("df"),
+          sum("c").cast("long").as("total"),
+          sum(col("c") * col("c")).cast("long").as("ss"))
+        .filter(col("df") >= 20)
+        .selectExpr("t", "df", "total",
+          "CAST(floor((2 * total * 1000000 + df) / (2.0 * df)) AS BIGINT)" +
+            " / CAST(1000000 AS DOUBLE) AS mean_tf",
+          "round((df * ss - total * total)" +
+            " / ((df - CAST(1 AS DOUBLE)) * total), 6) AS vmr")
+        .orderBy(col("vmr").desc, col("t")).limit(50)
     },
   )
 }

@@ -741,6 +741,98 @@ object Semantic {
           "coalesce(ccl, bcl) AS cluster")
         .orderBy("vec_id")
     },
+
+    // EMBEDDING DRIFT — per-label cosine distance between the
+    // centroids of two deterministic hash-halves of the embedding
+    // set: the embedding-space twin of the scalar drift triple
+    // (q_psi / q_ks_test / q_emd_drift watch a VALUE distribution;
+    // this watches where a label's REPRESENTATION mass sits — the
+    // "did the upstream encoder or the incoming data move" monitor
+    // a retrieval index re-build decision reads; run against
+    // yesterday's vs today's snapshot in production, the salted
+    // hash split here is the deterministic test-fixture stand-in).
+    // Scale: each half's centroid is ONE partial-aggregated
+    // (label, half, pos) groupBy over the posexploded stream —
+    // dim-bounded output at ANY corpus size; the cosine runs on the
+    // |labels|×dim centroid frame only. Determinism: components are
+    // 2²⁰-fixed-point BIGINTs and each centroid mean uses the
+    // exact-integer half-up form (|2Σ| < 2⁵³ through ~4·10⁹ rows
+    // per half — far past any test sf); the quantized means become
+    // identical doubles in both engines, products round 12dp into
+    // DECIMAL(38,12) sums (dsum discipline), and the final cosine
+    // is one division+sqrt on identical operands. nullif guards a
+    // zero-norm centroid.
+    Q("q_embed_drift",
+      s"""WITH e AS (SELECT vec_id, label,
+         |    CASE WHEN ${TextKit.h28Duck("'edrift#' || vec_id")} % 2 = 0
+         |         THEN 'a' ELSE 'b' END AS half,
+         |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |x AS (SELECT label, half, CAST(t.i AS INT) AS pos,
+         |    CAST(floor(v[t.i + 1] * 1048576) AS BIGINT) AS v20
+         |  FROM e, UNNEST(generate_series(0, len(v) - 1)) AS t(i)),
+         |c AS (SELECT label, half, pos,
+         |    CAST(floor((2 * CAST(sum(v20) AS BIGINT) + count(*))
+         |      / (2.0 * count(*))) AS BIGINT) / 1048576.0 AS md
+         |  FROM x GROUP BY 1, 2, 3),
+         |p AS (SELECT a.label, a.pos, a.md AS ma, b.md AS mb
+         |  FROM c a JOIN c b ON a.label = b.label AND a.pos = b.pos
+         |  WHERE a.half = 'a' AND b.half = 'b'),
+         |agg AS (SELECT label,
+         |    CAST(sum(CAST(round(ma * mb, 12) AS DECIMAL(38,12)))
+         |      AS DOUBLE) AS dot,
+         |    CAST(sum(CAST(round(ma * ma, 12) AS DECIMAL(38,12)))
+         |      AS DOUBLE) AS na,
+         |    CAST(sum(CAST(round(mb * mb, 12) AS DECIMAL(38,12)))
+         |      AS DOUBLE) AS nb
+         |  FROM p GROUP BY 1),
+         |cn AS (SELECT label,
+         |    CAST(sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_a,
+         |    CAST(sum(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_b FROM e GROUP BY 1)
+         |SELECT label, n_a, n_b,
+         |  round(dot / nullif(sqrt(na * nb), 0), 6) AS cos_ab,
+         |  round(1 - dot / nullif(sqrt(na * nb), 0), 6) AS drift
+         |FROM agg JOIN cn USING (label) ORDER BY label""".stripMargin) {
+      (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          when(expr(TextKit.h28(
+            "concat('edrift#', CAST(vec_id AS STRING))")) % 2 === 0, "a")
+            .otherwise("b").as("half"),
+          col("embedding").cast("array<double>").as("v"))
+        .localCheckpoint(eager = false)
+      val x = e.select(col("label"), col("half"),
+          posexplode(col("v")).as(Seq("pos", "vd")))
+        .select(col("label"), col("half"), col("pos"),
+          expr("CAST(floor(vd * 1048576) AS BIGINT)").as("v20"))
+      val c = x.groupBy("label", "half", "pos")
+        .agg(expr("CAST(floor((2 * CAST(sum(v20) AS BIGINT) + count(*))" +
+          " / (2.0 * count(*))) AS BIGINT) / CAST(1048576 AS DOUBLE)")
+          .as("md"))
+      val p = c.filter(col("half") === "a")
+        .select(col("label"), col("pos"), col("md").as("ma"))
+        .join(c.filter(col("half") === "b")
+          .select(col("label"), col("pos"), col("md").as("mb")),
+          Seq("label", "pos"))
+      val agg = p.groupBy("label").agg(
+        sum(round(col("ma") * col("mb"), 12).cast(DecimalType(38, 12)))
+          .cast("double").as("dot"),
+        sum(round(col("ma") * col("ma"), 12).cast(DecimalType(38, 12)))
+          .cast("double").as("na"),
+        sum(round(col("mb") * col("mb"), 12).cast(DecimalType(38, 12)))
+          .cast("double").as("nb"))
+      val cn = e.groupBy("label").agg(
+        sum(when(col("half") === "a", 1L).otherwise(0L)).cast("long")
+          .as("n_a"),
+        sum(when(col("half") === "b", 1L).otherwise(0L)).cast("long")
+          .as("n_b"))
+      agg.join(broadcast(cn), "label")
+        .selectExpr("label", "n_a", "n_b",
+          "round(dot / nullif(sqrt(na * nb), 0), 6) AS cos_ab",
+          "round(1 - dot / nullif(sqrt(na * nb), 0), 6) AS drift")
+        .orderBy("label")
+    },
   )
 
   /** Chained-CTE oracle for the fixed-unroll Lloyd loop: assignment

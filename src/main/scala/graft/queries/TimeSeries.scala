@@ -813,5 +813,94 @@ object TimeSeries {
             .as("sen_slope"))
         .orderBy("user_id")
     },
+
+    // CUSUM CONTROL CHART (Page 1954): per-type one-sided upper AND
+    // lower CUSUM walks over the daily-mean series with the standard
+    // (k = σ/2 allowance, h = 4σ decision interval) tuning, emitting
+    // alarm flags per day — the sequential DRIFT DETECTOR that fires
+    // while a shift is happening, where q_changepoint retrospectively
+    // DATES the single largest level shift (argmax of the unreset
+    // walk). The reset recursion S_t = max(0, S_{t-1} + y_t) is not a
+    // plain window sum, but it IS the prefix identity
+    // S_t = C_t − min(0, min_{j≤t} C_j) with C the cumulative sum of
+    // y — so both engines compute it with two stock windows (cumsum +
+    // running min), no recursion, no UDF. Scale: the corpus folds to
+    // the type×day frame in ONE partial-aggregated groupBy (the
+    // q_changepoint fold, localCheckpoint pinned); σ, the windows,
+    // and the output are all day-frame-sized — a span-bounded frame
+    // at ANY corpus volume. Determinism: daily/grand means in exact
+    // integer micros (the (2S+n)/(2n) half-up form), deviations and
+    // both walks are BIGINT arithmetic end-to-end; σ is one sqrt of
+    // an exact-integer ratio rounded back to integer micros
+    // (identical doubles both engines); alarm comparisons are
+    // integer-vs-integer. nullif guards the 1-day degenerate series.
+    Q("q_cusum_alarms",
+      """WITH v AS (SELECT event_type,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(round(value * 1000000) AS BIGINT) AS y6 FROM events),
+        |d AS (SELECT event_type, day, CAST(sum(y6) AS BIGINT) AS s,
+        |      count(*) AS n FROM v GROUP BY 1, 2),
+        |g AS (SELECT event_type, CAST(sum(s) AS BIGINT) AS st,
+        |      CAST(sum(n) AS BIGINT) AS nt FROM d GROUP BY 1),
+        |m AS (SELECT d.event_type, day,
+        |    CAST(floor((2 * s + n) / (2.0 * n)) AS BIGINT) AS m6,
+        |    CAST(floor((2 * st + nt) / (2.0 * nt)) AS BIGINT) AS mu6
+        |  FROM d JOIN g USING (event_type)),
+        |sd AS (SELECT event_type,
+        |    CAST(round(sqrt(CAST(sum((m6 - mu6) * (m6 - mu6)) AS BIGINT)
+        |      / (nullif(count(*), 1) - 1.0)), 0) AS BIGINT) AS sd6
+        |  FROM m GROUP BY 1),
+        |j AS (SELECT m.event_type, day, m6 - mu6 AS d6,
+        |    CAST(floor(sd6 / 2.0) AS BIGINT) AS k6, 4 * sd6 AS h6
+        |  FROM m JOIN sd USING (event_type)),
+        |w AS (SELECT event_type, day, d6, h6,
+        |    CAST(sum(d6 - k6) OVER (PARTITION BY event_type
+        |      ORDER BY day) AS BIGINT) AS chi,
+        |    CAST(sum(-d6 - k6) OVER (PARTITION BY event_type
+        |      ORDER BY day) AS BIGINT) AS clo FROM j),
+        |t AS (SELECT event_type, day, d6, h6,
+        |    chi - least(CAST(min(chi) OVER (PARTITION BY event_type
+        |      ORDER BY day) AS BIGINT), 0) AS shi,
+        |    clo - least(CAST(min(clo) OVER (PARTITION BY event_type
+        |      ORDER BY day) AS BIGINT), 0) AS slo FROM w)
+        |SELECT event_type, day, round(d6 / 1000000.0, 6) AS dev,
+        |  round(shi / 1000000.0, 6) AS cusum_hi,
+        |  round(slo / 1000000.0, 6) AS cusum_lo,
+        |  shi > h6 AS alarm_hi, slo > h6 AS alarm_lo
+        |FROM t ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val v = Tables.events(s, d).select(col("event_type"),
+        col("ts").cast("date").as("day"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("y6"))
+      val dd = v.groupBy("event_type", "day")
+        .agg(sum("y6").as("s"), count(lit(1)).as("n"))
+        .localCheckpoint(eager = false)
+      val g = dd.groupBy("event_type")
+        .agg(sum("s").as("st"), sum("n").as("nt"))
+      val m = dd.join(broadcast(g), "event_type").selectExpr(
+        "event_type", "day",
+        "CAST(floor((2 * s + n) / (2.0 * n)) AS BIGINT) AS m6",
+        "CAST(floor((2 * st + nt) / (2.0 * nt)) AS BIGINT) AS mu6")
+        .localCheckpoint(eager = false)
+      val sd = m.groupBy("event_type")
+        .agg(expr("CAST(round(sqrt(CAST(sum((m6 - mu6) * (m6 - mu6)) " +
+          "AS BIGINT) / (nullif(count(*), 1) - 1.0)), 0) AS BIGINT)")
+          .as("sd6"))
+      val j = m.join(broadcast(sd), "event_type").selectExpr(
+        "event_type", "day", "m6 - mu6 AS d6",
+        "CAST(floor(sd6 / 2.0) AS BIGINT) AS k6", "4 * sd6 AS h6")
+      val wc = Window.partitionBy("event_type").orderBy("day")
+      j.withColumn("chi", sum(col("d6") - col("k6")).over(wc).cast("long"))
+        .withColumn("clo", sum(-col("d6") - col("k6")).over(wc).cast("long"))
+        .withColumn("shi",
+          col("chi") - least(min(col("chi")).over(wc).cast("long"), lit(0L)))
+        .withColumn("slo",
+          col("clo") - least(min(col("clo")).over(wc).cast("long"), lit(0L)))
+        .selectExpr("event_type", "day",
+          "round(d6 / CAST(1000000 AS DOUBLE), 6) AS dev",
+          "round(shi / CAST(1000000 AS DOUBLE), 6) AS cusum_hi",
+          "round(slo / CAST(1000000 AS DOUBLE), 6) AS cusum_lo",
+          "shi > h6 AS alarm_hi", "slo > h6 AS alarm_lo")
+        .orderBy("event_type", "day")
+    },
   )
 }

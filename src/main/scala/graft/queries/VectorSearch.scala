@@ -960,6 +960,95 @@ object VectorSearch {
           "round(redund, 6) AS redundancy", "mmr AS mmr_score")
         .orderBy("rank")
     },
+
+    // CONTRASTIVE TRIPLET SAMPLER — one (anchor, positive, negative)
+    // triplet per vector with measured distances and margin: the
+    // training-data emitter for metric-learning / embedding
+    // fine-tuning (q_hard_negatives MINES the hardest negatives for
+    // a query sample; this SAMPLES unbiased random-like triplets for
+    // EVERY anchor — the batch a triplet-loss epoch consumes, with
+    // the margin column doubling as the "is this embedding already
+    // separating classes" audit). Sampling is the deterministic
+    // RING SHIFT: within each label, vectors sort by salted hash and
+    // the positive is the NEXT vector in the ring (wraps; uniform,
+    // never self — labels with one member drop); the negative is
+    // the hash-rank-aligned member of the NEXT label in the label
+    // ring ((rk−1) mod nl′ + 1). Rings make the pick per-row O(1):
+    // NO per-anchor candidate scan, no rand() — reruns, retries,
+    // and both engines agree bit-for-bit. Scale: two windows (one
+    // label-partitioned rank; one |labels|-row global rank on the
+    // GROUPED label frame — bounded at any corpus size) and three
+    // (label, rank) equi-joins that co-partition on the label key;
+    // volume stays n rows end-to-end. Distances are the codegen
+    // cosine kernel vs DuckDB list_cosine_similarity, both rounded
+    // 6dp; margin subtracts the ROUNDED distances (identical
+    // operands both engines).
+    Q("q_contrastive_pairs",
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[])
+         |           AS v FROM embeddings),
+         |labs AS (SELECT label, count(*) AS nl,
+         |    CAST(row_number() OVER (ORDER BY label) AS BIGINT) AS li
+         |  FROM e GROUP BY label),
+         |nlab AS (SELECT count(*) AS lcnt FROM labs),
+         |r AS (SELECT vec_id, label, v,
+         |    CAST(row_number() OVER (PARTITION BY label
+         |      ORDER BY ${TextKit.h28Duck("'cp#' || vec_id")}, vec_id)
+         |      AS BIGINT) AS rk
+         |  FROM e),
+         |a AS (SELECT r.vec_id, r.label, r.v, r.rk, labs.nl, labs.li
+         |  FROM r JOIN labs USING (label) WHERE labs.nl >= 2),
+         |pos AS (SELECT a.vec_id, a.label, a.v, a.rk, a.li,
+         |    b.vec_id AS pos_id, b.v AS pv
+         |  FROM a JOIN r b ON b.label = a.label
+         |    AND b.rk = a.rk % a.nl + 1),
+         |neg AS (SELECT p.*, n2.label AS neg_label, n2.nl AS nl2
+         |  FROM pos p CROSS JOIN nlab
+         |  JOIN labs n2 ON n2.li = p.li % lcnt + 1),
+         |trip AS (SELECT n.vec_id, n.label, n.pos_id,
+         |    nb.vec_id AS neg_id, n.v, n.pv, nb.v AS nv
+         |  FROM neg n JOIN r nb ON nb.label = n.neg_label
+         |    AND nb.rk = (n.rk - 1) % n.nl2 + 1)
+         |SELECT vec_id, label, pos_id, neg_id,
+         |  round(1 - list_cosine_similarity(v, pv), 6) AS pos_dist,
+         |  round(1 - list_cosine_similarity(v, nv), 6) AS neg_dist,
+         |  round(round(1 - list_cosine_similarity(v, nv), 6)
+         |      - round(1 - list_cosine_similarity(v, pv), 6), 6) AS margin
+         |FROM trip ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val labs = e.groupBy("label").agg(count(lit(1)).as("nl"))
+        .withColumn("li",
+          row_number().over(Window.orderBy("label")).cast("long"))
+        .localCheckpoint(eager = false)
+      val nlab = labs.agg(count(lit(1)).as("lcnt"))
+      val rr = e.withColumn("rk",
+          row_number().over(Window.partitionBy("label")
+            .orderBy(expr(TextKit.h28(
+              "concat('cp#', CAST(vec_id AS STRING))")), col("vec_id")))
+            .cast("long"))
+        .localCheckpoint(eager = false)
+      val a = rr.join(broadcast(labs), "label").filter(col("nl") >= 2)
+        .withColumn("prk", col("rk") % col("nl") + 1)
+      val b = rr.select(col("label"), col("rk").as("prk"),
+        col("vec_id").as("pos_id"), col("v").as("pv"))
+      val pos = a.join(b, Seq("label", "prk"))
+      val neg = pos.crossJoin(broadcast(nlab))
+        .withColumn("nli", col("li") % col("lcnt") + 1)
+        .join(broadcast(labs.select(col("li").as("nli"),
+          col("label").as("neg_label"), col("nl").as("nl2"))), "nli")
+        .withColumn("nrk", (col("rk") - 1) % col("nl2") + 1)
+      val nb = rr.select(col("label").as("neg_label"),
+        col("rk").as("nrk"), col("vec_id").as("neg_id"),
+        col("v").as("nv"))
+      neg.join(nb, Seq("neg_label", "nrk"))
+        .select(col("vec_id"), col("label"), col("pos_id"), col("neg_id"),
+          round(cosine_distance(col("v"), col("pv")), 6).as("pos_dist"),
+          round(cosine_distance(col("v"), col("nv")), 6).as("neg_dist"))
+        .withColumn("margin",
+          round(col("neg_dist") - col("pos_dist"), 6))
+        .orderBy("vec_id")
+    },
   )
 }
 

@@ -1,221 +1,202 @@
 package graft.queries
 
-import graft.{SparkEntry, SparkTestBase, Tables}
 import org.apache.spark.sql.functions._
+import graft.{SparkEntry, SparkTestBase, Tables}
 
-/** Round-12 operator specs: each new op re-derived in plain Scala
-  * from the raw tables (the Round9OpsSpec discipline), plus the
-  * plan-shape assertion where it carries the scale story. */
+/** Round-12 second-wave specs. Each test recomputes the operator's
+  * contract independently (direct recursion instead of the prefix
+  * identity, hand-built formulas, planted graphs) so an engine-side
+  * refactor can't silently change semantics while the DuckDB oracle
+  * drifts with it. */
 class Round12WaveSpec extends SparkTestBase {
   private val sf = "/root/testdata/sf0.001"
+  private def haveSf: Boolean =
+    new java.io.File(s"$sf/documents.parquet").exists()
 
-  private def events(): Array[(Long, String, Double)] =
-    Tables.events(spark, sf).select("event_id", "event_type", "value")
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+  // ------------------------------------------------- q_cusum_alarms
 
-  // -------------------------------------------- quantile_normalize
-
-  test("quantile_normalize: histogram-computed qn equals the naive " +
-    "percent_rank definition, ties included") {
-    assume(new java.io.File(s"$sf/events.parquet").exists())
-    val ev = events()
-    val byType = ev.groupBy(_._2)
-    val expected = ev.map { case (id, t, v) =>
-      val vs = byType(t).map(_._3)
-      val below = vs.count(_ < v)
-      id -> (if (vs.length == 1) 0.0
-             else BigDecimal(below.toDouble / (vs.length - 1))
-               .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    }.toMap
-    val out = SparkEntry.queries("q_quantile_normalize")(spark, sf).collect()
-    assert(out.length === ev.length)
-    out.foreach { r =>
-      val want = expected(r.getAs[Long]("event_id"))
-      assert(math.abs(r.getAs[Double]("qn") - want) < 1e-9,
-        s"event ${r.getAs[Long]("event_id")}")
-    }
-    // qn is a proper quantile: min of each group -> 0, max -> <= 1.
-    assert(out.map(_.getAs[Double]("qn")).min === 0.0)
-    assert(out.map(_.getAs[Double]("qn")).max <= 1.0)
-  }
-
-  test("quantile_normalize plan: the corpus is never window-sorted — " +
-    "only the value-histogram frame is") {
-    assume(new java.io.File(s"$sf/events.parquet").exists())
-    val plan = SparkEntry.queries("q_quantile_normalize")(spark, sf)
-      .queryExecution.executedPlan.toString
-    // The join back must be broadcast (histogram-sized build side),
-    // not a corpus shuffle join.
-    assert(plan.contains("BroadcastHashJoin"),
-      s"histogram must broadcast back:\n$plan")
-    assert(!plan.contains("SortMergeJoin"),
-      s"corpus must not shuffle for the join:\n$plan")
-  }
-
-  // -------------------------------------------------- robust_scale
-
-  test("robust_scale: median/IQR recompute; rz is rank-robust where " +
-    "the z-score is not") {
-    assume(new java.io.File(s"$sf/events.parquet").exists())
-    val ev = events()
-    def q(vs: Array[Double], p: Double): Double = {
-      val s = vs.sorted
-      val pos = p * (s.length - 1)
-      val lo = pos.toInt
-      if (lo == s.length - 1) s(lo)
-      else s(lo) + (pos - lo) * (s(lo + 1) - s(lo))
-    }
-    val stats = ev.groupBy(_._2).map { case (t, rows) =>
-      val vs = rows.map(_._3)
-      t -> (q(vs, 0.5), q(vs, 0.75) - q(vs, 0.25))
-    }
-    val out = SparkEntry.queries("q_robust_scale")(spark, sf).collect()
-    assert(out.length === ev.length)
-    out.foreach { r =>
-      val (med, iqr) = stats(r.getAs[String]("event_type"))
-      assert(math.abs(r.getAs[Double]("med") - med) < 1e-5)
-      assert(math.abs(r.getAs[Double]("iqr") - iqr) < 1e-5)
-      if (iqr != 0)
-        assert(math.abs(r.getAs[Double]("rz") -
-          (r.getAs[Double]("value") - med) / iqr) < 1e-4)
-    }
-  }
-
-  // -------------------------------------------------------- ab_srm
-
-  test("ab_srm: counts partition the corpus; chi2 recomputes; the " +
-    "healthy hash split does not flag") {
-    assume(new java.io.File(s"$sf/documents.parquet").exists())
-    val out = SparkEntry.queries("q_ab_srm")(spark, sf).collect()
-    assert(out.length === 1)
-    val r = out.head
-    val (n, nt, nv, ns) = (r.getAs[Long]("n"), r.getAs[Long]("nt"),
-      r.getAs[Long]("nv"), r.getAs[Long]("ns"))
-    assert(nt + nv + ns === n)
-    def term(o: Long, p: Double) = {
-      val e = n * p; (o - e) * (o - e) / e
-    }
-    val chi2 = term(nt, 0.8) + term(nv, 0.1) + term(ns, 0.1)
-    assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-4)
-    assert(r.getAs[Boolean]("srm") === (chi2 > 13.816))
-    // The deterministic h28 split is honest at this n: no SRM flag.
-    assert(!r.getAs[Boolean]("srm"),
-      s"healthy split flagged: chi2=$chi2 (n=$n, $nt/$nv/$ns)")
-  }
-
-  // ---------------------------------------------- calibration_bins
-
-  test("calibration_bins: bins recompute from raw events; ECE is the " +
-    "count-weighted mean gap") {
-    assume(new java.io.File(s"$sf/events.parquet").exists())
-    val ev = events()
-    val binned = ev.map { case (_, t, v) =>
-      val score = BigDecimal(v / 400).setScale(6,
-        BigDecimal.RoundingMode.HALF_UP).toDouble
-      val bin = math.min(math.floor(score * 10).toInt, 9)
-      (bin, math.round(v * 2500), if (t == "click") 1L else 0L)
-    }
-    val groups = binned.groupBy(_._1)
-    val out = SparkEntry.queries("q_calibration_bins")(spark, sf).collect()
-    assert(out.length === groups.size)
-    var wsum = 0.0
-    out.foreach { r =>
-      val bin = r.getAs[Int]("bin")
-      val rows = groups(bin)
-      val nb = rows.length.toLong
-      assert(r.getAs[Long]("nb") === nb)
-      val conf = math.floor((2.0 * rows.map(_._2).sum + nb) / (2.0 * nb)) / 1e6
-      val acc = math.floor((2.0 * rows.map(_._3).sum * 1000000 + nb) /
-        (2.0 * nb)) / 1e6
-      assert(math.abs(r.getAs[Double]("conf") - conf) < 1e-9, s"conf @ $bin")
-      assert(math.abs(r.getAs[Double]("acc") - acc) < 1e-9, s"acc @ $bin")
-      wsum += nb * math.abs(acc - conf)
-    }
-    val ece = wsum / binned.length
-    out.foreach(r => assert(math.abs(r.getAs[Double]("ece") - ece) < 1e-4))
-  }
-
-  // ------------------------------------------------------------ ttr
-
-  test("ttr: per-doc type/hapax accounting recomputes") {
-    assume(new java.io.File(s"$sf/documents.parquet").exists())
-    val docs = Tables.documents(spark, sf).select("doc_id", "text")
-      .collect().map(r => (r.getLong(0), r.getString(1)))
-    val expected = docs.flatMap { case (id, text) =>
-      val w = text.toLowerCase.split(" ").filter(_.nonEmpty)
-      if (w.isEmpty) None else {
-        val freq = w.groupBy(identity).view.mapValues(_.length)
-        Some(id -> (w.length.toLong, freq.size.toLong,
-          freq.count(_._2 == 1).toLong))
+  test("cusum_alarms: the window prefix identity equals the " +
+    "max(0, S+y) reset recursion, and thresholds are sd-derived") {
+    assume(haveSf)
+    // Recompute daily/grand means from the raw events with the same
+    // exact-integer forms, then run the RECURSION the op's windows
+    // replace — every cusum cell must match bit-for-bit.
+    val base = Tables.events(spark, sf).select(col("event_type"),
+        col("ts").cast("date").cast("string").as("day"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("y6"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val byType = base.groupBy(_._1)
+    val expected = byType.flatMap { case (t, rows) =>
+      val daily = rows.groupBy(_._2).toSeq.sortBy(_._1).map {
+        case (day, rs) =>
+          val s = rs.map(_._3).sum; val n = rs.size.toLong
+          (day, math.floor((2.0 * s + n) / (2.0 * n)).toLong)
+      }
+      val st = rows.map(_._3).sum; val nt = rows.size.toLong
+      val mu6 = math.floor((2.0 * st + nt) / (2.0 * nt)).toLong
+      val devs = daily.map { case (_, m6) => m6 - mu6 }
+      val nD = daily.size
+      val sd6 = math.round(math.sqrt(
+        devs.map(d => d.toDouble * d).sum / (nD - 1.0)))
+      val k6 = math.floor(sd6 / 2.0).toLong
+      val h6 = 4L * sd6
+      var shi = 0L; var slo = 0L
+      daily.zip(devs).map { case ((day, _), d6) =>
+        shi = math.max(0L, shi + (d6 - k6))
+        slo = math.max(0L, slo + (-d6 - k6))
+        (t, day) -> (shi, slo, shi > h6, slo > h6)
       }
     }.toMap
-    val out = SparkEntry.queries("q_ttr")(spark, sf).collect()
+    val out = SparkEntry.queries("q_cusum_alarms")(spark, sf)
+      .withColumn("day", col("day").cast("string")).collect()
     assert(out.length === expected.size)
     out.foreach { r =>
-      val (nTok, nTypes, nHapax) = expected(r.getAs[Long]("doc_id"))
-      assert(r.getAs[Long]("n_tok") === nTok)
-      assert(r.getAs[Long]("n_types") === nTypes)
-      assert(r.getAs[Long]("n_hapax") === nHapax)
-      assert(math.abs(r.getAs[Double]("ttr") -
-        nTypes.toDouble / nTok) < 1e-6)
-      assert(math.abs(r.getAs[Double]("hapax_frac") -
-        nHapax.toDouble / nTok) < 1e-6)
+      val (shi, slo, ahi, alo) =
+        expected((r.getString(0), r.getString(1)))
+      assert(r.getAs[Double]("cusum_hi") ===
+        math.rint(shi / 1000000.0 * 1e6) / 1e6)
+      assert(r.getAs[Double]("cusum_lo") ===
+        math.rint(slo / 1000000.0 * 1e6) / 1e6)
+      assert(r.getAs[Boolean]("alarm_hi") === ahi)
+      assert(r.getAs[Boolean]("alarm_lo") === alo)
     }
   }
 
-  // ------------------------------------------------------ emd_drift
+  // --------------------------------------------------- q_burstiness
 
-  test("emd_drift: exact Wasserstein-1 between the empirical CDFs " +
-    "recomputes; zero iff the arms share a distribution") {
-    assume(new java.io.File(s"$sf/events.parquet").exists())
-    val ev = events().filter(t => t._2 == "view" || t._2 == "click")
-    val a = ev.filter(_._2 == "view").map(_._3).sorted
-    val b = ev.filter(_._2 == "click").map(_._3).sorted
-    val xs = (a ++ b).distinct.sorted
-    var emd = 0.0
-    xs.sliding(2).foreach {
-      case Array(x, nx) =>
-        val fa = a.count(_ <= x).toDouble / a.length
-        val fb = b.count(_ <= x).toDouble / b.length
-        emd += BigDecimal(math.abs(fa - fb) * (nx - x))
-          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-      case _ =>
+  test("burstiness: planted even vs clumped tokens get VMR 0 vs the " +
+    "hand formula, ranked clumped-first") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r12w_")
+    // 'flat' once per doc in 25 docs (VMR 0); 'clump' in 20 docs,
+    // 6 times in one of them, once elsewhere.
+    val rows = (0 until 25).map { i =>
+      val clump =
+        if (i == 0) Array.fill(6)("clump")
+        else if (i < 20) Array("clump")
+        else Array.empty[String]
+      val text = (Array("flat") ++ clump).mkString(" ")
+      (i.toLong, text, "en", "src0", text.length.toLong)
     }
-    val out = SparkEntry.queries("q_emd_drift")(spark, sf).collect()
-    assert(out.length === 1)
-    val r = out.head
-    assert(r.getAs[Long]("n_view") === a.length.toLong)
-    assert(r.getAs[Long]("n_click") === b.length.toLong)
-    assert(r.getAs[Long]("n_values") === xs.length.toLong)
-    assert(math.abs(r.getAs[Double]("emd") - emd) < 1e-5,
-      s"emd ${r.getAs[Double]("emd")} vs recomputed $emd")
-    // Identical samples → EMD exactly 0 (planted sanity).
-    assert(emd >= 0.0)
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_burstiness")(spark, dir.toString)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Double]("vmr"))).toMap
+    // flat: df 25, total 25, ss 25 → vmr (25·25−625)/(24·25) = 0.
+    assert(out("flat") === ((25L, 25L, 0.0)))
+    // clump: df 20, total 25, ss 55 → (20·55−625)/(19·25) = 1.0.
+    assert(out("clump") === ((20L, 25L, 1.0)))
   }
 
-  // ---------------------------------------------- pack_efficiency
+  // ------------------------------------------- q_confusion_metrics
 
-  test("pack_efficiency: per-length accounting recomputes; the " +
-    "lower bound never exceeds the naive bin count") {
-    assume(new java.io.File(s"$sf/documents.parquet").exists())
-    val toks = Tables.documents(spark, sf).select("text").collect()
-      .map(_.getString(0).toLowerCase.split(" ").count(_.nonEmpty).toLong)
-    val out = SparkEntry.queries("q_pack_efficiency")(spark, sf).collect()
-    assert(out.map(_.getAs[Long]("max_len")).toSeq === Seq(64L, 128L, 256L))
+  test("confusion_metrics: identities against the shared NB " +
+    "confusion (tp/f1/accuracy/macro consistency)") {
+    assume(haveSf)
+    val conf = SparkEntry.queries("q_naive_bayes")(spark, sf)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2)))
+    val out = SparkEntry.queries("q_confusion_metrics")(spark, sf)
+      .collect()
+    val nTest = conf.map(_._3).sum
+    val tpTot = conf.filter(c => c._1 == c._2).map(_._3).sum
+    assert(out.map(_.getAs[Long]("n_actual")).sum === nTest)
+    assert(out.map(_.getAs[Long]("tp")).sum === tpTot)
     out.foreach { r =>
-      val l = r.getAs[Long]("max_len")
-      val kept = toks.map(math.min(_, l))
-      assert(r.getAs[Long]("n_docs") === toks.length.toLong)
-      assert(r.getAs[Long]("toks_total") === toks.sum)
-      assert(r.getAs[Long]("toks_kept") === kept.sum)
-      assert(r.getAs[Long]("n_clipped") === toks.count(_ > l).toLong)
-      assert(r.getAs[Long]("pad_naive") === kept.map(l - _).sum)
-      val lb = math.ceil(kept.sum.toDouble / l).toLong
-      assert(r.getAs[Long]("bins_lower_bound") === lb)
-      assert(lb <= toks.length.toLong,
-        "lower bound must not exceed one-doc-per-bin")
-      assert(math.abs(r.getAs[Double]("fill_naive") -
-        kept.sum.toDouble / (toks.length.toLong * l)) < 1e-6)
+      val (na, np, tp) = (r.getAs[Long]("n_actual"),
+        r.getAs[Long]("n_predicted"), r.getAs[Long]("tp"))
+      assert(na === conf.filter(_._1 == r.getString(0)).map(_._3).sum)
+      assert(np === conf.filter(_._2 == r.getString(0)).map(_._3).sum)
+      if (na + np > 0)
+        assert(r.getAs[Double]("f1") ===
+          math.rint(2.0 * tp / (na + np) * 1e6) / 1e6)
+      assert(r.getAs[Double]("accuracy") ===
+        math.rint(tpTot.toDouble / nTest * 1e6) / 1e6)
+      // accuracy ∈ [0,1]; macro_f1 ∈ [0,1] and equal on every row.
+      assert(r.getAs[Double]("macro_f1") >= 0.0 &&
+        r.getAs[Double]("macro_f1") <= 1.0)
     }
+    assert(out.map(_.getAs[Double]("macro_f1")).distinct.length === 1)
+  }
+
+  // ------------------------------------------------- q_embed_drift
+
+  test("embed_drift: an identical-vector label drifts exactly 0; " +
+    "drift stays within the cosine range") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r12w_")
+    // label 0: 12 copies of the same vector (both hash-halves share
+    // the centroid → cos 1, drift 0 regardless of half assignment);
+    // label 1: axis-mix so drift is defined but nontrivial.
+    val rows =
+      (0 until 12).map(i =>
+        (i.toLong, Array(1.0f, 2.0f, 3.0f, 4.0f), 0)) ++
+      (12 until 24).map(i =>
+        (i.toLong, if (i % 3 == 0) Array(1.0f, 0f, 0f, 0f)
+                   else Array(0f, 1.0f, 0f, 0f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q_embed_drift")(spark, dir.toString)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Double]("cos_ab"),
+          r.getAs[Double]("drift"))).toMap
+    val (nA0, nB0, cos0, drift0) = out(0)
+    assert(nA0 + nB0 === 12L)
+    assert(cos0 === 1.0 && drift0 === 0.0)
+    val (_, _, cos1, drift1) = out(1)
+    assert(cos1 >= -1.0 && cos1 <= 1.0)
+    assert(math.abs(1.0 - cos1 - drift1) < 2e-6)
+  }
+
+  // ------------------------------------------ q_contrastive_pairs
+
+  test("contrastive_pairs: ring properties — positive same-label " +
+    "never-self bijection, negative cross-label, margin identity") {
+    assume(haveSf)
+    val labelOf = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = SparkEntry.queries("q_contrastive_pairs")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (a, l, p, n) = (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Long]("pos_id"), r.getAs[Long]("neg_id"))
+      assert(p !== a, "positive must not be the anchor itself")
+      assert(labelOf(p) === l, "positive must share the anchor label")
+      assert(labelOf(n) !== l, "negative must be another label")
+      assert(r.getAs[Double]("margin") ===
+        math.rint((r.getAs[Double]("neg_dist") -
+          r.getAs[Double]("pos_dist")) * 1e6) / 1e6)
+    }
+    // Ring shift is a bijection within each label: every member of a
+    // kept label appears exactly once as someone's positive.
+    out.groupBy(_.getAs[Int]("label")).foreach { case (_, rs) =>
+      val anchors = rs.map(_.getAs[Long]("vec_id")).toSet
+      val positives = rs.map(_.getAs[Long]("pos_id")).toSet
+      assert(anchors === positives)
+    }
+  }
+
+  // ------------------------------------------------------- q_sssp
+
+  test("sssp: planted weighted chain relaxes to the exact min-plus " +
+    "distances (duplicate lots keep the min weight)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r12w_")
+    // Chain p1 -1- s1 -5- p2 -2- s2, plus a duplicate heavier lot on
+    // (p1, s1) that the min-weight fold must discard, plus a direct
+    // shortcut p1 -9- s2 that relaxation must beat (0+1+5+2 = 8 < 9).
+    Seq((1L, 1L, 1.0), (1L, 1L, 40.0), (2L, 1L, 5.0), (2L, 2L, 2.0),
+        (1L, 2L, 9.0))
+      .toDF("l_partkey", "l_suppkey", "l_quantity")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q_sssp")(spark, dir.toString)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("p1" -> 0L, "s1" -> 1L, "p2" -> 6L, "s2" -> 8L))
   }
 }
