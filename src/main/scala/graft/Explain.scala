@@ -77,7 +77,9 @@ object Explain {
     "q_emd_drift",
     // round-12 second wave
     "q_cusum_alarms", "q_burstiness", "q_confusion_metrics",
-    "q_embed_drift", "q_contrastive_pairs", "q_sssp")
+    "q_embed_drift", "q_contrastive_pairs", "q_sssp",
+    // round-12 third wave
+    "q_knn_classifier", "q_class_balance", "q_pacf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -575,6 +575,56 @@ object Sampling {
               " AS fill_naive")
           .orderBy("max_len")
     },
+
+    // CLASS-BALANCED OVERSAMPLE — resample every label class up to
+    // the majority-class size by deterministic hash-ring cycling:
+    // slot i of a class takes the class's ((i−1) mod nl)+1-th member
+    // in salted-hash order, so minority members repeat uniformly
+    // (±1) and is_dup marks the synthetic copies — the class-
+    // rebalancing pass before training on skewed labels, the
+    // labeled-data sibling of q_mixture_apply's source-share
+    // resampling (and the with-replacement complement of
+    // q_sample_stratified's k-per-stratum downsample). No rand():
+    // the q_sample_hash discipline — reruns, retries, and both
+    // engines produce the identical sample. Scale: one label-keyed
+    // rank window; slot generation EXPLODES THE |labels|-ROW CLASS
+    // FRAME (never the corpus) to |labels|×max-class rows — the
+    // output's own size, nothing bigger — and lands back on the
+    // corpus via one (label, rank) co-partitioned equi-join.
+    Q("q_class_balance",
+      s"""WITH e AS (SELECT vec_id, label FROM embeddings),
+         |labs AS (SELECT label, CAST(count(*) AS BIGINT) AS nl
+         |         FROM e GROUP BY 1),
+         |mx AS (SELECT CAST(max(nl) AS BIGINT) AS m FROM labs),
+         |r AS (SELECT vec_id, label, CAST(row_number() OVER (
+         |    PARTITION BY label ORDER BY
+         |      ${h28Duck("'bal#' || vec_id")}, vec_id) AS BIGINT) AS rk
+         |  FROM e),
+         |slots AS (SELECT label, nl,
+         |    unnest(generate_series(1, m)) AS slot
+         |  FROM labs CROSS JOIN mx)
+         |SELECT s.label, CAST(s.slot AS BIGINT) AS slot, r.vec_id,
+         |  CAST(CASE WHEN s.slot > s.nl THEN 1 ELSE 0 END AS INT)
+         |    AS is_dup
+         |FROM slots s JOIN r ON r.label = s.label
+         |  AND r.rk = (s.slot - 1) % s.nl + 1
+         |ORDER BY s.label, s.slot""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d).select("vec_id", "label")
+      val labs = e.groupBy("label").agg(count(lit(1)).cast("long").as("nl"))
+      val mx = labs.agg(max("nl").as("m"))
+      val r = e.withColumn("rk",
+        row_number().over(Window.partitionBy("label")
+          .orderBy(expr(h28("concat('bal#', CAST(vec_id AS STRING))")),
+            col("vec_id"))).cast("long"))
+      val slots = labs.crossJoin(broadcast(mx))
+        .select(col("label"), col("nl"),
+          explode(expr("sequence(1L, m)")).as("slot"))
+        .withColumn("rk", (col("slot") - 1) % col("nl") + 1)
+      slots.join(r, Seq("label", "rk"))
+        .selectExpr("label", "CAST(slot AS BIGINT) AS slot", "vec_id",
+          "CAST(CASE WHEN slot > nl THEN 1 ELSE 0 END AS INT) AS is_dup")
+        .orderBy("label", "slot")
+    },
   )
 }
 

@@ -902,5 +902,134 @@ object TimeSeries {
           "shi > h6 AS alarm_hi", "slo > h6 AS alarm_lo")
         .orderBy("event_type", "day")
     },
+
+    // PARTIAL AUTOCORRELATION — PACF at lags 1..7 via the
+    // Durbin–Levinson recursion over the (rounded) ACF of the daily
+    // event-count series: the second half of the Box–Jenkins
+    // identification pair (q_acf shows TOTAL lag correlation; PACF
+    // removes the shorter-lag paths, so an AR(p) series cuts off
+    // after lag p — the plot you read the model ORDER from).
+    // Scale: the corpus folds to the day frame exactly as q_acf;
+    // the recursion runs on ≤7-row φ frames — 6 fixed dataframe
+    // steps (the q_mmr_rerank loop discipline, localCheckpoint per
+    // step), cost independent of corpus size. Determinism: inputs
+    // are the 6dp-rounded ACF values; every product rounds 12dp
+    // into a DECIMAL(38,12) sum (dsum discipline — the Σφρ terms
+    // are order-exact), φ updates round 9dp per step, and the
+    // oracle's chained MATERIALIZED CTEs mirror the loop
+    // step-for-step (plain CTEs would re-inline the chain
+    // exponentially — the q_hits lesson).
+    Q("q_pacf", TimeSeries.pacfSql(7)) { (s, d) =>
+      val day = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).cast("long").as("y"))
+        .localCheckpoint(eager = false)
+      val t = day.agg(count(lit(1)).cast("long").as("n"),
+        sum("y").cast("long").as("s"))
+      val dev = day.crossJoin(broadcast(t))
+        .select(col("d"), (col("y") * col("n") - col("s")).as("e"))
+        .localCheckpoint(eager = false)
+      val den = dev.agg(
+        sum(col("e").cast(DecimalType(38, 0)) * col("e")).as("den"))
+      val pr = dev
+        .select(col("d"), col("e"),
+          explode(expr("sequence(1, 7)")).as("k"))
+        .withColumn("dprev", expr("date_sub(d, k)"))
+        .join(broadcast(dev.select(col("d").as("d2"), col("e").as("e2"))),
+          col("dprev") === col("d2"))
+        .groupBy("k")
+        .agg(sum(col("e").cast(DecimalType(38, 0)) * col("e2")).as("num"))
+      val acf = pr.crossJoin(broadcast(den))
+        .selectExpr("CAST(k AS BIGINT) AS lag",
+          "round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS a")
+        .localCheckpoint(eager = false)
+      var phi = acf.filter(col("lag") === 1)
+        .select(lit(1L).as("j"), col("a").as("v"))
+        .localCheckpoint(eager = false)
+      var rows = phi.select(lit(1L).as("lag"), col("v").as("pacf"))
+      for (k <- 2 to 7) {
+        val sums = phi
+          .join(broadcast(acf.select(col("lag").as("l1"),
+            col("a").as("a1"))), col("l1") === col("j"))
+          .join(broadcast(acf.select(col("lag").as("l2"),
+            col("a").as("a2"))), col("l2") === lit(k) - col("j"))
+          .agg(sum(round(col("v") * col("a1"), 12)
+              .cast(DecimalType(38, 12))).cast("double").as("sden"),
+            sum(round(col("v") * col("a2"), 12)
+              .cast(DecimalType(38, 12))).cast("double").as("snum"))
+        val rk = acf.filter(col("lag") === k).select(col("a").as("rk"))
+        val pk = sums.crossJoin(broadcast(rk))
+          .select(round((col("rk") - coalesce(col("snum"), lit(0.0)))
+              / (lit(1.0) - coalesce(col("sden"), lit(0.0))), 9)
+            .as("pkk"))
+          .localCheckpoint(eager = false)
+        val phiNew = phi
+          .join(phi.select(col("j").as("j2"), col("v").as("v2")),
+            col("j2") === lit(k) - col("j"))
+          .crossJoin(broadcast(pk))
+          .select(col("j"), round(col("v") - col("pkk") * col("v2"), 9)
+            .as("v"))
+          .unionByName(pk.select(lit(k.toLong).as("j"),
+            col("pkk").as("v")))
+          .localCheckpoint(eager = false)
+        rows = rows.unionByName(pk.select(lit(k.toLong).as("lag"),
+          col("pkk").as("pacf")))
+        phi = phiNew
+      }
+      rows.join(acf.select(col("lag"), col("a").as("acf")), "lag")
+        .select("lag", "acf", "pacf").orderBy("lag")
+    },
   )
+
+  /** Chained-CTE Durbin–Levinson oracle: acf (6dp) for lags
+    * 1..maxLag, then per step k the Σφρ sums (12dp-rounded terms
+    * into DECIMAL sums), the reflection coefficient pk (9dp), and
+    * the updated φ row set — every CTE MATERIALIZED because each
+    * step references the previous one twice. */
+  private[queries] def pacfSql(maxLag: Int): String = {
+    val steps = (2 to maxLag).map { k =>
+      s"""s$k AS MATERIALIZED (SELECT
+         |    CAST(sum(CAST(round(f.v * r1.a, 12) AS DECIMAL(38,12)))
+         |      AS DOUBLE) AS sden,
+         |    CAST(sum(CAST(round(f.v * r2.a, 12) AS DECIMAL(38,12)))
+         |      AS DOUBLE) AS snum
+         |  FROM phi${k - 1} f JOIN acf r1 ON r1.lag = f.j
+         |    JOIN acf r2 ON r2.lag = $k - f.j),
+         |pk$k AS MATERIALIZED (SELECT
+         |    round(((SELECT a FROM acf WHERE lag = $k)
+         |        - coalesce(snum, 0))
+         |      / (1 - coalesce(sden, 0)), 9) AS pkk FROM s$k),
+         |phi$k AS MATERIALIZED (
+         |  SELECT f.j, round(f.v - p.pkk * f2.v, 9) AS v
+         |  FROM phi${k - 1} f JOIN phi${k - 1} f2 ON f2.j = $k - f.j
+         |  CROSS JOIN pk$k p
+         |  UNION ALL SELECT CAST($k AS BIGINT) AS j, pkk AS v
+         |  FROM pk$k)""".stripMargin
+    }.mkString(",\n")
+    val rows = (s"SELECT CAST(1 AS BIGINT) AS lag, v AS pacf FROM phi1"
+      +: (2 to maxLag).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS lag, pkk AS pacf FROM pk$k"))
+      .mkString("\nUNION ALL\n")
+    s"""WITH day AS (SELECT CAST(ts AS DATE) AS d,
+       |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS s FROM day),
+       |dev AS (SELECT d, y * n - s AS e FROM day CROSS JOIN t),
+       |den AS (SELECT sum(CAST(e AS DECIMAL(38,0)) * e) AS den
+       |        FROM dev),
+       |lags AS (SELECT unnest(range(1, ${maxLag + 1})) AS k),
+       |pr AS (SELECT k, sum(CAST(a.e AS DECIMAL(38,0)) * b.e) AS num
+       |  FROM lags CROSS JOIN dev a
+       |  JOIN dev b ON b.d = a.d - CAST(k AS INTEGER)
+       |  GROUP BY k),
+       |acf AS MATERIALIZED (SELECT CAST(k AS BIGINT) AS lag,
+       |    round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS a
+       |  FROM pr CROSS JOIN den),
+       |phi1 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS j,
+       |    (SELECT a FROM acf WHERE lag = 1) AS v),
+       |$steps
+       |SELECT u.lag, acf.a AS acf, u.pacf
+       |FROM ($rows) u JOIN acf ON acf.lag = u.lag
+       |ORDER BY u.lag""".stripMargin
+  }
 }

@@ -1049,6 +1049,78 @@ object VectorSearch {
           round(col("neg_dist") - col("pos_dist"), 6))
         .orderBy("vec_id")
     },
+
+    // kNN CLASSIFIER EVAL (pseudo-labeling audit) — hold out a
+    // deterministic hash-half, predict each held-out vector's label
+    // as the 5-NN majority vote among the LABELED half, and report
+    // per-class accuracy: the "can I trust nearest-neighbor
+    // pseudo-labels" readout a semi-supervised curation pipeline
+    // runs before propagating labels onto unlabeled data
+    // (q_confusion_metrics grades a PARAMETRIC classifier the same
+    // way; q_retrieval_eval grades the ranking — this grades the
+    // label-propagation operator itself). Scale: the pairwise stage
+    // is SimilarityStages.knnCandidates (block-chunked exact by
+    // default, `spark.graft.knn.mode=ann` = the IVF cell-join route,
+    // set-equal at the test sfs per ScalePathSpec), the bipartite
+    // labeled/held-out restriction is two co-partitioned flag joins
+    // on the pair frame, top-5 is an anchor-partitioned window, and
+    // the vote + accuracy folds are ≤|classes|-sized per anchor.
+    // Determinism: distances round 6dp, neighbor rank breaks ties on
+    // vec_id, the vote breaks ties on (votes DESC, label ASC), and
+    // accuracy is one division of exact integers.
+    Q("q_knn_classifier",
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v,
+         |    CASE WHEN ${TextKit.h28Duck("'knncls#' || vec_id")} % 2 = 0
+         |         THEN 1 ELSE 0 END AS lab FROM embeddings),
+         |p AS (SELECT a.vec_id AS aid, a.label AS albl,
+         |    b.vec_id AS bid, b.label AS blbl,
+         |    round(1 - list_cosine_similarity(a.v, b.v), 6) AS dist
+         |  FROM e a JOIN e b ON a.lab = 0 AND b.lab = 1),
+         |r AS (SELECT aid, albl, blbl, bid, dist, row_number() OVER (
+         |    PARTITION BY aid ORDER BY dist, bid) AS rn FROM p),
+         |v AS (SELECT aid, albl, blbl, count(*) AS votes
+         |  FROM r WHERE rn <= 5 GROUP BY 1, 2, 3),
+         |pr AS (SELECT aid, albl, blbl AS pred, row_number() OVER (
+         |    PARTITION BY aid ORDER BY votes DESC, blbl) AS vr FROM v)
+         |SELECT albl AS label, CAST(count(*) AS BIGINT) AS n_eval,
+         |  CAST(sum(CASE WHEN pred = albl THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct,
+         |  round(sum(CASE WHEN pred = albl THEN 1 ELSE 0 END)
+         |    / CAST(count(*) AS DOUBLE), 6) AS acc
+         |FROM pr WHERE vr = 1 GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (s, d) =>
+      val e0 = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"),
+          (expr(TextKit.h28("concat('knncls#', CAST(vec_id AS STRING))"))
+            % 2 === 0).as("lab"))
+        .localCheckpoint(eager = false)
+      val flags = e0.select("vec_id", "label", "lab")
+      val p = SimilarityStages
+        .knnCandidates(e0.select("vec_id", "v"), metric = "cosine")
+      val ab = p
+        .join(flags.select(col("vec_id").as("a"), col("label").as("albl"),
+          col("lab").as("alab")), "a")
+        .join(flags.select(col("vec_id").as("b"), col("label").as("blbl"),
+          col("lab").as("blab")), "b")
+        .filter(!col("alab") && col("blab"))
+      val w = Window.partitionBy("a").orderBy(col("dist"), col("b"))
+      val votes = ab.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy(col("a"), col("albl"), col("blbl"))
+        .agg(count(lit(1)).as("votes"))
+      val pred = votes.withColumn("vr",
+          row_number().over(Window.partitionBy("a")
+            .orderBy(col("votes").desc, col("blbl"))))
+        .filter(col("vr") === 1)
+      pred.groupBy(col("albl").as("label"))
+        .agg(count(lit(1)).cast("long").as("n_eval"),
+          sum(when(col("blbl") === col("albl"), 1L).otherwise(0L))
+            .cast("long").as("n_correct"))
+        .selectExpr("label", "n_eval", "n_correct",
+          "round(n_correct / CAST(n_eval AS DOUBLE), 6) AS acc")
+        .orderBy("label")
+    },
   )
 }
 

@@ -199,4 +199,108 @@ class Round12WaveSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out === Map("p1" -> 0L, "s1" -> 1L, "p2" -> 6L, "s2" -> 8L))
   }
+
+  // ------------------------------------------------ shared helpers
+
+  /** Scala twin of TextKit.h28 (7-hex-char md5 prefix as a long). */
+  private def h28(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => "%02x".format(b & 0xff)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 7), 16)
+  }
+
+  /** Spark round(x, n) semantics: BigDecimal HALF_UP. */
+  private def rnd(x: Double, n: Int): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(n, java.math.RoundingMode.HALF_UP).doubleValue
+
+  // ----------------------------------------------- q_knn_classifier
+
+  test("knn_classifier: brute-force half-out 5-NN majority vote " +
+    "recomputes the per-class accuracies") {
+    assume(haveSf)
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val labeled = vecs.filter(v => h28(s"knncls#${v._1}") % 2 == 0)
+    val eval = vecs.filter(v => h28(s"knncls#${v._1}") % 2 != 0)
+    def cosDist(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      1.0 - dot / math.sqrt(na * nb)
+    }
+    val expected = eval.map { case (aid, albl, av) =>
+      val top5 = labeled
+        .map { case (bid, blbl, bv) => (rnd(cosDist(av, bv), 6), bid, blbl) }
+        .sortBy(t => (t._1, t._2)).take(5)
+      val pred = top5.groupBy(_._3).view.mapValues(_.length).toSeq
+        .sortBy { case (l, c) => (-c, l) }.head._1
+      (albl, pred == albl)
+    }.groupBy(_._1).view.mapValues { rs =>
+      (rs.length.toLong, rs.count(_._2).toLong)
+    }.toMap
+    val out = SparkEntry.queries("q_knn_classifier")(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n_eval")).sum === eval.length.toLong)
+    out.foreach { r =>
+      val (n, c) = expected(r.getAs[Int]("label"))
+      assert(r.getAs[Long]("n_eval") === n)
+      assert(r.getAs[Long]("n_correct") === c)
+      assert(r.getAs[Double]("acc") === rnd(c.toDouble / n, 6))
+    }
+  }
+
+  // ------------------------------------------------ q_class_balance
+
+  test("class_balance: every class fills majority-size slots by " +
+    "hash-ring cycling, copies uniform within one") {
+    assume(haveSf)
+    val out = SparkEntry.queries("q_class_balance")(spark, sf).collect()
+    val byLabel = out.groupBy(_.getAs[Int]("label"))
+    val sizes = Tables.embeddings(spark, sf).groupBy("label").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val m = sizes.values.max
+    byLabel.foreach { case (l, rs) =>
+      assert(rs.map(_.getAs[Long]("slot")).sorted.toSeq === (1L to m))
+      // Each member repeats floor(M/nl) or ceil(M/nl) times.
+      val counts = rs.groupBy(_.getAs[Long]("vec_id")).values.map(_.length)
+      assert(counts.size.toLong === sizes(l))
+      assert(counts.max - counts.min <= 1)
+      // Duplicates are exactly the beyond-class-size slots.
+      rs.foreach(r => assert((r.getAs[Int]("is_dup") == 1) ===
+        (r.getAs[Long]("slot") > sizes(l))))
+    }
+    // The majority class has zero synthetic copies.
+    val majority = sizes.maxBy { case (l, n) => (n, -l) }._1
+    assert(byLabel(majority).forall(_.getAs[Int]("is_dup") == 0))
+  }
+
+  // --------------------------------------------------------- q_pacf
+
+  test("pacf: Durbin-Levinson recomputed from the op's own ACF " +
+    "column; lag-1 PACF equals lag-1 ACF") {
+    assume(haveSf)
+    val out = SparkEntry.queries("q_pacf")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("lag"), r.getAs[Double]("acf"),
+        r.getAs[Double]("pacf"))).sortBy(_._1)
+    assert(out.map(_._1).toSeq === (1L to 7L))
+    val rho = out.map(t => t._1 -> t._2).toMap
+    assert(out.head._3 === rho(1L))
+    var phi = Map(1L -> rho(1L))
+    (2 to 7).foreach { k =>
+      val snum = phi.toSeq.sortBy(_._1)
+        .map { case (j, v) => rnd(v * rho(k - j), 12) }.sum
+      val sden = phi.toSeq.sortBy(_._1)
+        .map { case (j, v) => rnd(v * rho(j), 12) }.sum
+      val pkk = rnd((rho(k.toLong) - snum) / (1.0 - sden), 9)
+      assert(math.abs(out(k - 1)._3 - pkk) < 2e-9,
+        s"lag $k pacf ${out(k - 1)._3} vs recomputed $pkk")
+      phi = phi.map { case (j, v) =>
+        j -> rnd(v - pkk * phi(k - j), 9)
+      } + (k.toLong -> pkk)
+    }
+  }
 }

@@ -491,7 +491,8 @@ class ScalePathSpec extends SparkTestBase {
     val sf = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$sf/embeddings.parquet").exists())
     def outs(): Map[String, Set[String]] =
-      Seq("q_mutual_knn", "q_lof", "q_dbscan").map { q =>
+      Seq("q_mutual_knn", "q_lof", "q_dbscan", "q_knn_classifier")
+        .map { q =>
         q -> graft.SparkEntry.queries(q)(spark, sf)
           .collect().map(_.mkString("|")).toSet
       }.toMap
