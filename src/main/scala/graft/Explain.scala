@@ -79,7 +79,9 @@ object Explain {
     "q_cusum_alarms", "q_burstiness", "q_confusion_metrics",
     "q_embed_drift", "q_contrastive_pairs", "q_sssp",
     // round-12 third wave
-    "q_knn_classifier", "q_class_balance", "q_pacf")
+    "q_knn_classifier", "q_class_balance", "q_pacf",
+    // round-12 fourth wave
+    "q_spearman", "q_tukey_hsd", "q_gmm_1d")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

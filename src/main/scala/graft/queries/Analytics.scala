@@ -1906,6 +1906,167 @@ object Analytics {
         .orderBy("event_type")
     },
 
+    // TUKEY HSD — the post-hoc pairwise drill-down q_anova's omnibus
+    // F-test gates: all C(k,2) type-pair mean differences tested
+    // against the honestly-significant-difference threshold
+    // q·SE(pair), with the studentized-range critical value
+    // q(α=.05, k=5, df=∞) = 3.858 — the multiple-comparison-safe
+    // answer to "WHICH groups differ" (running C(k,2) Welch t-tests
+    // at α=.05 each inflates family error to ~40% at k=5; HSD holds
+    // it at 5%). Scale: reuses q_anova's ONE conditional-moment fold
+    // (corpus → k-row frame); the pair join, SE, and verdicts run on
+    // the C(k,2)-row frame. Determinism: means are exact integer
+    // micros (q_anova's half-up form), SSW re-derives from the same
+    // rounded 9dp terms into a DECIMAL sum, and each q statistic is
+    // a division+sqrt over identical doubles; the significance
+    // comparison is double-vs-double on identical operand chains.
+    Q("q_tukey_hsd",
+      s"""WITH m AS (SELECT event_type,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    ${dsumSql("round(value, 6)")} AS s,
+         |    ${dsumSql("round(round(value, 6) * round(value, 6), 6)")} AS q
+         |  FROM events GROUP BY event_type),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+         |    CAST(count(*) AS BIGINT) AS k FROM m),
+         |g AS (SELECT event_type, n,
+         |    CAST(floor((2 * CAST(round(s * 1000000) AS BIGINT) + n)
+         |      / (2.0 * n)) AS BIGINT) AS m6,
+         |    round(q - s * s / n, 9) AS ssw_term FROM m),
+         |w AS (SELECT CAST(sum(CAST(ssw_term AS DECIMAL(38,9)))
+         |      AS DOUBLE) AS ssw FROM g),
+         |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    a.n AS n_a, b.n AS n_b, a.m6 AS ma6, b.m6 AS mb6
+         |  FROM g a JOIN g b ON a.event_type < b.event_type)
+         |SELECT type_a, type_b, n_a, n_b,
+         |  round(abs(ma6 - mb6) / CAST(1000000 AS DOUBLE), 6)
+         |    AS mean_diff,
+         |  round(sqrt((ssw / (nn - k)) / 2
+         |    * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 9)
+         |    AS se,
+         |  round((abs(ma6 - mb6) / CAST(1000000 AS DOUBLE))
+         |    / sqrt((ssw / (nn - k)) / 2
+         |      * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 6)
+         |    AS q_stat,
+         |  (abs(ma6 - mb6) / CAST(1000000 AS DOUBLE))
+         |    / sqrt((ssw / (nn - k)) / 2
+         |      * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+         |    > CAST(3.858 AS DOUBLE) AS significant
+         |FROM p CROSS JOIN w CROSS JOIN t
+         |ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
+      val m = Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          dsum(round(col("value"), 6)).as("s"),
+          dsum(round(round(col("value"), 6) * round(col("value"), 6), 6))
+            .as("q"))
+        .localCheckpoint(eager = false)
+      val t = m.agg(sum("n").cast("long").as("nn"),
+        count(lit(1)).cast("long").as("k"))
+      val g = m.selectExpr("event_type", "n",
+          "CAST(floor((2 * CAST(round(s * 1000000) AS BIGINT) + n)" +
+            " / (2.0 * n)) AS BIGINT) AS m6",
+          "round(q - s * s / n, 9) AS ssw_term")
+        .localCheckpoint(eager = false)
+      val w = g.agg(sum(col("ssw_term").cast(DecimalType(38, 9)))
+        .cast("double").as("ssw"))
+      val p = g.select(col("event_type").as("type_a"),
+          col("n").as("n_a"), col("m6").as("ma6"))
+        .join(g.select(col("event_type").as("type_b"),
+          col("n").as("n_b"), col("m6").as("mb6")),
+          col("type_a") < col("type_b"))
+      p.crossJoin(broadcast(w)).crossJoin(broadcast(t))
+        .selectExpr("type_a", "type_b", "n_a", "n_b",
+          "round(abs(ma6 - mb6) / CAST(1000000 AS DOUBLE), 6)" +
+            " AS mean_diff",
+          "round(sqrt((ssw / (nn - k)) / 2" +
+            " * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 9)" +
+            " AS se",
+          "round((abs(ma6 - mb6) / CAST(1000000 AS DOUBLE))" +
+            " / sqrt((ssw / (nn - k)) / 2" +
+            " * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 6)" +
+            " AS q_stat",
+          "(abs(ma6 - mb6) / CAST(1000000 AS DOUBLE))" +
+            " / sqrt((ssw / (nn - k)) / 2" +
+            " * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))" +
+            " > CAST(3.858 AS DOUBLE) AS significant")
+        .orderBy("type_a", "type_b")
+    },
+
+    // GAUSSIAN MIXTURE (EM, k=2) — three fixed EM sweeps fitting a
+    // two-component 1-D normal mixture to the event-value
+    // distribution from deterministic quantile inits (μ = p25/p75,
+    // σ = overall, π = ½): the SOFT-assignment member of the
+    // in-engine training family (q_kmeans: hard Voronoi; NB:
+    // supervised counts; ALS: factorization) and the bimodality
+    // auditor behind "is this metric one population or two" —
+    // mixture weights + separation feed threshold placement where a
+    // single mean/σ (q_agg_stats) averages the modes away. Scale:
+    // each sweep is ONE scan of the checkpointed value frame with a
+    // broadcast 1-row parameter frame — E-step scan-local, M-step a
+    // partial-aggregated moment fold (the q_anova discipline);
+    // iteration count is fixed, so cost = 3 scans at any corpus
+    // size. Determinism: per-row ln/exp run on identical rounded
+    // operands and the responsibility rounds 9dp BEFORE the
+    // DECIMAL(38,9) moment sums (the q_lm_score libm posture);
+    // parameter updates are single divisions/sqrts of those sums
+    // rounded 9dp; greatest(σ², 10⁻⁶) floors a collapsing
+    // component identically in both engines.
+    Q("q_gmm_1d", AnalyticsOracles.gmmSql(3)) { (s, d) =>
+      val x = Tables.events(s, d)
+        .select(round(col("value"), 6).as("x"))
+        .localCheckpoint(eager = false)
+      val c0 = x.agg(
+          expr("round(percentile(x, CAST(0.25 AS DOUBLE)), 6)").as("mu1"),
+          expr("round(percentile(x, CAST(0.75 AS DOUBLE)), 6)").as("mu2"),
+          expr(s"CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE)").as("sx"),
+          expr("CAST(sum(CAST(round(x * x, 6) AS DECIMAL(38,6)))" +
+            " AS DOUBLE)").as("qx"),
+          count(lit(1)).cast("long").as("n"))
+        .selectExpr("CAST(0.5 AS DOUBLE) AS pi1", "mu1",
+          "round(sqrt(qx / n - (sx / n) * (sx / n)), 6) AS sg1", "mu2",
+          "round(sqrt(qx / n - (sx / n) * (sx / n)), 6) AS sg2", "n")
+      var c = c0.localCheckpoint(eager = false)
+      for (_ <- 1 to 3) {
+        val r = x.crossJoin(broadcast(c))
+          .selectExpr("x",
+            "round((ln(1 - pi1) - ln(sg2)" +
+              " - (x - mu2) * (x - mu2) / (2 * sg2 * sg2))" +
+              " - (ln(pi1) - ln(sg1)" +
+              " - (x - mu1) * (x - mu1) / (2 * sg1 * sg1)), 9) AS dl")
+          .selectExpr("x",
+            "round(CAST(1 AS DOUBLE) / (1 + exp(dl)), 9) AS r")
+        val m = r.agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(col("r").cast(DecimalType(38, 9))).cast("double").as("n1"),
+          sum(round(col("r") * col("x"), 9).cast(DecimalType(38, 9)))
+            .cast("double").as("s1"),
+          sum(round(col("r") * col("x") * col("x"), 9)
+            .cast(DecimalType(38, 9))).cast("double").as("q1"),
+          sum(round((lit(1) - col("r")) * col("x"), 9)
+            .cast(DecimalType(38, 9))).cast("double").as("s2"),
+          sum(round((lit(1) - col("r")) * col("x") * col("x"), 9)
+            .cast(DecimalType(38, 9))).cast("double").as("q2"))
+        c = m.selectExpr(
+            "round(n1 / n, 9) AS pi1",
+            "round(s1 / n1, 9) AS mu1",
+            "round(sqrt(greatest(q1 / n1 - (s1 / n1) * (s1 / n1)," +
+              " CAST(0.000001 AS DOUBLE))), 9) AS sg1",
+            "round(s2 / (n - n1), 9) AS mu2",
+            "round(sqrt(greatest(q2 / (n - n1)" +
+              " - (s2 / (n - n1)) * (s2 / (n - n1))," +
+              " CAST(0.000001 AS DOUBLE))), 9) AS sg2",
+            "n")
+          .localCheckpoint(eager = false)
+      }
+      c.selectExpr(
+          """stack(2,
+            |  1, round(pi1, 6), round(mu1, 6), round(sg1, 6),
+            |  2, round(1 - pi1, 6), round(mu2, 6), round(sg2, 6)
+            |) AS (comp, pi, mu, sigma)""".stripMargin, "n")
+        .select("comp", "n", "pi", "mu", "sigma")
+        .orderBy("comp")
+    },
+
     // Cohen's kappa (Cohen 1960): chance-corrected agreement between
     // two annotators — the label-quality gate a supervised-data
     // pipeline runs before trusting a labeling pass. The two "raters"
@@ -2161,4 +2322,67 @@ object Analytics {
   private lazy val olsR2: String =
     "round(1 - (syy - b0 * sy - b1 * sx1y - b2 * sx2y)" +
       " / (syy - sy * sy / n), 6)"
+}
+
+/** Chained-CTE oracle for the fixed EM sweeps (q_gmm_1d): quantile
+  * inits, then per sweep the row-level responsibility CTE and the
+  * 1-row moment/parameter CTEs — parameter CTEs MATERIALIZED because
+  * every sweep references the previous one (the q_hits re-inlining
+  * lesson; the row-level CTEs are referenced once and may stream). */
+object AnalyticsOracles {
+  def gmmSql(sweeps: Int): String = {
+    val steps = (1 to sweeps).map { i =>
+      s"""e$i AS (SELECT x.x, round(
+         |    (ln(1 - c.pi1) - ln(c.sg2)
+         |      - (x.x - c.mu2) * (x.x - c.mu2) / (2 * c.sg2 * c.sg2))
+         |  - (ln(c.pi1) - ln(c.sg1)
+         |      - (x.x - c.mu1) * (x.x - c.mu1) / (2 * c.sg1 * c.sg1)), 9)
+         |    AS dl
+         |  FROM x CROSS JOIN c${i - 1} c),
+         |r$i AS (SELECT x,
+         |    round(CAST(1 AS DOUBLE) / (1 + exp(dl)), 9) AS r FROM e$i),
+         |m$i AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(r AS DECIMAL(38,9))) AS DOUBLE) AS n1,
+         |    CAST(sum(CAST(round(r * x, 9) AS DECIMAL(38,9)))
+         |      AS DOUBLE) AS s1,
+         |    CAST(sum(CAST(round(r * x * x, 9) AS DECIMAL(38,9)))
+         |      AS DOUBLE) AS q1,
+         |    CAST(sum(CAST(round((1 - r) * x, 9) AS DECIMAL(38,9)))
+         |      AS DOUBLE) AS s2,
+         |    CAST(sum(CAST(round((1 - r) * x * x, 9) AS DECIMAL(38,9)))
+         |      AS DOUBLE) AS q2
+         |  FROM r$i),
+         |c$i AS MATERIALIZED (SELECT
+         |    round(n1 / n, 9) AS pi1,
+         |    round(s1 / n1, 9) AS mu1,
+         |    round(sqrt(greatest(q1 / n1 - (s1 / n1) * (s1 / n1),
+         |      CAST(0.000001 AS DOUBLE))), 9) AS sg1,
+         |    round(s2 / (n - n1), 9) AS mu2,
+         |    round(sqrt(greatest(q2 / (n - n1)
+         |      - (s2 / (n - n1)) * (s2 / (n - n1)),
+         |      CAST(0.000001 AS DOUBLE))), 9) AS sg2,
+         |    n FROM m$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x AS MATERIALIZED (SELECT round(value, 6) AS x FROM events),
+       |i0 AS (SELECT
+       |    round(quantile_cont(x, 0.25), 6) AS mu1,
+       |    round(quantile_cont(x, 0.75), 6) AS mu2,
+       |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(round(x * x, 6) AS DECIMAL(38,6))) AS DOUBLE)
+       |      AS qx,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM x),
+       |c0 AS MATERIALIZED (SELECT CAST(0.5 AS DOUBLE) AS pi1, mu1,
+       |    round(sqrt(qx / n - (sx / n) * (sx / n)), 6) AS sg1, mu2,
+       |    round(sqrt(qx / n - (sx / n) * (sx / n)), 6) AS sg2, n
+       |  FROM i0),
+       |$steps
+       |SELECT comp, n, pi, mu, sigma FROM (
+       |  SELECT 1 AS comp, n, round(pi1, 6) AS pi, round(mu1, 6) AS mu,
+       |    round(sg1, 6) AS sigma FROM c$sweeps
+       |  UNION ALL
+       |  SELECT 2, n, round(1 - pi1, 6), round(mu2, 6), round(sg2, 6)
+       |  FROM c$sweeps) u
+       |ORDER BY comp""".stripMargin
+  }
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -99,6 +100,118 @@ object Profiling {
             sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
                  (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr"),
           col("n"))
+        .orderBy("pair")
+    },
+
+    // SPEARMAN RANK CORRELATION — the monotone-association twin of
+    // q_corr_matrix's Pearson cells over the same three lineitem
+    // column pairs: rank-based, so one wild value moves one rank
+    // where it drags Pearson's moment sums arbitrarily (the
+    // robust-stats member of the correlation family, next to
+    // q_robust_scale/q_theil_sen in the outlier-immune column).
+    // Ranks are AVERAGE ranks doubled into exact integers (a tie
+    // group at min-rank r of size c has average rank r+(c−1)/2 —
+    // the ×2 "double rank" 2·cum−c+1 stays a BIGINT; scaling both
+    // variables by 2 cancels in the correlation). THE CORPUS IS
+    // NEVER GLOBALLY SORTED: each variable folds to its
+    // distinct-VALUE frame (bounded by the 2dp value domain at ANY
+    // corpus size — the q_quantile_normalize/q_emd_drift histogram
+    // discipline), the rank map is a cumulative-count window over
+    // that bounded frame, and rows get their ranks back via three
+    // value-keyed equi-joins. Moments then fold in ONE partial
+    // aggregate with DECIMAL(38,0) exact-integer sums (the
+    // q_corr_matrix stack idiom); ρ is the identical final double
+    // expression in both engines.
+    Q("q_spearman",
+      """WITH qf AS (SELECT l_quantity AS v, CAST(count(*) AS BIGINT)
+        |           AS c FROM lineitem GROUP BY 1),
+        |qr AS (SELECT v, 2 * CAST(sum(c) OVER (ORDER BY v) AS BIGINT)
+        |       - c + 1 AS r2 FROM qf),
+        |pf AS (SELECT l_extendedprice AS v, CAST(count(*) AS BIGINT)
+        |       AS c FROM lineitem GROUP BY 1),
+        |prm AS (SELECT v, 2 * CAST(sum(c) OVER (ORDER BY v) AS BIGINT)
+        |        - c + 1 AS r2 FROM pf),
+        |df AS (SELECT l_discount AS v, CAST(count(*) AS BIGINT) AS c
+        |       FROM lineitem GROUP BY 1),
+        |dr AS (SELECT v, 2 * CAST(sum(c) OVER (ORDER BY v) AS BIGINT)
+        |       - c + 1 AS r2 FROM df),
+        |r AS (SELECT qr.r2 AS rq, prm.r2 AS rp, dr.r2 AS rd
+        |  FROM lineitem l
+        |  JOIN qr ON qr.v = l.l_quantity
+        |  JOIN prm ON prm.v = l.l_extendedprice
+        |  JOIN dr ON dr.v = l.l_discount),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(rq AS DECIMAL(38,0))) AS sq,
+        |    sum(CAST(rp AS DECIMAL(38,0))) AS sp,
+        |    sum(CAST(rd AS DECIMAL(38,0))) AS sd,
+        |    sum(CAST(rq AS DECIMAL(38,0)) * rq) AS sqq,
+        |    sum(CAST(rp AS DECIMAL(38,0)) * rp) AS spp,
+        |    sum(CAST(rd AS DECIMAL(38,0)) * rd) AS sdd,
+        |    sum(CAST(rq AS DECIMAL(38,0)) * rp) AS sqp,
+        |    sum(CAST(rq AS DECIMAL(38,0)) * rd) AS sqd,
+        |    sum(CAST(rp AS DECIMAL(38,0)) * rd) AS spd
+        |  FROM r),
+        |p AS (SELECT pair, n, sx, sy, sxx, syy, sxy FROM (
+        |  SELECT n,
+        |    'quantity_extendedprice' AS pair, CAST(sq AS DOUBLE) AS sx,
+        |    CAST(sp AS DOUBLE) AS sy, CAST(sqq AS DOUBLE) AS sxx,
+        |    CAST(spp AS DOUBLE) AS syy, CAST(sqp AS DOUBLE) AS sxy
+        |  FROM s
+        |  UNION ALL SELECT n, 'quantity_discount', CAST(sq AS DOUBLE),
+        |    CAST(sd AS DOUBLE), CAST(sqq AS DOUBLE), CAST(sdd AS DOUBLE),
+        |    CAST(sqd AS DOUBLE) FROM s
+        |  UNION ALL SELECT n, 'extendedprice_discount',
+        |    CAST(sp AS DOUBLE), CAST(sd AS DOUBLE), CAST(spp AS DOUBLE),
+        |    CAST(sdd AS DOUBLE), CAST(spd AS DOUBLE) FROM s) u)
+        |SELECT pair, n,
+        |  round((n * sxy - sx * sy) /
+        |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS rho
+        |FROM p ORDER BY pair""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select("l_quantity", "l_extendedprice", "l_discount")
+        .localCheckpoint(eager = false)
+      def rankMap(c: String): DataFrame = {
+        val f = li.groupBy(col(c).as("v"))
+          .agg(count(lit(1)).cast("long").as("cc"))
+        f.withColumn("r2",
+            lit(2) * sum("cc").over(Window.orderBy("v")).cast("long")
+              - col("cc") + 1)
+          .select("v", "r2")
+      }
+      val r = li
+        .join(broadcast(rankMap("l_quantity"))
+          .withColumnRenamed("r2", "rq"), col("l_quantity") === col("v"))
+        .drop("v")
+        .join(rankMap("l_extendedprice").withColumnRenamed("r2", "rp"),
+          col("l_extendedprice") === col("v"))
+        .drop("v")
+        .join(broadcast(rankMap("l_discount"))
+          .withColumnRenamed("r2", "rd"), col("l_discount") === col("v"))
+        .drop("v")
+      def d0(c: String) = col(c).cast("decimal(38,0)")
+      val sums = r.agg(count(lit(1)).cast("long").as("n"),
+        sum(d0("rq")).as("sq"), sum(d0("rp")).as("sp"),
+        sum(d0("rd")).as("sd"),
+        sum(d0("rq") * col("rq")).as("sqq"),
+        sum(d0("rp") * col("rp")).as("spp"),
+        sum(d0("rd") * col("rd")).as("sdd"),
+        sum(d0("rq") * col("rp")).as("sqp"),
+        sum(d0("rq") * col("rd")).as("sqd"),
+        sum(d0("rp") * col("rd")).as("spd"))
+      val pairs = sums.selectExpr(
+        """stack(3,
+          |  'quantity_extendedprice', CAST(sq AS DOUBLE), CAST(sp AS DOUBLE),
+          |    CAST(sqq AS DOUBLE), CAST(spp AS DOUBLE), CAST(sqp AS DOUBLE),
+          |  'quantity_discount', CAST(sq AS DOUBLE), CAST(sd AS DOUBLE),
+          |    CAST(sqq AS DOUBLE), CAST(sdd AS DOUBLE), CAST(sqd AS DOUBLE),
+          |  'extendedprice_discount', CAST(sp AS DOUBLE), CAST(sd AS DOUBLE),
+          |    CAST(spp AS DOUBLE), CAST(sdd AS DOUBLE), CAST(spd AS DOUBLE)
+          |) AS (pair, sx, sy, sxx, syy, sxy)""".stripMargin, "n")
+      pairs.select(col("pair"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                 (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("rho"))
         .orderBy("pair")
     },
 

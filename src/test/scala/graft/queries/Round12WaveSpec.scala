@@ -278,6 +278,100 @@ class Round12WaveSpec extends SparkTestBase {
     assert(byLabel(majority).forall(_.getAs[Int]("is_dup") == 0))
   }
 
+  // ----------------------------------------------------- q_spearman
+
+  test("spearman: exact average-rank Pearson recompute over the " +
+    "three lineitem pairs") {
+    assume(haveSf)
+    val rows = Tables.lineitem(spark, sf)
+      .select("l_quantity", "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    def r2s(xs: Array[Double]): Array[Long] = {
+      // double average rank: 2·minRank + count − 1 per tie group.
+      val byV = xs.zipWithIndex.groupBy(_._1)
+      val sortedVals = byV.keys.toArray.sorted
+      var cum = 0L
+      val rank = sortedVals.map { v =>
+        val c = byV(v).length.toLong
+        val r2 = 2 * (cum + 1) + c - 1
+        cum += c
+        v -> r2
+      }.toMap
+      xs.map(rank)
+    }
+    val rq = r2s(rows.map(_._1)); val rp = r2s(rows.map(_._2))
+    val rd = r2s(rows.map(_._3))
+    def rho(a: Array[Long], b: Array[Long]): Double = {
+      val n = BigInt(a.length)
+      val sx = a.map(BigInt(_)).sum; val sy = b.map(BigInt(_)).sum
+      val sxx = a.map(x => BigInt(x) * x).sum
+      val syy = b.map(y => BigInt(y) * y).sum
+      val sxy = a.zip(b).map { case (x, y) => BigInt(x) * y }.sum
+      rnd((n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        math.sqrt((n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+          (n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble)), 6)
+    }
+    val out = SparkEntry.queries("q_spearman")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("rho")).toMap
+    assert(math.abs(out("quantity_extendedprice") - rho(rq, rp)) < 2e-6)
+    assert(math.abs(out("quantity_discount") - rho(rq, rd)) < 2e-6)
+    assert(math.abs(out("extendedprice_discount") - rho(rp, rd)) < 2e-6)
+  }
+
+  // ---------------------------------------------------- q_tukey_hsd
+
+  test("tukey_hsd: pair frame is C(k,2) ordered, q_stat = diff/se, " +
+    "significance consistent with q_anova's SSW") {
+    assume(haveSf)
+    val anova = SparkEntry.queries("q_anova")(spark, sf).collect()
+    val k = anova.length
+    val msw = anova.head.getAs[Double]("ss_within") /
+      anova.head.getAs[Long]("df2")
+    val nOf = anova.map(r =>
+      r.getString(0) -> r.getAs[Long]("n")).toMap
+    val out = SparkEntry.queries("q_tukey_hsd")(spark, sf).collect()
+    assert(out.length === k * (k - 1) / 2)
+    out.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b)
+      assert(r.getAs[Long]("n_a") === nOf(a))
+      assert(r.getAs[Long]("n_b") === nOf(b))
+      val se = math.sqrt(msw / 2 *
+        (1.0 / nOf(a) + 1.0 / nOf(b)))
+      assert(math.abs(r.getAs[Double]("se") - se) < 1e-5)
+      val q = r.getAs[Double]("mean_diff") / r.getAs[Double]("se")
+      assert(math.abs(r.getAs[Double]("q_stat") - q) < 1e-4)
+      assert(r.getAs[Boolean]("significant") ===
+        (r.getAs[Double]("q_stat") > 3.858) ||
+        math.abs(r.getAs[Double]("q_stat") - 3.858) < 1e-3)
+    }
+  }
+
+  // ------------------------------------------------------- q_gmm_1d
+
+  test("gmm_1d: a planted 1.0/9.0 bimodal mixture recovers both " +
+    "modes with ~equal weights") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r12w_")
+    val t0 = 1700000000000000000L
+    (0 until 1000).map { i =>
+      (i.toLong, t0 + i * 1000000000L, (i % 40).toLong, "view",
+        if (i % 2 == 0) 1.0 else 9.0, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_gmm_1d")(spark, dir.toString)
+      .collect().map(r => r.getAs[Int]("comp") ->
+        (r.getAs[Double]("pi"), r.getAs[Double]("mu"),
+          r.getAs[Double]("sigma"))).toMap
+    val (pi1, mu1, sg1) = out(1); val (pi2, mu2, sg2) = out(2)
+    assert(math.abs(pi1 + pi2 - 1.0) < 1e-6)
+    assert(math.abs(pi1 - 0.5) < 0.05 && math.abs(mu1 - 1.0) < 0.1 &&
+      math.abs(mu2 - 9.0) < 0.1,
+      s"mixture did not separate: pi=$pi1 mu1=$mu1 mu2=$mu2")
+    assert(sg1 >= 0.001 && sg2 >= 0.001) // the floored-σ contract
+  }
+
   // --------------------------------------------------------- q_pacf
 
   test("pacf: Durbin-Levinson recomputed from the op's own ACF " +
