@@ -113,15 +113,22 @@ object Profiling {
     // group at min-rank r of size c has average rank r+(c−1)/2 —
     // the ×2 "double rank" 2·cum−c+1 stays a BIGINT; scaling both
     // variables by 2 cancels in the correlation). THE CORPUS IS
-    // NEVER GLOBALLY SORTED: each variable folds to its
-    // distinct-VALUE frame (bounded by the 2dp value domain at ANY
-    // corpus size — the q_quantile_normalize/q_emd_drift histogram
-    // discipline), the rank map is a cumulative-count window over
-    // that bounded frame, and rows get their ranks back via three
-    // value-keyed equi-joins. Moments then fold in ONE partial
-    // aggregate with DECIMAL(38,0) exact-integer sums (the
-    // q_corr_matrix stack idiom); ρ is the identical final double
-    // expression in both engines.
+    // NEVER SERIALIZED THROUGH ONE TASK: each variable folds to its
+    // distinct-VALUE frame, and because extendedprice is near-unique
+    // (the value frame GROWS with rows — a naive global cumulative
+    // window would be the single-task hazard GlobalWindowAuditSpec
+    // polices), the rank map is the standard TWO-LEVEL distributed
+    // prefix sum: range-partition the value frame, cumulative-count
+    // WITHIN each partition (partition-keyed window), prefix-sum the
+    // per-partition totals on the #partitions-row frame (the only
+    // partition-less window — constant-bounded by the partition
+    // count), and add the offset scan-locally. Ranks are
+    // boundary-invariant (distinct values never straddle a range
+    // boundary), so the sampled range split cannot move the result.
+    // Rows get their ranks back via three value-keyed equi-joins;
+    // moments fold in ONE partial aggregate with DECIMAL(38,0)
+    // exact-integer sums (the q_corr_matrix stack idiom); ρ is the
+    // identical final double expression in both engines.
     Q("q_spearman",
       """WITH qf AS (SELECT l_quantity AS v, CAST(count(*) AS BIGINT)
         |           AS c FROM lineitem GROUP BY 1),
@@ -173,10 +180,25 @@ object Profiling {
       def rankMap(c: String): DataFrame = {
         val f = li.groupBy(col(c).as("v"))
           .agg(count(lit(1)).cast("long").as("cc"))
-        f.withColumn("r2",
-            lit(2) * sum("cc").over(Window.orderBy("v")).cast("long")
-              - col("cc") + 1)
-          .select("v", "r2")
+        val parts = f
+          .repartitionByRange(li.sparkSession.sparkContext
+            .defaultParallelism, col("v"))
+          .withColumn("pid", spark_partition_id())
+          .localCheckpoint(eager = false)
+        val within = parts.withColumn("cum_in",
+          sum("cc").over(Window.partitionBy("pid").orderBy("v"))
+            .cast("long"))
+        val offsets = parts.groupBy("pid")
+          .agg(sum("cc").cast("long").as("pc"))
+          .withColumn("off", coalesce(
+            sum("pc").over(Window.orderBy("pid")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+            .cast("long"))
+          .select("pid", "off")
+        within.join(broadcast(offsets), "pid")
+          .select(col("v"),
+            (lit(2) * (col("cum_in") + col("off")) - col("cc") + 1)
+              .as("r2"))
       }
       val r = li
         .join(broadcast(rankMap("l_quantity"))

@@ -44,7 +44,11 @@ class GlobalWindowAuditSpec extends SparkTestBase {
     "q_modularity" -> (100L, "OVER () totals on the per-community frame"),
     "q_emd_drift" -> (40000L,
       "cumulative-CDF/lead windows on the distinct-VALUE frame — " +
-        "bounded by the 2dp value domain (≤ ~33k cells), not by rows"))
+        "bounded by the 2dp value domain (≤ ~33k cells), not by rows"),
+    "q_spearman" -> (200L,
+      "prefix-sum of range-partition totals — one row per shuffle " +
+        "partition (the two-level distributed rank's constant top " +
+        "level); the per-value cumulative runs partition-KEYED"))
 
   private def globalWindows(name: String, sf: String): Seq[LWindow] =
     SparkEntry.queries(name)(spark, sf)
