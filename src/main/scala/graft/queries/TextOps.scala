@@ -1090,5 +1090,91 @@ object TextOps {
           "round(CAST(n_hapax AS DOUBLE) / n_tok, 6) AS hapax_frac")
         .orderBy("doc_id")
     },
+
+    // TEXTRANK KEYWORDS (Mihalcea & Tarau 2004) — corpus keyword
+    // extraction by damped PageRank over the word co-occurrence
+    // graph (tokens co-occurring within distance ≤ 2; edge weight =
+    // corpus co-occurrence count): the graph-centrality "what is
+    // this corpus about" signal, orthogonal to raw frequency —
+    // q_tfidf weighs tokens by document contrast, q_collocations
+    // scores PAIRS; TextRank scores a token by the importance of
+    // its NEIGHBORS, so a mid-frequency hub outranks a frequent
+    // loner. Scale: co-occurrence pairs come from two (doc,
+    // position) posting equi-joins (the q_phrase_search idiom — 2×
+    // token-stream volume, co-partitioned on doc); the graph folds
+    // to VOCABULARY-sized edge/degree frames; each of the 3 damped
+    // iterations is the q_pagerank step — edge frame static +
+    // localCheckpoint, rank frame broadcast, per-edge terms
+    // round(r·w/wdeg, 12) into DECIMAL(38,12) sums. Determinism:
+    // integer weights/degrees, the q_pagerank rounding discipline,
+    // (score DESC, token) total order.
+    Q("q_textrank", TextOps.textrankSql(3)) { (s, d) =>
+      val pos = barrier(Tables.documents(s, d).withColumn("w", expr(toks)))
+        .select(col("doc_id"), posexplode(col("w")).as(Seq("p", "t")))
+        .localCheckpoint(eager = false)
+      def shift(k: Int) = pos.select(col("doc_id"),
+        (col("p") - k).as("p"), col("t").as("y"))
+      val pr = pos.join(shift(1), Seq("doc_id", "p"))
+        .select(col("t").as("x"), col("y"))
+        .unionAll(pos.join(shift(2), Seq("doc_id", "p"))
+          .select(col("t").as("x"), col("y")))
+        .filter(col("x") =!= col("y"))
+      val ed = pr.select(col("x").as("src"), col("y").as("dst"))
+        .unionAll(pr.select(col("y").as("src"), col("x").as("dst")))
+        .groupBy("src", "dst").agg(count(lit(1)).cast("long").as("wt"))
+      val wdeg = ed.groupBy("src").agg(sum("wt").cast("long").as("wdeg"))
+      val ew = ed.join(wdeg, "src").localCheckpoint(eager = false)
+      var r = wdeg.select(col("src").as("node"), lit(1.0).as("r"))
+        .localCheckpoint(eager = false)
+      for (_ <- 1 to 3) {
+        r = ew.join(broadcast(r), ew("src") === r("node"))
+          .groupBy(col("dst"))
+          .agg(sum(round(col("r") * col("wt") / col("wdeg"), 12)
+            .cast(DecimalType(38, 12))).as("m"))
+          .select(col("dst").as("node"),
+            round(lit(0.15) + lit(0.85) * col("m").cast("double"), 12)
+              .as("r"))
+          .localCheckpoint(eager = false)
+      }
+      r.select(col("node").as("token"), col("r").as("score"))
+        .orderBy(col("score").desc, col("token")).limit(20)
+    },
   )
+
+  /** Unrolled TextRank oracle — q_pagerank's chained-CTE shape over
+    * the weighted co-occurrence graph; posting-join pair CTEs mirror
+    * the engine's two (doc, position) equi-joins. */
+  private[queries] def textrankSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""m$k AS (SELECT e.dst AS node,
+         |    sum(CAST(round(r.r * e.wt / e.wdeg, 12) AS DECIMAL(38,12)))
+         |      AS m
+         |  FROM e JOIN r${k - 1} r ON r.node = e.src GROUP BY e.dst),
+         |r$k AS MATERIALIZED (SELECT node,
+         |    round(0.15 + 0.85 * CAST(m AS DOUBLE), 12) AS r
+         |  FROM m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wtok AS (SELECT doc_id, $toksDuck AS w FROM documents),
+       |pos AS MATERIALIZED (SELECT doc_id, u.t AS t, u.p AS p FROM
+       |  (SELECT doc_id, unnest([{'t': w[i], 'p': i}
+       |     for i in range(1, len(w) + 1)]) AS u FROM wtok) z),
+       |pr AS (SELECT a.t AS x, b.t AS y FROM pos a JOIN pos b
+       |    ON b.doc_id = a.doc_id AND b.p = a.p + 1
+       |  UNION ALL
+       |  SELECT a.t, b.t FROM pos a JOIN pos b
+       |    ON b.doc_id = a.doc_id AND b.p = a.p + 2),
+       |ed AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS wt FROM (
+       |    SELECT x AS src, y AS dst FROM pr WHERE x <> y
+       |    UNION ALL SELECT y, x FROM pr WHERE x <> y) u
+       |  GROUP BY 1, 2),
+       |wdeg AS (SELECT src, CAST(sum(wt) AS BIGINT) AS wdeg FROM ed
+       |         GROUP BY 1),
+       |e AS MATERIALIZED (SELECT ed.src, ed.dst, ed.wt, wdeg.wdeg
+       |  FROM ed JOIN wdeg USING (src)),
+       |r0 AS MATERIALIZED (SELECT src AS node, CAST(1.0 AS DOUBLE) AS r
+       |  FROM wdeg),
+       |$steps
+       |SELECT node AS token, r AS score FROM r$iters
+       |ORDER BY r DESC, token LIMIT 20""".stripMargin
+  }
 }

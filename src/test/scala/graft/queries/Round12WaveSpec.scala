@@ -372,6 +372,39 @@ class Round12WaveSpec extends SparkTestBase {
     assert(sg1 >= 0.001 && sg2 >= 0.001) // the floored-σ contract
   }
 
+  // ------------------------------------------------------ q_textrank
+
+  test("textrank: damped co-occurrence PageRank recomputed from raw " +
+    "tokens matches the top-20") {
+    assume(haveSf)
+    val texts = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0).toLowerCase.split(" ").filter(_.nonEmpty))
+    val pairs = texts.flatMap { w =>
+      (0 until w.length - 1).map(i => (w(i), w(i + 1))) ++
+        (0 until w.length - 2).map(i => (w(i), w(i + 2)))
+    }.filter(p => p._1 != p._2)
+    val wt = (pairs ++ pairs.map(_.swap)).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val wdeg = wt.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    var r = wdeg.keys.map(_ -> 1.0).toMap
+    (1 to 3).foreach { _ =>
+      val m = scala.collection.mutable.Map[String, java.math.BigDecimal]()
+      wt.foreach { case ((src, dst), w) =>
+        val term = java.math.BigDecimal.valueOf(
+          rnd(r(src) * w / wdeg(src), 12))
+        m(dst) = m.getOrElse(dst, java.math.BigDecimal.ZERO).add(term)
+      }
+      r = m.map { case (n, s) =>
+        n -> rnd(0.15 + 0.85 * s.doubleValue, 12)
+      }.toMap
+    }
+    val expected = r.toSeq.sortBy { case (t, s) => (-s, t) }.take(20)
+    val out = SparkEntry.queries("q_textrank")(spark, sf).collect()
+      .map(row => (row.getString(0), row.getAs[Double]("score")))
+    assert(out.toSeq === expected)
+  }
+
   // --------------------------------------------------------- q_pacf
 
   test("pacf: Durbin-Levinson recomputed from the op's own ACF " +
