@@ -573,5 +573,175 @@ object Language {
             " / ((df - CAST(1 AS DOUBLE)) * total), 6) AS vmr")
         .orderBy(col("vmr").desc, col("t")).limit(50)
     },
+
+    // K-FOLD CROSS-VALIDATION AS ONE DATAFLOW — 5-fold CV of the NB
+    // language classifier WITHOUT training 5 models over 5 scans:
+    // every fold's model is the count IDENTITY train_f = global −
+    // fold_f, so ONE pass builds the global and per-fold count
+    // frames and each document scores against its own held-out
+    // fold's model in a single (fold, token)-keyed join — the
+    // variance readout (per-fold accuracy + mean ± sd) that a single
+    // q_naive_bayes split cannot give, and the distributed answer to
+    // "k-fold CV costs k× a fit" (here it costs ~1×: the count
+    // frames are vocabulary-sized regardless of k). Smoothing uses
+    // the GLOBAL vocabulary for every fold by contract (the
+    // train-only-vocab variant would make V fold-dependent for no
+    // inferential gain). Scale: all model frames are (k ×)
+    // vocabulary-sized partial aggregates; the dense per-fold
+    // log-prob table broadcasts onto the token stream exactly like
+    // q_naive_bayes; the argmax is a per-doc window; fold accuracies
+    // fold to a k-row frame. Determinism: NB's 9dp-rounded
+    // exact-integer-ratio ln terms into DECIMAL sums; the mean
+    // accuracy divides a 6dp decimal sum by k (7th digit is always
+    // even — no round tie is reachable); sd is one sqrt over
+    // identical operands, greatest(·,0)-guarded.
+    Q("q_crossval",
+      s"""WITH s AS (SELECT doc_id, lang, $toksDuck AS w,
+         |    ${h28Duck("'cv#' || doc_id")} % 5 AS fold FROM documents),
+         |tok AS (SELECT doc_id, lang, fold, unnest(w) AS tok FROM s),
+         |ctg AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS cg
+         |        FROM tok GROUP BY 1, 2),
+         |ctf AS (SELECT fold, lang, tok, CAST(count(*) AS BIGINT) AS cf
+         |        FROM tok GROUP BY 1, 2, 3),
+         |tokg AS (SELECT lang, CAST(count(*) AS BIGINT) AS ntokg
+         |         FROM tok GROUP BY 1),
+         |tokf AS (SELECT fold, lang, CAST(count(*) AS BIGINT) AS ntokf
+         |         FROM tok GROUP BY 1, 2),
+         |vocab AS (SELECT DISTINCT tok FROM tok),
+         |vsz AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+         |docg AS (SELECT lang, CAST(count(*) AS BIGINT) AS ndg
+         |         FROM s GROUP BY 1),
+         |docf AS (SELECT fold, lang, CAST(count(*) AS BIGINT) AS ndf
+         |         FROM s GROUP BY 1, 2),
+         |ng AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+         |nf AS (SELECT fold, CAST(count(*) AS BIGINT) AS nfold
+         |       FROM s GROUP BY 1),
+         |folds AS (SELECT DISTINCT fold FROM s),
+         |prior AS (SELECT folds.fold, docg.lang,
+         |    round(ln(CAST(ndg - coalesce(ndf, 0) AS DOUBLE)
+         |      / (n - nfold)), 9) AS lnprior
+         |  FROM folds CROSS JOIN docg
+         |  LEFT JOIN docf ON docf.fold = folds.fold
+         |    AND docf.lang = docg.lang
+         |  CROSS JOIN ng JOIN nf ON nf.fold = folds.fold),
+         |dense AS (SELECT folds.fold, vocab.tok, tokg.lang,
+         |    round(ln(CAST(coalesce(cg, 0) - coalesce(cf, 0) + 1
+         |        AS DOUBLE)
+         |      / (ntokg - coalesce(ntokf, 0) + v)), 9) AS lnp
+         |  FROM folds CROSS JOIN vocab CROSS JOIN tokg CROSS JOIN vsz
+         |  LEFT JOIN ctg ON ctg.lang = tokg.lang
+         |    AND ctg.tok = vocab.tok
+         |  LEFT JOIN ctf ON ctf.fold = folds.fold
+         |    AND ctf.lang = tokg.lang AND ctf.tok = vocab.tok
+         |  LEFT JOIN tokf ON tokf.fold = folds.fold
+         |    AND tokf.lang = tokg.lang),
+         |tsc AS (SELECT t.doc_id, de.lang AS cand,
+         |    CAST(sum(CAST(de.lnp AS DECIMAL(38,9))) AS DOUBLE) AS tsum
+         |  FROM tok t JOIN dense de ON de.fold = t.fold
+         |    AND de.tok = t.tok GROUP BY 1, 2),
+         |score AS (SELECT s.doc_id, s.fold, s.lang AS actual, p.lang
+         |    AS cand, round(p.lnprior + coalesce(t.tsum, 0), 9) AS score
+         |  FROM s JOIN prior p ON p.fold = s.fold
+         |  LEFT JOIN tsc t ON t.doc_id = s.doc_id AND t.cand = p.lang),
+         |pred AS (SELECT doc_id, fold, actual, cand, row_number()
+         |    OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rk
+         |  FROM score),
+         |pf AS (SELECT fold, CAST(count(*) AS BIGINT) AS n_test,
+         |    CAST(sum(CASE WHEN cand = actual THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_correct,
+         |    round(sum(CASE WHEN cand = actual THEN 1 ELSE 0 END)
+         |      / CAST(count(*) AS DOUBLE), 6) AS acc
+         |  FROM pred WHERE rk = 1 GROUP BY 1),
+         |g AS (SELECT
+         |    round(CAST(sum(CAST(acc AS DECIMAL(38,6))) AS DOUBLE)
+         |      / count(*), 6) AS mean_acc,
+         |    round(sqrt(greatest(
+         |      CAST(sum(CAST(round(acc * acc, 12) AS DECIMAL(38,12)))
+         |        AS DOUBLE) / count(*)
+         |      - (CAST(sum(CAST(acc AS DECIMAL(38,6))) AS DOUBLE)
+         |          / count(*))
+         |        * (CAST(sum(CAST(acc AS DECIMAL(38,6))) AS DOUBLE)
+         |          / count(*)), CAST(0 AS DOUBLE))), 6) AS sd_acc
+         |  FROM pf)
+         |SELECT fold, n_test, n_correct, acc, mean_acc, sd_acc
+         |FROM pf CROSS JOIN g ORDER BY fold""".stripMargin) { (s, d) =>
+      val base = barrier(Tables.documents(s, d).withColumn("w", expr(toks)))
+        .withColumn("fold",
+          expr(h28("concat('cv#', CAST(doc_id AS STRING))")) % 5)
+        .select("doc_id", "lang", "w", "fold")
+        .localCheckpoint(eager = false)
+      val tok = base.select(col("doc_id"), col("lang"), col("fold"),
+        explode(col("w")).as("tok")).localCheckpoint(eager = false)
+      val ctg = tok.groupBy("lang", "tok")
+        .agg(count(lit(1)).cast("long").as("cg"))
+      val ctf = tok.groupBy("fold", "lang", "tok")
+        .agg(count(lit(1)).cast("long").as("cf"))
+      val tokg = tok.groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("ntokg"))
+      val tokf = tok.groupBy("fold", "lang")
+        .agg(count(lit(1)).cast("long").as("ntokf"))
+      val vocab = tok.select("tok").distinct()
+      val vsz = vocab.agg(count(lit(1)).cast("long").as("v"))
+      val docg = base.groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("ndg"))
+      val docf = base.groupBy("fold", "lang")
+        .agg(count(lit(1)).cast("long").as("ndf"))
+      val ng = base.agg(count(lit(1)).cast("long").as("n"))
+      val nf = base.groupBy("fold")
+        .agg(count(lit(1)).cast("long").as("nfold"))
+      val folds = base.select("fold").distinct()
+      val prior = folds.crossJoin(broadcast(docg))
+        .join(broadcast(docf), Seq("fold", "lang"), "left")
+        .crossJoin(broadcast(ng))
+        .join(broadcast(nf), "fold")
+        .selectExpr("fold", "lang",
+          "round(ln(CAST(ndg - coalesce(ndf, 0) AS DOUBLE)" +
+            " / (n - nfold)), 9) AS lnprior")
+        .localCheckpoint(eager = false)
+      val dense = folds.crossJoin(vocab)
+        .crossJoin(broadcast(tokg)).crossJoin(broadcast(vsz))
+        .join(broadcast(ctg), Seq("lang", "tok"), "left")
+        .join(broadcast(ctf), Seq("fold", "lang", "tok"), "left")
+        .join(broadcast(tokf), Seq("fold", "lang"), "left")
+        .selectExpr("fold", "tok", "lang",
+          "round(ln(CAST(coalesce(cg, 0) - coalesce(cf, 0) + 1" +
+            " AS DOUBLE) / (ntokg - coalesce(ntokf, 0) + v)), 9) AS lnp")
+      val tsc = tok.select("doc_id", "fold", "tok")
+        .join(broadcast(dense), Seq("fold", "tok"))
+        .groupBy(col("doc_id"), col("lang").as("cand"))
+        .agg(sum(col("lnp").cast(DecimalType(38, 9))).cast("double")
+          .as("tsum"))
+      val scored = base.select(col("doc_id"), col("fold"),
+          col("lang").as("actual"))
+        .join(broadcast(prior.withColumnRenamed("lang", "cand")), "fold")
+        .join(tsc, Seq("doc_id", "cand"), "left")
+        .selectExpr("doc_id", "fold", "actual", "cand",
+          "round(lnprior + coalesce(tsum, 0), 9) AS score")
+      val pf = scored.withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id")
+            .orderBy(col("score").desc, col("cand"))))
+        .filter(col("rk") === 1)
+        .groupBy("fold")
+        .agg(count(lit(1)).cast("long").as("n_test"),
+          sum(when(col("cand") === col("actual"), 1L).otherwise(0L))
+            .cast("long").as("n_correct"))
+        .selectExpr("fold", "n_test", "n_correct",
+          "round(n_correct / CAST(n_test AS DOUBLE), 6) AS acc")
+        .localCheckpoint(eager = false)
+      val g = pf.agg(
+        round(sum(col("acc").cast(DecimalType(38, 6))).cast("double")
+          / count(lit(1)), 6).as("mean_acc"),
+        expr("round(sqrt(greatest(" +
+          "CAST(sum(CAST(round(acc * acc, 12) AS DECIMAL(38,12)))" +
+          " AS DOUBLE) / count(*)" +
+          " - (CAST(sum(CAST(acc AS DECIMAL(38,6))) AS DOUBLE)" +
+          " / count(*))" +
+          " * (CAST(sum(CAST(acc AS DECIMAL(38,6))) AS DOUBLE)" +
+          " / count(*)), CAST(0 AS DOUBLE))), 6)").as("sd_acc"))
+      pf.crossJoin(broadcast(g))
+        .select("fold", "n_test", "n_correct", "acc", "mean_acc",
+          "sd_acc")
+        .orderBy("fold")
+    },
   )
 }

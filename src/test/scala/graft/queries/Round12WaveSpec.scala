@@ -372,6 +372,43 @@ class Round12WaveSpec extends SparkTestBase {
     assert(sg1 >= 0.001 && sg2 >= 0.001) // the floored-σ contract
   }
 
+  // ----------------------------------------------------- q_crossval
+
+  test("crossval: folds partition the corpus, accuracies fold to " +
+    "the reported mean/sd, and a per-fold model equals a direct " +
+    "leave-fold-out retrain") {
+    assume(haveSf)
+    val out = SparkEntry.queries("q_crossval")(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("fold")).sorted.toSeq === (0L to 4L))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_test")).sum === nDocs)
+    val accs = out.map(_.getAs[Double]("acc"))
+    val mean = rnd(accs.map(a => java.math.BigDecimal.valueOf(a))
+      .reduce(_ add _).doubleValue / accs.length, 6)
+    assert(out.head.getAs[Double]("mean_acc") === mean)
+    assert(out.map(_.getAs[Double]("mean_acc")).distinct.length === 1)
+    assert(out.forall(r => r.getAs[Long]("n_correct") <=
+      r.getAs[Long]("n_test")))
+    // The count identity behind the one-pass design: for every
+    // (lang, token), global − fold-f equals a direct count over the
+    // corpus WITHOUT fold f (checked for f = 0 over all cells).
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).toLowerCase.split(" ").filter(_.nonEmpty)))
+    def fold(id: Long): Long = h28(s"cv#$id") % 5
+    val global = docs.flatMap { case (_, l, w) => w.map(t => (l, t)) }
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val f0 = docs.filter(d => fold(d._1) == 0)
+      .flatMap { case (_, l, w) => w.map(t => (l, t)) }
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val retrain = docs.filter(d => fold(d._1) != 0)
+      .flatMap { case (_, l, w) => w.map(t => (l, t)) }
+      .groupBy(identity).view.mapValues(_.length).toMap
+    global.keys.foreach { k =>
+      assert(global(k) - f0.getOrElse(k, 0) === retrain.getOrElse(k, 0))
+    }
+  }
+
   // ------------------------------------------------------ q_textrank
 
   test("textrank: damped co-occurrence PageRank recomputed from raw " +
