@@ -732,21 +732,33 @@ object Graphs {
       val seed = ew.agg(min("p").as("mp"))
         .select(concat(lit("p"), col("mp")).as("node"),
           lit(0L).as("dist"))
+      // DELTA relaxation (the frontier discipline every BSP SSSP
+      // uses): only nodes whose distance IMPROVED last round join
+      // the edge frame — early rounds touch a handful of edges
+      // instead of all of them, and the loop stops the moment a
+      // round improves nothing (an empty frontier IS the fixpoint;
+      // equivalent to full Bellman–Ford round-for-round by
+      // induction, so the 4-round oracle cap still matches).
       var dist = seed.localCheckpoint(eager = false)
-      var inv: (Long, Long) = (-1L, -1L)
+      var frontier = dist
       var it = 0
-      while (it < 4) {
+      while (it < 4 && frontier.head(1).nonEmpty) {
         it += 1
-        val relaxed = edges.join(dist, edges("src") === dist("node"))
+        val cand = edges.join(frontier, edges("src") === frontier("node"))
           .select(col("dst").as("node"),
-            (col("dist") + col("w")).as("dist"))
-        dist = dist.unionAll(relaxed)
-          .groupBy("node").agg(min("dist").cast("long").as("dist"))
+            (col("dist") + col("w")).as("nd"))
+          .groupBy("node").agg(min("nd").cast("long").as("nd"))
+        val joined = dist.join(cand, Seq("node"), "full_outer")
           .localCheckpoint(eager = false)
-        val r = dist.agg(count(lit(1)).cast("long"),
-          sum("dist").cast("long")).head()
-        val now = (r.getLong(0), r.getLong(1))
-        if (now == inv) it = 4 else inv = now
+        frontier = joined
+          .filter(col("nd").isNotNull &&
+            (col("dist").isNull || col("nd") < col("dist")))
+          .select(col("node"), col("nd").as("dist"))
+          .localCheckpoint(eager = false)
+        dist = joined.select(col("node"),
+          least(coalesce(col("dist"), col("nd")),
+            coalesce(col("nd"), col("dist"))).cast("long").as("dist"))
+          .localCheckpoint(eager = false)
       }
       dist.orderBy("node")
     },
