@@ -2067,6 +2067,116 @@ object Analytics {
         .orderBy("comp")
     },
 
+    // NEAREST-NEIGHBOR MATCHING ATT — coarsened 1:1 matching with
+    // replacement: every BUILDING-segment customer (treated) matches
+    // the control customer with the NEAREST account balance within
+    // the SAME nation (exact-match on the coarse confounder, nearest
+    // on the continuous one — the standard CEM+NN hybrid), and the
+    // per-nation ATT is the mean matched spend difference. The third
+    // member of the causal toolkit: q_abtest assumes randomization,
+    // q_ate_strata reweights strata, matching compares each treated
+    // unit to its own counterfactual twin — the estimator that also
+    // EXPOSES overlap failure (n_matched < n_treated ⇒ nations with
+    // no controls in support). Scale: the spend outcome folds in one
+    // customer-keyed partial aggregate; the nearest control is NOT a
+    // pair join but two ignore-nulls running-edge windows (last
+    // control before / first control after) over the
+    // nation-partitioned balance order — one shuffle on the nation
+    // key, volume n end-to-end, matching cost independent of the
+    // control-pool size. Determinism: spend in exact integer micros,
+    // the prev/next choice compares identical doubles (ties → the
+    // earlier control by the (bal, custkey) order), ATT uses the
+    // exact-integer half-up mean (nullif guards a control-free
+    // nation; |2Σ| < 2⁵³ through ~10⁸ matched pairs/nation at these
+    // spend magnitudes).
+    Q("q_match_att",
+      """WITH cust AS (SELECT c_custkey AS ck, c_nationkey AS nation,
+        |    c_mktsegment AS seg, c_acctbal AS bal FROM customer),
+        |spend AS (SELECT o_custkey AS ck,
+        |    CAST(sum(CAST(round(o_totalprice * 1000000) AS BIGINT))
+        |      AS BIGINT) AS out6
+        |  FROM orders GROUP BY 1),
+        |u AS (SELECT cust.ck, nation, bal,
+        |    CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END AS treat,
+        |    coalesce(out6, 0) AS out6
+        |  FROM cust LEFT JOIN spend USING (ck)),
+        |w AS (SELECT ck, nation, bal, treat, out6,
+        |    last_value(CASE WHEN treat = 0 THEN bal END IGNORE NULLS)
+        |      OVER (PARTITION BY nation ORDER BY bal, ck
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS pbal,
+        |    last_value(CASE WHEN treat = 0 THEN out6 END IGNORE NULLS)
+        |      OVER (PARTITION BY nation ORDER BY bal, ck
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS pout,
+        |    first_value(CASE WHEN treat = 0 THEN bal END IGNORE NULLS)
+        |      OVER (PARTITION BY nation ORDER BY bal, ck
+        |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS nbal,
+        |    first_value(CASE WHEN treat = 0 THEN out6 END IGNORE NULLS)
+        |      OVER (PARTITION BY nation ORDER BY bal, ck
+        |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS nout
+        |  FROM u),
+        |m AS (SELECT nation, ck, out6,
+        |    CASE WHEN pbal IS NULL AND nbal IS NULL THEN NULL
+        |         WHEN nbal IS NULL THEN pout
+        |         WHEN pbal IS NULL THEN nout
+        |         WHEN (bal - pbal) <= (nbal - bal) THEN pout
+        |         ELSE nout END AS mout
+        |  FROM w WHERE treat = 1),
+        |p AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_treated,
+        |    CAST(count(mout) AS BIGINT) AS n_matched,
+        |    CAST(sum(CASE WHEN mout IS NOT NULL THEN out6 - mout END)
+        |      AS BIGINT) AS s6
+        |  FROM m GROUP BY 1)
+        |SELECT nation, n_treated, n_matched,
+        |  CAST(floor((2 * s6 + n_matched)
+        |    / nullif(2.0 * n_matched, 0)) AS BIGINT)
+        |    / CAST(1000000 AS DOUBLE) AS att
+        |FROM p ORDER BY nation""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d).select(
+        col("c_custkey").as("ck"), col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
+      val spend = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(sum(expr("CAST(round(o_totalprice * 1000000) AS BIGINT)"))
+          .cast("long").as("out6"))
+      val u = cust.join(spend, Seq("ck"), "left")
+        .select(col("ck"), col("nation"), col("bal"),
+          when(col("seg") === "BUILDING", 1).otherwise(0).as("treat"),
+          coalesce(col("out6"), lit(0L)).as("out6"))
+      val ord = Window.partitionBy("nation").orderBy("bal", "ck")
+      val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+      val after = ord.rowsBetween(1, Window.unboundedFollowing)
+      val w = u
+        .withColumn("pbal", last(when(col("treat") === 0, col("bal")),
+          ignoreNulls = true).over(before))
+        .withColumn("pout", last(when(col("treat") === 0, col("out6")),
+          ignoreNulls = true).over(before))
+        .withColumn("nbal", first(when(col("treat") === 0, col("bal")),
+          ignoreNulls = true).over(after))
+        .withColumn("nout", first(when(col("treat") === 0, col("out6")),
+          ignoreNulls = true).over(after))
+      val m = w.filter(col("treat") === 1)
+        .selectExpr("nation", "out6",
+          """CASE WHEN pbal IS NULL AND nbal IS NULL THEN NULL
+            |     WHEN nbal IS NULL THEN pout
+            |     WHEN pbal IS NULL THEN nout
+            |     WHEN (bal - pbal) <= (nbal - bal) THEN pout
+            |     ELSE nout END AS mout""".stripMargin)
+      m.groupBy("nation")
+        .agg(count(lit(1)).cast("long").as("n_treated"),
+          count(col("mout")).cast("long").as("n_matched"),
+          sum(when(col("mout").isNotNull, col("out6") - col("mout")))
+            .cast("long").as("s6"))
+        .selectExpr("nation", "n_treated", "n_matched",
+          "CAST(floor((2 * s6 + n_matched)" +
+            " / nullif(2.0 * n_matched, 0)) AS BIGINT)" +
+            " / CAST(1000000 AS DOUBLE) AS att")
+        .orderBy("nation")
+    },
+
     // Cohen's kappa (Cohen 1960): chance-corrected agreement between
     // two annotators — the label-quality gate a supervised-data
     // pipeline runs before trusting a labeling pass. The two "raters"

@@ -372,6 +372,52 @@ class Round12WaveSpec extends SparkTestBase {
     assert(sg1 >= 0.001 && sg2 >= 0.001) // the floored-σ contract
   }
 
+  // ---------------------------------------------------- q_match_att
+
+  test("match_att: per-nation nearest-control matching recomputed " +
+    "by direct scan (tie goes to the earlier control)") {
+    assume(haveSf)
+    val spend = Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 1000000) AS BIGINT)"))
+        .cast("long").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cust = Tables.customer(spark, sf)
+      .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getDouble(3)))
+    val expected = cust.groupBy(_._2).map { case (nation, rows) =>
+      val sorted = rows.sortBy(c => (c._4, c._1))
+      val treatedIdx = sorted.zipWithIndex.filter(_._1._3 == "BUILDING")
+      val diffs = treatedIdx.flatMap { case (t, i) =>
+        val prev = sorted.take(i).reverse.find(_._3 != "BUILDING")
+        val next = sorted.drop(i + 1).find(_._3 != "BUILDING")
+        val pick = (prev, next) match {
+          case (None, None) => None
+          case (Some(p), None) => Some(p)
+          case (None, Some(n)) => Some(n)
+          case (Some(p), Some(n)) =>
+            if (t._4 - p._4 <= n._4 - t._4) Some(p) else Some(n)
+        }
+        pick.map(c => spend.getOrElse(t._1, 0L) -
+          spend.getOrElse(c._1, 0L))
+      }
+      val att =
+        if (diffs.isEmpty) None
+        else Some(math.floor((2.0 * diffs.sum + diffs.length) /
+          (2.0 * diffs.length)) / 1e6)
+      nation -> (treatedIdx.length.toLong, diffs.length.toLong, att)
+    }
+    val out = SparkEntry.queries("q_match_att")(spark, sf).collect()
+    out.foreach { r =>
+      val (nt, nm, att) = expected(r.getInt(0))
+      assert(r.getAs[Long]("n_treated") === nt)
+      assert(r.getAs[Long]("n_matched") === nm)
+      att.foreach(a => assert(r.getAs[Double]("att") === a))
+      assert(nm <= nt)
+    }
+  }
+
   // ----------------------------------------------------- q_crossval
 
   test("crossval: folds partition the corpus, accuracies fold to " +
