@@ -2177,6 +2177,124 @@ object Analytics {
         .orderBy("nation")
     },
 
+    // CUPED VARIANCE REDUCTION (Deng et al. 2013) — the adjusted
+    // A/B readout every large experimentation platform runs: each
+    // user's PRE-period spend (first half of the time range) is the
+    // control covariate, θ = cov(pre, post)/var(pre), and the
+    // CUPED-adjusted arm difference removes the pre-period component
+    // of the variance — same expected effect as q_abtest's raw
+    // difference, tighter by exactly var_ratio (the reported
+    // 1 − R² of pre on post). The key identity: the adjusted means,
+    // variances, and the final difference are ALL closed forms of
+    // user-level moments — y′ never materializes, so the op is ONE
+    // user-level fold (pre/post micro sums per user) + ONE moment
+    // fold + scalar algebra on a 1-row frame. Scale: both folds are
+    // partial-aggregated; nothing beyond the user frame ever
+    // shuffles. Determinism: pre/post are exact integer micros, the
+    // six moments accumulate in DECIMAL(38,0) (squares exceed
+    // BIGINT), every later step is identical double arithmetic;
+    // the split midpoint is exact integer microseconds; arms are
+    // the salted user hash (no rand()).
+    Q("q_cuped",
+      s"""WITH b AS (SELECT user_id,
+         |    CAST(round(value * 1000000) AS BIGINT) AS v6,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |tr AS (SELECT CAST(floor((CAST(min(us) AS BIGINT)
+         |    + CAST(max(us) AS BIGINT)) / 2.0) AS BIGINT) AS mid
+         |  FROM b),
+         |u AS (SELECT user_id,
+         |    ${TextKit.h28Duck("'cuped#' || user_id")} % 2 AS arm,
+         |    CAST(coalesce(sum(CASE WHEN us < mid THEN v6 END), 0)
+         |      AS BIGINT) AS pre6,
+         |    CAST(coalesce(sum(CASE WHEN us >= mid THEN v6 END), 0)
+         |      AS BIGINT) AS post6
+         |  FROM b CROSS JOIN tr GROUP BY 1, 2),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(pre6 AS DECIMAL(38,0))) AS DOUBLE) AS sp,
+         |    CAST(sum(CAST(post6 AS DECIMAL(38,0))) AS DOUBLE) AS sq,
+         |    CAST(sum(CAST(pre6 AS DECIMAL(38,0)) * pre6) AS DOUBLE)
+         |      AS spp,
+         |    CAST(sum(CAST(post6 AS DECIMAL(38,0)) * post6) AS DOUBLE)
+         |      AS sqq,
+         |    CAST(sum(CAST(pre6 AS DECIMAL(38,0)) * post6) AS DOUBLE)
+         |      AS spq
+         |  FROM u),
+         |a AS (SELECT
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_b,
+         |    CAST(sum(CASE WHEN arm = 0
+         |      THEN CAST(pre6 AS DECIMAL(38,0)) END) AS DOUBLE) AS spa,
+         |    CAST(sum(CASE WHEN arm = 1
+         |      THEN CAST(pre6 AS DECIMAL(38,0)) END) AS DOUBLE) AS spb,
+         |    CAST(sum(CASE WHEN arm = 0
+         |      THEN CAST(post6 AS DECIMAL(38,0)) END) AS DOUBLE) AS sqa,
+         |    CAST(sum(CASE WHEN arm = 1
+         |      THEN CAST(post6 AS DECIMAL(38,0)) END) AS DOUBLE) AS sqb
+         |  FROM u),
+         |f AS (SELECT n, n_a, n_b,
+         |    (n * spq - sp * sq) / (n * spp - sp * sp) AS theta,
+         |    (sqa / n_a - sqb / n_b) / 1000000.0 AS draw,
+         |    (spa / n_a - spb / n_b) / 1000000.0 AS dpre,
+         |    (n * sqq - sq * sq) AS vpost,
+         |    (n * spp - sp * sp) AS vpre,
+         |    (n * spq - sp * sq) AS cov
+         |  FROM m CROSS JOIN a)
+         |SELECT n AS n_users, n_a, n_b, round(theta, 6) AS theta,
+         |  round(draw, 6) AS diff_raw,
+         |  round(draw - theta * dpre, 6) AS diff_cuped,
+         |  round((vpost + theta * theta * vpre - 2 * theta * cov)
+         |    / vpost, 6) AS var_ratio
+         |FROM f""".stripMargin) { (s, d) =>
+      val b = Tables.events(s, d).select(col("user_id"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("v6"),
+        expr("unix_micros(ts)").as("us"))
+      val tr = b.agg(expr("CAST(floor((CAST(min(us) AS BIGINT)" +
+        " + CAST(max(us) AS BIGINT)) / 2.0) AS BIGINT)").as("mid"))
+      val u = b.crossJoin(broadcast(tr))
+        .groupBy(col("user_id"),
+          (expr(TextKit.h28("concat('cuped#', CAST(user_id AS STRING))"))
+            % 2).as("arm"))
+        .agg(coalesce(sum(when(col("us") < col("mid"), col("v6"))),
+            lit(0L)).cast("long").as("pre6"),
+          coalesce(sum(when(col("us") >= col("mid"), col("v6"))),
+            lit(0L)).cast("long").as("post6"))
+        .localCheckpoint(eager = false)
+      def d0(c: String) = col(c).cast(DecimalType(38, 0))
+      val m = u.agg(count(lit(1)).cast("long").as("n"),
+        sum(d0("pre6")).cast("double").as("sp"),
+        sum(d0("post6")).cast("double").as("sq"),
+        sum(d0("pre6") * col("pre6")).cast("double").as("spp"),
+        sum(d0("post6") * col("post6")).cast("double").as("sqq"),
+        sum(d0("pre6") * col("post6")).cast("double").as("spq"))
+      val a = u.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("long")
+          .as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_b"),
+        sum(when(col("arm") === 0, d0("pre6"))).cast("double").as("spa"),
+        sum(when(col("arm") === 1, d0("pre6"))).cast("double").as("spb"),
+        sum(when(col("arm") === 0, d0("post6"))).cast("double")
+          .as("sqa"),
+        sum(when(col("arm") === 1, d0("post6"))).cast("double")
+          .as("sqb"))
+      m.crossJoin(broadcast(a))
+        .selectExpr("n", "n_a", "n_b",
+          "(n * spq - sp * sq) / (n * spp - sp * sp) AS theta",
+          "(sqa / n_a - sqb / n_b) / CAST(1000000 AS DOUBLE) AS draw",
+          "(spa / n_a - spb / n_b) / CAST(1000000 AS DOUBLE) AS dpre",
+          "(n * sqq - sq * sq) AS vpost",
+          "(n * spp - sp * sp) AS vpre",
+          "(n * spq - sp * sq) AS cov")
+        .selectExpr("n AS n_users", "n_a", "n_b",
+          "round(theta, 6) AS theta",
+          "round(draw, 6) AS diff_raw",
+          "round(draw - theta * dpre, 6) AS diff_cuped",
+          "round((vpost + theta * theta * vpre - 2 * theta * cov)" +
+            " / vpost, 6) AS var_ratio")
+    },
+
     // Cohen's kappa (Cohen 1960): chance-corrected agreement between
     // two annotators — the label-quality gate a supervised-data
     // pipeline runs before trusting a labeling pass. The two "raters"

@@ -372,6 +372,73 @@ class Round12WaveSpec extends SparkTestBase {
     assert(sg1 >= 0.001 && sg2 >= 0.001) // the floored-σ contract
   }
 
+  // -------------------------------------------------------- q_cuped
+
+  test("cuped: moment-identity recompute from raw events; adjusted " +
+    "diff identity holds") {
+    assume(haveSf)
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "CAST(round(value * 1000000) AS BIGINT)",
+        "unix_micros(ts)").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mid = math.floor((ev.map(_._3).min.toDouble +
+      ev.map(_._3).max) / 2.0).toLong
+    val users = ev.groupBy(_._1).map { case (uid, rows) =>
+      (h28(s"cuped#$uid") % 2,
+        rows.filter(_._3 < mid).map(_._2).sum,
+        rows.filter(_._3 >= mid).map(_._2).sum)
+    }.toSeq
+    val n = users.length.toDouble
+    def bd(xs: Seq[Long]): Double = xs.map(BigInt(_)).sum.toDouble
+    def bd2(xs: Seq[(Long, Long)]): Double =
+      xs.map { case (a, b) => BigInt(a) * b }.sum.toDouble
+    val sp = bd(users.map(_._2)); val sq = bd(users.map(_._3))
+    val spp = bd2(users.map(u => (u._2, u._2)))
+    val sqq = bd2(users.map(u => (u._3, u._3)))
+    val spq = bd2(users.map(u => (u._2, u._3)))
+    val a0 = users.filter(_._1 == 0); val a1 = users.filter(_._1 == 1)
+    val theta = (n * spq - sp * sq) / (n * spp - sp * sp)
+    val draw = (bd(a0.map(_._3)) / a0.length -
+      bd(a1.map(_._3)) / a1.length) / 1e6
+    val dpre = (bd(a0.map(_._2)) / a0.length -
+      bd(a1.map(_._2)) / a1.length) / 1e6
+    val vr = ((n * sqq - sq * sq) + theta * theta * (n * spp - sp * sp)
+      - 2 * theta * (n * spq - sp * sq)) / (n * sqq - sq * sq)
+    val out = SparkEntry.queries("q_cuped")(spark, sf).collect().head
+    assert(out.getAs[Long]("n_users") === users.length.toLong)
+    assert(math.abs(out.getAs[Double]("theta") - theta) < 2e-6)
+    assert(math.abs(out.getAs[Double]("diff_raw") - draw) < 2e-6)
+    assert(math.abs(out.getAs[Double]("diff_cuped") -
+      (draw - theta * dpre)) < 2e-6)
+    assert(math.abs(out.getAs[Double]("var_ratio") - vr) < 2e-6)
+    assert(out.getAs[Double]("var_ratio") >= 0.0 &&
+      out.getAs[Double]("var_ratio") <= 1.0 + 1e-9)
+  }
+
+  test("cuped: a perfect pre covariate (post = 2*pre per user) gives " +
+    "theta 2, zero residual variance, zero adjusted diff") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r12w_")
+    val t0 = 1700000000000000000L
+    val day = 86400L * 1000000000L
+    // 40 users: one pre event (value u+1) and one post event
+    // (value 2(u+1)) each, pre/post split by the 20-day midpoint.
+    val rows = (0 until 40).flatMap { u =>
+      Seq((u * 2L, t0 + day, u.toLong, "view", (u + 1).toDouble, ""),
+        (u * 2L + 1, t0 + 39 * day, u.toLong, "view",
+          2.0 * (u + 1), ""))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_cuped")(spark, dir.toString)
+      .collect().head
+    assert(out.getAs[Double]("theta") === 2.0)
+    assert(out.getAs[Double]("var_ratio") === 0.0)
+    assert(out.getAs[Double]("diff_cuped") === 0.0)
+  }
+
   // ---------------------------------------------------- q_match_att
 
   test("match_att: per-nation nearest-control matching recomputed " +
