@@ -2295,6 +2295,119 @@ object Analytics {
             " / vpost, 6) AS var_ratio")
     },
 
+    // SEQUENTIAL A/B MONITORING — the peeking-safe daily readout:
+    // per calendar day (= look k of K), the cumulative Welch z of
+    // the hash-arm value difference against an O'Brien–Fleming-type
+    // spending boundary 2.797/√(k/K) — the alpha-spending guard
+    // that lets an experiment be READ every day without inflating
+    // false positives (a fixed-horizon q_abtest read daily at
+    // α=.05 fires ~20%+ of null runs; the OBF boundary holds the
+    // family rate, spending almost nothing early and converging to
+    // ≈2.04 at the horizon). Completes the experimentation suite:
+    // q_ab_srm gates validity, q_abtest reads the endpoint, q_cuped
+    // tightens it, this one schedules WHEN reading is safe. Scale:
+    // the corpus folds to the day×arm frame in ONE conditional
+    // partial aggregate; cumulative looks are windows over that
+    // CALENDAR-BOUNDED frame (GlobalWindowAuditSpec-documented);
+    // everything else is day-count-sized. Determinism: daily sums
+    // exact integer micros, cumulative squares in DECIMAL(38,0)
+    // window sums (v6² exceeds BIGINT range), one identical
+    // double chain per look, boundary from the fixed 2.797
+    // constant; the crossing comparison is double-vs-double on
+    // identical operands.
+    Q("q_seq_ab",
+      s"""WITH b AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |    ${TextKit.h28Duck("'seq#' || user_id")} % 2 AS arm,
+         |    CAST(round(value * 1000000) AS BIGINT) AS v6
+         |  FROM events),
+         |d AS (SELECT day,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS na,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS nb,
+         |    CAST(coalesce(sum(CASE WHEN arm = 0 THEN v6 END), 0)
+         |      AS BIGINT) AS sa,
+         |    CAST(coalesce(sum(CASE WHEN arm = 1 THEN v6 END), 0)
+         |      AS BIGINT) AS sb,
+         |    coalesce(sum(CASE WHEN arm = 0
+         |      THEN CAST(v6 AS DECIMAL(38,0)) * v6 END), 0) AS qa,
+         |    coalesce(sum(CASE WHEN arm = 1
+         |      THEN CAST(v6 AS DECIMAL(38,0)) * v6 END), 0) AS qb
+         |  FROM b GROUP BY 1),
+         |c AS (SELECT day,
+         |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS look,
+         |    CAST(count(*) OVER () AS BIGINT) AS looks,
+         |    CAST(sum(na) OVER w AS BIGINT) AS cna,
+         |    CAST(sum(nb) OVER w AS BIGINT) AS cnb,
+         |    CAST(sum(sa) OVER w AS BIGINT) AS csa,
+         |    CAST(sum(sb) OVER w AS BIGINT) AS csb,
+         |    CAST(sum(qa) OVER w AS DOUBLE) AS cqa,
+         |    CAST(sum(qb) OVER w AS DOUBLE) AS cqb
+         |  FROM d WINDOW w AS (ORDER BY day)),
+         |f AS (SELECT day, look, looks, cna, cnb,
+         |    ((CAST(csa AS DOUBLE) / cna - CAST(csb AS DOUBLE) / cnb)
+         |      / 1000000.0)
+         |    / sqrt(
+         |      ((cqa - CAST(csa AS DOUBLE) * csa / cna)
+         |        / (cna - 1.0) / cna
+         |      + (cqb - CAST(csb AS DOUBLE) * csb / cnb)
+         |        / (cnb - 1.0) / cnb) / 1e12) AS z,
+         |    2.797 / sqrt(CAST(look AS DOUBLE) / looks) AS bound
+         |  FROM c)
+         |SELECT day, look, cna AS n_a, cnb AS n_b,
+         |  round(z, 6) AS z, round(bound, 6) AS boundary,
+         |  abs(z) > bound AS crossed
+         |FROM f ORDER BY day""".stripMargin) { (s, d) =>
+      val b = Tables.events(s, d).select(
+        col("ts").cast("date").as("day"),
+        (expr(TextKit.h28("concat('seq#', CAST(user_id AS STRING))"))
+          % 2).as("arm"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("v6"))
+      val dd = b.groupBy("day").agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("long")
+          .as("na"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("long")
+          .as("nb"),
+        coalesce(sum(when(col("arm") === 0, col("v6"))), lit(0L))
+          .cast("long").as("sa"),
+        coalesce(sum(when(col("arm") === 1, col("v6"))), lit(0L))
+          .cast("long").as("sb"),
+        coalesce(sum(when(col("arm") === 0,
+          col("v6").cast(DecimalType(38, 0)) * col("v6"))), lit(0))
+          .as("qa"),
+        coalesce(sum(when(col("arm") === 1,
+          col("v6").cast(DecimalType(38, 0)) * col("v6"))), lit(0))
+          .as("qb"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val c = dd
+        .withColumn("look", row_number().over(Window.orderBy("day"))
+          .cast("long"))
+        .withColumn("looks", count(lit(1)).over(all).cast("long"))
+        .withColumn("cna", sum("na").over(w).cast("long"))
+        .withColumn("cnb", sum("nb").over(w).cast("long"))
+        .withColumn("csa", sum("sa").over(w).cast("long"))
+        .withColumn("csb", sum("sb").over(w).cast("long"))
+        .withColumn("cqa", sum("qa").over(w).cast("double"))
+        .withColumn("cqb", sum("qb").over(w).cast("double"))
+      c.selectExpr("day", "look", "looks", "cna", "cnb",
+          "((CAST(csa AS DOUBLE) / cna - CAST(csb AS DOUBLE) / cnb)" +
+            " / CAST(1000000 AS DOUBLE))" +
+          " / sqrt(((cqa - CAST(csa AS DOUBLE) * csa / cna)" +
+            " / (cna - CAST(1 AS DOUBLE)) / cna" +
+            " + (cqb - CAST(csb AS DOUBLE) * csb / cnb)" +
+            " / (cnb - CAST(1 AS DOUBLE)) / cnb)" +
+            " / CAST(1000000000000 AS DOUBLE)) AS z",
+          "CAST(2.797 AS DOUBLE)" +
+            " / sqrt(CAST(look AS DOUBLE) / looks) AS bound")
+        .selectExpr("day", "look", "cna AS n_a", "cnb AS n_b",
+          "round(z, 6) AS z", "round(bound, 6) AS boundary",
+          "abs(z) > bound AS crossed")
+        .orderBy("day")
+    },
+
     // Cohen's kappa (Cohen 1960): chance-corrected agreement between
     // two annotators — the label-quality gate a supervised-data
     // pipeline runs before trusting a labeling pass. The two "raters"

@@ -48,7 +48,10 @@ class GlobalWindowAuditSpec extends SparkTestBase {
     "q_spearman" -> (200L,
       "prefix-sum of range-partition totals — one row per shuffle " +
         "partition (the two-level distributed rank's constant top " +
-        "level); the per-value cumulative runs partition-KEYED"))
+        "level); the per-value cumulative runs partition-KEYED"),
+    "q_seq_ab" -> (366L,
+      "cumulative-look windows over the calendar-day frame — one " +
+        "row per day of the experiment, the rolling_corr bound"))
 
   private def globalWindows(name: String, sf: String): Seq[LWindow] =
     SparkEntry.queries(name)(spark, sf)

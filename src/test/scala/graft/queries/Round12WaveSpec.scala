@@ -439,6 +439,42 @@ class Round12WaveSpec extends SparkTestBase {
     assert(out.getAs[Double]("diff_cuped") === 0.0)
   }
 
+  // ------------------------------------------------------- q_seq_ab
+
+  test("seq_ab: cumulative Welch z recomputed from raw events; OBF " +
+    "boundary decreasing toward ~2.04 at the horizon") {
+    assume(haveSf)
+    val ev = Tables.events(spark, sf)
+      .selectExpr("CAST(ts AS DATE)", "user_id",
+        "CAST(round(value * 1000000) AS BIGINT)").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    val out = SparkEntry.queries("q_seq_ab")(spark, sf).collect()
+    val looks = out.length
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("look") === i + 1L)
+      assert(r.getAs[Double]("boundary") ===
+        rnd(2.797 / math.sqrt((i + 1.0) / looks), 6))
+    }
+    assert(out.map(_.getAs[Double]("boundary")).toSeq ===
+      out.map(_.getAs[Double]("boundary")).sortBy(-_).toSeq)
+    assert(math.abs(out.last.getAs[Double]("boundary") - 2.797) < 1e-9)
+    // z recompute at the final look (full-horizon Welch).
+    val arm = (u: Long) => h28(s"seq#$u") % 2
+    val a = ev.filter(e => arm(e._2) == 0).map(_._3)
+    val b = ev.filter(e => arm(e._2) == 1).map(_._3)
+    def mv(xs: Array[Long]): (Double, Double) = {
+      val n = xs.length.toDouble
+      val s = xs.map(BigInt(_)).sum.toDouble
+      val q = xs.map(x => BigInt(x) * x).sum.toDouble
+      (s / n, (q - s * s / n) / (n - 1.0) / n)
+    }
+    val (ma, va) = mv(a); val (mb, vb) = mv(b)
+    val z = ((ma - mb) / 1e6) / math.sqrt((va + vb) / 1e12)
+    assert(math.abs(out.last.getAs[Double]("z") - z) < 2e-6)
+    assert(out.last.getAs[Long]("n_a") === a.length.toLong)
+    assert(out.last.getAs[Long]("n_b") === b.length.toLong)
+  }
+
   // ---------------------------------------------------- q_match_att
 
   test("match_att: per-nation nearest-control matching recomputed " +
