@@ -81,7 +81,7 @@ object Explain {
     // round-12 third wave
     "q_knn_classifier", "q_class_balance", "q_pacf",
     // round-12 fourth wave
-    "q_spearman", "q_tukey_hsd", "q_gmm_1d", "q_textrank", "q_crossval", "q_match_att", "q_cuped", "q_seq_ab")
+    "q_spearman", "q_tukey_hsd", "q_gmm_1d", "q_textrank", "q_crossval", "q_match_att", "q_cuped", "q_seq_ab", "q_did")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -2417,6 +2417,145 @@ object Analytics {
         .orderBy("day")
     },
 
+    // DIFFERENCE-IN-DIFFERENCES — the 2×2 (treated/control ×
+    // pre/post) panel estimator with its PARALLEL-TRENDS diagnostic:
+    // DiD = (post_t − pre_t) − (post_c − pre_c) removes both the
+    // group baseline and the common time shock, and the pre-period
+    // daily-gap OLS slope is the testable assumption behind it (a
+    // nonzero pre-trend means the groups were already diverging and
+    // the DiD reads trend, not treatment). Completes the causal
+    // four-pack: q_abtest (randomized), q_ate_strata (reweighting),
+    // q_match_att (matching), DiD (panel timing). Scale: ONE
+    // conditional fold to the 4-cell frame + ONE conditional fold to
+    // the pre-period day×group frame (calendar-bounded); the slope
+    // is exact-integer OLS sums over that bounded frame. All means
+    // exact integer micros (half-up), DiD a BIGINT subtraction
+    // chain, slope one double division of exact integers.
+    Q("q_did",
+      s"""WITH b AS (SELECT user_id,
+         |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |    ${TextKit.h28Duck("'did#' || user_id")} % 2 AS treat,
+         |    CAST(round(value * 1000000) AS BIGINT) AS v6,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |tr AS (SELECT CAST(floor((CAST(min(us) AS BIGINT)
+         |    + CAST(max(us) AS BIGINT)) / 2.0) AS BIGINT) AS mid
+         |  FROM b),
+         |cells AS (SELECT treat,
+         |    CASE WHEN us < mid THEN 0 ELSE 1 END AS period,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(v6) AS BIGINT) AS s
+         |  FROM b CROSS JOIN tr GROUP BY 1, 2),
+         |cm AS (SELECT treat, period,
+         |    n, CAST(floor((2 * s + n) / (2.0 * n)) AS BIGINT) AS m6
+         |  FROM cells),
+         |pv AS (SELECT
+         |    CAST(sum(CASE WHEN treat = 1 AND period = 0 THEN m6 END)
+         |      AS BIGINT) AS pre_t6,
+         |    CAST(sum(CASE WHEN treat = 0 AND period = 0 THEN m6 END)
+         |      AS BIGINT) AS pre_c6,
+         |    CAST(sum(CASE WHEN treat = 1 AND period = 1 THEN m6 END)
+         |      AS BIGINT) AS post_t6,
+         |    CAST(sum(CASE WHEN treat = 0 AND period = 1 THEN m6 END)
+         |      AS BIGINT) AS post_c6,
+         |    CAST(sum(CASE WHEN treat = 1 THEN n END) AS BIGINT)
+         |      AS n_treat,
+         |    CAST(sum(CASE WHEN treat = 0 THEN n END) AS BIGINT)
+         |      AS n_ctrl
+         |  FROM cm),
+         |pre AS (SELECT day, treat, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(v6) AS BIGINT) AS s
+         |  FROM b CROSS JOIN tr WHERE us < mid GROUP BY 1, 2),
+         |gap AS (SELECT day,
+         |    CAST(sum(CASE WHEN treat = 1 THEN
+         |      CAST(floor((2 * s + n) / (2.0 * n)) AS BIGINT) END)
+         |      AS BIGINT)
+         |    - CAST(sum(CASE WHEN treat = 0 THEN
+         |      CAST(floor((2 * s + n) / (2.0 * n)) AS BIGINT) END)
+         |      AS BIGINT) AS g6
+         |  FROM pre GROUP BY 1 HAVING count(*) = 2),
+         |gx AS (SELECT g6, CAST(day - (SELECT min(day) FROM gap)
+         |    AS BIGINT) AS x FROM gap),
+         |sl AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+         |    CAST(sum(x) AS BIGINT) AS sx,
+         |    CAST(sum(g6) AS BIGINT) AS sy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(x * g6) AS BIGINT) AS sxy FROM gx)
+         |SELECT n_treat, n_ctrl,
+         |  pre_t6 / CAST(1000000 AS DOUBLE) AS pre_treat,
+         |  post_t6 / CAST(1000000 AS DOUBLE) AS post_treat,
+         |  pre_c6 / CAST(1000000 AS DOUBLE) AS pre_ctrl,
+         |  post_c6 / CAST(1000000 AS DOUBLE) AS post_ctrl,
+         |  ((post_t6 - pre_t6) - (post_c6 - pre_c6))
+         |    / CAST(1000000 AS DOUBLE) AS did,
+         |  round((nd * sxy - sx * sy)
+         |    / (CAST(nd AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         |    / 1000000.0, 9) AS pre_gap_slope
+         |FROM pv CROSS JOIN sl""".stripMargin) { (s, d) =>
+      val b = Tables.events(s, d).select(col("user_id"),
+        col("ts").cast("date").as("day"),
+        (expr(TextKit.h28("concat('did#', CAST(user_id AS STRING))"))
+          % 2).as("treat"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("v6"),
+        expr("unix_micros(ts)").as("us"))
+        .localCheckpoint(eager = false)
+      val tr = b.agg(expr("CAST(floor((CAST(min(us) AS BIGINT)" +
+        " + CAST(max(us) AS BIGINT)) / 2.0) AS BIGINT)").as("mid"))
+      val cm = b.crossJoin(broadcast(tr))
+        .groupBy(col("treat"),
+          when(col("us") < col("mid"), 0).otherwise(1).as("period"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("v6").cast("long").as("s"))
+        .selectExpr("treat", "period", "n",
+          "CAST(floor((2 * s + n) / (2.0 * n)) AS BIGINT) AS m6")
+      val pv = cm.agg(
+        sum(when(col("treat") === 1 && col("period") === 0, col("m6")))
+          .cast("long").as("pre_t6"),
+        sum(when(col("treat") === 0 && col("period") === 0, col("m6")))
+          .cast("long").as("pre_c6"),
+        sum(when(col("treat") === 1 && col("period") === 1, col("m6")))
+          .cast("long").as("post_t6"),
+        sum(when(col("treat") === 0 && col("period") === 1, col("m6")))
+          .cast("long").as("post_c6"),
+        sum(when(col("treat") === 1, col("n"))).cast("long")
+          .as("n_treat"),
+        sum(when(col("treat") === 0, col("n"))).cast("long")
+          .as("n_ctrl"))
+      val pre = b.crossJoin(broadcast(tr))
+        .filter(col("us") < col("mid"))
+        .groupBy("day", "treat")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("v6").cast("long").as("s"))
+      val gap = pre
+        .selectExpr("day", "treat",
+          "CAST(floor((2 * s + n) / (2.0 * n)) AS BIGINT) AS m6")
+        .groupBy("day")
+        .agg(count(lit(1)).as("cnt"),
+          (sum(when(col("treat") === 1, col("m6"))).cast("long")
+            - sum(when(col("treat") === 0, col("m6"))).cast("long"))
+            .as("g6"))
+        .filter(col("cnt") === 2)
+        .localCheckpoint(eager = false)
+      val minDay = gap.agg(min("day").as("d0"))
+      val gx = gap.crossJoin(broadcast(minDay))
+        .selectExpr("g6", "CAST(datediff(day, d0) AS BIGINT) AS x")
+      val sl = gx.agg(count(lit(1)).cast("long").as("nd"),
+        sum("x").cast("long").as("sx"),
+        sum("g6").cast("long").as("sy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        sum(col("x") * col("g6")).cast("long").as("sxy"))
+      pv.crossJoin(broadcast(sl))
+        .selectExpr("n_treat", "n_ctrl",
+          "pre_t6 / CAST(1000000 AS DOUBLE) AS pre_treat",
+          "post_t6 / CAST(1000000 AS DOUBLE) AS post_treat",
+          "pre_c6 / CAST(1000000 AS DOUBLE) AS pre_ctrl",
+          "post_c6 / CAST(1000000 AS DOUBLE) AS post_ctrl",
+          "((post_t6 - pre_t6) - (post_c6 - pre_c6))" +
+            " / CAST(1000000 AS DOUBLE) AS did",
+          "round((nd * sxy - sx * sy)" +
+            " / (CAST(nd AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)" +
+            " / CAST(1000000 AS DOUBLE), 9) AS pre_gap_slope")
+    },
+
     // Cohen's kappa (Cohen 1960): chance-corrected agreement between
     // two annotators — the label-quality gate a supervised-data
     // pipeline runs before trusting a labeling pass. The two "raters"

@@ -439,6 +439,39 @@ class Round12WaveSpec extends SparkTestBase {
     assert(out.getAs[Double]("diff_cuped") === 0.0)
   }
 
+  // ---------------------------------------------------------- q_did
+
+  test("did: a planted treatment-only-in-post shift recovers exactly " +
+    "the effect with a zero pre-trend") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r12w_")
+    val t0 = 1700000000000000000L
+    val day = 86400L * 1000000000L
+    // 40 users, 2 pre days + 2 post days each (midpoint = day 20 of
+    // the 40-day span). Everyone spends 10.0 per event; the
+    // hash-treated arm gains +5.0 ONLY in the post period.
+    val rows = (0 until 40).flatMap { u =>
+      val arm = h28(s"did#$u") % 2
+      Seq(1L, 2L, 38L, 39L).zipWithIndex.map { case (dd, i) =>
+        val post = dd > 20
+        val v = if (post && arm == 1) 15.0 else 10.0
+        (u * 10L + i, t0 + dd * day, u.toLong, "view", v, "")
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_did")(spark, dir.toString)
+      .collect().head
+    assert(out.getAs[Double]("pre_treat") === 10.0)
+    assert(out.getAs[Double]("pre_ctrl") === 10.0)
+    assert(out.getAs[Double]("post_treat") === 15.0)
+    assert(out.getAs[Double]("post_ctrl") === 10.0)
+    assert(out.getAs[Double]("did") === 5.0)
+    assert(out.getAs[Double]("pre_gap_slope") === 0.0)
+  }
+
   // ------------------------------------------------------- q_seq_ab
 
   test("seq_ab: cumulative Welch z recomputed from raw events; OBF " +
