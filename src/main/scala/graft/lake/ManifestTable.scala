@@ -161,9 +161,23 @@ final class ManifestTable private (val root: String, spark: SparkSession) {
       statsCols.flatMap { c =>
         val lo = r.getAs[Any](s"min_$c"); val hi = r.getAs[Any](s"max_$c")
         if (lo == null || hi == null) None
-        else Some(s"$rel/$name\t$c\t" +
-          s"${math.nextDown(lo.asInstanceOf[Double])}\t" +
-          s"${math.nextUp(hi.asInstanceOf[Double])}")
+        else {
+          // NaN SOUNDNESS (round-12 advice): Spark's min/max order
+          // NaN ABOVE every double, so one NaN row makes max = NaN
+          // (and min = NaN iff the file is all-NaN). A NaN bound
+          // written verbatim would fail `mx >= lo` in pruneFiles and
+          // silently DROP a file holding in-range non-NaN rows —
+          // wrong answers, not just missed pruning. Record the
+          // un-prunable ±Infinity bound instead: the file is always
+          // kept, the residual filter stays correct.
+          val loD = lo.asInstanceOf[Double]
+          val hiD = hi.asInstanceOf[Double]
+          val loS = if (loD.isNaN) Double.NegativeInfinity
+                    else math.nextDown(loD)
+          val hiS = if (hiD.isNaN) Double.PositiveInfinity
+                    else math.nextUp(hiD)
+          Some(s"$rel/$name\t$c\t$loS\t$hiS")
+        }
       }
     }
     Files.createDirectories(manifestDir)
@@ -230,6 +244,11 @@ final class ManifestTable private (val root: String, spark: SparkSession) {
     val stats = fileStats(v, colName)
     val kept = all.filter { f =>
       stats.get(f) match {
+        // A NaN bound (a sidecar written before the NaN→±Infinity
+        // guard in writeStats) must read as "keep": NaN comparisons
+        // are all-false, which would otherwise silently drop the
+        // file. Pruning degrades to reading, never to wrong answers.
+        case Some((mn, mx)) if mn.isNaN || mx.isNaN => true
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None =>
           // No line for this (file, col): either a pre-stats commit

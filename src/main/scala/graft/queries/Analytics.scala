@@ -2711,14 +2711,19 @@ object Analytics {
         .withColumn("ccb", sum("cb").over(w).cast("long"))
         .withColumn("nx", lead("x", 1).over(w))
         .filter(col("nx").isNotNull)
-      c.crossJoin(t)
+      // GLOBAL agg + crossJoin the 1-row totals frame (round-12
+      // advice): grouping by (na, nb, n_values) yields ZERO rows when
+      // the term frame is empty (≤ 1 distinct value / degenerate
+      // corpus), while the oracle's global aggregate returns 1 row
+      // with NULL emd. The global agg is 1 row on EVERY input, so
+      // engine and oracle agree on degenerate corpora too.
+      val emd = c.crossJoin(t)
         .select(round(abs(col("cca").cast("double") / col("na") -
             col("ccb").cast("double") / col("nb")) *
-            (col("nx") - col("x")), 9).as("term"),
-          col("na"), col("nb"), col("n_values"))
-        .groupBy("na", "nb", "n_values")
+            (col("nx") - col("x")), 9).as("term"))
         .agg(round(sum(col("term").cast(DecimalType(38, 9)))
           .cast("double"), 6).as("emd"))
+      t.crossJoin(emd)
         .select(col("na").as("n_view"), col("nb").as("n_click"),
           col("n_values"), col("emd"))
     },

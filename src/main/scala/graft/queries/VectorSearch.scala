@@ -973,7 +973,11 @@ object VectorSearch {
     // the positive is the NEXT vector in the ring (wraps; uniform,
     // never self — labels with one member drop); the negative is
     // the hash-rank-aligned member of the NEXT label in the label
-    // ring ((rk−1) mod nl′ + 1). Rings make the pick per-row O(1):
+    // ring ((rk−1) mod nl′ + 1); a SINGLE-label corpus emits no
+    // triplets at all (the label ring would wrap the "negative" onto
+    // the anchor's own label — no valid negative exists, so the
+    // contract is an empty result, pinned by the round-13 spec).
+    // Rings make the pick per-row O(1):
     // NO per-anchor candidate scan, no rand() — reruns, retries,
     // and both engines agree bit-for-bit. Scale: two windows (one
     // label-partitioned rank; one |labels|-row global rank on the
@@ -1003,7 +1007,8 @@ object VectorSearch {
          |    AND b.rk = a.rk % a.nl + 1),
          |neg AS (SELECT p.*, n2.label AS neg_label, n2.nl AS nl2
          |  FROM pos p CROSS JOIN nlab
-         |  JOIN labs n2 ON n2.li = p.li % lcnt + 1),
+         |  JOIN labs n2 ON n2.li = p.li % lcnt + 1
+         |  WHERE lcnt >= 2),
          |trip AS (SELECT n.vec_id, n.label, n.pos_id,
          |    nb.vec_id AS neg_id, n.v, n.pv, nb.v AS nv
          |  FROM neg n JOIN r nb ON nb.label = n.neg_label
@@ -1033,7 +1038,12 @@ object VectorSearch {
       val b = rr.select(col("label"), col("rk").as("prk"),
         col("vec_id").as("pos_id"), col("v").as("pv"))
       val pos = a.join(b, Seq("label", "prk"))
+      // Single-label corpora emit NO triplets (round-12 advice): with
+      // lcnt = 1 the label-ring "negative" li % lcnt + 1 wraps to the
+      // anchor's own label, violating the triplet contract — both
+      // engines would agree, but the emitted rows would be wrong.
       val neg = pos.crossJoin(broadcast(nlab))
+        .filter(col("lcnt") >= 2)
         .withColumn("nli", col("li") % col("lcnt") + 1)
         .join(broadcast(labs.select(col("li").as("nli"),
           col("label").as("neg_label"), col("nl").as("nl2"))), "nli")

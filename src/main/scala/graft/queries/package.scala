@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{lit, round, sum}
+import org.apache.spark.sql.functions.{lit, round, sum, try_sum}
 import org.apache.spark.sql.types.DecimalType
 
 package object queries {
@@ -27,16 +27,27 @@ package object queries {
     * value; the round only strips FP representation error, never a
     * tie), the sum is a native long (codegen add, no Decimal128
     * object per row), and the result double `sum/10⁶` is the
-    * correctly-rounded double of the exact rational — BIT-IDENTICAL
-    * to dsum's `CAST(decimal AS DOUBLE)` (both are
-    * nearest-double of the same exact value), so swapping a green
-    * dsum cell for msum cannot change its hash. Domain: |x| ≤ 10⁵
-    * with ≤ 6 dp sums exactly through ~9·10⁷ rows PER GROUP before
-    * long overflow (DuckDB's BIGINT sum widens to HUGEINT; Spark's
-    * wraps) — far past any test sf; keep [[dsum]] for unbounded
+    * correctly-rounded double of the exact rational.
+    *
+    * BIT-IDENTICAL-TO-dsum BOUND (round-12 advice): the claim holds
+    * only while |Σ micros| < 2⁵³ — below that the long is exactly
+    * representable as a double, so `long→double / 10⁶` and dsum's
+    * single `decimal→double` rounding agree. Between 2⁵³ and 2⁶³
+    * the long→double cast itself rounds, and the SECOND rounding
+    * (`/ 10⁶`) can land 1 ulp away from dsum's single rounding —
+    * swapping a green dsum cell for msum past 2⁵³ micros CAN change
+    * a recorded hash (q_agg_hash's sum_base crosses it near sf1.0
+    * at ≈ 5.7·10¹⁶ micros; its hashes were recorded WITH msum on
+    * both engines, so the pair stays green — the caveat binds when
+    * RE-deriving one side). Past 2⁶³ the engines diverge outright
+    * (DuckDB widens BIGINT sums to HUGEINT; Spark's long wraps) —
+    * that wrap is what the try_sum guard below catches: on long
+    * overflow Spark returns NULL instead of a silently wrapped
+    * value, so the failure mode is a VISIBLE null/hash mismatch,
+    * never a plausible wrong number. Keep [[dsum]] for unbounded
     * per-group cardinalities at 100 TB. */
   def msum(c: Column): Column =
-    round(sum(round(c * lit(1000000L), 0).cast("long")).cast("double")
+    round(try_sum(round(c * lit(1000000L), 0).cast("long")).cast("double")
       / lit(1000000L), 6)
 
   /** Oracle-side twin of [[msum]]. */

@@ -82,6 +82,51 @@ class LakeStatsPruneSpec extends SparkTestBase {
     assert(got.map(_.getLong(0)).toSeq === (0L to 9L))
   }
 
+  test("NaN values never cause a file to be pruned away (round-12 " +
+    "advice): stats write un-prunable bounds, reads stay exact") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    // File layout by range on id: the NaN rows land in a file that
+    // ALSO holds in-range non-NaN values — the advice's trap: Spark's
+    // max() orders NaN above every double, so that file's recorded
+    // max would be NaN and `mx >= lo` false, silently dropping its
+    // in-range rows from readWhere.
+    val df = (0 until 100).map { i =>
+      val v = if (i % 10 == 7) Double.NaN else i.toDouble
+      (i.toLong, v)
+    }.toDF("id", "value").repartitionByRange(4, col("id"))
+    val t = ManifestTable.create(s, root, df, statsCols = Seq("value"))
+    // Every file holds a NaN, so every max bound is un-prunable
+    // (+Infinity): a range ABOVE every real value keeps all files
+    // (degrades to reading, result empty via the residual filter) —
+    // the pre-fix behavior dropped them all, which HAPPENED to give
+    // the right empty answer here but drops real rows below.
+    val (keptHi, allHi) = t.pruneFiles("value", 200, 300)
+    assert(keptHi === allHi, "NaN-tainted max must degrade to keep")
+    assert(t.readWhere("value", 200, 300).count() === 0L)
+    // The real trap: in-range non-NaN rows living in a NaN-tainted
+    // file. min bounds are real (Spark min orders NaN above all), so
+    // low files still prune; the file holding 10..19 must be kept
+    // and the ranged read exactly scan + filter (NaN slot at 17
+    // excluded by the residual predicate, everything else present).
+    val got = t.readWhere("value", 10, 19).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === (10L to 19L).filterNot(_ == 17L))
+    // A pre-guard sidecar with a literal NaN bound (legacy vintage)
+    // must also read as keep, not drop.
+    val legacy = Files.list(java.nio.file.Paths.get(root, "_manifests"))
+      .toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.startsWith("stats-")).get
+    val body = new String(Files.readAllBytes(legacy), "UTF-8")
+      .split('\n').map { line =>
+        val p = line.split('\t'); s"${p(0)}\t${p(1)}\t${p(2)}\tNaN"
+      }.mkString("\n")
+    Files.write(legacy, body.getBytes("UTF-8"))
+    val (kept2, all2) = t.pruneFiles("value", 10, 19)
+    assert(kept2 === all2, "legacy NaN bound must be treated as keep")
+  }
+
   test("vacuum collects orphaned stats sidecars with their filesets") {
     val s = spark
     import s.implicits._
