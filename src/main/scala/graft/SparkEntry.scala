@@ -15,7 +15,8 @@ object SparkEntry {
       Embedded.qs ++ Streaming.qs ++ ArrayOps.qs ++ Reshape.qs ++
       Multimodal.qs ++ Sampling.qs ++ Curation.qs ++ TimeSeries.qs ++
       Sources.qs ++ Profiling.qs ++ Recursive.qs ++ Lakehouse.qs ++
-      Semantic.qs ++ Language.qs ++ Graphs.qs ++ Analytics.qs
+      Semantic.qs ++ Language.qs ++ Graphs.qs ++ Analytics.qs ++
+      RankStats.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q_knn_filtered: scan → pushed filter → codegen cosine distance →

@@ -51,7 +51,15 @@ class GlobalWindowAuditSpec extends SparkTestBase {
         "level); the per-value cumulative runs partition-KEYED"),
     "q_seq_ab" -> (366L,
       "cumulative-look windows over the calendar-day frame — one " +
-        "row per day of the experiment, the rolling_corr bound"))
+        "row per day of the experiment, the rolling_corr bound"),
+    "q_mann_whitney" -> (40000L,
+      "double-rank cumulative window on the distinct-VALUE frame — " +
+        "the q_emd_drift 2dp value-domain bound, not row count"),
+    "q_kruskal_wallis" -> (40000L,
+      "double-rank cumulative window on the distinct-VALUE frame — " +
+        "the q_emd_drift 2dp value-domain bound, not row count"),
+    "q_granger" -> (366L,
+      "lag windows on the calendar-day frame — the rolling_corr bound"))
 
   private def globalWindows(name: String, sf: String): Seq[LWindow] =
     SparkEntry.queries(name)(spark, sf)

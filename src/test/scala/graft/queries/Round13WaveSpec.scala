@@ -1,0 +1,229 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestBase, Tables}
+
+/** Round-13 wave recompute specs: each new inference operator is
+  * pinned against an INDEPENDENT implementation — hand-derived
+  * closed forms on planted fixtures, plain-Scala recomputations, or
+  * cross-operator identities — never the operator's own plan. */
+class Round13WaveSpec extends SparkTestBase {
+
+  private def plantEvents(rows: Seq[(Long, String, Double, Long)]): String = {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r13w_")
+    rows.zipWithIndex.map { case ((u, t, v, ts), i) =>
+      (i.toLong, ts, u, t, v, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    dir.toString
+  }
+
+  private val t0 = 1700000000000000000L // nanos
+  private def sec(n: Long): Long = t0 + n * 1000000000L
+  private def day(n: Long): Long = t0 + n * 86400L * 1000000000L
+
+  private val sf = "/root/testdata/sf0.001"
+  private def haveSf = new java.io.File(s"$sf/lineitem.parquet").exists()
+
+  // ------------------------------------------------- q_mann_whitney
+
+  test("mann_whitney: hand-derived U and tie-corrected z on a planted " +
+    "five-observation fixture") {
+    // views {1, 2, 3}, clicks {2, 4}: average ranks 1, 2.5, 4 for the
+    // views (value 2 ties across arms), so R1 = 7.5,
+    // U1 = 7.5 - 3*4/2 = 1.5, mu = 3, tie term (t=2) = 6,
+    // sigma^2 = (3*2/12) * ((5+1) - 6/(5*4)) = 2.85.
+    val out = SparkEntry.queries("q_mann_whitney")(spark, plantEvents(Seq(
+      (1L, "view", 1.0, sec(0)), (2L, "view", 2.0, sec(1)),
+      (3L, "view", 3.0, sec(2)), (4L, "click", 2.0, sec(3)),
+      (5L, "click", 4.0, sec(4))))).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_view") === 3L)
+    assert(r.getAs[Long]("n_click") === 2L)
+    assert(r.getAs[Double]("u_view") === 1.5)
+    val zExpect = BigDecimal((1.5 - 3.0) / math.sqrt(2.85))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("z") === zExpect)
+  }
+
+  test("mann_whitney: all-tied values yield NULL z (sigma = 0), not " +
+    "a division blow-up") {
+    val out = SparkEntry.queries("q_mann_whitney")(spark, plantEvents(Seq(
+      (1L, "view", 5.0, sec(0)), (2L, "view", 5.0, sec(1)),
+      (3L, "click", 5.0, sec(2))))).collect()
+    assert(out.length === 1)
+    assert(out.head.isNullAt(out.head.fieldIndex("z")))
+  }
+
+  // ----------------------------------------------- q_kruskal_wallis
+
+  test("kruskal_wallis: hand-derived H on a planted three-group " +
+    "no-tie fixture") {
+    // Groups (view, click, purchase) with values 1..6, no ties:
+    // view {1, 2}, click {3, 4}, purchase {5, 6} → rank sums 3, 7, 11
+    // H = 12/(6*7) * (9/2 + 49/2 + 121/2) - 3*7 = 25.57142857... - 21
+    val out = SparkEntry.queries("q_kruskal_wallis")(spark, plantEvents(Seq(
+      (1L, "view", 1.0, sec(0)), (2L, "view", 2.0, sec(1)),
+      (3L, "click", 3.0, sec(2)), (4L, "click", 4.0, sec(3)),
+      (5L, "purchase", 5.0, sec(4)), (6L, "purchase", 6.0, sec(5)))))
+      .collect()
+    assert(out.length === 3)
+    val h = out.head.getAs[Double]("h")
+    val hExpect = BigDecimal(12.0 / 42.0 * (4.5 + 24.5 + 60.5) - 21.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(h === hExpect)
+    // No ties → the tie correction is exactly 1: h_tie == h.
+    assert(out.forall(r => r.getAs[Double]("h_tie") === h))
+    // Mean ranks: view (1+2)/2 = 1.5, click 3.5, purchase 5.5.
+    val mr = out.map(r => r.getString(0) -> r.getAs[Double]("mean_rank")).toMap
+    assert(mr("view") === 1.5 && mr("click") === 3.5 && mr("purchase") === 5.5)
+  }
+
+  // ------------------------------------------------------- q_levene
+
+  test("levene: hand-derived W on a planted two-group fixture") {
+    // view {0, 4} (mean 2, |dev| = {2, 2}), click {0, 0, 6, 6}
+    // (mean 3, |dev| = {3, 3, 3, 3}). Deviation groups have ZERO
+    // within-group variance → SSW = 0 → W is NULL via nullif... so
+    // jitter one: click {0, 0, 6, 8} (mean 3.5, |dev| {3.5, 3.5,
+    // 2.5, 4.5}). z-bar(view)=2, z-bar(click)=3.5, grand=3.
+    // SSB = 2*(2-3)^2 + 4*(3.5-3)^2 = 3; SSW = 0 + (0+0+1+1) = 2.
+    // W = ((6-2)/(2-1)) * 3/2 ... = (nn-k)*ssb/((k-1)*ssw) = 4*3/2 = 6.
+    val out = SparkEntry.queries("q_levene")(spark, plantEvents(Seq(
+      (1L, "view", 0.0, sec(0)), (2L, "view", 4.0, sec(1)),
+      (3L, "click", 0.0, sec(2)), (4L, "click", 0.0, sec(3)),
+      (5L, "click", 6.0, sec(4)), (6L, "click", 8.0, sec(5)))))
+      .collect()
+    assert(out.length === 2)
+    val byType = out.map(r => r.getString(0) -> r).toMap
+    assert(byType("view").getAs[Double]("mean_absdev") === 2.0)
+    assert(byType("click").getAs[Double]("mean_absdev") === 3.5)
+    assert(out.forall(_.getAs[Double]("w_stat") === 6.0))
+    assert(out.forall(_.getAs[Long]("df1") === 1L))
+    assert(out.forall(_.getAs[Long]("df2") === 4L))
+  }
+
+  // ------------------------------------------------ q_partial_corr
+
+  test("partial_corr: satisfies the partial-correlation identity " +
+    "against q_corr_matrix's raw cells on real data") {
+    assume(haveSf)
+    val raw = SparkEntry.queries("q_corr_matrix")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("corr")).toMap
+    val rqp = raw("quantity_extendedprice")
+    val rqd = raw("quantity_discount")
+    val rpd = raw("extendedprice_discount")
+    val got = SparkEntry.queries("q_partial_corr")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("r_raw"), r.getAs[Double]("r_partial"))).toMap
+    def partial(rxy: Double, rxz: Double, ryz: Double): Double =
+      (rxy - rxz * ryz) / math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    val cases = Seq(
+      ("quantity_extendedprice_given_discount", rqp, rqd, rpd),
+      ("quantity_discount_given_extendedprice", rqd, rqp, rpd),
+      ("extendedprice_discount_given_quantity", rpd, rqp, rqd))
+    cases.foreach { case (name, rxy, rxz, ryz) =>
+      val (rRaw, rPart) = got(name)
+      // r_raw re-reports the corr_matrix cell (same fold, same round).
+      assert(math.abs(rRaw - rxy) < 1e-9, s"$name r_raw")
+      // The identity holds on 6dp-rounded inputs to ~1e-5.
+      assert(math.abs(rPart - partial(rxy, rxz, ryz)) < 1e-4,
+        s"$name partial identity: got $rPart vs ${partial(rxy, rxz, ryz)}")
+    }
+  }
+
+  // ---------------------------------------------------- q_iv_wald
+
+  test("iv_wald: LATE equals the ratio of independently recomputed " +
+    "ITT effects on a planted compliance fixture") {
+    // Recompute each user's arm with an INDEPENDENT md5 (java
+    // MessageDigest), then plant purchases/click-spend so both arms
+    // are nonempty and the first stage is real.
+    def arm(u: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"iv#$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(7)
+      (java.lang.Long.parseLong(hex, 16) % 2).toInt
+    }
+    val users = (1L to 40L)
+    val rows = users.flatMap { u =>
+      val z = arm(u)
+      // Encouraged users purchase twice and click 10.0; controls
+      // purchase once and click 4.0.
+      val nPur = 1 + z
+      val spend = if (z == 1) 10.0 else 4.0
+      (0 until nPur).map(i => (u, "purchase", 1.0, sec(u * 10 + i))) :+
+        ((u, "click", spend, sec(u * 10 + 5)))
+    }
+    val out = SparkEntry.queries("q_iv_wald")(spark, plantEvents(rows))
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    val n1 = users.count(arm(_) == 1)
+    val n0 = users.size - n1
+    assert(n1 > 0 && n0 > 0, "fixture must populate both arms")
+    assert(r.getAs[Long]("n_enc") === n1.toLong)
+    assert(r.getAs[Long]("n_ctl") === n0.toLong)
+    assert(r.getAs[Double]("itt_x") === 1.0)   // 2 - 1 purchases
+    assert(r.getAs[Double]("itt_y") === 6.0)   // 10 - 4 spend
+    assert(r.getAs[Double]("late") === 6.0)    // 6.0 / 1.0
+  }
+
+  test("iv_wald: a zero first stage NULLs the LATE instead of " +
+    "reporting a garbage ratio") {
+    // Every user purchases exactly once regardless of arm; outcomes
+    // differ → itt_x = 0 → late NULL.
+    val rows = (1L to 20L).flatMap { u =>
+      Seq((u, "purchase", 1.0, sec(u * 10)),
+        (u, "click", (u % 4).toDouble, sec(u * 10 + 1)))
+    }
+    val out = SparkEntry.queries("q_iv_wald")(spark, plantEvents(rows))
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Double]("itt_x") === 0.0)
+    assert(out.head.isNullAt(out.head.fieldIndex("late")))
+  }
+
+  // ----------------------------------------------------- q_granger
+
+  test("granger: closed form matches an independent in-test OLS on " +
+    "the planted daily series") {
+    // 12 days of counts; clicks follow lagged views plus an AR kick
+    // with deterministic wobble so neither fit is perfect.
+    val views = Seq(5, 9, 4, 11, 7, 13, 6, 10, 8, 12, 5, 9)
+    val clicks = Seq(3, 6, 8, 5, 10, 7, 12, 6, 9, 8, 11, 6)
+    val rows = views.zipWithIndex.flatMap { case (v, i) =>
+      (0 until v).map(j => (j.toLong + 1, "view", 1.0, day(i) + j * 1000000000L))
+    } ++ clicks.zipWithIndex.flatMap { case (c, i) =>
+      (0 until c).map(j => (j.toLong + 1, "click", 1.0, day(i) + (100 + j) * 1000000000L))
+    }
+    val out = SparkEntry.queries("q_granger")(spark,
+      plantEvents(rows.map(r => (r._1, r._2, r._3, r._4)))).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_days") === 11L)
+    // Independent OLS: y = clicks(1..), x1 = clicks(0..-1), x2 = views(0..-1).
+    val y = clicks.drop(1).map(_.toDouble)
+    val x1 = clicks.dropRight(1).map(_.toDouble)
+    val x2 = views.dropRight(1).map(_.toDouble)
+    val n = y.length.toDouble
+    def s(a: Seq[Double]) = a.sum
+    def sp(a: Seq[Double], b: Seq[Double]) = a.zip(b).map(t => t._1 * t._2).sum
+    val (cyy, c11, c22) = (n * sp(y, y) - s(y) * s(y),
+      n * sp(x1, x1) - s(x1) * s(x1), n * sp(x2, x2) - s(x2) * s(x2))
+    val (c1y, c2y, c12) = (n * sp(x1, y) - s(x1) * s(y),
+      n * sp(x2, y) - s(x2) * s(y), n * sp(x1, x2) - s(x1) * s(x2))
+    val det = c11 * c22 - c12 * c12
+    val b1 = (c22 * c1y - c12 * c2y) / det
+    val b2 = (c11 * c2y - c12 * c1y) / det
+    val rssf = cyy - b1 * c1y - b2 * c2y
+    val rssr = cyy - c1y * c1y / c11
+    assert(math.abs(r.getAs[Double]("beta_lag_clicks") - b1) < 1e-6)
+    assert(math.abs(r.getAs[Double]("beta_lag_views") - b2) < 1e-6)
+    assert(math.abs(r.getAs[Double]("f_stat")
+      - (rssr - rssf) * (n - 3) / rssf) < 1e-4)
+    assert(r.getAs[Double]("r2_full") >= r.getAs[Double]("r2_restricted"))
+  }
+}
