@@ -59,7 +59,9 @@ class GlobalWindowAuditSpec extends SparkTestBase {
       "double-rank cumulative window on the distinct-VALUE frame — " +
         "the q_emd_drift 2dp value-domain bound, not row count"),
     "q_granger" -> (366L,
-      "lag windows on the calendar-day frame — the rolling_corr bound"))
+      "lag windows on the calendar-day frame — the rolling_corr bound"),
+    "q_heaps_law" -> (12L,
+      "cumulative growth sums on the FIXED 10-bucket frame"))
 
   private def globalWindows(name: String, sf: String): Seq[LWindow] =
     SparkEntry.queries(name)(spark, sf)

@@ -186,6 +186,94 @@ class Round13WaveSpec extends SparkTestBase {
     assert(out.head.isNullAt(out.head.fieldIndex("late")))
   }
 
+  // ------------------------------------------------ corpus-stats ops
+
+  private def plantDocs(rows: Seq[(Long, String, String, String)]): String = {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r13w_")
+    rows.map { case (id, text, lang, source) =>
+      (id, text, lang, source, text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir.toString
+  }
+
+  test("readability: hand-derived Flesch on a planted one-lang corpus") {
+    // "go. go. go." → 3 words, 3 vowel groups, 3 sentence runs:
+    // FRE = 206.835 - 1.015*(3/3) - 84.6*(3/3) = 121.22.
+    val out = SparkEntry.queries("q_readability")(spark, plantDocs(Seq(
+      (0L, "go. go. go.", "en", "s0")))).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_docs") === 1L)
+    assert(r.getAs[Long]("mean_words") === 3L)
+    assert(r.getAs[Double]("syll_per_word") === 1.0)
+    assert(r.getAs[Double]("mean_fre") === 121.22)
+  }
+
+  test("hapax: exact corpus-frequency-1 counts per source") {
+    // corpus counts: a:2, b:2, c:1 → hapax = {c}, living in srcB.
+    val out = SparkEntry.queries("q_hapax")(spark, plantDocs(Seq(
+      (0L, "a a b", "en", "srcA"), (1L, "b c", "en", "srcB"))))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getAs[Double]("hapax_share"))).toMap
+    assert(out("srcA") === ((3L, 2L, 0L, 0.0)))
+    assert(out("srcB") === ((2L, 2L, 1L, 0.5)))
+  }
+
+  test("heaps_law: growth points exact, beta matches an independent " +
+    "in-test log-log OLS") {
+    // 10 docs (one per bucket): doc i = one new token + 'common'.
+    val docs = (0L to 9L).map(i => (i, s"t$i common", "en", "s0"))
+    val out = SparkEntry.queries("q_heaps_law")(spark, plantDocs(docs))
+      .collect()
+    assert(out.length === 10)
+    val cumTok = out.map(_.getAs[Long]("cum_tokens")).toSeq
+    val cumVoc = out.map(_.getAs[Long]("cum_vocab")).toSeq
+    assert(cumTok === (1L to 10L).map(_ * 2))
+    assert(cumVoc === Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 11L))
+    // Independent OLS over the same 9dp-rounded ln points.
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val xs = cumTok.map(t => r9(math.log(t.toDouble)))
+    val ys = cumVoc.map(v => r9(math.log(v.toDouble)))
+    val n = xs.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(x => r9(x * x)).sum
+    val sxy = xs.zip(ys).map { case (x, y) => r9(x * y) }.sum
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(out.head.getAs[Double]("heaps_beta") - beta) < 1e-5)
+    assert(out.map(_.getAs[Double]("heaps_beta")).distinct.length === 1)
+  }
+
+  test("pii_density: digit runs, handles, and emails are counted per " +
+    "surface with the rows-affected share") {
+    val s = spark
+    import s.implicits._
+    val dir = plantDocs(Seq(
+      (0L, "contact me at a@b.com now", "en", "s0"),
+      (1L, "clean text only", "en", "s0")))
+    Seq((0L, "Customer#000000042", 1, 10.0, "BUILDING"),
+      (1L, "NoDigitsHere", 2, 20.0, "MACHINERY"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .coalesce(1).write.parquet(s"$dir/customer.parquet")
+    val out = SparkEntry.queries("q_pii_density")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val cn = out("customer_name")
+    assert(cn.getAs[Long]("n_rows") === 2L)
+    assert(cn.getAs[Long]("digit_runs") === 1L)
+    assert(cn.getAs[Long]("handles") === 1L)
+    assert(cn.getAs[Long]("emails") === 0L)
+    assert(cn.getAs[Double]("id_density") === 0.5)
+    val dt = out("document_text")
+    assert(dt.getAs[Long]("emails") === 1L)
+    assert(dt.getAs[Long]("digit_runs") === 0L)
+    assert(dt.getAs[Double]("id_density") === 0.5)
+  }
+
   // ----------------------------------------------------- q_granger
 
   test("granger: closed form matches an independent in-test OLS on " +
