@@ -16,7 +16,7 @@ object SparkEntry {
       Multimodal.qs ++ Sampling.qs ++ Curation.qs ++ TimeSeries.qs ++
       Sources.qs ++ Profiling.qs ++ Recursive.qs ++ Lakehouse.qs ++
       Semantic.qs ++ Language.qs ++ Graphs.qs ++ Analytics.qs ++
-      RankStats.qs ++ CorpusStats.qs
+      RankStats.qs ++ CorpusStats.qs ++ ClusterEval.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q_knn_filtered: scan → pushed filter → codegen cosine distance →

@@ -518,33 +518,8 @@ object Semantic {
     // iteration 2 starts from identical doubles in both engines;
     // SSE folds the rounded distances through DECIMAL(38,6).
     Q("q_kmeans", kmeansSql(2, 8)) { (s, dir) =>
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .localCheckpoint(eager = false)
-      val d2 = round(expr(
-        """aggregate(zip_with(v, c, (a, b) -> (a - b) * (a - b)),
-          |CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)""".stripMargin), 6)
-      def assign(cent: DataFrame): DataFrame =
-        e.crossJoin(broadcast(cent))
-          .withColumn("d2", d2)
-          .withColumn("rn", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy("vec_id").orderBy("d2", "cid")))
-          .filter(col("rn") === 1)
-      var cent = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
-      for (_ <- 1 to 2) {
-        cent = assign(cent)
-          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "xv")))
-          .groupBy("cid", "pos")
-          .agg(round(sum(col("xv").cast(DecimalType(38, 12))).cast("double")
-            / count(lit(1)), 6).as("mu"))
-          .groupBy("cid")
-          .agg(expr(
-            "transform(array_sort(collect_list(struct(pos, mu))), t -> t.mu)")
-            .as("c"))
-      }
-      assign(cent)
+      kmeansRanked(s, dir)
+        .filter(col("rn") === 1)
         .groupBy("cid")
         .agg(count(lit(1)).as("n"),
           sum(col("d2").cast(DecimalType(38, 6))).cast("double").as("sse"))
@@ -839,7 +814,12 @@ object Semantic {
     * (sequential-fold distance, rounded 6dp, cid tie-break) and
     * DECIMAL-mean recompute stated `iters` times, then a final
     * assignment aggregated to (cid, n, sse) — the pcaSql technique. */
-  private def kmeansSql(iters: Int, k: Int): String = {
+  /** The Lloyd chain's WITH-body through the final RANKED assignment
+    * `rf(vec_id, label, v, cid, d2, rn)` — shared verbatim by
+    * q_kmeans and the round-13 cluster-eval oracles (q_cluster_purity
+    * / q_silhouette in [[ClusterEval]]) so every consumer provably
+    * evaluates the SAME clustering. */
+  private[queries] def kmeansChainSql(iters: Int, k: Int): String = {
     val d2 =
       "round(list_sum([(v[i]-c[i])*(v[i]-c[i]) " +
         "for i in range(1, len(v)+1)]), 6)"
@@ -857,17 +837,55 @@ object Semantic {
     val steps = (1 to iters)
       .map(i => step(i, if (i == 1) "c0" else s"c${i - 1}"))
       .mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    s"""e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
        |           FROM embeddings),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e
        |       WHERE vec_id < $k),
        |$steps,
-       |af AS (SELECT vec_id, cid, $d2 AS d2 FROM e CROSS JOIN c$iters),
+       |af AS (SELECT vec_id, label, v, cid, $d2 AS d2
+       |       FROM e CROSS JOIN c$iters),
        |rf AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-       |       ORDER BY d2, cid) AS rn FROM af)
+       |       ORDER BY d2, cid) AS rn FROM af)""".stripMargin
+  }
+
+  private def kmeansSql(iters: Int, k: Int): String =
+    s"""WITH ${kmeansChainSql(iters, k)}
        |SELECT cid, count(*) AS n,
        |  round(CAST(sum(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE), 6) AS sse
        |FROM rf WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin
+
+  /** Spark twin of [[kmeansChainSql]]: the final-iteration RANKED
+    * assignment frame (vec_id, label, v, cid, d2, rn) — rn = 1 is
+    * the assignment, rn = 2 the second-nearest centroid (silhouette's
+    * b). Centroids stay an 8-row broadcast frame end-to-end. */
+  private[queries] def kmeansRanked(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint(eager = false)
+    val d2 = round(expr(
+      """aggregate(zip_with(v, c, (a, b) -> (a - b) * (a - b)),
+        |CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)""".stripMargin), 6)
+    def ranked(cent: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cent))
+        .withColumn("d2", d2)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("vec_id").orderBy("d2", "cid")))
+    var cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
+    for (_ <- 1 to 2) {
+      cent = ranked(cent).filter(col("rn") === 1)
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "xv")))
+        .groupBy("cid", "pos")
+        .agg(round(sum(col("xv").cast(DecimalType(38, 12))).cast("double")
+          / count(lit(1)), 6).as("mu"))
+        .groupBy("cid")
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(pos, mu))), t -> t.mu)")
+          .as("c"))
+    }
+    ranked(cent)
   }
 
   /** Chained-CTE oracle for the fixed-unroll power iteration: the

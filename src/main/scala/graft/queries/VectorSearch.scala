@@ -330,6 +330,107 @@ object VectorSearch {
         .orderBy(col("adist"), col("vec_id")).limit(K)
     },
 
+    // IVF-PQ — the two prunings COMPOSED, which is what a production
+    // ANN index actually deploys (FAISS IVFPQ; the reference's HNSW
+    // store solves the same serving problem): IVF prunes WHICH
+    // vectors are scanned (probe the $IvfProbes nearest cells), PQ
+    // shrinks WHAT is scanned (8-byte codes + an 8×16 broadcast ADC
+    // table instead of 256-byte vectors), and an EXACT re-rank of
+    // the top 3k ADC candidates restores ranking fidelity where the
+    // quantization error would otherwise reorder near-ties — the
+    // standard three-stage funnel (prune → approximate scan →
+    // re-rank). Emits both distances so the ADC-vs-exact gap is the
+    // built-in quantization audit. Scale: the probed-cell join and
+    // the code join are broadcasts; the ADC sum is one
+    // partial-aggregated fold over probed·8 rows; the re-rank
+    // touches exactly 3k raw vectors (an id-broadcast join, never a
+    // second corpus scan at serving time — codes and cells are the
+    // amortized build, as in q_knn_ivf_rule). Determinism: shared
+    // codebooks with q_knn_ivf/q_knn_pq; every distance rounds 6 dp
+    // with id tie-breaks; ADC totals DECIMAL-summed.
+    Q("q_knn_ivfpq",
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfCells),
+         |asgn AS (SELECT vec_id, label, v, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY
+         |      round(1 - list_cosine_similarity(v, cv), 6), cid) AS rn
+         |  FROM e CROSS JOIN c),
+         |a2 AS (SELECT vec_id, label, v, cid FROM asgn WHERE rn = 1),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |probe AS (SELECT cid FROM c CROSS JOIN q
+         |          ORDER BY round(1 - list_cosine_similarity(cv, qv), 6), cid
+         |          LIMIT $IvfProbes),
+         |ms AS (SELECT unnest(range(8)) AS m),
+         |codes AS (SELECT c.cid AS code, ms.m, c.cv[ms.m*8+1 : ms.m*8+8] AS cs
+         |          FROM c CROSS JOIN ms),
+         |cand AS (SELECT vec_id, label, v FROM a2
+         |         WHERE cid IN (SELECT cid FROM probe)),
+         |asg0 AS (SELECT cand.vec_id, cd.m, cd.code,
+         |    round(list_distance(cand.v[cd.m*8+1 : cd.m*8+8], cd.cs), 6) AS dist
+         |  FROM cand CROSS JOIN codes cd),
+         |asg AS (SELECT vec_id, m, code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY dist, code) AS rn FROM asg0) WHERE rn = 1),
+         |dt AS (SELECT cd.m, cd.code,
+         |    round(list_distance(q.qv[cd.m*8+1 : cd.m*8+8], cd.cs), 6) AS d
+         |  FROM codes cd CROSS JOIN q),
+         |adc AS (SELECT a.vec_id,
+         |    round(CAST(sum(CAST(dt.d AS DECIMAL(38,6))) AS DOUBLE), 6) AS adist
+         |  FROM asg a JOIN dt ON a.m = dt.m AND a.code = dt.code
+         |  GROUP BY a.vec_id),
+         |pool AS (SELECT vec_id, adist FROM adc
+         |         ORDER BY adist, vec_id LIMIT ${3 * K})
+         |SELECT p.vec_id, cand.label, p.adist,
+         |  round(1 - list_cosine_similarity(cand.v, q.qv), 6) AS dist
+         |FROM pool p JOIN cand USING (vec_id) CROSS JOIN q
+         |ORDER BY dist, vec_id LIMIT $K""".stripMargin) { (s, d) =>
+      val ed = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val cents = ed.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val qv = ed.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      // IVF assignment (shared contract with q_knn_ivf).
+      val asgn = fanout(ed).crossJoin(broadcast(cents))
+        .withColumn("cdist", round(cosine_distance(col("v"), col("cv")), 6))
+        .groupBy("vec_id")
+        .agg(expr("min_by(struct(label, v, cid), struct(cdist, cid))").as("m"))
+        .select(col("vec_id"), col("m.label").as("label"),
+          col("m.v").as("v"), col("m.cid").as("cid"))
+      val probes = cents.crossJoin(broadcast(qv))
+        .select(col("cid"),
+          round(cosine_distance(col("cv"), col("qv")), 6).as("qdist"))
+        .orderBy(col("qdist"), col("cid")).limit(IvfProbes)
+      val cand = asgn.join(broadcast(probes.select("cid")), "cid")
+        .select("vec_id", "label", "v")
+        .localCheckpoint(eager = false) // probed-cell working set
+      // PQ codes for the probed working set (shared codebook slices
+      // with q_knn_pq).
+      val codes = cents
+        .select(col("cid").as("code"), explode(expr("sequence(0, 7)")).as("m"),
+          col("cv"))
+        .select(col("code"), col("m"), expr("slice(cv, m*8+1, 8)").as("cs"))
+      val asg = cand.crossJoin(broadcast(codes))
+        .select(col("vec_id"), col("m"), col("code"),
+          round(l2_distance(expr("slice(v, m*8+1, 8)"), col("cs")), 6)
+            .as("dist"))
+        .groupBy("vec_id", "m")
+        .agg(expr("min_by(code, struct(dist, code))").as("code"))
+      val dt = codes.crossJoin(broadcast(qv))
+        .select(col("m"), col("code"),
+          round(l2_distance(expr("slice(qv, m*8+1, 8)"), col("cs")), 6)
+            .as("d"))
+      val pool = asg.join(broadcast(dt), Seq("m", "code"))
+        .groupBy("vec_id")
+        .agg(round(sum(col("d").cast(DecimalType(38, 6))).cast("double"), 6)
+          .as("adist"))
+        .orderBy(col("adist"), col("vec_id")).limit(3 * K)
+      pool.join(cand, "vec_id").crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("label"), col("adist"),
+          round(cosine_distance(col("v"), col("qv")), 6).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(K)
+    },
+
     // HARD-NEGATIVE MINING — the contrastive-training sampler: for
     // each anchor, the k nearest vectors whose LABEL DIFFERS (close
     // in embedding space, different class — the examples that move a

@@ -274,6 +274,89 @@ class Round13WaveSpec extends SparkTestBase {
     assert(dt.getAs[Double]("id_density") === 0.5)
   }
 
+  // ------------------------------------------- cluster-eval + IVFPQ
+
+  private def plantEmb(rows: Seq[(Long, Array[Float], Int)]): String = {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r13w_")
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    dir.toString
+  }
+
+  test("cluster_purity: label-pure duplicate-pair clusters give " +
+    "overall purity 1 and the count identities hold") {
+    // Seeds are vec_ids 0..7; ids 8..15 are exact copies with the
+    // same label → every cluster is a pure duplicate pair.
+    val base = (0 until 8).map { i =>
+      val v = Array.fill(8)(0.1f); v(i % 4) = 1.0f + i; v
+    }
+    val rows = (0L to 7L).map(i => (i, base(i.toInt), i.toInt)) ++
+      (8L to 15L).map(i => (i, base(i.toInt - 8), i.toInt - 8))
+    val out = SparkEntry.queries("q_cluster_purity")(spark, plantEmb(rows))
+      .collect()
+    assert(out.map(_.getAs[Long]("n")).sum === 16L)
+    assert(out.forall(_.getAs[Double]("purity") === 1.0))
+    assert(out.head.getAs[Double]("overall_purity") === 1.0)
+    val nmi = out.head.getAs[Double]("nmi")
+    assert(nmi > 0.99 && nmi < 1.01,
+      s"identical partitions must have NMI 1, got $nmi")
+    // n_majority sums to the overall-purity numerator.
+    val om = out.map(_.getAs[Long]("n_majority")).sum
+    assert(om === 16L)
+  }
+
+  test("silhouette: zero-radius clusters score exactly 1") {
+    // Every point coincides with its centroid → a = 0, b > 0 →
+    // s = (b - 0)/b = 1 for every point.
+    val base = (0 until 8).map { i =>
+      val v = Array.fill(8)(0.0f); v(i % 8) = 2.0f + i; v
+    }
+    val rows = (0L to 7L).map(i => (i, base(i.toInt), 0)) ++
+      (8L to 15L).map(i => (i, base(i.toInt - 8), 0))
+    val out = SparkEntry.queries("q_silhouette")(spark, plantEmb(rows))
+      .collect()
+    assert(out.length === 8)
+    assert(out.forall(_.getAs[Long]("n") === 2L))
+    assert(out.forall(_.getAs[Double]("mean_silhouette") === 1.0))
+    assert(out.head.getAs[Double]("overall_silhouette") === 1.0)
+  }
+
+  test("knn_ivfpq: exact re-rank distances match an independent " +
+    "in-test cosine, and recall vs exact top-5 is sane") {
+    assume(new java.io.File(s"$sf/embeddings.parquet").exists())
+    val all = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .toMap
+    val q = all(0L)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      1.0 - dot / math.sqrt(na * nb)
+    }
+    val out = SparkEntry.queries("q_knn_ivfpq")(spark, sf).collect()
+    assert(out.length === 5)
+    val dists = out.map(_.getAs[Double]("dist"))
+    assert(dists.sameElements(dists.sorted))
+    out.foreach { r =>
+      val expect = cos(q, all(r.getAs[Long]("vec_id")))
+      assert(math.abs(r.getAs[Double]("dist") - expect) < 1e-5,
+        s"re-rank distance for ${r.getAs[Long]("vec_id")}")
+    }
+    // ANN funnel sanity: at least 3 of the exact top-5 survive the
+    // IVF probe + PQ pool (the declared recall tradeoff, not exact).
+    val exact5 = all.toSeq.map { case (id, v) => (cos(q, v), id) }
+      .sortBy(identity).take(5).map(_._2).toSet
+    val got = out.map(_.getAs[Long]("vec_id")).toSet
+    assert((exact5 & got).size >= 3,
+      s"ivfpq recall collapsed: exact $exact5 vs got $got")
+  }
+
   // ----------------------------------------------------- q_granger
 
   test("granger: closed form matches an independent in-test OLS on " +
