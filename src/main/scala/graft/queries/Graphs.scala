@@ -762,6 +762,149 @@ object Graphs {
       }
       dist.orderBy("node")
     },
+
+    // LINK PREDICTION (CF-scored) — predict the customer→part edges
+    // most likely to appear next: each customer's owned parts vote
+    // for similar parts through the q_item_cf cosine neighborhood
+    // (same co-count ≥ 2 + top-20 contract), candidates the customer
+    // ALREADY owns are anti-joined away, and the score is the summed
+    // similarity of the voting neighbors — the standard
+    // neighborhood-CF link predictor (q_item_cf ranks item PAIRS;
+    // this completes the recommendation: WHO should meet WHICH new
+    // item). Exact common-neighbor scoring over all node pairs is
+    // the Σd² wedge explosion this engine refuses — the similarity
+    // frame bounds the candidate fan-out at top-20 pairs by
+    // CONTRACT, which is how production recommenders actually ship.
+    // Scale: the 20-row (40 directed) sim frame BROADCASTS onto the
+    // ownership scan; the anti-join and score fold co-partition on
+    // the customer key; top-25 = TakeOrderedAndProject. Determinism:
+    // exact counts; scores are DECIMAL(38,6) sums of 6dp-rounded
+    // cosines; (score DESC, cust, part) total order.
+    Q("q_link_pred",
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |           FROM lineitem),
+        |co AS (SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY a.p, b.p HAVING count(*) >= 2),
+        |deg AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM li
+        |        GROUP BY p),
+        |sims AS (SELECT u, v,
+        |    round(CAST(c AS DOUBLE) / sqrt(CAST(du.n AS DOUBLE) * dv.n),
+        |      6) AS cosine
+        |  FROM co JOIN deg du ON du.p = u JOIN deg dv ON dv.p = v
+        |  ORDER BY cosine DESC, u, v LIMIT 20),
+        |sym AS (SELECT u AS src, v AS dst, cosine FROM sims
+        |  UNION ALL SELECT v, u AS dst, cosine FROM sims),
+        |owned AS (SELECT DISTINCT o.o_custkey AS cust, li.p
+        |  FROM orders o JOIN li ON li.o = o.o_orderkey),
+        |cand AS (SELECT owned.cust, sym.dst AS part, sym.cosine
+        |  FROM owned JOIN sym ON sym.src = owned.p),
+        |fresh AS (SELECT cand.cust, cand.part, cand.cosine FROM cand
+        |  ANTI JOIN owned ON owned.cust = cand.cust
+        |                 AND owned.p = cand.part)
+        |SELECT cust, part, CAST(count(*) AS BIGINT) AS support,
+        |  round(CAST(sum(CAST(cosine AS DECIMAL(38,6))) AS DOUBLE), 6)
+        |    AS score
+        |FROM fresh GROUP BY cust, part
+        |ORDER BY score DESC, cust, part LIMIT 25""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint(eager = false)
+      val co = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).cast("long").as("c"))
+        .filter(col("c") >= 2)
+      val deg = li.groupBy("p").agg(count(lit(1)).cast("long").as("n"))
+      val sims = co
+        .join(broadcast(deg.select(col("p").as("pu"), col("n").as("n_u"))),
+          col("pu") === col("u"))
+        .join(broadcast(deg.select(col("p").as("pv"), col("n").as("n_v"))),
+          col("pv") === col("v"))
+        .selectExpr("u", "v",
+          "round(CAST(c AS DOUBLE) / sqrt(CAST(n_u AS DOUBLE) * n_v), 6)" +
+            " AS cosine")
+        .orderBy(col("cosine").desc, col("u"), col("v")).limit(20)
+        .localCheckpoint(eager = false)
+      val sym = sims.selectExpr("u AS src", "v AS dst", "cosine")
+        .unionAll(sims.selectExpr("v AS src", "u AS dst", "cosine"))
+      val owned = Tables.orders(s, d)
+        .select(col("o_custkey").as("cust"), col("o_orderkey").as("o"))
+        .join(li, "o").select("cust", "p").distinct()
+        .localCheckpoint(eager = false)
+      val cand = owned.join(broadcast(sym), col("src") === col("p"))
+        .select(col("cust"), col("dst").as("part"), col("cosine"))
+      cand.join(owned.select(col("cust"), col("p").as("part")),
+          Seq("cust", "part"), "left_anti")
+        .groupBy("cust", "part")
+        .agg(count(lit(1)).cast("long").as("support"),
+          round(sum(col("cosine").cast(DecimalType(38, 6)))
+            .cast("double"), 6).as("score"))
+        .orderBy(col("score").desc, col("cust"), col("part"))
+        .limit(25)
+    },
+
+    // DEGREE DISTRIBUTION + HILL TAIL — log2-binned degree histogram
+    // of the co-purchase graph with the Hill estimator of the
+    // power-law tail exponent (α = 1 + n/Σln(d/(dmin−0.5)), dmin=4 —
+    // the Clauset-Shalizi-Newman continuity correction): the
+    // structural fingerprint behind every other graph op's cost
+    // model — q_skew_audit reads KEY skew in tables, this reads HUB
+    // skew in the graph, the quantity that decides whether the
+    // oriented-wedge bounds (q_triangle_count's O(m^1.5)) actually
+    // bite. Scale: degrees are ONE edge-frame fold; the histogram
+    // and Hill fold run on the degree frame (node-sized, partial-
+    // aggregated); bin = length(bin(d))−1 is exact INTEGER bit
+    // arithmetic — no floor(log2(double)) boundary risk at exact
+    // powers of two. Determinism: exact BIGINT counts; Hill terms
+    // round 9dp into a DECIMAL sum (the q_zipf_alpha idiom).
+    Q("q_degree_hist",
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |           FROM lineitem
+         |           WHERE ${TextKit.h28Duck("'tri#' || l_partkey")} % 2 = 0),
+         |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a
+         |      JOIN li b ON a.o = b.o AND a.p < b.p),
+         |und AS (SELECT u, v FROM e UNION ALL SELECT v, u AS v FROM e),
+         |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d
+         |        FROM und GROUP BY 1),
+         |h AS (SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n_nodes,
+         |    CAST(min(d) AS BIGINT) AS min_deg,
+         |    CAST(max(d) AS BIGINT) AS max_deg
+         |  FROM deg GROUP BY 1),
+         |tail AS (SELECT CAST(count(*) AS BIGINT) AS n_tail,
+         |    CAST(sum(CAST(round(ln(d / CAST(3.5 AS DOUBLE)), 9)
+         |      AS DECIMAL(38,9))) AS DOUBLE) AS s
+         |  FROM deg WHERE d >= 4)
+         |SELECT bin, n_nodes, min_deg, max_deg, n_tail,
+         |  round(1 + n_tail / nullif(s, 0), 6) AS hill_alpha
+         |FROM h CROSS JOIN tail ORDER BY bin""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .filter(expr(TextKit.h28(
+          "concat('tri#', CAST(l_partkey AS STRING))")) % 2 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+        .distinct()
+      val deg = GraphStages.degrees(e).localCheckpoint(eager = false)
+      val h = deg
+        .selectExpr("CAST(length(bin(d)) - 1 AS BIGINT) AS bin", "d")
+        .groupBy("bin")
+        .agg(count(lit(1)).cast("long").as("n_nodes"),
+          min("d").cast("long").as("min_deg"),
+          max("d").cast("long").as("max_deg"))
+      val tail = deg.filter(col("d") >= 4)
+        .agg(count(lit(1)).cast("long").as("n_tail"),
+          sum(round(log(col("d") / lit(3.5)), 9).cast(DecimalType(38, 9)))
+            .cast("double").as("s"))
+      h.crossJoin(broadcast(tail))
+        .selectExpr("bin", "n_nodes", "min_deg", "max_deg", "n_tail",
+          "round(1 + n_tail / nullif(s, 0), 6) AS hill_alpha")
+        .orderBy("bin")
+    },
   )
 
   /** Graph construction, ONCE per query: the deg-enriched edge frame

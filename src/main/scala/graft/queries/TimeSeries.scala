@@ -979,6 +979,151 @@ object TimeSeries {
       rows.join(acf.select(col("lag"), col("a").as("acf")), "lag")
         .select("lag", "acf", "pacf").orderBy("lag")
     },
+
+    // BOLLINGER BANDS — 7-day rolling mean ± 2σ envelope over each
+    // event type's daily mean value, with %B (where today sits in
+    // the band: > 1 = above, < 0 = below) — the volatility-scaled
+    // anomaly read (q_ts_anomaly asks "is today extreme vs a FIXED
+    // baseline"; the band rescales 'extreme' by the REGIME's own
+    // recent volatility — a quiet series flags a small jump a
+    // volatile one absorbs). Scale: corpus → (type, day) frame in
+    // ONE conditional fold; every window is type-PARTITIONED over
+    // that calendar-bounded frame (never a global sort). Determinism:
+    // daily closes are exact half-up integer micros; window sums S1,
+    // S2 are exact BIGINT/DECIMAL folds of micros; σ and %B are one
+    // identical double chain; a zero-width band NULLs %B via nullif.
+    Q("q_bollinger",
+      """WITH day AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT))
+        |      AS BIGINT) AS sm
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, d,
+        |    CAST(floor((2 * sm + n) / (2.0 * n)) AS BIGINT) AS m6
+        |  FROM day),
+        |r AS (SELECT event_type, d, m6,
+        |    count(*) OVER w AS c7,
+        |    CAST(sum(m6) OVER w AS BIGINT) AS s1,
+        |    CAST(sum(CAST(m6 AS DECIMAL(38,0)) * m6) OVER w
+        |      AS DECIMAL(38,0)) AS s2
+        |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |b AS (SELECT event_type, d, m6, s1,
+        |    sqrt((7 * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)
+        |      / CAST(49 AS DOUBLE)) AS sd6
+        |  FROM r WHERE c7 = 7)
+        |SELECT event_type, d,
+        |  round(m6 / CAST(1000000 AS DOUBLE), 6) AS close,
+        |  round(CAST(floor((2 * s1 + 7) / CAST(14 AS DOUBLE)) AS BIGINT)
+        |    / CAST(1000000 AS DOUBLE), 6) AS ma7,
+        |  round(sd6 / CAST(1000000 AS DOUBLE), 6) AS sd7,
+        |  round((CAST(floor((2 * s1 + 7) / CAST(14 AS DOUBLE)) AS BIGINT)
+        |    + 2 * sd6) / CAST(1000000 AS DOUBLE), 6) AS upper,
+        |  round((CAST(floor((2 * s1 + 7) / CAST(14 AS DOUBLE)) AS BIGINT)
+        |    - 2 * sd6) / CAST(1000000 AS DOUBLE), 6) AS lower,
+        |  round((m6 - (CAST(floor((2 * s1 + 7) / CAST(14 AS DOUBLE))
+        |      AS BIGINT) - 2 * sd6)) / nullif(4 * sd6, 0), 6) AS pct_b
+        |FROM b ORDER BY event_type, d""".stripMargin) { (s, d) =>
+      val day = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(round(col("value") * 1000000L, 0).cast("long"))
+            .cast("long").as("sm"))
+        .selectExpr("event_type", "d",
+          "CAST(floor((2 * sm + n) / (2.0 * n)) AS BIGINT) AS m6")
+      val w = Window.partitionBy("event_type").orderBy("d")
+        .rowsBetween(-6, 0)
+      day
+        .withColumn("c7", count(lit(1)).over(w))
+        .withColumn("s1", sum("m6").over(w).cast("long"))
+        .withColumn("s2",
+          sum(col("m6").cast(DecimalType(38, 0)) * col("m6")).over(w)
+            .cast(DecimalType(38, 0)))
+        .filter(col("c7") === 7)
+        .selectExpr("event_type", "d", "m6", "s1",
+          """sqrt((7 * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)
+            |  / CAST(49 AS DOUBLE)) AS sd6""".stripMargin)
+        .selectExpr("event_type", "d",
+          "round(m6 / CAST(1000000 AS DOUBLE), 6) AS close",
+          """round(CAST(floor((2 * s1 + 7) / CAST(14 AS DOUBLE)) AS BIGINT)
+            |  / CAST(1000000 AS DOUBLE), 6) AS ma7""".stripMargin,
+          "round(sd6 / CAST(1000000 AS DOUBLE), 6) AS sd7",
+          """round((CAST(floor((2 * s1 + 7) / CAST(14 AS DOUBLE)) AS BIGINT)
+            |  + 2 * sd6) / CAST(1000000 AS DOUBLE), 6) AS upper""".stripMargin,
+          """round((CAST(floor((2 * s1 + 7) / CAST(14 AS DOUBLE)) AS BIGINT)
+            |  - 2 * sd6) / CAST(1000000 AS DOUBLE), 6) AS lower""".stripMargin,
+          """round((m6 - (CAST(floor((2 * s1 + 7) / CAST(14 AS DOUBLE))
+            |    AS BIGINT) - 2 * sd6)) / nullif(4 * sd6, 0), 6) AS pct_b""".stripMargin)
+        .orderBy("event_type", "d")
+    },
+
+    // RSI — the 7-day relative-strength index over each type's daily
+    // close: 100·ΣG/(ΣG+ΣL) over the trailing 7 day-over-day moves
+    // (the simple-mean RSI; Wilder's exponential variant is a
+    // recursion — this is the distributed-friendly form). The
+    // momentum/overbought read next to q_bollinger's volatility
+    // band: RSI saturating toward 100 while %B > 1 is the classic
+    // regime-shift confirmation pair. Scale: same ONE conditional
+    // fold to the (type, day) frame; lag + window sums are
+    // type-partitioned. Determinism: closes are exact half-up
+    // integer micros, so gains/losses are exact BIGINT micro
+    // deltas, window sums exact, and RSI is ONE double division of
+    // exact integers (100·SG/(SG+SL)) — no mean, no rounding chain;
+    // a 7-day flat window NULLs RSI via nullif.
+    Q("q_rsi",
+      """WITH day AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT))
+        |      AS BIGINT) AS sm
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, d,
+        |    CAST(floor((2 * sm + n) / (2.0 * n)) AS BIGINT) AS m6
+        |  FROM day),
+        |dl AS (SELECT event_type, d, m6,
+        |    m6 - lag(m6) OVER (PARTITION BY event_type ORDER BY d)
+        |      AS delta
+        |  FROM c),
+        |g AS (SELECT event_type, d, m6,
+        |    greatest(delta, 0) AS gain, greatest(-delta, 0) AS loss
+        |  FROM dl WHERE delta IS NOT NULL),
+        |r AS (SELECT event_type, d, m6,
+        |    count(*) OVER w AS c7,
+        |    CAST(sum(gain) OVER w AS BIGINT) AS sg,
+        |    CAST(sum(loss) OVER w AS BIGINT) AS sl
+        |  FROM g WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, d,
+        |  round(m6 / CAST(1000000 AS DOUBLE), 6) AS close,
+        |  round(sg / CAST(7000000 AS DOUBLE), 6) AS avg_gain,
+        |  round(sl / CAST(7000000 AS DOUBLE), 6) AS avg_loss,
+        |  round(CAST(100 AS DOUBLE) * sg / nullif(sg + sl, 0), 6) AS rsi
+        |FROM r WHERE c7 = 7 ORDER BY event_type, d""".stripMargin) { (s, d) =>
+      val day = Tables.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(round(col("value") * 1000000L, 0).cast("long"))
+            .cast("long").as("sm"))
+        .selectExpr("event_type", "d",
+          "CAST(floor((2 * sm + n) / (2.0 * n)) AS BIGINT) AS m6")
+      val lw = Window.partitionBy("event_type").orderBy("d")
+      val w = Window.partitionBy("event_type").orderBy("d")
+        .rowsBetween(-6, 0)
+      day
+        .withColumn("delta", col("m6") - lag("m6", 1).over(lw))
+        .filter(col("delta").isNotNull)
+        .withColumn("gain", greatest(col("delta"), lit(0L)))
+        .withColumn("loss", greatest(-col("delta"), lit(0L)))
+        .withColumn("c7", count(lit(1)).over(w))
+        .withColumn("sg", sum("gain").over(w).cast("long"))
+        .withColumn("sl", sum("loss").over(w).cast("long"))
+        .filter(col("c7") === 7)
+        .selectExpr("event_type", "d",
+          "round(m6 / CAST(1000000 AS DOUBLE), 6) AS close",
+          "round(sg / CAST(7000000 AS DOUBLE), 6) AS avg_gain",
+          "round(sl / CAST(7000000 AS DOUBLE), 6) AS avg_loss",
+          "round(CAST(100 AS DOUBLE) * sg / nullif(sg + sl, 0), 6) AS rsi")
+        .orderBy("event_type", "d")
+    },
   )
 
   /** Chained-CTE Durbin–Levinson oracle: acf (6dp) for lags

@@ -357,6 +357,132 @@ class Round13WaveSpec extends SparkTestBase {
       s"ivfpq recall collapsed: exact $exact5 vs got $got")
   }
 
+  // -------------------------------------- bollinger / rsi / graphs
+
+  test("bollinger: hand-derived band on a 7-day ramp") {
+    // One view event per day, values 1..7: on day 7 the window is
+    // full — ma = 4, sd = 2, upper = 8, lower = 0, %B = 7/8.
+    val rows = (0 until 7).map(i =>
+      (1L, "view", (i + 1).toDouble, day(i.toLong)))
+    val out = SparkEntry.queries("q_bollinger")(spark, plantEvents(rows))
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Double]("close") === 7.0)
+    assert(r.getAs[Double]("ma7") === 4.0)
+    assert(r.getAs[Double]("sd7") === 2.0)
+    assert(r.getAs[Double]("upper") === 8.0)
+    assert(r.getAs[Double]("lower") === 0.0)
+    assert(r.getAs[Double]("pct_b") === 0.875)
+  }
+
+  test("bollinger: a flat series gives zero-width bands and NULL %B") {
+    val rows = (0 until 7).map(i => (1L, "view", 5.0, day(i.toLong)))
+    val out = SparkEntry.queries("q_bollinger")(spark, plantEvents(rows))
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Double]("sd7") === 0.0)
+    assert(out.head.isNullAt(out.head.fieldIndex("pct_b")))
+  }
+
+  test("rsi: a monotone ramp saturates RSI at exactly 100") {
+    // 8 days, values 1..8 → 7 positive deltas on day 8.
+    val rows = (0 until 8).map(i =>
+      (1L, "view", (i + 1).toDouble, day(i.toLong)))
+    val out = SparkEntry.queries("q_rsi")(spark, plantEvents(rows))
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Double]("avg_gain") === 1.0)
+    assert(r.getAs[Double]("avg_loss") === 0.0)
+    assert(r.getAs[Double]("rsi") === 100.0)
+  }
+
+  test("link_pred: scores match an independent in-test CF " +
+    "recomputation and never recommend an owned part") {
+    assume(haveSf)
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val custOf = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // item-CF sims (co >= 2, top 20 by (cosine desc, u, v)).
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val coCount = scala.collection.mutable.Map[(Long, Long), Long]()
+    byOrder.values.foreach { ps =>
+      for (i <- ps.indices; j <- (i + 1) until ps.length
+           if ps(i) != ps(j))
+        coCount((ps(i), ps(j))) = coCount.getOrElse((ps(i), ps(j)), 0L) + 1
+    }
+    val n = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sims = coCount.toSeq.filter(_._2 >= 2).map { case ((u, v), c) =>
+      (u, v, r6(c.toDouble / math.sqrt(n(u).toDouble * n(v))))
+    }.sortBy { case (u, v, cos) => (-cos, u, v) }.take(20)
+    val owned = li.map { case (o, p) => (custOf(o), p) }.toSet
+    val scores = scala.collection.mutable
+      .Map[(Long, Long), (Long, BigDecimal)]()
+    for ((u, v, cos) <- sims; dir <- Seq((u, v), (v, u))) {
+      val (src, dst) = dir
+      owned.filter(_._2 == src).foreach { case (cust, _) =>
+        if (!owned.contains((cust, dst))) {
+          val (sup, sc) = scores.getOrElse((cust, dst), (0L, BigDecimal(0)))
+          scores((cust, dst)) = (sup + 1, sc + BigDecimal(cos))
+        }
+      }
+    }
+    val expect = scores.toSeq
+      .map { case ((c, p), (sup, sc)) => (c, p, sup, sc.toDouble) }
+      .sortBy { case (c, p, _, sc) => (-sc, c, p) }.take(25)
+    val got = SparkEntry.queries("q_link_pred")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Double]("score")))
+    assert(got.length === expect.length)
+    got.zip(expect).foreach { case (g, e) =>
+      assert(g._1 === e._1 && g._2 === e._2 && g._3 === e._3, s"$g vs $e")
+      assert(math.abs(g._4 - e._4) < 1e-9)
+    }
+    got.foreach(g => assert(!owned.contains((g._1, g._2)),
+      s"recommended an owned part: $g"))
+  }
+
+  test("degree_hist: bin bounds hold and Hill alpha matches an " +
+    "independent recomputation") {
+    assume(haveSf)
+    val out = SparkEntry.queries("q_degree_hist")(spark, sf).collect()
+    out.foreach { r =>
+      val bin = r.getLong(0)
+      assert(r.getAs[Long]("min_deg") >= (1L << bin))
+      assert(r.getAs[Long]("max_deg") < (1L << (bin + 1)))
+    }
+    // Independent degree + Hill recomputation from raw lineitem.
+    def h28(sx: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(sx.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(7), 16)
+    }
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (_, p) => h28(s"tri#$p") % 2 == 0 }
+    val edges = li.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(out.map(_.getAs[Long]("n_nodes")).sum === deg.size.toLong)
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val tail = deg.values.filter(_ >= 4).toSeq
+    val alpha = 1 + tail.length /
+      tail.map(dd => r9(math.log(dd / 3.5))).sum
+    assert(math.abs(out.head.getAs[Double]("hill_alpha") - alpha) < 1e-5)
+  }
+
   // ----------------------------------------------------- q_granger
 
   test("granger: closed form matches an independent in-test OLS on " +
