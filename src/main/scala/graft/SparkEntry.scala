@@ -17,6 +17,9 @@ object SparkEntry {
       Sources.qs ++ Profiling.qs ++ Recursive.qs ++ Lakehouse.qs ++
       Semantic.qs ++ Language.qs ++ Graphs.qs ++ Analytics.qs ++
       RankStats.qs ++ CorpusStats.qs ++ ClusterEval.qs
+  // (q_mcnemar lives in Language.qs, q_hurst/q_bollinger/q_rsi in
+  // TimeSeries.qs, q_link_pred/q_degree_hist in Graphs.qs,
+  // q_knn_ivfpq in VectorSearch.qs — thematic homes, round-13 wave.)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q_knn_filtered: scan → pushed filter → codegen cosine distance →

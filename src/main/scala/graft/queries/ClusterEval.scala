@@ -167,5 +167,70 @@ object ClusterEval {
           "floor((2 * oss + ons) / (2.0 * nullif(ons, 0))) / 1e6" +
             " AS overall_silhouette")
         .orderBy("cid")
+    },
+
+    // B-CUBED PRECISION / RECALL — the per-POINT external validation
+    // of the same q_kmeans partition: for each point, precision =
+    // share of its cluster with its label, recall = share of its
+    // label in its cluster; corpus means collapse to the contingency
+    // identity P = Σ n_cl²/n_c / N, R = Σ n_cl²/n_l / N. The member
+    // of the cluster-eval triple that PUNISHES both shredding (k = n
+    // gives perfect purity but tiny B³ recall) and merging (one blob
+    // gives perfect recall but tiny precision) point-by-point —
+    // purity/NMI read the table, B³ reads each point's experience
+    // (the standard entity-resolution/coref metric, Bagga & Baldwin
+    // 1998). Scale: the identity means NOTHING per-point is ever
+    // materialized — the same k×|labels| contingency fold as
+    // q_cluster_purity, then constant-size algebra. Determinism:
+    // exact BIGINT cells; per-cell terms are rationals rounded 9 dp
+    // into DECIMAL sums; F1 one identical double chain.
+    Q("q_bcubed",
+      s"""WITH ${Semantic.kmeansChainSql(2, 8)},
+         |asgn AS (SELECT vec_id, label, cid FROM rf WHERE rn = 1),
+         |ct AS (SELECT cid, label, CAST(count(*) AS BIGINT) AS nc
+         |  FROM asgn GROUP BY cid, label),
+         |cs AS (SELECT cid, CAST(sum(nc) AS BIGINT) AS n_c
+         |  FROM ct GROUP BY cid),
+         |ls AS (SELECT label, CAST(sum(nc) AS BIGINT) AS n_l
+         |  FROM ct GROUP BY label),
+         |t AS (SELECT CAST(sum(nc) AS BIGINT) AS n FROM ct),
+         |terms AS (SELECT
+         |    round(CAST(nc AS DOUBLE) * nc / n_c, 9) AS pterm,
+         |    round(CAST(nc AS DOUBLE) * nc / n_l, 9) AS rterm
+         |  FROM ct JOIN cs USING (cid) JOIN ls USING (label)),
+         |pr AS (SELECT
+         |    CAST(sum(CAST(pterm AS DECIMAL(38,9))) AS DOUBLE) AS ps,
+         |    CAST(sum(CAST(rterm AS DECIMAL(38,9))) AS DOUBLE) AS rs
+         |  FROM terms)
+         |SELECT n,
+         |  round(ps / n, 6) AS b3_precision,
+         |  round(rs / n, 6) AS b3_recall,
+         |  round(2 * (ps / n) * (rs / n) / nullif(ps / n + rs / n, 0), 6)
+         |    AS b3_f1
+         |FROM pr CROSS JOIN t""".stripMargin) { (s, dir) =>
+      val asgn = Semantic.kmeansRanked(s, dir)
+        .filter(col("rn") === 1).select("vec_id", "label", "cid")
+      val ct = asgn.groupBy("cid", "label")
+        .agg(count(lit(1)).cast("long").as("nc"))
+        .localCheckpoint(eager = false)
+      val cs = ct.groupBy("cid").agg(sum("nc").cast("long").as("n_c"))
+      val ls = ct.groupBy("label").agg(sum("nc").cast("long").as("n_l"))
+      val t = ct.agg(sum("nc").cast("long").as("n"))
+      val pr = ct.join(broadcast(cs), "cid").join(broadcast(ls), "label")
+        .select(
+          round(col("nc").cast("double") * col("nc") / col("n_c"), 9)
+            .as("pterm"),
+          round(col("nc").cast("double") * col("nc") / col("n_l"), 9)
+            .as("rterm"))
+        .agg(sum(col("pterm").cast(DecimalType(38, 9))).cast("double")
+            .as("ps"),
+          sum(col("rterm").cast(DecimalType(38, 9))).cast("double")
+            .as("rs"))
+      pr.crossJoin(broadcast(t))
+        .selectExpr("n",
+          "round(ps / n, 6) AS b3_precision",
+          "round(rs / n, 6) AS b3_recall",
+          "round(2 * (ps / n) * (rs / n) / nullif(ps / n + rs / n, 0), 6)" +
+            " AS b3_f1")
     })
 }

@@ -33,7 +33,7 @@ object Language {
     * (the per-class P/R/F1 readout over the SAME predictions) stay
     * one definition. See q_naive_bayes's scaladoc for the fit/score
     * scale design. */
-  private val nbConfDuck: String =
+  private val nbPredDuck: String =
     s"""s AS (SELECT doc_id, lang, $toksDuck AS w,
        |    CASE WHEN ${h28Duck("'split#' || doc_id")} < 214748365
        |         THEN 'train' ELSE 'test' END AS split
@@ -67,12 +67,18 @@ object Language {
        |pred AS (SELECT doc_id, actual, cand AS predicted,
        |    row_number() OVER (PARTITION BY doc_id
        |                       ORDER BY score DESC, cand) AS rk
-       |  FROM score),
+       |  FROM score)""".stripMargin
+
+  private val nbConfDuck: String =
+    s"""$nbPredDuck,
        |conf AS (SELECT actual, predicted, count(*) AS n
        |  FROM pred WHERE rk = 1 GROUP BY 1, 2)""".stripMargin
 
-  /** Spark twin of [[nbConfDuck]]: the unordered confusion frame. */
-  private def nbConfusion(s: SparkSession, d: String): DataFrame = {
+  /** Spark twin of [[nbPredDuck]]'s rk = 1 rows: one
+    * (doc_id, actual, predicted) row per held-out document — the
+    * per-document prediction surface q_mcnemar consumes; nbConfusion
+    * folds it to the confusion frame. */
+  private def nbPredictions(s: SparkSession, d: String): DataFrame = {
     val base = barrier(Tables.documents(s, d).withColumn("w", expr(toks)))
       .withColumn("split",
         when(expr(h28("concat('split#', CAST(doc_id AS STRING))"))
@@ -117,9 +123,14 @@ object Language {
         Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("cand"))))
       .filter(col("rk") === 1)
-      .groupBy(col("actual"), col("cand").as("predicted"))
-      .agg(count(lit(1)).as("n"))
+      .select(col("doc_id"), col("actual"), col("cand").as("predicted"))
   }
+
+  /** Spark twin of [[nbConfDuck]]: the unordered confusion frame. */
+  private def nbConfusion(s: SparkSession, d: String): DataFrame =
+    nbPredictions(s, d)
+      .groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
 
   val qs: Seq[Q] = Seq(
 
@@ -742,6 +753,84 @@ object Language {
         .select("fold", "n_test", "n_correct", "acc", "mean_acc",
           "sd_acc")
         .orderBy("fold")
+    },
+
+    // McNEMAR'S TEST — paired comparison of the NB classifier
+    // against the majority-class baseline on the SAME held-out
+    // documents: the 2×2 disagreement table (both right / both
+    // wrong / NB-only / baseline-only) and the continuity-corrected
+    // χ² = (|b−c|−1)²/(b+c) on the discordant cells. This is the
+    // statistically-sound version of "the classifier beats the
+    // baseline": comparing two ACCURACIES with q_abtest machinery
+    // ignores that both run on the same docs — McNemar conditions on
+    // the discordant pairs, which is the test an eval suite must use
+    // for paired classifiers (q_confusion_metrics grades ONE model;
+    // this compares two on shared examples). Scale: the prediction
+    // chain is the SHARED nbPredDuck/nbPredictions definition (one
+    // source of truth with q_naive_bayes/q_confusion_metrics/
+    // q_crossval); the baseline is a broadcast 1-row majority pick;
+    // the disagreement fold is ONE conditional aggregate.
+    // Determinism: exact integer cells; χ² one identical double
+    // chain; b + c = 0 → NULL via nullif (then `significant` is
+    // NULL too, identically).
+    Q("q_mcnemar",
+      s"""WITH $nbPredDuck,
+         |p AS (SELECT doc_id, actual, predicted FROM pred WHERE rk = 1),
+         |mj AS (SELECT lang AS mlang FROM s WHERE split = 'train'
+         |       GROUP BY lang ORDER BY count(*) DESC, lang LIMIT 1),
+         |flags AS (SELECT (predicted = actual) AS nb_ok,
+         |    (actual = mlang) AS base_ok
+         |  FROM p CROSS JOIN mj),
+         |tab AS (SELECT
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(*) FILTER (nb_ok AND base_ok) AS BIGINT)
+         |      AS both_right,
+         |    CAST(count(*) FILTER (NOT nb_ok AND NOT base_ok) AS BIGINT)
+         |      AS both_wrong,
+         |    CAST(count(*) FILTER (nb_ok AND NOT base_ok) AS BIGINT)
+         |      AS nb_only,
+         |    CAST(count(*) FILTER (NOT nb_ok AND base_ok) AS BIGINT)
+         |      AS base_only
+         |  FROM flags)
+         |SELECT n, both_right, both_wrong, nb_only, base_only,
+         |  round((abs(CAST(nb_only - base_only AS DOUBLE)) - 1)
+         |    * (abs(CAST(nb_only - base_only AS DOUBLE)) - 1)
+         |    / nullif(CAST(nb_only + base_only AS DOUBLE), 0), 6)
+         |    AS mcnemar_chi2,
+         |  (abs(CAST(nb_only - base_only AS DOUBLE)) - 1)
+         |    * (abs(CAST(nb_only - base_only AS DOUBLE)) - 1)
+         |    / nullif(CAST(nb_only + base_only AS DOUBLE), 0)
+         |    > CAST(3.841 AS DOUBLE) AS significant
+         |FROM tab""".stripMargin) { (s, d) =>
+      val p = nbPredictions(s, d)
+      val base = barrier(Tables.documents(s, d))
+        .filter(expr(h28("concat('split#', CAST(doc_id AS STRING))"))
+          < 214748365L)
+      val mj = base.groupBy("lang").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("lang")).limit(1)
+        .select(col("lang").as("mlang"))
+      p.crossJoin(broadcast(mj))
+        .select((col("predicted") === col("actual")).as("nb_ok"),
+          (col("actual") === col("mlang")).as("base_ok"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(col("nb_ok") && col("base_ok"), 1L).otherwise(0L))
+            .cast("long").as("both_right"),
+          sum(when(!col("nb_ok") && !col("base_ok"), 1L).otherwise(0L))
+            .cast("long").as("both_wrong"),
+          sum(when(col("nb_ok") && !col("base_ok"), 1L).otherwise(0L))
+            .cast("long").as("nb_only"),
+          sum(when(!col("nb_ok") && col("base_ok"), 1L).otherwise(0L))
+            .cast("long").as("base_only"))
+        .selectExpr("n", "both_right", "both_wrong", "nb_only",
+          "base_only",
+          """round((abs(CAST(nb_only - base_only AS DOUBLE)) - 1)
+            |  * (abs(CAST(nb_only - base_only AS DOUBLE)) - 1)
+            |  / nullif(CAST(nb_only + base_only AS DOUBLE), 0), 6)
+            |  AS mcnemar_chi2""".stripMargin,
+          """(abs(CAST(nb_only - base_only AS DOUBLE)) - 1)
+            |  * (abs(CAST(nb_only - base_only AS DOUBLE)) - 1)
+            |  / nullif(CAST(nb_only + base_only AS DOUBLE), 0)
+            |  > CAST(3.841 AS DOUBLE) AS significant""".stripMargin)
     },
   )
 }

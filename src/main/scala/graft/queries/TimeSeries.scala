@@ -1124,6 +1124,118 @@ object TimeSeries {
           "round(CAST(100 AS DOUBLE) * sg / nullif(sg + sl, 0), 6) AS rsi")
         .orderBy("event_type", "d")
     },
+
+    // HURST EXPONENT — rescaled-range (R/S) analysis of the daily
+    // event-count series at block sizes m ∈ {4, 8, 16}: per complete
+    // block, R/S = (max−min of cumulative deviations)/σ; H is the
+    // log-log slope of the mean R/S against m. H ≈ 0.5 = memoryless,
+    // H > 0.5 = long-range persistence (trends compound), H < 0.5 =
+    // mean reversion — the LONG-memory diagnostic the lag family
+    // can't see (q_acf/q_pacf read fixed small lags; Hurst reads how
+    // fluctuations SCALE). Scale: the corpus folds to the
+    // calendar-day frame once; the m fan-out triples that bounded
+    // frame; every block window is (m, block)-PARTITIONED — the only
+    // global window is the day-rank (GlobalWindowAuditSpec-pinned).
+    // Determinism: block sums/cumsums exact BIGINTs; ×m-scaled
+    // deviations exact (R/S = (maxdev−mindev)/√(m·Σy²−S²) — ONE
+    // double division of exact integers per block, σ = 0 → NULL via
+    // nullif); mean R/S exact half-up micros; ln terms 9 dp into
+    // DECIMAL sums for the 3-point slope.
+    Q("q_hurst",
+      """WITH days AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT y, CAST(row_number() OVER (ORDER BY d) AS BIGINT)
+        |      AS rn FROM days),
+        |ms AS (SELECT CAST(unnest([4, 8, 16]) AS BIGINT) AS m),
+        |b AS (SELECT m, (rn - 1) // m AS bid, (rn - 1) % m + 1 AS j, y
+        |  FROM r CROSS JOIN ms),
+        |w AS (SELECT m, bid, j,
+        |    CAST(sum(y) OVER (PARTITION BY m, bid ORDER BY j) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(y) OVER (PARTITION BY m, bid) AS BIGINT) AS s,
+        |    CAST(sum(y * y) OVER (PARTITION BY m, bid) AS BIGINT) AS q,
+        |    count(*) OVER (PARTITION BY m, bid) AS cnt
+        |  FROM b),
+        |dv AS (SELECT m, bid, s, q, m * cum - j * s AS dev
+        |  FROM w WHERE cnt = m),
+        |blk AS (SELECT m, bid,
+        |    round((max(dev) - min(dev))
+        |      / nullif(sqrt(CAST(m * q - s * s AS DOUBLE)), 0), 6) AS rs
+        |  FROM dv GROUP BY m, bid, s, q),
+        |mrs AS (SELECT m, CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(count(rs) AS BIGINT) AS nb,
+        |    CAST(sum(CAST(round(rs * 1000000, 0) AS BIGINT)) AS BIGINT)
+        |      AS srs
+        |  FROM blk GROUP BY m),
+        |mm AS (SELECT m, n_blocks,
+        |    floor((2 * srs + nb) / (2.0 * nullif(nb, 0))) / 1e6
+        |      AS mean_rs
+        |  FROM mrs),
+        |pt AS (SELECT round(ln(m), 9) AS x, round(ln(mean_rs), 9) AS y
+        |  FROM mm WHERE mean_rs > 0),
+        |o AS (SELECT CAST(count(*) AS BIGINT) AS np,
+        |    CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(round(x * x, 9) AS DECIMAL(38,9))) AS DOUBLE)
+        |      AS sxx,
+        |    CAST(sum(CAST(round(x * y, 9) AS DECIMAL(38,9))) AS DOUBLE)
+        |      AS sxy
+        |  FROM pt)
+        |SELECT m, n_blocks, round(mean_rs, 6) AS mean_rs,
+        |  round((np * sxy - sx * sy) / nullif(np * sxx - sx * sx, 0), 6)
+        |    AS hurst
+        |FROM mm CROSS JOIN o ORDER BY m""".stripMargin) { (s, d) =>
+      val days = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).cast("long").as("y"))
+        .localCheckpoint(eager = false) // calendar-bounded day frame
+      val r = days.withColumn("rn",
+        row_number().over(Window.orderBy("d")).cast("long"))
+      val ms = {
+        val sp = s; import sp.implicits._
+        Seq(4L, 8L, 16L).toDF("m")
+      }
+      val b = r.crossJoin(broadcast(ms))
+        .selectExpr("m", "(rn - 1) DIV m AS bid", "(rn - 1) % m + 1 AS j",
+          "y")
+      val pw = Window.partitionBy("m", "bid")
+      val w = b
+        .withColumn("cum", sum("y").over(pw.orderBy("j")).cast("long"))
+        .withColumn("s", sum("y").over(pw).cast("long"))
+        .withColumn("q", sum(col("y") * col("y")).over(pw).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(pw))
+      val blk = w.filter(col("cnt") === col("m"))
+        .withColumn("dev", col("m") * col("cum") - col("j") * col("s"))
+        .groupBy("m", "bid", "s", "q")
+        .agg(round((max("dev") - min("dev")) /
+          nullif(sqrt((col("m") * col("q") - col("s") * col("s"))
+            .cast("double")), lit(0.0)), 6).as("rs"))
+      val mm = blk.groupBy("m")
+        .agg(count(lit(1)).cast("long").as("n_blocks"),
+          count(col("rs")).cast("long").as("nb"),
+          sum(round(col("rs") * 1000000L, 0).cast("long")).cast("long")
+            .as("srs"))
+        .selectExpr("m", "n_blocks",
+          "floor((2 * srs + nb) / (2.0 * nullif(nb, 0))) / 1e6" +
+            " AS mean_rs")
+        .localCheckpoint(eager = false) // 3-row frame, reused twice
+      val o = mm.filter(col("mean_rs") > 0)
+        .select(round(log(col("m")), 9).as("x"),
+          round(log(col("mean_rs")), 9).as("y"))
+        .agg(count(lit(1)).cast("long").as("np"),
+          sum(col("x").cast(DecimalType(38, 9))).cast("double").as("sx"),
+          sum(col("y").cast(DecimalType(38, 9))).cast("double").as("sy"),
+          sum(round(col("x") * col("x"), 9).cast(DecimalType(38, 9)))
+            .cast("double").as("sxx"),
+          sum(round(col("x") * col("y"), 9).cast(DecimalType(38, 9)))
+            .cast("double").as("sxy"))
+      mm.crossJoin(broadcast(o))
+        .selectExpr("m", "n_blocks", "round(mean_rs, 6) AS mean_rs",
+          "round((np * sxy - sx * sy) / nullif(np * sxx - sx * sx, 0), 6)" +
+            " AS hurst")
+        .orderBy("m")
+    },
   )
 
   /** Chained-CTE Durbin–Levinson oracle: acf (6dp) for lags

@@ -60,6 +60,8 @@ class GlobalWindowAuditSpec extends SparkTestBase {
         "the q_emd_drift 2dp value-domain bound, not row count"),
     "q_granger" -> (366L,
       "lag windows on the calendar-day frame — the rolling_corr bound"),
+    "q_hurst" -> (366L,
+      "day-rank window on the calendar-day frame - the rolling_corr bound"),
     "q_heaps_law" -> (12L,
       "cumulative growth sums on the FIXED 10-bucket frame"))
 

@@ -483,6 +483,94 @@ class Round13WaveSpec extends SparkTestBase {
     assert(math.abs(out.head.getAs[Double]("hill_alpha") - alpha) < 1e-5)
   }
 
+  // --------------------------------- mcnemar / bcubed / hurst
+
+  test("mcnemar: cells decompose exactly from q_naive_bayes's " +
+    "confusion plus an independently recomputed majority class") {
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    def h28(sx: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(sx.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(7), 16)
+    }
+    val mlang = Tables.documents(spark, sf).select("doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, _) => h28(s"split#$id") < 214748365L }
+      .groupBy(_._2).view.mapValues(_.size).toSeq
+      .sortBy { case (l, c) => (-c, l) }.head._1
+    val conf = SparkEntry.queries("q_naive_bayes")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def tot(f: (String, String) => Boolean) =
+      conf.filter { case (a, p, _) => f(a, p) }.map(_._3).sum
+    val out = SparkEntry.queries("q_mcnemar")(spark, sf).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n") === conf.map(_._3).sum)
+    assert(r.getAs[Long]("both_right") === tot((a, p) => a == p && a == mlang))
+    assert(r.getAs[Long]("nb_only") === tot((a, p) => a == p && a != mlang))
+    assert(r.getAs[Long]("base_only") === tot((a, p) => a != p && a == mlang))
+    val b = r.getAs[Long]("nb_only").toDouble
+    val c = r.getAs[Long]("base_only").toDouble
+    if (b + c > 0) {
+      val chi = (math.abs(b - c) - 1) * (math.abs(b - c) - 1) / (b + c)
+      assert(math.abs(r.getAs[Double]("mcnemar_chi2") - chi) < 1e-9)
+    }
+  }
+
+  test("bcubed: a label-identical partition scores exactly 1/1/1, " +
+    "and real data stays in (0, 1]") {
+    val base = (0 until 8).map { i =>
+      val v = Array.fill(8)(0.1f); v(i % 4) = 1.0f + i; v
+    }
+    val rows = (0L to 7L).map(i => (i, base(i.toInt), i.toInt)) ++
+      (8L to 15L).map(i => (i, base(i.toInt - 8), i.toInt - 8))
+    val out = SparkEntry.queries("q_bcubed")(spark, plantEmb(rows))
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Double]("b3_precision") === 1.0)
+    assert(out.head.getAs[Double]("b3_recall") === 1.0)
+    assert(out.head.getAs[Double]("b3_f1") === 1.0)
+    assume(new java.io.File(s"$sf/embeddings.parquet").exists())
+    val real = SparkEntry.queries("q_bcubed")(spark, sf).collect().head
+    val (p, rr, f) = (real.getAs[Double]("b3_precision"),
+      real.getAs[Double]("b3_recall"), real.getAs[Double]("b3_f1"))
+    assert(p > 0 && p <= 1 && rr > 0 && rr <= 1)
+    assert(f <= math.max(p, rr) + 1e-9 && f >= math.min(p, rr) - 1e-9)
+  }
+
+  test("hurst: a pure alternating series has R/S exactly 1 at every " +
+    "block size, hence H = 0 (perfect mean reversion)") {
+    // Days 0..15 alternate 1/3 events: every complete block's
+    // rescaled range is exactly 1 at m = 4, 8, 16 (hand-derivable:
+    // dev range = sigma*m at each scale), so the log-log slope is 0.
+    val rows = (0 until 16).flatMap { i =>
+      val c = if (i % 2 == 0) 1 else 3
+      (0 until c).map(j => (j.toLong + 1, "view", 1.0,
+        day(i.toLong) + j * 1000000000L))
+    }
+    val out = SparkEntry.queries("q_hurst")(spark, plantEvents(rows))
+      .collect()
+    assert(out.length === 3)
+    val byM = out.map(r => r.getLong(0) -> r).toMap
+    assert(byM(4L).getAs[Long]("n_blocks") === 4L)
+    assert(byM(8L).getAs[Long]("n_blocks") === 2L)
+    assert(byM(16L).getAs[Long]("n_blocks") === 1L)
+    out.foreach(r => assert(r.getAs[Double]("mean_rs") === 1.0))
+    out.foreach(r => assert(r.getAs[Double]("hurst") === 0.0))
+  }
+
+  test("hurst: a constant series has zero variance everywhere -> " +
+    "NULL mean R/S and NULL H, never a division blow-up") {
+    val rows = (0 until 16).map(i => (1L, "view", 1.0, day(i.toLong)))
+    val out = SparkEntry.queries("q_hurst")(spark, plantEvents(rows))
+      .collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("mean_rs")))
+      assert(r.isNullAt(r.fieldIndex("hurst")))
+    }
+  }
+
   // ----------------------------------------------------- q_granger
 
   test("granger: closed form matches an independent in-test OLS on " +
