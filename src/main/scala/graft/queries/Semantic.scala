@@ -859,13 +859,21 @@ object Semantic {
     * the assignment, rn = 2 the second-nearest centroid (silhouette's
     * b). Centroids stay an 8-row broadcast frame end-to-end. */
   private[queries] def kmeansRanked(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       .localCheckpoint(eager = false)
-    val d2 = round(expr(
-      """aggregate(zip_with(v, c, (a, b) -> (a - b) * (a - b)),
-        |CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)""".stripMargin), 6)
+    // Codegen kernel, not the interpreted aggregate(zip_with(...))
+    // fold: bit-identical (both run the sequential left-to-right
+    // Σ(x−y)² over the same doubles), but the HOF's lambda call site
+    // goes MEGAMORPHIC once many query families share the JVM — and
+    // round 13 runs this chain four times per sweep (q_kmeans +
+    // three eval consumers), which measurably slowed every OTHER
+    // HOF-using query in the full-registry bench (the sq_l2_distance
+    // pathology, round-2 lesson).
+    val d2 = round(graft.functions.GraftFunctions
+      .sq_l2_distance(col("v"), col("c")), 6)
     def ranked(cent: DataFrame): DataFrame =
       e.crossJoin(broadcast(cent))
         .withColumn("d2", d2)

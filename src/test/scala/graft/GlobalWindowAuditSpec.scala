@@ -60,8 +60,8 @@ class GlobalWindowAuditSpec extends SparkTestBase {
         "the q_emd_drift 2dp value-domain bound, not row count"),
     "q_granger" -> (366L,
       "lag windows on the calendar-day frame — the rolling_corr bound"),
-    "q_hurst" -> (366L,
-      "day-rank window on the calendar-day frame - the rolling_corr bound"),
+    // (q_hurst's day-rank global window is checkpoint-hidden — see
+    // the calendar-day test below, which bounds its source frame.)
     "q_heaps_law" -> (12L,
       "cumulative growth sums on the FIXED 10-bucket frame"))
 
@@ -88,10 +88,13 @@ class GlobalWindowAuditSpec extends SparkTestBase {
   }
 
   test("the checkpoint-hidden calendar-day windows stay bounded too") {
-    // Three sites the returned plan can't show (the window runs at
-    // build time behind a localCheckpoint): assert the SOURCE frames
-    // they window over — one row per calendar day of events — stay
-    // within the documented 366 bound at both sfs.
+    // Sites the returned plan can't show (the window runs at build
+    // time behind a localCheckpoint): q_seasonal_decompose /
+    // q_ewma_forecast / q_rolling_corr / q_hurst (round 13: its
+    // day-rank window hides behind the block-stats checkpoint).
+    // Assert the SOURCE frames they window over — one row per
+    // calendar day of events — stay within the documented 366 bound
+    // at both sfs.
     assume(new java.io.File(s"$sfBig/events.parquet").exists())
     Seq(sfSmall, sfBig).foreach { sf =>
       val days = Tables.events(spark, sf)
