@@ -1,7 +1,7 @@
 package graft.queries
 
 import java.nio.file.Files
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -169,19 +169,36 @@ object Sources {
     // here), never a second inference pass. Same lossless round-trip
     // contract as CSV/JSON: explicit micros timestamp pattern,
     // doubles via shortest-round-trip formatting — the shared
-    // aggSql oracle proves byte-for-byte recovery.
+    // aggSql oracle proves recovery under the TSV staging contract:
+    // (a) EVERY field is coalesced to '' at write time, because
+    // concat_ws silently SKIPS null arguments — one unguarded null
+    // would shift every later field left and mis-parse the row; ''
+    // casts back to NULL for the typed columns, so nulls round-trip
+    // for long/timestamp/double, while NULL string fields
+    // (event_type/props) return as '' — a documented narrowing, not
+    // a shift; (b) free-form string fields are CHECKED for literal
+    // tab/newline at stage time (raise_error, codegen regexp on the
+    // one-off write path only) — a payload delimiter would otherwise
+    // corrupt the line silently (split yields extra fields, casts
+    // turn them into plausible NULLs).
     Q("q_source_text", aggSql) { (s, d) =>
       val dir = staged.computeIfAbsent(s"text:$d", { _ =>
         val out = Files.createTempDirectory("graft_src_text").toString +
           "/events"
+        def tsv(c: Column, name: String): Column = coalesce(
+          when(c.rlike("[\\t\\n\\r]"), raise_error(concat(
+            lit(s"q_source_text: literal tab/newline in `$name` " +
+              "violates the TSV staging contract: "), c)))
+            .otherwise(c),
+          lit(""))
         Tables.events(s, d)
           .select(concat_ws("\t",
-            col("event_id").cast("string"),
-            date_format(col("ts"), TsFmt),
-            col("user_id").cast("string"),
-            col("event_type"),
-            col("value").cast("string"),
-            coalesce(col("props"), lit(""))).as("value"))
+            coalesce(col("event_id").cast("string"), lit("")),
+            coalesce(date_format(col("ts"), TsFmt), lit("")),
+            coalesce(col("user_id").cast("string"), lit("")),
+            tsv(col("event_type"), "event_type"),
+            coalesce(col("value").cast("string"), lit("")),
+            tsv(col("props"), "props")).as("value"))
           .write.mode("overwrite").text(out)
         out
       })

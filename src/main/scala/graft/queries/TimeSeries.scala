@@ -1140,7 +1140,12 @@ object TimeSeries {
     // deviations exact (R/S = (maxdev−mindev)/√(m·Σy²−S²) — ONE
     // double division of exact integers per block, σ = 0 → NULL via
     // nullif); mean R/S exact half-up micros; ln terms 9 dp into
-    // DECIMAL sums for the 3-point slope.
+    // DECIMAL sums for the 3-point slope. Overflow: Σy² runs through
+    // DECIMAL(38,0) on BOTH sides (y ~ 1e10 events/day squares past
+    // 2⁶³; a wrapped long here would yield a plausible wrong R/S),
+    // as does the m·Σy²−S² radicand; the remaining BIGINT terms
+    // (dev = m·cum − j·S, both ≤ 256·y_day) stay exact to
+    // y_day < 3.6e16/day — beyond any real corpus.
     Q("q_hurst",
       """WITH days AS (SELECT CAST(ts AS DATE) AS d,
         |    CAST(count(*) AS BIGINT) AS y
@@ -1154,14 +1159,16 @@ object TimeSeries {
         |    CAST(sum(y) OVER (PARTITION BY m, bid ORDER BY j) AS BIGINT)
         |      AS cum,
         |    CAST(sum(y) OVER (PARTITION BY m, bid) AS BIGINT) AS s,
-        |    CAST(sum(y * y) OVER (PARTITION BY m, bid) AS BIGINT) AS q,
+        |    sum(CAST(y AS DECIMAL(38,0)) * y)
+        |      OVER (PARTITION BY m, bid) AS q,
         |    count(*) OVER (PARTITION BY m, bid) AS cnt
         |  FROM b),
         |dv AS (SELECT m, bid, s, q, m * cum - j * s AS dev
         |  FROM w WHERE cnt = m),
         |blk AS (SELECT m, bid,
         |    round((max(dev) - min(dev))
-        |      / nullif(sqrt(CAST(m * q - s * s AS DOUBLE)), 0), 6) AS rs
+        |      / nullif(sqrt(CAST(m * q - CAST(s AS DECIMAL(38,0)) * s
+        |          AS DOUBLE)), 0), 6) AS rs
         |  FROM dv GROUP BY m, bid, s, q),
         |mrs AS (SELECT m, CAST(count(*) AS BIGINT) AS n_blocks,
         |    CAST(count(rs) AS BIGINT) AS nb,
@@ -1203,13 +1210,15 @@ object TimeSeries {
       val w = b
         .withColumn("cum", sum("y").over(pw.orderBy("j")).cast("long"))
         .withColumn("s", sum("y").over(pw).cast("long"))
-        .withColumn("q", sum(col("y") * col("y")).over(pw).cast("long"))
+        .withColumn("q",
+          sum(col("y").cast(DecimalType(38, 0)) * col("y")).over(pw))
         .withColumn("cnt", count(lit(1)).over(pw))
       val blk = w.filter(col("cnt") === col("m"))
         .withColumn("dev", col("m") * col("cum") - col("j") * col("s"))
         .groupBy("m", "bid", "s", "q")
         .agg(round((max("dev") - min("dev")) /
-          nullif(sqrt((col("m") * col("q") - col("s") * col("s"))
+          nullif(sqrt((col("m") * col("q") -
+            col("s").cast(DecimalType(38, 0)) * col("s"))
             .cast("double")), lit(0.0)), 6).as("rs"))
       val mm = blk.groupBy("m")
         .agg(count(lit(1)).cast("long").as("n_blocks"),
