@@ -613,13 +613,13 @@ object Graphs {
     // bought v"): q_als_rank1 FITS latent factors globally; item-CF
     // reads similarity straight off co-occurrence — the
     // cold-start-robust baseline every recommender ships first.
-    // Scale: the co-order self-join is bounded by per-basket size
-    // (the q_assortativity edge build, aggregated to pair counts in
-    // the SAME shuffle); the part-sized order-frequency frame
-    // attaches as two BROADCAST joins; top-20 =
-    // TakeOrderedAndProject. Determinism: exact BIGINT counts;
-    // cosine = one double division with √ of an exact product,
-    // rounded 6dp; (sim DESC, u, v) total order.
+    // Scale: the co fold is the shared coCounts helper — min-support
+    // part screen before the wedge join, conf-gated hot-basket
+    // hub-split, pairs aggregated in the SAME shuffle; the
+    // part-sized order-frequency frame attaches as two BROADCAST
+    // joins; top-20 = TakeOrderedAndProject. Determinism: exact
+    // BIGINT counts; cosine = one double division with √ of an
+    // exact product, rounded 6dp; (sim DESC, u, v) total order.
     Q("q_item_cf",
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |           FROM lineitem),
@@ -637,12 +637,7 @@ object Graphs {
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
         .localCheckpoint(eager = false)
-      val co = li.as("a").join(li.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-        .agg(count(lit(1)).cast("long").as("c"))
-        .filter(col("c") >= 2)
-      val deg = li.groupBy("p").agg(count(lit(1)).cast("long").as("n"))
+      val (co, deg) = coCounts(s, li, 2)
       co.join(broadcast(deg.select(col("p").as("pu"),
           col("n").as("n_u"))), col("pu") === col("u"))
         .join(broadcast(deg.select(col("p").as("pv"),
@@ -775,9 +770,14 @@ object Graphs {
     // the Σd² wedge explosion this engine refuses — the similarity
     // frame bounds the candidate fan-out at top-20 pairs by
     // CONTRACT, which is how production recommenders actually ship.
-    // Scale: the 20-row (40 directed) sim frame BROADCASTS onto the
-    // ownership scan; the anti-join and score fold co-partition on
-    // the customer key; top-25 = TakeOrderedAndProject. Determinism:
+    // Scale: the co fold is the shared coCounts helper (min-support
+    // part screen BEFORE the wedge join — a pair can only reach
+    // co >= 2 if both parts sit in >= 2 baskets, so singleton-part
+    // rows never enter the pair fold; conf-gated hot-basket
+    // hub-split for power-law basket sizes); the 20-row (40
+    // directed) sim frame BROADCASTS onto the ownership scan; the
+    // anti-join and score fold co-partition on the customer key;
+    // top-25 = TakeOrderedAndProject. Determinism:
     // exact counts; scores are DECIMAL(38,6) sums of 6dp-rounded
     // cosines; (score DESC, cust, part) total order.
     Q("q_link_pred",
@@ -811,12 +811,7 @@ object Graphs {
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
         .localCheckpoint(eager = false)
-      val co = li.as("a").join(li.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-        .agg(count(lit(1)).cast("long").as("c"))
-        .filter(col("c") >= 2)
-      val deg = li.groupBy("p").agg(count(lit(1)).cast("long").as("n"))
+      val (co, deg) = coCounts(s, li, 2)
       val sims = co
         .join(broadcast(deg.select(col("p").as("pu"), col("n").as("n_u"))),
           col("pu") === col("u"))
@@ -906,6 +901,65 @@ object Graphs {
         .orderBy("bin")
     },
   )
+
+  /** Basket co-occurrence pair counts with min-support — the shared
+    * fold behind q_item_cf and q_link_pred. Returns (co, deg):
+    * co(u, v, c) = #baskets holding both (u < v, c >= minSupport),
+    * deg(p, n) = #baskets holding p (computed BEFORE any screen, so
+    * cosine denominators are exact).
+    *
+    * Two scale guards, both output-identical to the plain fold:
+    *  - MIN-SUPPORT PART SCREEN: a pair can only reach c >= k if
+    *    BOTH parts appear in >= k baskets, so parts with n < k are
+    *    semi-joined away before the pair fold. On a long-tail corpus
+    *    (most items in one basket) this deletes most of the wedge
+    *    volume; on the dense fixture it is a no-op by data.
+    *  - HOT-BASKET HUB-SPLIT: a basket with n_o parts emits n_o²
+    *    wedges into ONE reducer key under the plain o-keyed
+    *    self-join. Baskets with n_o > spark.graft.cobasket.hot
+    *    (default 256; fixture max is 7, so the hot path is empty by
+    *    default and only a conf change exercises it) are split both
+    *    sides into G = ceil(n_o/H) hash groups of ~H parts: left
+    *    copies keyed (o, g_a, j), right copies keyed (o, i, g_b),
+    *    equi-join on (o, grp=i, j=grp) — each unordered pair meets
+    *    at exactly ONE (i, j) cell, per-key output is bounded at
+    *    ~H², and the replication overhead n_o·G = n_o²/H is 1/H of
+    *    the pair output it distributes (the q_join_salted treatment,
+    *    adapted to self-join pair generation; completeness is
+    *    ScalePathSpec-pinned). Cold baskets take the plain join
+    *    untouched — pay-per-skew, the q_theil_sen discipline.
+    */
+  private[queries] def coCounts(s: org.apache.spark.sql.SparkSession,
+      li: DataFrame, minSupport: Int): (DataFrame, DataFrame) = {
+    val hotH = s.conf.getOption("spark.graft.cobasket.hot")
+      .map(_.toInt).getOrElse(256)
+    val deg = li.groupBy("p").agg(count(lit(1)).cast("long").as("n"))
+    val qual = li.join(deg.filter(col("n") >= minSupport).select("p"),
+      Seq("p"), "left_semi")
+    val sz = qual.groupBy("o").agg(count(lit(1)).cast("long").as("n_o"))
+    val hotSz = sz.filter(col("n_o") > hotH).localCheckpoint(eager = false)
+    val cold = qual.join(broadcast(hotSz.select("o")), Seq("o"),
+      "left_anti")
+    val coldPairs = cold.as("a").join(cold.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+    val hotLi = qual.join(broadcast(hotSz), Seq("o"))
+      .withColumn("ng",
+        expr(s"CAST((n_o + ${hotH - 1}) DIV $hotH AS INT)"))
+      .withColumn("grp", pmod(xxhash64(col("p")), col("ng")).cast("int"))
+    val hotL = hotLi.withColumn("j",
+      explode(sequence(lit(0), col("ng") - 1)))
+    val hotR = hotLi.withColumn("i",
+      explode(sequence(lit(0), col("ng") - 1)))
+    val hotPairs = hotL.as("a").join(hotR.as("b"),
+        col("a.o") === col("b.o") && col("a.grp") === col("b.i") &&
+          col("a.j") === col("b.grp") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+    val co = coldPairs.unionAll(hotPairs)
+      .groupBy("u", "v").agg(count(lit(1)).cast("long").as("c"))
+      .filter(col("c") >= minSupport)
+    (co, deg)
+  }
 
   /** Graph construction, ONCE per query: the deg-enriched edge frame
     * (repartitioned by src — the bucketed-table stand-in — and

@@ -251,55 +251,55 @@ object Semantic {
          |JOIN nrm nb ON nb.doc_id = d2
          |WHERE round(dp / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= 0.25
          |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-      // SCALE ROUTE WARNING (round-11 verdict #3): the τ-threshold
-      // contract — EVERY pair with cosine ≥ 0.25 — is
-      // output-quadratic in near-dup clique size (sf1.0 self-check:
-      // the true answer is 115 M rows from 5000-member replica
-      // cliques). The plan has no all-pairs stage, but no plan can
-      // beat its own output size; past the doc-count gate (exact
-      // parquet-footer count, deterministic — the lsh.planes=auto
-      // discipline) tell the user the bounded form exists. The
-      // contract itself is unchanged: the warning routes, it never
-      // truncates.
+      // SCALE ROUTE (round-11 verdict #3, default-routed round 14):
+      // the τ-threshold contract — EVERY pair with cosine ≥ 0.25 —
+      // is output-quadratic in near-dup clique size (sf1.0
+      // self-check: the true answer is 115 M rows from 5000-member
+      // replica cliques). The plan has no all-pairs stage, but no
+      // plan can beat its own output size, so
+      // `spark.graft.tfidf.mode` dispatches (the simjoin/knn `auto`
+      // precedent): `exact` = the declared τ-pair form; `topk` =
+      // the bounded q_tfidf_topk plan (n·k rows at ANY clique
+      // structure); `auto` (default) = exact below
+      // `spark.graft.tfidf.pairsWarnDocs` docs (every oracled sf —
+      // the gate count is an exact parquet-footer count,
+      // deterministic), topk past it, with a stderr note naming the
+      // switch. ScalePathSpec pins auto ≡ exact below the gate and
+      // auto ≡ q_tfidf_topk past it.
       val nDocs = Tables.documents(s, d).count()
       val warnDocs = s.conf
         .get("spark.graft.tfidf.pairsWarnDocs", "20000").toLong
       require(warnDocs >= 1,
         s"spark.graft.tfidf.pairsWarnDocs must be >= 1, got $warnDocs")
-      if (nDocs >= warnDocs) System.err.println(
-        s"[graft] q_tfidf_pairs: $nDocs documents — the cosine>=tau " +
-          "pair contract is output-quadratic in near-dup clique " +
-          "size; for bounded output at scale run q_tfidf_topk " +
-          "(exactly n*k rows at any clique structure)")
-      val tok = barrier(Tables.documents(s, d)
-        .withColumn("wt", expr(TextKit.toks)))
-        .select(col("doc_id"), explode(col("wt")).as("t"))
-      val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
-        .localCheckpoint()
-      val dl = tf.groupBy("doc_id").agg(sum("c").as("len"))
-      val dfr = tf.groupBy("t").agg(count(lit(1)).as("df"))
-      val nd = broadcast(Tables.documents(s, d).agg(count(lit(1)).as("nn")))
-      val w = tf.join(dl, "doc_id").join(dfr, "t").crossJoin(nd)
-        .filter(col("df") * 10 <= col("nn"))
-        .select(col("doc_id"), col("t"),
-          round((col("c").cast("double") / col("len")) *
-            log(col("nn").cast("double") / col("df")), 9).as("w"))
-        .localCheckpoint()
-      val nrm = w.groupBy("doc_id")
-        .agg(sum(round(col("w") * col("w"), 12).cast(DecimalType(38, 12)))
-          .cast("double").as("n2"))
-      val dot = w.as("a").join(w.as("b"),
-        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("n_shared"),
-          sum(round(col("a.w") * col("b.w"), 12).cast(DecimalType(38, 12)))
-            .cast("double").as("dp"))
-      val cosExpr = round(col("dp") / (sqrt(col("na.n2")) * sqrt(col("nb.n2"))), 6)
-      dot.join(nrm.as("na"), col("na.doc_id") === col("d1"))
-        .join(nrm.as("nb"), col("nb.doc_id") === col("d2"))
-        .filter(cosExpr >= 0.25)
-        .select(col("d1"), col("d2"), col("n_shared"), cosExpr.as("cos"))
-        .orderBy("d1", "d2")
+      val mode = s.conf.get("spark.graft.tfidf.mode", "auto") match {
+        case "auto" => if (nDocs >= warnDocs) "topk" else "exact"
+        case m @ ("exact" | "topk") => m
+        case other => throw new IllegalArgumentException(
+          s"spark.graft.tfidf.mode must be exact|topk|auto, got '$other'")
+      }
+      if (mode == "topk") {
+        System.err.println(
+          s"[graft] q_tfidf_pairs: routing to the bounded top-k plan " +
+            s"($nDocs documents; the cosine>=tau pair contract is " +
+            "output-quadratic in near-dup clique size — set " +
+            "spark.graft.tfidf.mode=exact to force the pair form)")
+        tfidfTopk(s, d)
+      } else {
+        val (w, nrm) = tfidfFrames(s, d)
+        val dot = w.as("a").join(w.as("b"),
+          col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("n_shared"),
+            sum(round(col("a.w") * col("b.w"), 12).cast(DecimalType(38, 12)))
+              .cast("double").as("dp"))
+        val cosExpr =
+          round(col("dp") / (sqrt(col("na.n2")) * sqrt(col("nb.n2"))), 6)
+        dot.join(nrm.as("na"), col("na.doc_id") === col("d1"))
+          .join(nrm.as("nb"), col("nb.doc_id") === col("d2"))
+          .filter(cosExpr >= 0.25)
+          .select(col("d1"), col("d2"), col("n_shared"), cosExpr.as("cos"))
+          .orderBy("d1", "d2")
+      }
     },
 
     // TF-IDF TOP-K NEIGHBORS — the BOUNDED-OUTPUT posture of
@@ -346,39 +346,7 @@ object Semantic {
          |    PARTITION BY d1 ORDER BY cos DESC, d2) AS rk FROM sc)
          |SELECT d1, d2, cos, CAST(rk AS BIGINT) AS rk FROM r
          |WHERE rk <= 5 ORDER BY d1, rk""".stripMargin) { (s, d) =>
-      val tok = barrier(Tables.documents(s, d)
-        .withColumn("wt", expr(TextKit.toks)))
-        .select(col("doc_id"), explode(col("wt")).as("t"))
-      val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
-        .localCheckpoint()
-      val dl = tf.groupBy("doc_id").agg(sum("c").as("len"))
-      val dfr = tf.groupBy("t").agg(count(lit(1)).as("df"))
-      val nd = broadcast(Tables.documents(s, d).agg(count(lit(1)).as("nn")))
-      val w = tf.join(dl, "doc_id").join(dfr, "t").crossJoin(nd)
-        .filter(col("df") * 10 <= col("nn"))
-        .select(col("doc_id"), col("t"),
-          round((col("c").cast("double") / col("len")) *
-            log(col("nn").cast("double") / col("df")), 9).as("w"))
-        .localCheckpoint()
-      val nrm = w.groupBy("doc_id")
-        .agg(sum(round(col("w") * col("w"), 12).cast(DecimalType(38, 12)))
-          .cast("double").as("n2"))
-      val dot = w.as("a").join(w.as("b"),
-        col("a.t") === col("b.t") && col("a.doc_id") =!= col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(sum(round(col("a.w") * col("b.w"), 12).cast(DecimalType(38, 12)))
-          .cast("double").as("dp"))
-      val sc = dot.join(nrm.as("na"), col("na.doc_id") === col("d1"))
-        .join(nrm.as("nb"), col("nb.doc_id") === col("d2"))
-        .select(col("d1"), col("d2"),
-          round(col("dp") / (sqrt(col("na.n2")) * sqrt(col("nb.n2"))), 6)
-            .as("cos"))
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy("d1").orderBy(col("cos").desc, col("d2"))
-      sc.withColumn("rk", row_number().over(win).cast("long"))
-        .filter(col("rk") <= 5)
-        .select("d1", "d2", "cos", "rk")
-        .orderBy("d1", "rk")
+      tfidfTopk(s, d)
     },
 
     // DISTRIBUTED PCA (top principal axis) — 3 power iterations of
@@ -1011,4 +979,52 @@ object Semantic {
         .as("c"))
       .collect().toSeq
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+
+  /** Shared sparse tf-idf machinery for q_tfidf_pairs / q_tfidf_topk:
+    * (w, nrm) — the df-screened weighted postings (doc_id, t, w) and
+    * per-doc squared norms. Both checkpointed: the posting frame
+    * feeds two self-join sides and the norm frame two attach joins. */
+  private def tfidfFrames(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val tok = barrier(Tables.documents(s, d)
+      .withColumn("wt", expr(TextKit.toks)))
+      .select(col("doc_id"), explode(col("wt")).as("t"))
+    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val dl = tf.groupBy("doc_id").agg(sum("c").as("len"))
+    val dfr = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val nd = broadcast(Tables.documents(s, d).agg(count(lit(1)).as("nn")))
+    val w = tf.join(dl, "doc_id").join(dfr, "t").crossJoin(nd)
+      .filter(col("df") * 10 <= col("nn"))
+      .select(col("doc_id"), col("t"),
+        round((col("c").cast("double") / col("len")) *
+          log(col("nn").cast("double") / col("df")), 9).as("w"))
+      .localCheckpoint()
+    val nrm = w.groupBy("doc_id")
+      .agg(sum(round(col("w") * col("w"), 12).cast(DecimalType(38, 12)))
+        .cast("double").as("n2"))
+    (w, nrm)
+  }
+
+  /** The bounded top-k plan — q_tfidf_topk's declared form and
+    * q_tfidf_pairs' auto route past the pairsWarnDocs gate. */
+  private def tfidfTopk(s: SparkSession, d: String): DataFrame = {
+    val (w, nrm) = tfidfFrames(s, d)
+    val dot = w.as("a").join(w.as("b"),
+      col("a.t") === col("b.t") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(sum(round(col("a.w") * col("b.w"), 12).cast(DecimalType(38, 12)))
+        .cast("double").as("dp"))
+    val sc = dot.join(nrm.as("na"), col("na.doc_id") === col("d1"))
+      .join(nrm.as("nb"), col("nb.doc_id") === col("d2"))
+      .select(col("d1"), col("d2"),
+        round(col("dp") / (sqrt(col("na.n2")) * sqrt(col("nb.n2"))), 6)
+          .as("cos"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("d1").orderBy(col("cos").desc, col("d2"))
+    sc.withColumn("rk", row_number().over(win).cast("long"))
+      .filter(col("rk") <= 5)
+      .select("d1", "d2", "cos", "rk")
+      .orderBy("d1", "rk")
+  }
 }

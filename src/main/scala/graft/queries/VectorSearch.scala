@@ -30,13 +30,17 @@ object VectorSearch {
   private val IvfCells = 16
   private val IvfProbes = 4
 
-  /** Build-once IVF index for q_knn_ivf_rule: nearest-centroid
-    * assignment written as a table PARTITIONED BY the cell id, plus
-    * codebook registration in [[graft.plans.IvfIndex]]. An index
-    * build is amortized across every query that probes it (the
-    * reference's collection-creation step,
-    * photo_vector_search.py:17-20) — it must never run inside the
-    * timed query path. Memoization = the session catalog itself:
+  /** Build-once IVF index for q_knn_ivf_rule / q_knn_ivfpq:
+    * nearest-centroid assignment written as a table PARTITIONED BY
+    * the cell id, WITH the 8-subspace PQ code array per vector
+    * (FAISS's IVFPQ stores codes, not just cell membership, for
+    * exactly this reason: encoding is BUILD work, amortized like the
+    * assignment — a query must only read codes plus the few raw rows
+    * it re-ranks), plus codebook registration in
+    * [[graft.plans.IvfIndex]]. An index build is amortized across
+    * every query that probes it (the reference's collection-creation
+    * step, photo_vector_search.py:17-20) — it must never run inside
+    * the timed query path. Memoization = the session catalog itself:
     * if the table exists and is registered, the build is skipped;
     * a fresh session (new warehouse) rebuilds on first use. */
   private def ensureIvfIndex(s: SparkSession, d: String): String = {
@@ -48,12 +52,33 @@ object VectorSearch {
       val e = Tables.embeddings(s, d)
       val cents = e.filter(col("vec_id") < IvfCells)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      e.crossJoin(broadcast(cents))
+      val asg = e.crossJoin(broadcast(cents))
         .withColumn("cdist", round(cosine_distance(col("embedding"), col("cv")), 6))
         .groupBy("vec_id")
         .agg(expr("min_by(struct(label, embedding, cid), struct(cdist, cid))").as("m"))
         .select(col("vec_id"), col("m.label").as("label"),
           col("m.embedding").as("embedding"), col("m.cid").as("ivf_cell"))
+      // PQ encode (shared codebook contract with q_knn_pq/q_knn_ivfpq:
+      // sub-slices of the first IvfCells vectors in DOUBLE space,
+      // 6dp-rounded subspace L2, code tiebreak) — one min_by shuffle
+      // over corpus×8 rows, paid once per index lifetime.
+      val edd = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val codebook = cents
+        .select(col("cid").as("code"), explode(expr("sequence(0, 7)")).as("m"),
+          col("cv").cast("array<double>").as("cvd"))
+        .select(col("code"), col("m"), expr("slice(cvd, m*8+1, 8)").as("cs"))
+      val pq = fanout(edd).crossJoin(broadcast(codebook))
+        .select(col("vec_id"), col("m"), col("code"),
+          round(l2_distance(expr("slice(v, m*8+1, 8)"), col("cs")), 6)
+            .as("dist"))
+        .groupBy("vec_id", "m")
+        .agg(expr("min_by(code, struct(dist, code))").as("code"))
+        .groupBy("vec_id")
+        .agg(expr("transform(array_sort(collect_list(struct(m, code)))," +
+          " x -> x.code)").as("pq"))
+      asg.join(pq, "vec_id")
+        .select("vec_id", "label", "embedding", "pq", "ivf_cell")
         .write.mode("overwrite").partitionBy("ivf_cell").saveAsTable(tbl)
       graft.plans.IvfIndex.register(tbl, probes = IvfProbes,
         centroids = cents.collect().map(r =>
@@ -340,14 +365,18 @@ object VectorSearch {
     // quantization error would otherwise reorder near-ties — the
     // standard three-stage funnel (prune → approximate scan →
     // re-rank). Emits both distances so the ADC-vs-exact gap is the
-    // built-in quantization audit. Scale: the probed-cell join and
-    // the code join are broadcasts; the ADC sum is one
-    // partial-aggregated fold over probed·8 rows; the re-rank
-    // touches exactly 3k raw vectors (an id-broadcast join, never a
-    // second corpus scan at serving time — codes and cells are the
-    // amortized build, as in q_knn_ivf_rule). Determinism: shared
-    // codebooks with q_knn_ivf/q_knn_pq; every distance rounds 6 dp
-    // with id tie-breaks; ADC totals DECIMAL-summed.
+    // built-in quantization audit. Scale: cell assignment AND the PQ
+    // encode are the memoized ensureIvfIndex BUILD (FAISS stores
+    // codes at build time; the data-bound per-query encode of the
+    // probed cells was the 100× smoke's 9.3× growth cell in round
+    // 13) — the query reads the probed PARTITIONS of the index
+    // table (literal isin on the partition column → partition
+    // pruning), explodes probed·8 code rows into the broadcast ADC
+    // join, and re-ranks the 3k-row pool against the probed rows by
+    // id. Nothing corpus-sized is scanned or encoded at query time.
+    // Determinism: shared codebooks with q_knn_ivf/q_knn_pq; every
+    // distance rounds 6 dp with id tie-breaks; ADC totals
+    // DECIMAL-summed.
     Q("q_knn_ivfpq",
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
          |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfCells),
@@ -384,48 +413,49 @@ object VectorSearch {
          |  round(1 - list_cosine_similarity(cand.v, q.qv), 6) AS dist
          |FROM pool p JOIN cand USING (vec_id) CROSS JOIN q
          |ORDER BY dist, vec_id LIMIT $K""".stripMargin) { (s, d) =>
+      // Serve from the staged index: cells + PQ codes were encoded
+      // at build time (per-vector deterministic, so encoding the
+      // whole corpus at build equals the oracle's probed-cell
+      // encode row-for-row).
+      val tbl = ensureIvfIndex(s, d)
       val ed = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          col("embedding").cast("array<double>").as("v"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val cents = ed.filter(col("vec_id") < IvfCells)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       val qv = ed.filter(col("vec_id") === 0).select(col("v").as("qv"))
-      // IVF assignment (shared contract with q_knn_ivf).
-      val asgn = fanout(ed).crossJoin(broadcast(cents))
-        .withColumn("cdist", round(cosine_distance(col("v"), col("cv")), 6))
-        .groupBy("vec_id")
-        .agg(expr("min_by(struct(label, v, cid), struct(cdist, cid))").as("m"))
-        .select(col("vec_id"), col("m.label").as("label"),
-          col("m.v").as("v"), col("m.cid").as("cid"))
-      val probes = cents.crossJoin(broadcast(qv))
+      // Probe selection: IvfCells rows × 1 query — a bounded driver
+      // read (the q_knn_ivf_rule qv-collect idiom) so the cell list
+      // lands as a LITERAL isin on the partition column and the scan
+      // is partition-pruned.
+      val probeCids = cents.crossJoin(broadcast(qv))
         .select(col("cid"),
           round(cosine_distance(col("cv"), col("qv")), 6).as("qdist"))
         .orderBy(col("qdist"), col("cid")).limit(IvfProbes)
-      val cand = asgn.join(broadcast(probes.select("cid")), "cid")
-        .select("vec_id", "label", "v")
-        .localCheckpoint(eager = false) // probed-cell working set
-      // PQ codes for the probed working set (shared codebook slices
-      // with q_knn_pq).
+        .collect().map(_.getLong(0))
+      val cand = s.table(tbl)
+        .filter(col("ivf_cell").isin(probeCids: _*))
+        .localCheckpoint(eager = false) // probed partitions only
+      // ADC table: 8×16 query-to-code distances (shared codebook
+      // slices with q_knn_pq), broadcast to the probed code stream.
       val codes = cents
         .select(col("cid").as("code"), explode(expr("sequence(0, 7)")).as("m"),
           col("cv"))
         .select(col("code"), col("m"), expr("slice(cv, m*8+1, 8)").as("cs"))
-      val asg = cand.crossJoin(broadcast(codes))
-        .select(col("vec_id"), col("m"), col("code"),
-          round(l2_distance(expr("slice(v, m*8+1, 8)"), col("cs")), 6)
-            .as("dist"))
-        .groupBy("vec_id", "m")
-        .agg(expr("min_by(code, struct(dist, code))").as("code"))
       val dt = codes.crossJoin(broadcast(qv))
         .select(col("m"), col("code"),
           round(l2_distance(expr("slice(qv, m*8+1, 8)"), col("cs")), 6)
             .as("d"))
-      val pool = asg.join(broadcast(dt), Seq("m", "code"))
+      val pool = cand
+        .select(col("vec_id"), posexplode(col("pq")).as(Seq("m", "code")))
+        .join(broadcast(dt), Seq("m", "code"))
         .groupBy("vec_id")
         .agg(round(sum(col("d").cast(DecimalType(38, 6))).cast("double"), 6)
           .as("adist"))
         .orderBy(col("adist"), col("vec_id")).limit(3 * K)
-      pool.join(cand, "vec_id").crossJoin(broadcast(qv))
+      pool
+        .join(cand.select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v")), "vec_id")
+        .crossJoin(broadcast(qv))
         .select(col("vec_id"), col("label"), col("adist"),
           round(cosine_distance(col("v"), col("qv")), 6).as("dist"))
         .orderBy(col("dist"), col("vec_id")).limit(K)

@@ -746,4 +746,73 @@ class ScalePathSpec extends SparkTestBase {
     assert(wide <= declared,
       s"wider band keys must not increase collisions ($wide > $declared)")
   }
+
+  test("tfidf.mode auto is exact below the doc gate and the bounded top-k plan past it") {
+    val sf001 = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf001/documents.parquet").exists())
+    val s = spark
+    def pairsAt(mode: Option[String], warnDocs: Option[String]) = {
+      mode.foreach(s.conf.set("spark.graft.tfidf.mode", _))
+      warnDocs.foreach(s.conf.set("spark.graft.tfidf.pairsWarnDocs", _))
+      try graft.SparkEntry.queries("q_tfidf_pairs")(s, sf001)
+        .collect().map(_.toSeq).toSet
+      finally {
+        s.conf.unset("spark.graft.tfidf.mode")
+        s.conf.unset("spark.graft.tfidf.pairsWarnDocs")
+      }
+    }
+    // Below the gate (default 20000 docs ≫ sf0.001) auto must
+    // reproduce the declared exact τ-pair form row-for-row.
+    val auto = pairsAt(None, None)
+    val exact = pairsAt(Some("exact"), None)
+    assert(auto === exact, "auto below the gate must equal exact")
+    // Past the gate auto must BE the bounded top-k plan.
+    val routed = pairsAt(None, Some("1"))
+    val topk = graft.SparkEntry.queries("q_tfidf_topk")(s, sf001)
+      .collect().map(_.toSeq).toSet
+    assert(routed === topk, "auto past the gate must equal q_tfidf_topk")
+    assert(routed !== exact, "fixture must distinguish the two forms")
+  }
+
+  test("coCounts hub-split + min-support screen are output-identical to the plain pair fold (seeded)") {
+    // q_item_cf / q_link_pred's claim: the part screen (n >= k for
+    // both endpoints is necessary for co >= k) and the split-both-
+    // sides hot-basket pair generation (each unordered pair meets at
+    // exactly ONE (i, j) group cell) never lose or duplicate a pair.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    // Skewed basket fixture: one hot basket with 40 parts (forced
+    // past the test's hot threshold of 8), many small baskets, and
+    // a long tail of singleton parts the screen must drop silently.
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    (0L until 40L).foreach(p => rows += ((0L, p)))          // hot basket
+    (1L to 60L).foreach { o =>
+      val k = 2 + rnd.nextInt(4)
+      val parts = Seq.fill(k)(rnd.nextInt(30).toLong).distinct
+      parts.foreach(p => rows += ((o, p)))
+    }
+    (1000L to 1050L).foreach(p => rows += ((100L + p, p)))  // singletons
+    val li = rows.toSeq.toDF("o", "p").distinct()
+      .localCheckpoint(eager = false)
+    // Brute-force truth on the driver.
+    val baskets = rows.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.toSet).toMap
+    val truth = baskets.values.toSeq
+      .flatMap(ps => for (u <- ps; v <- ps if u < v) yield (u, v))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 2)
+    def run(): Map[(Long, Long), Long] =
+      Graphs.coCounts(s, li, 2)._1.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    s.conf.set("spark.graft.cobasket.hot", "8") // force the hot path
+    val split = try run()
+    finally s.conf.unset("spark.graft.cobasket.hot")
+    val plain = run() // default 256: hot path empty, plain fold
+    assert(plain === truth, "plain coCounts diverges from brute force")
+    assert(split === truth,
+      "hub-split coCounts diverges from brute force: lost=" +
+        (truth.keySet -- split.keySet).take(5) + " extra=" +
+        (split.keySet -- truth.keySet).take(5))
+  }
 }
