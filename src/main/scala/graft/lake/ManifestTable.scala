@@ -86,10 +86,13 @@ final class ManifestTable private (val root: String, spark: SparkSession) {
     * commits compose instead of overwriting each other. Returns the
     * committed version.
     *
-    * `statsCols` (round-11 verdict #5 — the named additive upgrade):
-    * numeric columns to record PER-FILE min/max for in a stats
-    * sidecar next to the manifest, so range predicates can skip
-    * whole files BEFORE any parquet footer is opened ([[readWhere]]).
+    * `statsCols` (round-11 verdict #5 — the named additive upgrade;
+    * string/date/timestamp columns since round 14, the Iceberg
+    * parity increment): columns to record PER-FILE min/max for in a
+    * stats sidecar next to the manifest, so range predicates can
+    * skip whole files BEFORE any parquet footer is opened
+    * ([[readWhere]] for numeric/date bounds, [[readWhereString]]
+    * for string bounds — a point lookup is `lo == hi`).
     * Stats are computed in ONE distributed pass over the freshly
     * written fileset (a groupBy on `input_file_name()` — no per-file
     * driver loop), outward-rounded to the enclosing doubles so
@@ -135,24 +138,42 @@ final class ManifestTable private (val root: String, spark: SparkSession) {
     manifestDir.resolve(s"stats-$v-$nonce.tsv")
 
   /** One Spark job: per (file, column) min/max over the fileset just
-    * written, serialized as TSV lines `relPath TAB col TAB min TAB
-    * max` (paths are engine-generated `data/commit-v-nonce/part-*`
-    * names — no tabs possible). All-null columns in a file emit no
-    * line: [[readWhere]] then SKIPS that file for predicates on the
-    * column (a range predicate cannot match NULL), which is the
-    * aggressive-but-sound direction. */
+    * written, serialized as TSV lines `relPath TAB col TAB kind TAB
+    * min TAB max` (paths are engine-generated
+    * `data/commit-v-nonce/part-*` names — no tabs possible; string
+    * bounds are percent-encoded so payload tabs/newlines cannot
+    * corrupt a line). `kind` is `d` (numeric/date/timestamp bounds
+    * as doubles — dates as epoch days, timestamps as epoch micros,
+    * the Iceberg convention) or `s` (string bounds, UTF-8 binary =
+    * CODE-POINT order, matching Spark's min/max on StringType).
+    * Legacy 4-field lines (pre-round-14 sidecars) still parse as
+    * numeric. All-null columns in a file emit no line: [[readWhere]]
+    * then SKIPS that file for predicates on the column (a range
+    * predicate cannot match NULL), which is the aggressive-but-sound
+    * direction. */
   private def writeStats(v: Int, nonce: String, rel: String,
       statsCols: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.{col, input_file_name, max => smax, min => smin}
+    import org.apache.spark.sql.functions.{col, input_file_name, unix_date, unix_micros, max => smax, min => smin}
+    import org.apache.spark.sql.types.{DateType, StringType, TimestampType}
     val df = spark.read.parquet(s"$root/$rel")
     statsCols.foreach { c =>
       require(df.columns.contains(c),
         s"stats column '$c' not in committed schema " +
           df.columns.mkString("[", ",", "]"))
     }
+    def kindOf(c: String): String = df.schema(c).dataType match {
+      case StringType => "s"
+      case _ => "d"
+    }
+    def boundCol(c: String) = df.schema(c).dataType match {
+      case StringType => col(c)
+      case DateType => unix_date(col(c)).cast("double")
+      case TimestampType => unix_micros(col(c)).cast("double")
+      case _ => col(c).cast("double")
+    }
     val aggs = statsCols.flatMap(c => Seq(
-      smin(col(c).cast("double")).as(s"min_$c"),
-      smax(col(c).cast("double")).as(s"max_$c")))
+      smin(boundCol(c)).as(s"min_$c"),
+      smax(boundCol(c)).as(s"max_$c")))
     val rows = df.groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect() // one row per part file — O(files of ONE commit)
@@ -161,7 +182,13 @@ final class ManifestTable private (val root: String, spark: SparkSession) {
       statsCols.flatMap { c =>
         val lo = r.getAs[Any](s"min_$c"); val hi = r.getAs[Any](s"max_$c")
         if (lo == null || hi == null) None
-        else {
+        else if (kindOf(c) == "s") {
+          // String bounds are EXACT (no rounding concern); encode so
+          // a payload tab/newline/percent can never corrupt the TSV.
+          val loS = ManifestTable.pctEnc(lo.asInstanceOf[String])
+          val hiS = ManifestTable.pctEnc(hi.asInstanceOf[String])
+          Some(s"$rel/$name\t$c\ts\t$loS\t$hiS")
+        } else {
           // NaN SOUNDNESS (round-12 advice): Spark's min/max order
           // NaN ABOVE every double, so one NaN row makes max = NaN
           // (and min = NaN iff the file is all-NaN). A NaN bound
@@ -176,7 +203,7 @@ final class ManifestTable private (val root: String, spark: SparkSession) {
                     else math.nextDown(loD)
           val hiS = if (hiD.isNaN) Double.PositiveInfinity
                     else math.nextUp(hiD)
-          Some(s"$rel/$name\t$c\t$loS\t$hiS")
+          Some(s"$rel/$name\t$c\td\t$loS\t$hiS")
         }
       }
     }
@@ -185,12 +212,13 @@ final class ManifestTable private (val root: String, spark: SparkSession) {
       lines.mkString("\n").getBytes(UTF_8))
   }
 
-  /** Per-file [min, max] for `colName` at version `v`, or None when
-    * the commit carries no sidecar / no line for that (file, col).
-    * The sidecar is located through the NONCE embedded in the
+  /** Raw per-file stats lines for `colName` at version `v`: path →
+    * (kind, loToken, hiToken). Legacy 4-field lines parse as kind
+    * `d`. The sidecar is located through the NONCE embedded in the
     * manifest's own file paths — no extra manifest field, so the
     * manifest format (and every pre-stats table) is untouched. */
-  private def fileStats(v: Int, colName: String): Map[String, (Double, Double)] = {
+  private def statLines(v: Int, colName: String)
+      : Map[String, (String, String, String)] = {
     val nonces = manifestFiles(v)
       .map(_.split('/').takeRight(2).head) // commit-<v>-<nonce>
       .collect { case n if n.startsWith("commit-") => n.split('-').last }
@@ -207,13 +235,16 @@ final class ManifestTable private (val root: String, spark: SparkSession) {
             .split('\n').filter(_.nonEmpty).flatMap { line =>
               line.split('\t') match {
                 case Array(p, c, lo, hi) if c == colName =>
-                  Some(s"$root/$p" -> (lo.toDouble, hi.toDouble))
+                  Some(s"$root/$p" -> (("d", lo, hi)))
+                case Array(p, c, kind, lo, hi) if c == colName =>
+                  Some(s"$root/$p" -> ((kind, lo, hi)))
                 case _ => None
               }
             }
         }
     }.toMap
   }
+
 
   /** Range read with MANIFEST-LEVEL file skipping: semantically
     * identical to `read().filter(colName BETWEEN lo AND hi)` — the
@@ -226,8 +257,71 @@ final class ManifestTable private (val root: String, spark: SparkSession) {
     * Returns the filtered frame; [[pruneFiles]] exposes the
     * kept/total split the spec pins. */
   def readWhere(colName: String, lo: Double, hi: Double): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, unix_date, unix_micros}
+    import org.apache.spark.sql.types.{DateType, TimestampType}
     val (kept, _) = pruneFiles(colName, lo, hi)
+    val base =
+      if (kept.isEmpty)
+        readAt(currentVersion()).filter(org.apache.spark.sql.functions.lit(false))
+      else spark.read.parquet(kept.map(ManifestTable.globEsc): _*)
+    // Residual predicate in the SAME units the stats were written in:
+    // dates compare as epoch days, timestamps as epoch micros.
+    val resid = base.schema(colName).dataType match {
+      case DateType => unix_date(col(colName)).cast("double")
+      case TimestampType => unix_micros(col(colName)).cast("double")
+      case _ => col(colName)
+    }
+    base.filter(resid >= lo && resid <= hi)
+  }
+
+  /** The pruning decision by itself: (files kept, all files) for a
+    * numeric range predicate on `colName` at the current version. */
+  def pruneFiles(colName: String, lo: Double, hi: Double): (Seq[String], Seq[String]) = {
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    val v = currentVersion()
+    val all = manifestFiles(v)
+    val lines = statLines(v, colName)
+    val kept = all.filter { f =>
+      lines.get(f) match {
+        case Some(("d", loS, hiS)) =>
+          // An unparseable legacy token degrades to keep, and a NaN
+          // bound (a sidecar written before the NaN→±Infinity guard
+          // in writeStats) must read as "keep": NaN comparisons are
+          // all-false, which would otherwise silently drop the file.
+          // Pruning degrades to reading, never to wrong answers.
+          val mn = loS.toDoubleOption.getOrElse(Double.NaN)
+          val mx = hiS.toDoubleOption.getOrElse(Double.NaN)
+          if (mn.isNaN || mx.isNaN) true
+          else mx >= lo && mn <= hi
+        // A non-numeric stats kind under a numeric predicate cannot
+        // prune — keep (conservative, never wrong answers).
+        case Some(_) => true
+        case None =>
+          // No line for this (file, col): either a pre-stats commit
+          // (keep — conservative) or an all-null column (skip — a
+          // range predicate cannot match NULL). Distinguish by
+          // whether the file's fileset has ANY stats for the column.
+          val dir = f.substring(0, f.lastIndexOf('/'))
+          !lines.keys.exists(_.startsWith(dir + "/"))
+      }
+    }
+    (kept, all)
+  }
+
+  /** String-range read with manifest-level file skipping — the
+    * [[readWhere]] contract on a STRING column (Iceberg records
+    * string lower/upper bounds for exactly this; a point lookup is
+    * `lo == hi`). Bounds compare in CODE-POINT order — the order
+    * Spark's min/max on StringType (UTF8String binary comparison)
+    * produced them in; Java's String.compareTo is UTF-16 code-unit
+    * order, which DISAGREES above U+FFFF, so the comparator below is
+    * not optional. Semantics: identical to
+    * `read().filter(colName BETWEEN lo AND hi)` (Spark string
+    * comparison is the same binary order); the residual filter
+    * always applies. */
+  def readWhereString(colName: String, lo: String, hi: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (kept, _) = pruneFilesString(colName, lo, hi)
     val base =
       if (kept.isEmpty)
         readAt(currentVersion()).filter(org.apache.spark.sql.functions.lit(false))
@@ -235,28 +329,25 @@ final class ManifestTable private (val root: String, spark: SparkSession) {
     base.filter(col(colName) >= lo && col(colName) <= hi)
   }
 
-  /** The pruning decision by itself: (files kept, all files) for a
-    * range predicate on `colName` at the current version. */
-  def pruneFiles(colName: String, lo: Double, hi: Double): (Seq[String], Seq[String]) = {
-    require(lo <= hi, s"empty range [$lo, $hi]")
+  /** The string pruning decision: (files kept, all files) for a
+    * string range predicate on `colName` at the current version. */
+  def pruneFilesString(colName: String, lo: String, hi: String)
+      : (Seq[String], Seq[String]) = {
+    require(ManifestTable.cpCompare(lo, hi) <= 0, s"empty range [$lo, $hi]")
     val v = currentVersion()
     val all = manifestFiles(v)
-    val stats = fileStats(v, colName)
+    val lines = statLines(v, colName)
     val kept = all.filter { f =>
-      stats.get(f) match {
-        // A NaN bound (a sidecar written before the NaN→±Infinity
-        // guard in writeStats) must read as "keep": NaN comparisons
-        // are all-false, which would otherwise silently drop the
-        // file. Pruning degrades to reading, never to wrong answers.
-        case Some((mn, mx)) if mn.isNaN || mx.isNaN => true
-        case Some((mn, mx)) => mx >= lo && mn <= hi
+      lines.get(f) match {
+        case Some(("s", loS, hiS)) =>
+          val mn = ManifestTable.pctDec(loS)
+          val mx = ManifestTable.pctDec(hiS)
+          ManifestTable.cpCompare(mx, lo) >= 0 &&
+            ManifestTable.cpCompare(mn, hi) <= 0
+        case Some(_) => true // numeric stats under a string predicate
         case None =>
-          // No line for this (file, col): either a pre-stats commit
-          // (keep — conservative) or an all-null column (skip — a
-          // range predicate cannot match NULL). Distinguish by
-          // whether the file's fileset has ANY stats for the column.
           val dir = f.substring(0, f.lastIndexOf('/'))
-          !stats.keys.exists(_.startsWith(dir + "/"))
+          !lines.keys.exists(_.startsWith(dir + "/"))
       }
     }
     (kept, all)
@@ -362,6 +453,43 @@ object ManifestTable {
 
   /** JSON string-escape: backslash, quote, and control chars — the
     * full set a filesystem path can smuggle into the manifest. */
+  /** Percent-encode a string stats bound for the TSV sidecar: only
+    * `%`, TAB, LF, CR are escaped — everything else round-trips
+    * verbatim, so bounds stay human-readable. */
+  private[lake] def pctEnc(s: String): String =
+    s.flatMap {
+      case '%' => "%25"
+      case '\t' => "%09"
+      case '\n' => "%0A"
+      case '\r' => "%0D"
+      case c => c.toString
+    }
+
+  private[lake] def pctDec(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 3 <= s.length) {
+        b.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { b.append(s.charAt(i)); i += 1 }
+    }
+    b.toString
+  }
+
+  /** Compare two strings in CODE-POINT order — the order of Spark's
+    * UTF8String (binary UTF-8) min/max, which differs from Java's
+    * UTF-16 compareTo for code points above U+FFFF vs U+E000..U+FFFF. */
+  private[lake] def cpCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   private[lake] def esc(s: String): String = {
     val b = new StringBuilder(s.length + 8)
     s.foreach {

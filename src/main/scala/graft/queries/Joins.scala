@@ -436,14 +436,42 @@ object Joins {
         .groupBy("dte", "burst_no")
         .agg(min(unix_micros(col("ts"))).cast("long").as("b_start"),
           max(unix_micros(col("ts"))).cast("long").as("b_end"))
-      // Grid decomposition: each interval lands in every hour cell
-      // it touches; the overlap join becomes a cell-keyed equi-join
+        .localCheckpoint(eager = false) // reused: cell sizing + grid
+      // Grid decomposition: each interval lands in every cell it
+      // touches; the overlap join becomes a cell-keyed equi-join
       // plus a codegen residual — never the |A|×|B| cross product.
-      val hour = 3600L * 1000000L
+      // Cell width: `spark.graft.interval.cellMicros` — an explicit
+      // micros value pins it; `auto` (default) derives it from the
+      // observed MEDIAN interval length of both sides (the
+      // lsh.planes=auto discipline: a one-row probe over the
+      // already-materialized interval frames, never the corpus), so
+      // per-interval cell fan-out stays O(1) as densities shift —
+      // a fixed cell under 100× densification multiplies either the
+      // explode (cell too small for long intervals) or the per-cell
+      // join fan-out (cell too large for short ones). Clamped to
+      // [1 min, 7 days]; the output is cell-size-INVARIANT (exact
+      // residual + pair distinct — ScalePathSpec pins it), only the
+      // candidate volume moves.
+      val cell: Long = s.conf
+        .get("spark.graft.interval.cellMicros", "auto") match {
+        case "auto" =>
+          val med = a
+            .select((col("a_end") - col("a_start")).as("len"))
+            .unionAll(b.select((col("b_end") - col("b_start")).as("len")))
+            .agg(expr("approx_percentile(len, CAST(0.5 AS DOUBLE))"))
+            .head.get(0)
+          val m = Option(med).map(_.asInstanceOf[Long]).getOrElse(0L)
+          math.min(math.max(m, 60L * 1000000L), 7L * 24 * 3600 * 1000000L)
+        case v =>
+          val c = v.toLong
+          require(c > 0,
+            s"spark.graft.interval.cellMicros must be > 0, got $c")
+          c
+      }
       val ac = a.withColumn("cell",
-        explode(expr(s"sequence(a_start DIV $hour, a_end DIV $hour)")))
+        explode(expr(s"sequence(a_start DIV $cell, a_end DIV $cell)")))
       val bc = b.withColumn("cell",
-        explode(expr(s"sequence(b_start DIV $hour, b_end DIV $hour)")))
+        explode(expr(s"sequence(b_start DIV $cell, b_end DIV $cell)")))
       val pairs = ac.join(bc, "cell")
         .filter(col("a_start") <= col("b_end") &&
           col("b_start") <= col("a_end"))

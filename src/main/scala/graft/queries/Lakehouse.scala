@@ -97,6 +97,32 @@ object Lakehouse {
       r
     })
 
+  /** q_stats_prune_str / q_stats_point_lookup's staged table (same
+    * per-(JVM, sf) amortization): documents range-partitioned on
+    * (lang, doc_id) into 8 files, committed with per-file min/max
+    * stats on BOTH the string `lang` and the numeric `doc_id` —
+    * the clustered-ingest layout where string bounds (Iceberg's
+    * lower_bounds/upper_bounds) and id bounds both actually prune. */
+  private val stagedTypedStatsRoot =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def typedStatsRootFor(d: String): Option[String] =
+    Option(stagedTypedStatsRoot.get(d))
+  private def ensureTypedStatsTable(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    stagedTypedStatsRoot.computeIfAbsent(d, { _ =>
+      val r = java.nio.file.Files
+        .createTempDirectory("graft_mtstats_").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.lake.ManifestTable
+          .deleteRecursively(java.nio.file.Paths.get(r))))
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "lang", "source", "n_chars")
+        .repartitionByRange(8, col("lang"), col("doc_id"))
+      ManifestTable.create(s, root = r, init = docs,
+        statsCols = Seq("lang", "doc_id"))
+      r
+    })
+
   val qs: Seq[Q] = Seq(
 
     // SCD2 MERGE: customer is the base dimension (all rows valid
@@ -226,6 +252,49 @@ object Lakehouse {
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
           .orderBy("event_type")
+    },
+
+    // STRING-KEYED MANIFEST PRUNING — q_manifest_prune's contract on
+    // a STRING column (round-13 verdict #8, the Iceberg-parity
+    // increment: lower_bounds/upper_bounds are typed, not
+    // numeric-only): the staged documents table is range-partitioned
+    // on (lang, doc_id), each commit records per-file lang min/max
+    // in CODE-POINT order (the order Spark's min/max on StringType
+    // produced them in — the sidecar comparator matches it exactly,
+    // Java's UTF-16 compareTo does not), and the ['de','en'] range
+    // read drops every file whose lang bounds cannot intersect
+    // BEFORE any parquet footer opens (kept/total pinned in
+    // LakeStatsPruneSpec). Semantics byte-identical to full scan +
+    // filter — the residual filter always applies.
+    Q("q_stats_prune_str",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang >= 'de' AND lang <= 'en'
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val t = ManifestTable.open(s, ensureTypedStatsTable(s, d))
+      t.readWhereString("lang", "de", "en")
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("n_chars").cast("long").as("total_chars"))
+        .orderBy("lang")
+    },
+
+    // STATS-PRUNED POINT LOOKUP — A6's point lookup wired to the
+    // manifest sidecar (round-13 verdict #8: "q_point_lookup-class
+    // scans don't yet consult it"): the id probe resolves through
+    // the per-file doc_id min/max as a degenerate range [k, k], so
+    // at 10⁶ files the driver keeps only the file(s) whose id range
+    // covers k — a metadata-routed point read (Iceberg's
+    // min/max-filtered planFiles), not a fileset-wide footer storm.
+    // The residual filter still applies; a miss returns 0 rows
+    // without opening anything.
+    Q("q_stats_point_lookup",
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id = 7 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = ManifestTable.open(s, ensureTypedStatsTable(s, d))
+      t.readWhere("doc_id", 7, 7)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
     },
 
     Q("q_table_commit",

@@ -747,6 +747,27 @@ class ScalePathSpec extends SparkTestBase {
       s"wider band keys must not increase collisions ($wide > $declared)")
   }
 
+  test("q_join_interval output is grid-cell-size invariant (auto vs pinned cells)") {
+    // The grid decomposition's claim: cells only generate CANDIDATES;
+    // the exact overlap residual + pair distinct make the output
+    // independent of the cell width, so auto-sizing the cell from
+    // the observed median interval length can never change a row.
+    val sf001 = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf001/events.parquet").exists())
+    val s = spark
+    def rowsAt(cell: Option[String]) = {
+      cell.foreach(s.conf.set("spark.graft.interval.cellMicros", _))
+      try graft.SparkEntry.queries("q_join_interval")(s, sf001)
+        .collect().map(_.toSeq).toSet
+      finally s.conf.unset("spark.graft.interval.cellMicros")
+    }
+    val auto = rowsAt(None)
+    val hour = rowsAt(Some((3600L * 1000000L).toString))
+    val tenMin = rowsAt(Some((600L * 1000000L).toString))
+    assert(auto === hour, "auto cell must reproduce the hour-cell rows")
+    assert(auto === tenMin, "cell width must not change the output")
+  }
+
   test("tfidf.mode auto is exact below the doc gate and the bounded top-k plan past it") {
     val sf001 = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$sf001/documents.parquet").exists())
