@@ -35,6 +35,23 @@ object Bench {
     "q_minhash_recall", "q_bloom_probe", "q_hll_registers",
     "q_kmv_sketch", "q_quantile_sketch", "q_knn_recall", "q_lsh_embed")
 
+  /** Box-drift canary (round-13 verdict #7): 10 stable, cheap,
+    * code-untouched keys with their committed round-13 sf0.1 times
+    * (BENCH_LAST.json @ 65e451c, reps=2 min, quiet box). The sweep
+    * prelude re-times them in the warmed JVM and emits
+    * `canary_ratio` = measured_total / pinned_total — a cross-round
+    * comparison divides by this instead of re-running a full
+    * control sweep (round 13 spent a whole re-bench proving 1.15×
+    * was box drift, not code: same-code scatter was 0.66–1.7×).
+    * Only emitted at the driver's sf0.1 — the pins mean nothing at
+    * another scale. */
+  val canaryPins: Seq[(String, Double)] = Seq(
+    "q_examine" -> 0.1020, "q_scan_filter" -> 0.1444,
+    "q_agg_hash" -> 0.8582, "q_join_broadcast" -> 0.9393,
+    "q_filter_range" -> 0.3920, "q_project_expr" -> 1.2387,
+    "q_point_lookup" -> 0.1484, "q_agg_distinct" -> 1.1398,
+    "q_set_union" -> 0.2411, "q_agg_stats" -> 0.6311)
+
   private def loadAvg(): Double =
     java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
@@ -88,6 +105,20 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       (name, if (ok) sec else -1.0, ok)
     }
+    // Canary prelude: re-time the pinned keys (min of 2 runs each,
+    // ~5 s total) in the warmed JVM, BEFORE the sweeps so later
+    // cache pressure can't leak into it.
+    val canaryRatio: Option[Double] =
+      if (!sfDir.endsWith("sf0.1")) None
+      else {
+        val measured = canaryPins.map { case (name, _) =>
+          val ts = (1 to 2).map(_ => timeOne(name, SparkEntry.queries(name))._2)
+          if (ts.exists(_ < 0)) Double.NaN else ts.min
+        }
+        if (measured.exists(_.isNaN)) None
+        else Some(math.round(
+          measured.sum / canaryPins.map(_._2).sum * 1000.0) / 1000.0)
+      }
     val sweeps = (1 to reps).map { _ =>
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -137,11 +168,13 @@ object Bench {
       .mkString("{", ",", "}")
     val noauditJson = noaudit.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val canaryJson = canaryRatio.map(r => s""","canary_ratio":$r""")
+      .getOrElse("")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":$failed,"sf":"$sfDir","reps":$reps,""" +
         s""""load_avg":{"before":$loadBefore,"after":$loadAfter},""" +
-        s""""spread":$spreadJson,"noaudit":$noauditJson}"""
+        s""""spread":$spreadJson,"noaudit":$noauditJson$canaryJson}"""
     println(line)
     // Persist the FULL summary too: harness stdout capture has
     // truncated to the tail of the line (round-6 BENCH_r06.json lost
