@@ -78,6 +78,36 @@ object Graphs {
        |ORDER BY r DESC, node LIMIT 100""".stripMargin
   }
 
+  /** Chained-CTE personalized-PageRank oracle: restart mass 0.15 at
+    * the seed only, per-step edge terms 12dp into DECIMAL sums, the
+    * damp+teleport combine as ONE double expression — the same
+    * per-iteration shape the Spark loop builds (full-outer 1-row
+    * seed attach so the teleport survives steps where the walk
+    * leaves the seed's side of the bipartite graph). */
+  private def pprSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""m$k AS (SELECT e.dst AS node,
+         |    sum(CAST(round(r.r / d.deg, 12) AS DECIMAL(38,12))) AS m
+         |  FROM edges e JOIN r${k - 1} r ON r.node = e.src
+         |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+         |r$k AS (SELECT coalesce(m.node, sd.snode) AS node,
+         |    round(0.85 * coalesce(CAST(m.m AS DOUBLE), 0)
+         |      + CASE WHEN sd.snode IS NOT NULL THEN 0.15 ELSE 0 END,
+         |      12) AS r
+         |  FROM m$k m FULL JOIN seed sd ON m.node = sd.snode)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+       |            FROM lineitem),
+       |edges AS (SELECT 'p' || p AS src, 's' || s AS dst FROM e0
+       |          UNION ALL SELECT 's' || s, 'p' || p FROM e0),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |seed AS (SELECT 'p' || min(l_partkey) AS snode FROM lineitem),
+       |r0 AS (SELECT snode AS node, 1.0 AS r FROM seed),
+       |$steps
+       |SELECT node, r AS rank FROM r$iters WHERE r > 0
+       |ORDER BY r DESC, node LIMIT 50""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
 
     // PAGERANK — 5 damped iterations (d = 0.85) over the undirected
@@ -96,6 +126,49 @@ object Graphs {
       r.select(col("node"), col("r").as("rank"))
         .orderBy(col("rank").desc, col("node"))
         .limit(100)
+    },
+
+    // PERSONALIZED PAGERANK — 4 damped iterations restarted at the
+    // minimum part node: r(v) = 0.15·1{v=seed} + 0.85·Σ r(u)/deg(u).
+    // Global PageRank scores IMPORTANCE (teleport mass spreads
+    // uniformly); PPR scores PROXIMITY TO THE SEED — the
+    // random-walk-with-restart similarity behind graph-based
+    // recommendation and local community detection (the walk view of
+    // what q_link_pred reads off co-counts: "what is NEAR this
+    // node", not "what is central"). Scale: the SAME static
+    // deg-enriched edge frame as q_pagerank (built once,
+    // checkpointed, never re-shuffled); the rank frame starts as ONE
+    // seed row and grows with the k-hop reach — early iterations
+    // join a frontier-sized broadcast against the edge frame (the
+    // delta-SSSP sparsity, free here because teleport mass only
+    // re-enters at the seed); per-iteration cost is one
+    // partial-aggregated groupBy(dst) plus a 1-row full-outer seed
+    // attach. Determinism: per-edge terms round 12dp into
+    // DECIMAL(38,12) sums; the damp+teleport combine is one shared
+    // double expression; (r DESC, node) total order.
+    Q("q_ppr", pprSql(4)) { (s, d) =>
+      val (ew, _, _) = frames(s, d)
+      val seed = Tables.lineitem(s, d).agg(min("l_partkey").as("mp"))
+        .select(concat(lit("p"), col("mp")).as("snode"))
+        .localCheckpoint(eager = false)
+      var r = seed.select(col("snode").as("node"), lit(1.0).as("r"))
+      for (_ <- 1 to 4) {
+        val m = ew.join(broadcast(r), ew("src") === r("node"))
+          .groupBy(col("dst"))
+          .agg(sum(round(col("r") / col("deg"), 12)
+            .cast(DecimalType(38, 12))).as("m"))
+        r = m.join(broadcast(seed), col("dst") === col("snode"),
+            "full_outer")
+          .select(coalesce(col("dst"), col("snode")).as("node"),
+            round(lit(0.85) * coalesce(col("m").cast("double"), lit(0.0))
+              + when(col("snode").isNotNull, lit(0.15))
+                .otherwise(lit(0.0)), 12).as("r"))
+          .localCheckpoint()
+      }
+      r.filter(col("r") > 0)
+        .select(col("node"), col("r").as("rank"))
+        .orderBy(col("rank").desc, col("node"))
+        .limit(50)
     },
 
     // BUTTERFLY COUNTING — 4-cycles in the bipartite part↔supplier
