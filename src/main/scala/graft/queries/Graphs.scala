@@ -706,10 +706,18 @@ object Graphs {
         |    / sqrt(CAST(du.n AS DOUBLE) * dv.n), 6) AS cosine
         |FROM co JOIN deg du ON du.p = u JOIN deg dv ON dv.p = v
         |ORDER BY cosine DESC, u, v LIMIT 20""".stripMargin) { (s, d) =>
+      // ONE corpus exchange for the whole co fold: repartition on
+      // the basket key, then the (o, p) dedup runs exchange-FREE
+      // (hashpartitioning(o) satisfies ClusteredDistribution(o, p))
+      // and the self-join is co-partitioned on o with a
+      // ReusedExchange for its second side — no localCheckpoint,
+      // which would erase the partitioning and force the join to
+      // re-shuffle (the round-13 plan paid that second 60 M-row
+      // exchange at 100×).
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-        .localCheckpoint(eager = false)
+        .repartition(col("o"))
+        .dropDuplicates("o", "p")
       val (co, deg) = coCounts(s, li, 2)
       co.join(broadcast(deg.select(col("p").as("pu"),
           col("n").as("n_u"))), col("pu") === col("u"))
@@ -880,10 +888,18 @@ object Graphs {
         |    AS score
         |FROM fresh GROUP BY cust, part
         |ORDER BY score DESC, cust, part LIMIT 25""".stripMargin) { (s, d) =>
+      // ONE corpus exchange for the whole co fold: repartition on
+      // the basket key, then the (o, p) dedup runs exchange-FREE
+      // (hashpartitioning(o) satisfies ClusteredDistribution(o, p))
+      // and the self-join is co-partitioned on o with a
+      // ReusedExchange for its second side — no localCheckpoint,
+      // which would erase the partitioning and force the join to
+      // re-shuffle (the round-13 plan paid that second 60 M-row
+      // exchange at 100×).
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-        .localCheckpoint(eager = false)
+        .repartition(col("o"))
+        .dropDuplicates("o", "p")
       val (co, deg) = coCounts(s, li, 2)
       val sims = co
         .join(broadcast(deg.select(col("p").as("pu"), col("n").as("n_u"))),
@@ -1007,7 +1023,13 @@ object Graphs {
     val hotH = s.conf.getOption("spark.graft.cobasket.hot")
       .map(_.toInt).getOrElse(256)
     val deg = li.groupBy("p").agg(count(lit(1)).cast("long").as("n"))
-    val qual = li.join(deg.filter(col("n") >= minSupport).select("p"),
+    // BROADCAST semi-join: the screen must not cost an exchange of
+    // the basket stream (a shuffle-semi on p would re-partition the
+    // o-clustered frame and forfeit the exchange-free self-join
+    // below); the qualifying-part set is part-dimension-sized — the
+    // same broadcast budget the cosine attach already spends.
+    val qual = li.join(
+      broadcast(deg.filter(col("n") >= minSupport).select("p")),
       Seq("p"), "left_semi")
     val sz = qual.groupBy("o").agg(count(lit(1)).cast("long").as("n_o"))
     val hotSz = sz.filter(col("n_o") > hotH).localCheckpoint(eager = false)
