@@ -120,30 +120,48 @@ class Round12OpsSpec extends SparkTestBase {
     (r, buf.toString("UTF-8"))
   }
 
-  test("tfidf_pairs: doc-count gate warns toward q_tfidf_topk at " +
-    "scale; silent and unchanged below the gate") {
+  test("tfidf_pairs: doc-count gate ROUTES to the bounded top-k plan " +
+    "at scale (round 14); silent and unchanged below the gate") {
     val sf = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$sf/documents.parquet").exists())
-    // Below the gate (500 docs < default 20000): no warning.
-    val (_, quiet) = capturingErr {
+    // Below the gate (500 docs < default 20000): no message, the
+    // declared τ-pair form.
+    val (below, quiet) = capturingErr {
       SparkEntry.queries("q_tfidf_pairs")(spark, sf)
     }
     assert(!quiet.contains("q_tfidf_pairs:"),
-      s"no warning expected below the gate, got: $quiet")
-    // Gate forced to 1: the warning names the bounded route. The
-    // frame itself is untouched — same schema, still analyzes.
+      s"no routing message expected below the gate, got: $quiet")
+    assert(below.columns.toSeq === Seq("d1", "d2", "n_shared", "cos"))
+    // Gate forced to 1: auto ROUTES to the bounded top-k plan and
+    // says so on stderr (round-13 verdict #4 — a warning alone left
+    // the quadratic contract as the default at scale).
     spark.conf.set("spark.graft.tfidf.pairsWarnDocs", "1")
     val (df, loud) = try capturingErr {
       SparkEntry.queries("q_tfidf_pairs")(spark, sf)
     } finally spark.conf.unset("spark.graft.tfidf.pairsWarnDocs")
-    assert(loud.contains("q_tfidf_topk"),
-      s"warning must route to the bounded form, got: $loud")
-    assert(df.columns.toSeq === Seq("d1", "d2", "n_shared", "cos"))
+    assert(loud.contains("routing to the bounded top-k plan"),
+      s"routing message expected past the gate, got: $loud")
+    assert(df.columns.toSeq === Seq("d1", "d2", "cos", "rk"),
+      "past the gate the frame IS the q_tfidf_topk plan")
+    // mode=exact past the gate: the τ-pair contract, no routing.
+    spark.conf.set("spark.graft.tfidf.mode", "exact")
+    spark.conf.set("spark.graft.tfidf.pairsWarnDocs", "1")
+    val (forced, _) = try capturingErr {
+      SparkEntry.queries("q_tfidf_pairs")(spark, sf)
+    } finally {
+      spark.conf.unset("spark.graft.tfidf.mode")
+      spark.conf.unset("spark.graft.tfidf.pairsWarnDocs")
+    }
+    assert(forced.columns.toSeq === Seq("d1", "d2", "n_shared", "cos"))
     // Conf validation.
     spark.conf.set("spark.graft.tfidf.pairsWarnDocs", "0")
     try intercept[IllegalArgumentException] {
       SparkEntry.queries("q_tfidf_pairs")(spark, sf)
     } finally spark.conf.unset("spark.graft.tfidf.pairsWarnDocs")
+    spark.conf.set("spark.graft.tfidf.mode", "bogus")
+    try intercept[IllegalArgumentException] {
+      SparkEntry.queries("q_tfidf_pairs")(spark, sf)
+    } finally spark.conf.unset("spark.graft.tfidf.mode")
   }
 
   // -------------------------------------------------- dbscan ann arm
