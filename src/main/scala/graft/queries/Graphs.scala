@@ -198,7 +198,11 @@ object Graphs {
         |ORDER BY butterflies DESC, s1, s2 LIMIT 20""".stripMargin) { (s, d) =>
       val e0 = Tables.lineitem(s, d)
         .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
-        .distinct()
+        // One corpus exchange for the wedge build (the coCounts
+        // discipline): repartition on the pivot key, dedup
+        // exchange-free, self-join co-partitioned.
+        .repartition(col("p"))
+        .dropDuplicates("p", "s")
       val w = e0.as("a").join(e0.as("b"),
         col("a.p") === col("b.p") && col("a.s") < col("b.s"))
         .select(col("a.s").as("s1"), col("b.s").as("s2"))
@@ -261,7 +265,12 @@ object Graphs {
         .filter(expr(TextKit.h28(
           "concat('tri#', CAST(l_partkey AS STRING))")) % 2 === 0)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
+        // One corpus exchange for the wedge build (the coCounts
+        // discipline): repartition on the basket key, dedup
+        // exchange-free, self-join co-partitioned with a
+        // ReusedExchange second side.
+        .repartition(col("o"))
+        .dropDuplicates("o", "p")
       val e = li.as("a").join(li.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v"))
@@ -385,7 +394,12 @@ object Graphs {
         |FROM m""".stripMargin) { (s, d) =>
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
+        // One corpus exchange for the wedge build (the coCounts
+        // discipline): repartition on the basket key, dedup
+        // exchange-free, self-join co-partitioned with a
+        // ReusedExchange second side.
+        .repartition(col("o"))
+        .dropDuplicates("o", "p")
       val e = li.as("a").join(li.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v"))
@@ -561,7 +575,12 @@ object Graphs {
         |FROM term ORDER BY c""".stripMargin) { (s, d) =>
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
+        // One corpus exchange for the wedge build (the coCounts
+        // discipline): repartition on the basket key, dedup
+        // exchange-free, self-join co-partitioned with a
+        // ReusedExchange second side.
+        .repartition(col("o"))
+        .dropDuplicates("o", "p")
       val e = li.as("a").join(li.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v"))
@@ -648,7 +667,12 @@ object Graphs {
         .filter(expr(TextKit.h28(
           "concat('tri#', CAST(l_partkey AS STRING))")) % 2 === 0)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
+        // One corpus exchange for the wedge build (the coCounts
+        // discipline): repartition on the basket key, dedup
+        // exchange-free, self-join co-partitioned with a
+        // ReusedExchange second side.
+        .repartition(col("o"))
+        .dropDuplicates("o", "p")
       val e = li.as("a").join(li.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v"))
@@ -968,7 +992,12 @@ object Graphs {
         .filter(expr(TextKit.h28(
           "concat('tri#', CAST(l_partkey AS STRING))")) % 2 === 0)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
+        // One corpus exchange for the wedge build (the coCounts
+        // discipline): repartition on the basket key, dedup
+        // exchange-free, self-join co-partitioned with a
+        // ReusedExchange second side.
+        .repartition(col("o"))
+        .dropDuplicates("o", "p")
       val e = li.as("a").join(li.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v"))
