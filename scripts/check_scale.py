@@ -54,6 +54,15 @@ def run_oracle(sql, q):
             p = f"{p}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     con.execute(f"SET threads TO 16")
+    # Bound the child and let it SPILL instead of dying: an unbounded
+    # in-memory oracle gets OOM-killed (exit -9) under concurrent
+    # load, which reads as ORACLE ERROR instead of an honest
+    # timeout/completion (round-14 tally: three -9 kills on the
+    # retry arm). 40 GB keeps two children + a Spark driver co-resident
+    # on the 128 GB box.
+    con.execute("SET memory_limit='40GB'")
+    os.makedirs(".tmp", exist_ok=True)
+    con.execute("SET temp_directory='.tmp'")
     con.execute(sql).df().to_parquet(q)
 
 
