@@ -61,9 +61,21 @@ def run_oracle(sql, q):
     # retry arm). 40 GB keeps two children + a Spark driver co-resident
     # on the 128 GB box.
     con.execute("SET memory_limit='40GB'")
+    # Per-child spill dir (round-14 advice): DuckDB temp block files
+    # are not PID-namespaced, so two co-resident children sharing one
+    # '.tmp' can collide on spill file names and corrupt each other's
+    # spilled data — a wrong oracle result, worse than the OOM this
+    # bound exists to prevent. mkdtemp gives each child its own
+    # namespace; best-effort cleanup so retries don't inherit stale
+    # spill from a killed sibling.
+    import tempfile, shutil
     os.makedirs(".tmp", exist_ok=True)
-    con.execute("SET temp_directory='.tmp'")
-    con.execute(sql).df().to_parquet(q)
+    spill = tempfile.mkdtemp(prefix="duckdb_spill_", dir=".tmp")
+    try:
+        con.execute(f"SET temp_directory='{spill}'")
+        con.execute(sql).df().to_parquet(q)
+    finally:
+        shutil.rmtree(spill, ignore_errors=True)
 
 
 def main():

@@ -340,10 +340,12 @@ final class ManifestTable private (val root: String, spark: SparkSession) {
     val kept = all.filter { f =>
       lines.get(f) match {
         case Some(("s", loS, hiS)) =>
-          val mn = ManifestTable.pctDec(loS)
-          val mx = ManifestTable.pctDec(hiS)
-          ManifestTable.cpCompare(mx, lo) >= 0 &&
-            ManifestTable.cpCompare(mn, hi) <= 0
+          (ManifestTable.pctDec(loS), ManifestTable.pctDec(hiS)) match {
+            case (Some(mn), Some(mx)) =>
+              ManifestTable.cpCompare(mx, lo) >= 0 &&
+                ManifestTable.cpCompare(mn, hi) <= 0
+            case _ => true // malformed stats line: keep, never prune
+          }
         case Some(_) => true // numeric stats under a string predicate
         case None =>
           val dir = f.substring(0, f.lastIndexOf('/'))
@@ -465,16 +467,22 @@ object ManifestTable {
       case c => c.toString
     }
 
-  private[lake] def pctDec(s: String): String = {
+  private[lake] def pctDec(s: String): Option[String] = {
     val b = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
       if (s.charAt(i) == '%' && i + 3 <= s.length) {
-        b.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        // A malformed escape (e.g. '%zz' from a hand-edited or
+        // corrupted sidecar) degrades to None → the caller KEEPS the
+        // file, matching the numeric path's toDoubleOption policy:
+        // pruning corruption must widen the read set, never throw.
+        val hex = s.substring(i + 1, i + 3)
+        if (!hex.forall(c => Character.digit(c, 16) >= 0)) return None
+        b.append(Integer.parseInt(hex, 16).toChar)
         i += 3
       } else { b.append(s.charAt(i)); i += 1 }
     }
-    b.toString
+    Some(b.toString)
   }
 
   /** Compare two strings in CODE-POINT order — the order of Spark's

@@ -235,7 +235,11 @@ class LakeStatsPruneSpec extends SparkTestBase {
     assert(ManifestTable.cpCompare(a, b) < 0)
     assert(a.compareTo(b) > 0, "fixture must expose the UTF-16 divergence")
     assert(ManifestTable.pctDec(ManifestTable.pctEnc("a\tb\nc%d\r")) ===
-      "a\tb\nc%d\r")
+      Some("a\tb\nc%d\r"))
+    // Malformed escapes degrade to None (keep-the-file policy), they
+    // never throw (round-14 advice: '%zz' from a corrupted sidecar).
+    assert(ManifestTable.pctDec("a%zzb") === None)
+    assert(ManifestTable.pctDec("trailing%2") === Some("trailing%2"))
   }
 
   test("q_stats_prune_str / q_stats_point_lookup: the registry queries " +
