@@ -17,6 +17,19 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Total on-disk bytes of a table's parquet footprint — a FREE
+    * driver-side size signal for plan gating (a directory listing,
+    * no Spark job; on a real cluster this is the catalog's
+    * sizeInBytes statistic). 0 for a missing table so gates degrade
+    * to their small-input plan instead of throwing. */
+  def tableBytes(d: String, name: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).fold(0L)(_.map(walk).sum)
+      else f.length()
+    val f = new java.io.File(s"$d/$name.parquet")
+    if (f.exists()) walk(f) else 0L
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

@@ -90,6 +90,8 @@ object GraftFunctions {
     ensure("l2_norm")(es => L2Norm(d(es.head)))
     ensure("char_shingles")(es => CharShingles(es(0), es(1)))
     ensure("sorted_intersect_count")(es => SortedIntersectCount(es(0), es(1)))
+    ensure("sorted_dot_stats")(es =>
+      SortedDotStats(es(0), d(es(1)), es(2), d(es(3))))
     ensure("word_shingles")(es => WordShingles(es(0), es(1), es(2)))
   }
 

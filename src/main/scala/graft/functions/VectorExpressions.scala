@@ -431,3 +431,105 @@ object WordShingles {
       out.toArray(new Array[AnyRef](out.size())))
   }
 }
+
+/** Sparse-vector dot product + overlap count over two (sorted-key,
+  * weight) array pairs in ONE merge walk: returns
+  * `ARRAY<DOUBLE>[dp, n_shared]` where `dp` reproduces BIT-EXACTLY
+  * the flat tf-idf plan's
+  * `CAST(sum(CAST(round(a.w*b.w, 12) AS DECIMAL(38,12))) AS DOUBLE)`
+  * posting-join aggregate (Semantic.tfidfFrames): each matched-key
+  * product is rounded HALF_UP to 12 decimals through
+  * `BigDecimal.valueOf` — the same canonical-string path Spark's
+  * `round` takes — and accumulated as its exact ×10¹² unscaled long,
+  * so the final `BigDecimal.valueOf(acc, 12).doubleValue()` equals
+  * the DECIMAL(38,12) sum cast to double — both are the
+  * correctly-rounded double of the same exact decimal (adds are
+  * overflow-checked; the long bound needs Σ|products| > 9.2·10⁶,
+  * ~5·10⁴ max-magnitude tf-idf terms, to trip). This is the
+  * kernel of the CLUSTERED tf-idf top-k route: the banded candidate
+  * join attaches whole doc vectors once per pair and computes the
+  * cosine INSIDE the join stage (round-12 lever), instead of
+  * exploding pair×token rows through a quadratic-in-clique-size
+  * aggregation — the stage that killed the flat route's 100× probe
+  * at ~55 min.
+  *
+  * Inputs: ka/kb sorted-ascending ARRAY<BIGINT> term-hash keys
+  * (distinct by construction — per-doc terms are distinct);
+  * wa/wb ARRAY<DOUBLE> aligned by position. Null elements are
+  * impossible by construction and treated as key-skip/weight-0.
+  * Duplicate keys (a 64-bit in-doc hash collision, ~n·T²/2⁶⁵) pair
+  * first occurrences and advance past the run, like
+  * sorted_intersect_count.
+  */
+case class SortedDotStats(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression with Serializable {
+  override def prettyName: String = "sorted_dot_stats"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(first, third).forall(_.dataType match {
+      case ArrayType(LongType, _) => true; case _ => false
+    }) && Seq(second, fourth).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true; case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<BIGINT>, ARRAY<DOUBLE>) × 2, got " +
+        children.map(_.dataType.simpleString).mkString("(", ", ", ")"))
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(kav: Any, wav: Any, kbv: Any, wbv: Any): Any = {
+    val ka = kav.asInstanceOf[ArrayData]; val wa = wav.asInstanceOf[ArrayData]
+    val kb = kbv.asInstanceOf[ArrayData]; val wb = wbv.asInstanceOf[ArrayData]
+    val res = SortedDotStats.walk(ka, wa, kb, wb)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(res)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ka, wa, kb, wb) => {
+      val res = ctx.freshName("res")
+      s"""
+         |double[] $res = graft.functions.SortedDotStats.walk($ka, $wa, $kb, $wb);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($res);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+object SortedDotStats {
+  /** Shared by interpreted eval and codegen — identical arithmetic
+    * either way, so a codegen fallback can't change results. */
+  def walk(ka: ArrayData, wa: ArrayData, kb: ArrayData,
+      wb: ArrayData): Array[Double] = {
+    val na = math.min(ka.numElements(), wa.numElements())
+    val nb = math.min(kb.numElements(), wb.numElements())
+    var i = 0; var j = 0; var acc = 0L; var cnt = 0L
+    while (i < na && j < nb) {
+      val x = ka.getLong(i); val y = kb.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else {
+        val p = wa.getDouble(i) * wb.getDouble(j)
+        // addExact: an accumulator wrap (Σ|products| > 9.2·10⁶ — far
+        // past any tf-idf corpus) must fail loudly, not corrupt.
+        acc = Math.addExact(acc, java.math.BigDecimal.valueOf(p)
+          .setScale(12, java.math.RoundingMode.HALF_UP)
+          .unscaledValue().longValueExact())
+        cnt += 1
+        i += 1; j += 1
+        while (i < na && ka.getLong(i) == x) i += 1
+        while (j < nb && kb.getLong(j) == y) j += 1
+      }
+    }
+    // Final conversion through the EXACT decimal (unscaled acc,
+    // scale 12), matching Decimal.toDouble's correctly-rounded cast:
+    // a plain (double) acc / 1e12 double-rounds once acc ≥ 2⁵³ and
+    // drifts 1 ulp off the DECIMAL(38,12) sum it must reproduce.
+    Array(java.math.BigDecimal.valueOf(acc, 12).doubleValue(),
+      cnt.toDouble)
+  }
+}

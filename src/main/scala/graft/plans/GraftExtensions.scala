@@ -52,6 +52,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "sorted_intersect_count(a, b) - |a n b| over sorted distinct " +
           "ARRAY<BIGINT> (merge walk)"),
       (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("sorted_dot_stats"),
+      info("sorted_dot_stats",
+        "sorted_dot_stats(ka, wa, kb, wb) - [dp, n_shared] sparse dot " +
+          "over sorted key/weight array pairs (merge walk, decimal-" +
+          "rounded products)"),
+      (es: Seq[Expression]) =>
+        SortedDotStats(es(0), widen(es(1)), es(2), widen(es(3)))))
     ext.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles",
         "word_shingles(text, n, distinct) - word n-grams of the " +

@@ -730,18 +730,10 @@ object Graphs {
         |    / sqrt(CAST(du.n AS DOUBLE) * dv.n), 6) AS cosine
         |FROM co JOIN deg du ON du.p = u JOIN deg dv ON dv.p = v
         |ORDER BY cosine DESC, u, v LIMIT 20""".stripMargin) { (s, d) =>
-      // ONE corpus exchange for the whole co fold: repartition on
-      // the basket key, then the (o, p) dedup runs exchange-FREE
-      // (hashpartitioning(o) satisfies ClusteredDistribution(o, p))
-      // and the self-join is co-partitioned on o with a
-      // ReusedExchange for its second side — no localCheckpoint,
-      // which would erase the partitioning and force the join to
-      // re-shuffle (the round-13 plan paid that second 60 M-row
-      // exchange at 100×).
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .repartition(col("o"))
-        .dropDuplicates("o", "p")
+      // Size-gated basket build (see basketFrame): one-exchange
+      // repartition(o) dedup at scale, the checkpointed distinct
+      // below the gate — identical rows either way.
+      val li = basketFrame(s, d)
       val (co, deg) = coCounts(s, li, 2)
       co.join(broadcast(deg.select(col("p").as("pu"),
           col("n").as("n_u"))), col("pu") === col("u"))
@@ -912,18 +904,10 @@ object Graphs {
         |    AS score
         |FROM fresh GROUP BY cust, part
         |ORDER BY score DESC, cust, part LIMIT 25""".stripMargin) { (s, d) =>
-      // ONE corpus exchange for the whole co fold: repartition on
-      // the basket key, then the (o, p) dedup runs exchange-FREE
-      // (hashpartitioning(o) satisfies ClusteredDistribution(o, p))
-      // and the self-join is co-partitioned on o with a
-      // ReusedExchange for its second side — no localCheckpoint,
-      // which would erase the partitioning and force the join to
-      // re-shuffle (the round-13 plan paid that second 60 M-row
-      // exchange at 100×).
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .repartition(col("o"))
-        .dropDuplicates("o", "p")
+      // Size-gated basket build (see basketFrame): one-exchange
+      // repartition(o) dedup at scale, the checkpointed distinct
+      // below the gate — identical rows either way.
+      val li = basketFrame(s, d)
       val (co, deg) = coCounts(s, li, 2)
       val sims = co
         .join(broadcast(deg.select(col("p").as("pu"), col("n").as("n_u"))),
@@ -1047,6 +1031,40 @@ object Graphs {
     *    ScalePathSpec-pinned). Cold baskets take the plain join
     *    untouched — pay-per-skew, the q_theil_sen discipline.
     */
+  /** The deduped (o, p) basket frame feeding coCounts, PLAN-GATED by
+    * input size (round-14 verdict #2). Two physically different
+    * builds of the same frame:
+    *  - big inputs: `repartition(o)` + exchange-free dedup —
+    *    hashpartitioning(o) satisfies the dedup aggregate's
+    *    ClusteredDistribution(o, p) AND the downstream self-join's
+    *    per-side clustering, so dedup + wedge join cross ONE corpus
+    *    exchange with a ReusedExchange second side (100×: q_item_cf
+    *    75.6→30.8 s, q_link_pred 126→45.4 s vs the checkpoint plan,
+    *    which erases partitioning and pays a second 60 M-row
+    *    exchange);
+    *  - small inputs: `distinct().localCheckpoint(lazy)` — the
+    *    round-13 plan. Below ~1 M rows the one-exchange build's
+    *    32-partition repartition + unfused dedup costs MORE than it
+    *    saves (round-14 record: q_item_cf 1.80→3.42 s, q_link_pred
+    *    2.82→4.97 s at sf0.1 — the two worst sf0.1 regressions),
+    *    while the checkpoint materializes a tiny frame once.
+    * The gate reads the table's on-disk bytes (driver-side listing,
+    * no job — a cluster would read catalog sizeInBytes); 64 MB ≈
+    * 3.5 M lineitem rows sits between sf0.1 (11 MB) and the 10×
+    * fixture (108 MB), where the crossover was measured.
+    * `spark.graft.cobasket.smallBytes` overrides. Both plans return
+    * identical ROWS — ScalePathSpec pins output identity. */
+  private[queries] def basketFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val raw = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val gate = s.conf.getOption("spark.graft.cobasket.smallBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    if (Tables.tableBytes(d, "lineitem") < gate)
+      raw.distinct().localCheckpoint(eager = false)
+    else raw.repartition(col("o")).dropDuplicates("o", "p")
+  }
+
   private[queries] def coCounts(s: org.apache.spark.sql.SparkSession,
       li: DataFrame, minSupport: Int): (DataFrame, DataFrame) = {
     val hotH = s.conf.getOption("spark.graft.cobasket.hot")

@@ -283,7 +283,12 @@ object Semantic {
             s"($nDocs documents; the cosine>=tau pair contract is " +
             "output-quadratic in near-dup clique size — set " +
             "spark.graft.tfidf.mode=exact to force the pair form)")
-        tfidfTopk(s, d)
+        // Routed form keeps the DECLARED schema (d1, d2, n_shared,
+        // cos) — round-14 advice: a data-dependent schema switch
+        // breaks consumers keyed on the contract. Row semantics of
+        // the route: the τ-pair set restricted to top-5
+        // neighborhoods (a bounded subset, documented above).
+        tfidfTopkPairs(s, d)
       } else {
         val (w, nrm) = tfidfFrames(s, d)
         val dot = w.as("a").join(w.as("b"),
@@ -1006,25 +1011,172 @@ object Semantic {
     (w, nrm)
   }
 
-  /** The bounded top-k plan — q_tfidf_topk's declared form and
-    * q_tfidf_pairs' auto route past the pairsWarnDocs gate. */
-  private def tfidfTopk(s: SparkSession, d: String): DataFrame = {
+  /** Directed scored candidate pairs (d1, d2, nsh, cos) — the shared
+    * stage under q_tfidf_topk and q_tfidf_pairs' routed form,
+    * dispatched by `spark.graft.tfidf.topk.mode`:
+    *  - `exact`: the inverted-index posting self-join. Complete (every
+    *    pair sharing ≥1 surviving term is scored) but its CANDIDATE
+    *    stage is quadratic in near-dup clique size — at the 100×
+    *    fixture (500 k docs, ~100-member replica cliques) the
+    *    pair×token rows through the dot aggregation killed the probe
+    *    at ~55 min of spill (round-14 BENCH.md).
+    *  - `cluster`: the candidate-BOUNDED route (round-14 verdict #1,
+    *    the q_semdedup discipline applied to sparse vectors):
+    *    MinHash-LSH-band the token sets (16 bands × 3 minhashes — a
+    *    milder slope than dedup's 8×4; see tfidfDocVectors),
+    *    self-join per band bucket with the
+    *    whole packed doc vector riding the assignment rows (round-12
+    *    lever: never ship vectors through a pair-sized exchange), and
+    *    compute the cosine INSIDE the join stage via the
+    *    sorted_dot_stats merge-walk kernel — pair×token rows never
+    *    exist. Candidate work is Σ bucket² — clique-sized buckets,
+    *    not clique²×tokens aggregation rows. RECALL CONTRACT, not
+    *    exact: a true neighbor pair is scored iff some band's 4
+    *    minhashes agree (P = 1-(1-J³)¹⁶; ≈1 at the near-dup
+    *    Jaccards that create the quadratic regime, 0.88 at J = 0.5,
+    *    lower for low-overlap neighbors). Pairs that ARE found carry
+    *    BIT-IDENTICAL cos to the exact route (kernel scaladoc;
+    *    ScalePathSpec pins equality and a measured recall floor).
+    *  - `auto` (default): exact below
+    *    `spark.graft.tfidf.topkGateDocs` (100 k — every oracled sf
+    *    runs exact; the parquet-footer doc count is deterministic),
+    *    cluster past it, with a stderr note naming the switch. */
+  private[queries] def tfidfScored(s: SparkSession, d: String): DataFrame = {
+    val gate = s.conf.get("spark.graft.tfidf.topkGateDocs", "100000").toLong
+    require(gate >= 1,
+      s"spark.graft.tfidf.topkGateDocs must be >= 1, got $gate")
+    val mode = s.conf.get("spark.graft.tfidf.topk.mode", "auto") match {
+      case "auto" =>
+        if (Tables.documents(s, d).count() >= gate) "cluster" else "exact"
+      case m @ ("exact" | "cluster") => m
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.tfidf.topk.mode must be exact|cluster|auto, got '$other'")
+    }
+    if (mode == "cluster") {
+      System.err.println(
+        "[graft] tfidf top-k: routing to the MinHash-banded cluster " +
+          "route (candidate stage bounded by band buckets; recall " +
+          "contract — set spark.graft.tfidf.topk.mode=exact to force " +
+          "the complete inverted-index form)")
+      tfidfScoredClustered(s, d)
+    } else tfidfScoredExact(s, d)
+  }
+
+  private def tfidfScoredExact(s: SparkSession, d: String): DataFrame = {
     val (w, nrm) = tfidfFrames(s, d)
     val dot = w.as("a").join(w.as("b"),
       col("a.t") === col("b.t") && col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(sum(round(col("a.w") * col("b.w"), 12).cast(DecimalType(38, 12)))
-        .cast("double").as("dp"))
-    val sc = dot.join(nrm.as("na"), col("na.doc_id") === col("d1"))
+      .agg(count(lit(1)).cast("long").as("nsh"),
+        sum(round(col("a.w") * col("b.w"), 12).cast(DecimalType(38, 12)))
+          .cast("double").as("dp"))
+    dot.join(nrm.as("na"), col("na.doc_id") === col("d1"))
       .join(nrm.as("nb"), col("nb.doc_id") === col("d2"))
-      .select(col("d1"), col("d2"),
+      .select(col("d1"), col("d2"), col("nsh"),
         round(col("dp") / (sqrt(col("na.n2")) * sqrt(col("nb.n2"))), 6)
           .as("cos"))
+  }
+
+  /** Per-document packed sparse vectors: sorted term-hash keys `ks`,
+    * aligned weights `ws`, squared norm `n2` (the SAME decimal fold
+    * as tfidfFrames' nrm), and the 8 MinHash band keys. One
+    * aggregation over the posting frame builds everything — the 32
+    * per-term hashes fold as codegen'd `min` columns, never an
+    * exploded (doc, term, plane) frame. */
+  private def tfidfDocVectors(s: SparkSession, d: String): DataFrame = {
+    // 16 bands × 3 minhashes: band-match P = 1-(1-J³)¹⁶ — ≈1.0 at the
+    // near-dup Jaccards that create the quadratic regime (J ≥ 0.7),
+    // 0.88 at J = 0.5, falling off below — a deliberately milder
+    // slope than dedup's 8×4 (τ≈0.8 step) because top-k wants the
+    // mid-overlap neighborhood too, while 3-row band keys still keep
+    // random (low-J) buckets singleton-sized: Σ bucket² stays
+    // clique-volume, never posting-list-volume.
+    val bands = 16; val rows = 3
+    val (w, _) = tfidfFrames(s, d)
+    val minCols = (0 until bands * rows).map(m =>
+      min(xxhash64(col("t"), lit(m))).as(s"m$m"))
+    val aggCols = Seq(
+      sort_array(collect_list(struct(xxhash64(col("t")).as("kh"),
+        col("w").as("wt")))).as("kv"),
+      sum(round(col("w") * col("w"), 12).cast(DecimalType(38, 12)))
+        .cast("double").as("n2")) ++ minCols
+    w.groupBy("doc_id")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col("doc_id"),
+        expr("transform(kv, x -> x.kh)").as("ks"),
+        expr("transform(kv, x -> x.wt)").as("ws"),
+        col("n2"),
+        array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            xxhash64(((b * rows) until ((b + 1) * rows))
+              .map(m => col(s"m$m")) :+ lit(b): _*).as("bkey"))): _*)
+          .as("bands"))
+  }
+
+  private[queries] def tfidfScoredClustered(s: SparkSession, d: String): DataFrame = {
+    val dv = tfidfDocVectors(s, d)
+    // ONE corpus exchange on the bucket key (the coCounts/wedge
+    // discipline): the band explode rides the same rows as the
+    // vector payload, the self-join is co-partitioned with a
+    // ReusedExchange second side — the only data-sized shuffles in
+    // the route are this n·bands assignment exchange, the pair
+    // distinct, and the top-k window.
+    val f = dv.select(explode(col("bands")).as("bd"), col("doc_id"),
+        col("ks"), col("ws"), col("n2"))
+      .select(col("bd.band").as("band"), col("bd.bkey").as("bkey"),
+        col("doc_id"), col("ks"), col("ws"), col("n2"))
+      .repartition(col("band"), col("bkey"))
+    val pairs = f.as("a").join(f.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        expr("sorted_dot_stats(a.ks, a.ws, b.ks, b.ws)").as("st"),
+        col("a.n2").as("na2"), col("b.n2").as("nb2"))
+      .select(col("d1"), col("d2"),
+        col("st").getItem(1).cast("long").as("nsh"),
+        round(col("st").getItem(0) / (sqrt(col("na2")) * sqrt(col("nb2"))), 6)
+          .as("cos"))
+      // A band collision without a shared SURVIVING term is not a
+      // candidate in the exact route (its dot join requires ≥1
+      // matching posting) — drop it, or the routed result would
+      // contain cos=0 rows the declared form can never emit.
+      .filter(col("nsh") >= 1)
+      // Pairs matching in several bands are exact duplicates
+      // (deterministic cos) — distinct on the 32-byte result row,
+      // never on vector payloads.
+      .distinct()
+    pairs.unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2"),
+      col("nsh"), col("cos")))
+  }
+
+  /** The bounded top-k plan — q_tfidf_topk's declared form and the
+    * per-direction stage of q_tfidf_pairs' routed form. */
+  private def tfidfTopk(s: SparkSession, d: String): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("d1").orderBy(col("cos").desc, col("d2"))
-    sc.withColumn("rk", row_number().over(win).cast("long"))
+    tfidfScored(s, d)
+      .withColumn("rk", row_number().over(win).cast("long"))
       .filter(col("rk") <= 5)
       .select("d1", "d2", "cos", "rk")
       .orderBy("d1", "rk")
+  }
+
+  /** q_tfidf_pairs' ROUTED form (auto past the pairsWarnDocs gate) in
+    * the DECLARED schema (round-14 advice: the routed plan must not
+    * change columns with corpus size): the τ-pair contract
+    * (d1 < d2, n_shared, cos ≥ 0.25) RESTRICTED to each document's
+    * top-5 neighborhood — a bounded subset of the declared answer,
+    * ≤ n·k rows at any clique structure, same column set and types. */
+  private[queries] def tfidfTopkPairs(s: SparkSession, d: String): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("d1").orderBy(col("cos").desc, col("d2"))
+    tfidfScored(s, d)
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= 5 && col("cos") >= 0.25)
+      .select(least(col("d1"), col("d2")).as("d1"),
+        greatest(col("d1"), col("d2")).as("d2"),
+        col("nsh").as("n_shared"), col("cos"))
+      .distinct()
+      .orderBy("d1", "d2")
   }
 }

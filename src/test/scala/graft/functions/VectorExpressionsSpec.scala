@@ -213,4 +213,66 @@ class VectorExpressionsSpec extends SparkTestBase {
         assert(math.abs(aa) < 1e-12)
       }
   }
+
+  test("sorted_dot_stats reproduces the posting-join DECIMAL(38,12) dot " +
+    "bit-for-bit; codegen == interpreted") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(41)
+    // Random sparse vectors in the tf-idf shape: sorted distinct long
+    // keys, weights in the w = tf*idf range (incl. tiny and ~170, the
+    // documented product bound), varying overlap incl. disjoint/empty.
+    val rows = (0 until 200).map { i =>
+      def mk(): (Seq[Long], Seq[Double]) = {
+        val ks = rnd.shuffle((0L to 150L).toList).take(rnd.nextInt(40)).sorted
+        (ks, ks.map(_ => (rnd.nextDouble() * 13.0 + 1e-9) *
+          (if (rnd.nextInt(10) == 0) 13.0 else 0.05)))
+      }
+      val (ka, wa) = mk(); val (kb, wb) = mk()
+      (i.toLong, ka, wa, kb, wb)
+    }
+    val base = rows.toDF("id", "ka", "wa", "kb", "wb")
+      .localCheckpoint(eager = true)
+    val kernel = base.selectExpr("id",
+      "sorted_dot_stats(ka, wa, kb, wb) AS st")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // Truth: the EXACT expression of the flat tf-idf plan — explode
+    // both sides to (key, w) postings, equi-join on key, then
+    // sum(CAST(round(wa*wb,12) AS DECIMAL(38,12))) cast to double.
+    val ea = base.selectExpr("id",
+      "inline(arrays_zip(ka, wa)) AS (k, x)")
+    val eb = base.selectExpr("id AS id2",
+      "inline(arrays_zip(kb, wb)) AS (k2, y)")
+    val truth = ea.join(eb,
+        ea("id") === eb("id2") && ea("k") === eb("k2"))
+      .groupBy("id")
+      .agg(
+        expr("CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE)")
+          .as("dp"),
+        count(lit(1)).cast("double").as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    rows.foreach { case (id, _, _, _, _) =>
+      val st = kernel(id)
+      val (dp, n) = truth.getOrElse(id, (0.0, 0.0))
+      assert(st(0) === dp, s"row $id: kernel dp ${st(0)} != decimal sum $dp")
+      assert(st(1) === n, s"row $id: kernel count ${st(1)} != join count $n")
+    }
+    assert(truth.values.exists(_._2 > 0), "fixture must produce overlaps")
+    // Interpreted parity on one fixture (kernel walk is shared code,
+    // but the codegen wrapper path must agree too).
+    val one = Seq((Seq(1L, 3L, 9L), Seq(0.5, 2.0, 13.0),
+      Seq(3L, 9L, 11L), Seq(4.0, 0.125, 7.0))).toDF("ka", "wa", "kb", "wb")
+    val conf = spark.conf
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp =
+      try one.selectExpr("sorted_dot_stats(ka, wa, kb, wb)")
+        .head.getSeq[Double](0)
+      finally {
+        conf.set("spark.sql.codegen.wholeStage", "true")
+        conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    assert(interp === Seq(2.0 * 4.0 + 13.0 * 0.125, 2.0))
+  }
 }

@@ -787,12 +787,82 @@ class ScalePathSpec extends SparkTestBase {
     val auto = pairsAt(None, None)
     val exact = pairsAt(Some("exact"), None)
     assert(auto === exact, "auto below the gate must equal exact")
-    // Past the gate auto must BE the bounded top-k plan.
+    // Past the gate auto must BE the bounded top-k route, projected
+    // into the DECLARED pair schema (round-14 advice: no
+    // data-dependent column switch): the τ-pair set restricted to
+    // top-5 neighborhoods — a strict subset of exact, same columns.
+    val routedDf = {
+      s.conf.set("spark.graft.tfidf.pairsWarnDocs", "1")
+      try graft.SparkEntry.queries("q_tfidf_pairs")(s, sf001)
+      finally s.conf.unset("spark.graft.tfidf.pairsWarnDocs")
+    }
+    assert(routedDf.columns.toSeq === Seq("d1", "d2", "n_shared", "cos"),
+      "routed plan must keep the declared schema")
     val routed = pairsAt(None, Some("1"))
-    val topk = graft.SparkEntry.queries("q_tfidf_topk")(s, sf001)
+    val topkPairs = Semantic.tfidfTopkPairs(s, sf001)
       .collect().map(_.toSeq).toSet
-    assert(routed === topk, "auto past the gate must equal q_tfidf_topk")
+    assert(routed === topkPairs,
+      "auto past the gate must equal the top-k pair projection")
+    assert(routed.subsetOf(exact),
+      "routed rows must be a subset of the declared τ-pair answer")
     assert(routed !== exact, "fixture must distinguish the two forms")
+  }
+
+  test("tfidf topk.mode: cluster pairs carry bit-identical cos to exact; " +
+    "recall >= 0.9 on the dup-bearing fixture; auto gates by doc count") {
+    val sf = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    val s = spark
+    def scored(mode: String): Map[(Long, Long), (Long, Double)] = {
+      s.conf.set("spark.graft.tfidf.topk.mode", mode)
+      try Semantic.tfidfScored(s, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      finally s.conf.unset("spark.graft.tfidf.topk.mode")
+    }
+    val exact = scored("exact")
+    val cluster = scored("cluster")
+    // Soundness: every clustered candidate IS an exact candidate with
+    // the identical (n_shared, cos) — the sorted_dot_stats merge walk
+    // must reproduce the posting-join DECIMAL(38,12) dot bit-for-bit
+    // (a 1-ulp drift here would flip 6dp roundings corpus-wide).
+    val alien = cluster.collect {
+      case (k, v) if !exact.get(k).contains(v) => k -> (v, exact.get(k))
+    }
+    assert(alien.isEmpty,
+      s"cluster candidates diverge from exact on ${alien.size} pairs, " +
+        s"e.g. ${alien.take(3)}")
+    // Recall contract, measured where it is DECLARED: on the top-5
+    // OUTPUT rows, not the candidate set (bands exist to prune
+    // candidates). The route's promise is the high-cos regime — the
+    // near-dup neighborhoods whose clique volume kills the exact
+    // plan — so the high-cos slice is pinned tight and the overall
+    // figure pinned at its contract level.
+    def topkRows(mode: String): Set[(Long, Long, Double)] = {
+      s.conf.set("spark.graft.tfidf.topk.mode", mode)
+      try graft.SparkEntry.queries("q_tfidf_topk")(s, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      finally s.conf.unset("spark.graft.tfidf.topk.mode")
+    }
+    val exactTop = topkRows("exact")
+    val clusterTop = topkRows("cluster")
+    val overall = clusterTop.intersect(exactTop).size.toDouble / exactTop.size
+    val hiExact = exactTop.filter(_._3 >= 0.5)
+    val hiRecall =
+      if (hiExact.isEmpty) 1.0
+      else clusterTop.intersect(hiExact).size.toDouble / hiExact.size
+    info(s"topk row recall: overall=$overall high-cos=$hiRecall " +
+      s"(${exactTop.size} exact rows, ${hiExact.size} high-cos)")
+    assert(hiRecall >= 0.95,
+      s"high-cos (>=0.5) top-k recall $hiRecall < 0.95")
+    assert(overall >= 0.5, s"overall top-k recall $overall < 0.5")
+    // auto: exact below the gate, cluster at/past it.
+    val autoDefault = scored("auto")
+    assert(autoDefault === exact, "auto below the 100k-doc gate = exact")
+    s.conf.set("spark.graft.tfidf.topkGateDocs", "1")
+    val autoRouted = try scored("auto")
+    finally s.conf.unset("spark.graft.tfidf.topkGateDocs")
+    assert(autoRouted === cluster, "auto past the gate = cluster")
   }
 
   test("coCounts hub-split + min-support screen are output-identical to the plain pair fold (seeded)") {
@@ -835,5 +905,42 @@ class ScalePathSpec extends SparkTestBase {
       "hub-split coCounts diverges from brute force: lost=" +
         (truth.keySet -- split.keySet).take(5) + " extra=" +
         (split.keySet -- truth.keySet).take(5))
+  }
+
+  test("basketFrame size gate: both physical routes are row-identical " +
+    "and the gate picks by on-disk bytes") {
+    // Round-15 wedge-build gate: below spark.graft.cobasket.smallBytes
+    // the frame is the checkpointed distinct (round-13 plan, cheaper
+    // under ~1 M rows); at/above it the one-exchange repartition(o)
+    // dedup (2.5x cheaper at 100x). The gate must be invisible to
+    // consumers: same rows either way, and the big route's plan must
+    // carry the o-partitioning the exchange-free coCounts build
+    // relies on.
+    val s = spark
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/lineitem.parquet").exists())
+    def rows(): Set[(Long, Long)] =
+      Graphs.basketFrame(s, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    s.conf.set("spark.graft.cobasket.smallBytes", Long.MaxValue.toString)
+    val small = try rows() finally s.conf.unset("spark.graft.cobasket.smallBytes")
+    s.conf.set("spark.graft.cobasket.smallBytes", "1")
+    val (big, bigPlan) = try {
+      val df = Graphs.basketFrame(s, sf)
+      (df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+        df.queryExecution.executedPlan.toString)
+    } finally s.conf.unset("spark.graft.cobasket.smallBytes")
+    assert(small === big, "gate routes must be row-identical")
+    val truth = graft.Tables.lineitem(s, sf)
+      .selectExpr("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(small === truth)
+    assert(bigPlan.contains("hashpartitioning(o"),
+      "big route must partition on the basket key (exchange-free dedup + join)")
+    // tableBytes: the gate's size signal is the real on-disk footprint.
+    val bytes = graft.Tables.tableBytes(sf, "lineitem")
+    assert(bytes > 0 && bytes ===
+      new java.io.File(s"$sf/lineitem.parquet").length())
+    assert(graft.Tables.tableBytes(sf, "no_such_table") === 0L)
   }
 }
