@@ -1011,58 +1011,50 @@ object Semantic {
     (w, nrm)
   }
 
-  /** Directed scored candidate pairs (d1, d2, nsh, cos) — the shared
-    * stage under q_tfidf_topk and q_tfidf_pairs' routed form,
-    * dispatched by `spark.graft.tfidf.topk.mode`:
-    *  - `exact`: the inverted-index posting self-join. Complete (every
-    *    pair sharing ≥1 surviving term is scored) but its CANDIDATE
-    *    stage is quadratic in near-dup clique size — at the 100×
-    *    fixture (500 k docs, ~100-member replica cliques) the
-    *    pair×token rows through the dot aggregation killed the probe
-    *    at ~55 min of spill (round-14 BENCH.md).
-    *  - `cluster`: the candidate-BOUNDED route (round-14 verdict #1,
-    *    the q_semdedup discipline applied to sparse vectors):
-    *    MinHash-LSH-band the token sets (16 bands × 3 minhashes — a
-    *    milder slope than dedup's 8×4; see tfidfDocVectors),
-    *    self-join per band bucket with the
-    *    whole packed doc vector riding the assignment rows (round-12
-    *    lever: never ship vectors through a pair-sized exchange), and
-    *    compute the cosine INSIDE the join stage via the
-    *    sorted_dot_stats merge-walk kernel — pair×token rows never
-    *    exist. Candidate work is Σ bucket² — clique-sized buckets,
-    *    not clique²×tokens aggregation rows. RECALL CONTRACT, not
-    *    exact: a true neighbor pair is scored iff some band's 4
-    *    minhashes agree (P = 1-(1-J³)¹⁶; ≈1 at the near-dup
-    *    Jaccards that create the quadratic regime, 0.88 at J = 0.5,
-    *    lower for low-overlap neighbors). Pairs that ARE found carry
-    *    BIT-IDENTICAL cos to the exact route (kernel scaladoc;
-    *    ScalePathSpec pins equality and a measured recall floor).
+  /** Route dispatch for the bounded top-k plans
+    * (`spark.graft.tfidf.topk.mode`):
+    *  - `exact`: score via the inverted-index posting self-join
+    *    (tfidfScoredExact) — complete (every pair sharing ≥1
+    *    surviving term), but the candidate stage is quadratic in
+    *    near-dup clique size. The 100× fixture's real cliques are the
+    *    REPLICA-INDEX groups: every replica-i document carries the
+    *    suffix token "r·i", and after the df screen most documents
+    *    hold only 1-2 surviving terms — so "r·i" alone forms
+    *    nDocs/factor-member cliques (5 000 docs at every factor;
+    *    ~1.2·10⁹ true pairs at 100× — the ~55 min spill CUT of
+    *    round 14, and exactly the 115 M-row sf1.0 τ-pair answer of
+    *    round 11).
+    *  - `cluster`: the candidate- AND shuffle-bounded route
+    *    (tfidfTopkClustered).
     *  - `auto` (default): exact below
     *    `spark.graft.tfidf.topkGateDocs` (100 k — every oracled sf
     *    runs exact; the parquet-footer doc count is deterministic),
     *    cluster past it, with a stderr note naming the switch. */
-  private[queries] def tfidfScored(s: SparkSession, d: String): DataFrame = {
+  private def tfidfRoute(s: SparkSession, d: String): (String, Long) = {
     val gate = s.conf.get("spark.graft.tfidf.topkGateDocs", "100000").toLong
     require(gate >= 1,
       s"spark.graft.tfidf.topkGateDocs must be >= 1, got $gate")
+    val nDocs = Tables.documents(s, d).count()
     val mode = s.conf.get("spark.graft.tfidf.topk.mode", "auto") match {
-      case "auto" =>
-        if (Tables.documents(s, d).count() >= gate) "cluster" else "exact"
+      case "auto" => if (nDocs >= gate) "cluster" else "exact"
       case m @ ("exact" | "cluster") => m
       case other => throw new IllegalArgumentException(
         s"spark.graft.tfidf.topk.mode must be exact|cluster|auto, got '$other'")
     }
-    if (mode == "cluster") {
+    if (mode == "cluster")
       System.err.println(
         "[graft] tfidf top-k: routing to the MinHash-banded cluster " +
-          "route (candidate stage bounded by band buckets; recall " +
-          "contract — set spark.graft.tfidf.topk.mode=exact to force " +
-          "the complete inverted-index form)")
-      tfidfScoredClustered(s, d)
-    } else tfidfScoredExact(s, d)
+          "route (bucket-capped candidates, in-stage top-k heap; " +
+          "recall contract — set spark.graft.tfidf.topk.mode=exact " +
+          "to force the complete inverted-index form)")
+    (mode, nDocs)
   }
 
-  private def tfidfScoredExact(s: SparkSession, d: String): DataFrame = {
+  /** Directed scored candidate pairs (d1, d2, nsh, cos) of the EXACT
+    * form — the complete inverted-index posting self-join. Also the
+    * truth arm of the ScalePathSpec cluster pins. */
+  private[queries] def tfidfScoredExact(s: SparkSession, d: String)
+      : DataFrame = {
     val (w, nrm) = tfidfFrames(s, d)
     val dot = w.as("a").join(w.as("b"),
       col("a.t") === col("b.t") && col("a.doc_id") =!= col("b.doc_id"))
@@ -1077,21 +1069,44 @@ object Semantic {
           .as("cos"))
   }
 
+  /** Rows-per-band for the clustered route, SIZE-DERIVED like
+    * annCells/lsh.planes: random band-key collisions put ~n·J_rand^r
+    * bucket-mates next to every doc, so r must grow with the corpus
+    * or low-overlap mass floods the buckets — the first 100× probe
+    * ran r = 3 and spilled ~5·10⁸ random-overlap pairs (17 GB+ and
+    * climbing when it was killed). r = max(3, ⌈log₂ n / 5⌉): 3
+    * through ~32 k docs (the oracled sfs — the sf0.01 recall pins
+    * stay meaningful), 4 at the 100× fixture's 500 k, 6 at 50 M.
+    * `spark.graft.tfidf.bandRows` / `.bands` override. */
+  private[queries] def tfidfBandRows(s: SparkSession, nDocs: Long): Int =
+    s.conf.getOption("spark.graft.tfidf.bandRows").map { v =>
+      val r = v.toInt
+      require(r >= 1 && r <= 16,
+        s"spark.graft.tfidf.bandRows must be in [1,16], got $v")
+      r
+    }.getOrElse(math.max(3, math.ceil(
+      math.log(math.max(2L, nDocs).toDouble) / math.log(2.0) / 5.0).toInt))
+
   /** Per-document packed sparse vectors: sorted term-hash keys `ks`,
     * aligned weights `ws`, squared norm `n2` (the SAME decimal fold
-    * as tfidfFrames' nrm), and the 8 MinHash band keys. One
-    * aggregation over the posting frame builds everything — the 32
-    * per-term hashes fold as codegen'd `min` columns, never an
-    * exploded (doc, term, plane) frame. */
-  private def tfidfDocVectors(s: SparkSession, d: String): DataFrame = {
-    // 16 bands × 3 minhashes: band-match P = 1-(1-J³)¹⁶ — ≈1.0 at the
-    // near-dup Jaccards that create the quadratic regime (J ≥ 0.7),
-    // 0.88 at J = 0.5, falling off below — a deliberately milder
-    // slope than dedup's 8×4 (τ≈0.8 step) because top-k wants the
-    // mid-overlap neighborhood too, while 3-row band keys still keep
-    // random (low-J) buckets singleton-sized: Σ bucket² stays
-    // clique-volume, never posting-list-volume.
-    val bands = 16; val rows = 3
+    * as tfidfFrames' nrm), and `bands` MinHash band keys of
+    * size-derived row count (tfidfBandRows). One aggregation over the
+    * posting frame builds everything — the per-term hashes fold as
+    * codegen'd `min` columns, never an exploded (doc, term, plane)
+    * frame. Band-match P = 1-(1-J^r)^bands — ≈1.0 at the near-dup
+    * Jaccards that create the quadratic regime (J ≥ 0.7), 0.88 at
+    * J = 0.5 with r = 3, falling off below — a deliberately milder
+    * slope than dedup's 8×4 (τ≈0.8 step) because top-k wants the
+    * mid-overlap neighborhood too. */
+  private def tfidfDocVectors(s: SparkSession, d: String,
+      nDocs: Long): DataFrame = {
+    val bands = {
+      val b = s.conf.get("spark.graft.tfidf.bands", "16").toInt
+      require(b >= 1 && b <= 64,
+        s"spark.graft.tfidf.bands must be in [1,64], got $b")
+      b
+    }
+    val rows = tfidfBandRows(s, nDocs)
     val (w, _) = tfidfFrames(s, d)
     val minCols = (0 until bands * rows).map(m =>
       min(xxhash64(col("t"), lit(m))).as(s"m$m"))
@@ -1113,22 +1128,54 @@ object Semantic {
           .as("bands"))
   }
 
-  private[queries] def tfidfScoredClustered(s: SparkSession, d: String): DataFrame = {
-    val dv = tfidfDocVectors(s, d)
-    // ONE corpus exchange on the bucket key (the coCounts/wedge
-    // discipline): the band explode rides the same rows as the
-    // vector payload, the self-join is co-partitioned with a
-    // ReusedExchange second side — the only data-sized shuffles in
-    // the route are this n·bands assignment exchange, the pair
-    // distinct, and the top-k window.
+  /** The clustered top-k frame (d1, d2, nsh, cos, rk ≤ k): banded
+    * candidate buckets → capped in-join scoring → in-stage top-k heap.
+    * The three levers that make it survive the replica-clique regime
+    * (where EVERY bucketing is correct and therefore huge):
+    *  1. ONE corpus exchange on the bucket key (the coCounts/wedge
+    *     discipline): the band explode rides the vector payload, the
+    *     self-join co-partitions with a ReusedExchange second side.
+    *  2. BUCKET CAP: the b-side of the join is the bucket's
+    *     `spark.graft.tfidf.bucketCap` (64) smallest doc ids (a
+    *     rank window on the SAME partitioning — no extra exchange).
+    *     Candidates per bucket fall from |b|² to |b|·C. In the
+    *     oversized-bucket regime this is EXACT, not approximate:
+    *     such buckets are rounding-tie cliques (1-2 shared surviving
+    *     terms → every pairwise cos rounds to the same value at
+    *     6 dp), where the (cos DESC, d2 ASC) top-5 is the 5 smallest
+    *     other ids — contained in any id-prefix of size ≥ 6. For a
+    *     bucket with genuine cos variation the cap is a recall trade,
+    *     and such buckets are small by construction (the band key
+    *     already separates differing term sets).
+    *  3. NO PAIR SHUFFLE: the join output folds into per-doc top-5
+    *     heaps (TopKNeighborsAggregator) in the SAME stage —
+    *     map-side partial aggregation reduces each partition to ≤5
+    *     rows per doc before the only downstream exchange. The
+    *     distinct+window form of this plan shuffled the pair set and
+    *     twice filled the box's spill disk at 100×.
+    * Band-duplicate candidates carry identical deterministic cos;
+    * the heap dedups by d2, so they are harmless. */
+  private[queries] def tfidfTopkClustered(s: SparkSession, d: String,
+      nDocs: Long): DataFrame = {
+    val cap = {
+      val c = s.conf.get("spark.graft.tfidf.bucketCap", "64").toInt
+      require(c >= 6 && c <= 100000,
+        s"spark.graft.tfidf.bucketCap must be in [6,100000], got $c")
+      c
+    }
+    val dv = tfidfDocVectors(s, d, nDocs)
     val f = dv.select(explode(col("bands")).as("bd"), col("doc_id"),
         col("ks"), col("ws"), col("n2"))
       .select(col("bd.band").as("band"), col("bd.bkey").as("bkey"),
         col("doc_id"), col("ks"), col("ws"), col("n2"))
       .repartition(col("band"), col("bkey"))
-    val pairs = f.as("a").join(f.as("b"),
+    val rankWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bkey").orderBy("doc_id")
+    val capped = f.withColumn("rn", row_number().over(rankWin))
+      .filter(col("rn") <= cap)
+    val scored = f.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         expr("sorted_dot_stats(a.ks, a.ws, b.ks, b.ws)").as("st"),
         col("a.n2").as("na2"), col("b.n2").as("nb2"))
@@ -1141,25 +1188,38 @@ object Semantic {
       // matching posting) — drop it, or the routed result would
       // contain cos=0 rows the declared form can never emit.
       .filter(col("nsh") >= 1)
-      // Pairs matching in several bands are exact duplicates
-      // (deterministic cos) — distinct on the 32-byte result row,
-      // never on vector payloads.
-      .distinct()
-    pairs.unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2"),
-      col("nsh"), col("cos")))
+    val topk = udaf(new graft.functions.TopKNeighborsAggregator(5),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble))
+    scored.groupBy("d1")
+      .agg(topk(col("d2"), col("nsh"), col("cos")).as("tk"))
+      .select(col("d1"), posexplode(col("tk")))
+      .select(col("d1"), col("col._1").as("d2"), col("col._2").as("nsh"),
+        col("col._3").as("cos"), (col("pos") + 1).cast("long").as("rk"))
   }
+
+  /** The bounded top-k frame (d1, d2, nsh, cos, rk ≤ 5), shared by
+    * q_tfidf_topk and q_tfidf_pairs' routed form, mode-dispatched
+    * (tfidfRoute). */
+  private def tfidfTopkFrame(s: SparkSession, d: String): DataFrame =
+    tfidfRoute(s, d) match {
+      case ("cluster", n) => tfidfTopkClustered(s, d, n)
+      case _ =>
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy("d1").orderBy(col("cos").desc, col("d2"))
+        tfidfScoredExact(s, d)
+          .withColumn("rk", row_number().over(win).cast("long"))
+          .filter(col("rk") <= 5)
+    }
 
   /** The bounded top-k plan — q_tfidf_topk's declared form and the
     * per-direction stage of q_tfidf_pairs' routed form. */
-  private def tfidfTopk(s: SparkSession, d: String): DataFrame = {
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("d1").orderBy(col("cos").desc, col("d2"))
-    tfidfScored(s, d)
-      .withColumn("rk", row_number().over(win).cast("long"))
-      .filter(col("rk") <= 5)
+  private def tfidfTopk(s: SparkSession, d: String): DataFrame =
+    tfidfTopkFrame(s, d)
       .select("d1", "d2", "cos", "rk")
       .orderBy("d1", "rk")
-  }
 
   /** q_tfidf_pairs' ROUTED form (auto past the pairsWarnDocs gate) in
     * the DECLARED schema (round-14 advice: the routed plan must not
@@ -1167,16 +1227,12 @@ object Semantic {
     * (d1 < d2, n_shared, cos ≥ 0.25) RESTRICTED to each document's
     * top-5 neighborhood — a bounded subset of the declared answer,
     * ≤ n·k rows at any clique structure, same column set and types. */
-  private[queries] def tfidfTopkPairs(s: SparkSession, d: String): DataFrame = {
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("d1").orderBy(col("cos").desc, col("d2"))
-    tfidfScored(s, d)
-      .withColumn("rk", row_number().over(win))
-      .filter(col("rk") <= 5 && col("cos") >= 0.25)
+  private[queries] def tfidfTopkPairs(s: SparkSession, d: String): DataFrame =
+    tfidfTopkFrame(s, d)
+      .filter(col("cos") >= 0.25)
       .select(least(col("d1"), col("d2")).as("d1"),
         greatest(col("d1"), col("d2")).as("d2"),
         col("nsh").as("n_shared"), col("cos"))
       .distinct()
       .orderBy("d1", "d2")
-  }
 }

@@ -259,6 +259,29 @@ class VectorExpressionsSpec extends SparkTestBase {
       assert(st(1) === n, s"row $id: kernel count ${st(1)} != join count $n")
     }
     assert(truth.values.exists(_._2 > 0), "fixture must produce overlaps")
+    // Boundary-targeted products: the round12Scaled fast path must
+    // hand exact x.5e-12 ties and near-tie products to the canonical
+    // BigDecimal path — pin a batch of them against the same SQL
+    // truth (wa = 1.0 makes the product the literal value).
+    val ties = Seq(0.5e-12, 1.5e-12, 2.5e-12, 1234.5e-12,
+      0.1 + 0.5e-12, 7.0000000000005e-3, 0.9999999999995,
+      5.0e-13 + 1e-25, 2.4999999999999e-12, 169.0000000000005)
+    val tieRows = ties.zipWithIndex.map { case (v, i) =>
+      (1000L + i, Seq(1L), Seq(1.0), Seq(1L), Seq(v))
+    }
+    val tieBase = tieRows.toDF("id", "ka", "wa", "kb", "wb")
+    val tieKernel = tieBase
+      .selectExpr("id", "sorted_dot_stats(ka, wa, kb, wb)[0] AS dp")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val tieTruth = tieBase
+      .selectExpr("id",
+        "CAST(CAST(round(wa[0] * wb[0], 12) AS DECIMAL(38,12)) AS DOUBLE) AS dp")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    tieRows.foreach { case (id, _, _, _, wb) =>
+      assert(tieKernel(id) === tieTruth(id),
+        s"boundary product ${wb.head}: kernel ${tieKernel(id)} != " +
+          s"round/decimal ${tieTruth(id)}")
+    }
     // Interpreted parity on one fixture (kernel walk is shared code,
     // but the codegen wrapper path must agree too).
     val one = Seq((Seq(1L, 3L, 9L), Seq(0.5, 2.0, 13.0),

@@ -808,33 +808,30 @@ class ScalePathSpec extends SparkTestBase {
     assert(routed !== exact, "fixture must distinguish the two forms")
   }
 
-  test("tfidf topk.mode: cluster pairs carry bit-identical cos to exact; " +
-    "recall >= 0.9 on the dup-bearing fixture; auto gates by doc count") {
+  test("tfidf topk.mode: cluster rows carry bit-identical (nsh, cos) to " +
+    "exact; recall pinned on the output; auto gates by doc count") {
     val sf = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$sf/documents.parquet").exists())
     val s = spark
-    def scored(mode: String): Map[(Long, Long), (Long, Double)] = {
-      s.conf.set("spark.graft.tfidf.topk.mode", mode)
-      try Semantic.tfidfScored(s, sf).collect()
-        .map(r => (r.getLong(0), r.getLong(1)) ->
-          (r.getLong(2), r.getDouble(3))).toMap
-      finally s.conf.unset("spark.graft.tfidf.topk.mode")
-    }
-    val exact = scored("exact")
-    val cluster = scored("cluster")
-    // Soundness: every clustered candidate IS an exact candidate with
+    val nDocs = graft.Tables.documents(s, sf).count()
+    // Soundness: every clustered top-k row IS an exact candidate with
     // the identical (n_shared, cos) — the sorted_dot_stats merge walk
     // must reproduce the posting-join DECIMAL(38,12) dot bit-for-bit
     // (a 1-ulp drift here would flip 6dp roundings corpus-wide).
-    val alien = cluster.collect {
-      case (k, v) if !exact.get(k).contains(v) => k -> (v, exact.get(k))
+    val exactScored = Semantic.tfidfScoredExact(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val clusterRows = Semantic.tfidfTopkClustered(s, sf, nDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    val alien = clusterRows.filterNot { case (d1, d2, nsh, cos, _) =>
+      exactScored.get((d1, d2)).contains((nsh, cos))
     }
     assert(alien.isEmpty,
-      s"cluster candidates diverge from exact on ${alien.size} pairs, " +
-        s"e.g. ${alien.take(3)}")
+      s"cluster rows diverge from exact scoring on ${alien.size} pairs, " +
+        s"e.g. ${alien.take(3).toSeq}")
     // Recall contract, measured where it is DECLARED: on the top-5
-    // OUTPUT rows, not the candidate set (bands exist to prune
-    // candidates). The route's promise is the high-cos regime — the
+    // OUTPUT rows. The route's promise is the high-cos regime — the
     // near-dup neighborhoods whose clique volume kills the exact
     // plan — so the high-cos slice is pinned tight and the overall
     // figure pinned at its contract level.
@@ -857,12 +854,69 @@ class ScalePathSpec extends SparkTestBase {
       s"high-cos (>=0.5) top-k recall $hiRecall < 0.95")
     assert(overall >= 0.5, s"overall top-k recall $overall < 0.5")
     // auto: exact below the gate, cluster at/past it.
-    val autoDefault = scored("auto")
-    assert(autoDefault === exact, "auto below the 100k-doc gate = exact")
+    assert(topkRows("auto") === exactTop, "auto below the 100k-doc gate = exact")
     s.conf.set("spark.graft.tfidf.topkGateDocs", "1")
-    val autoRouted = try scored("auto")
+    val autoRouted = try topkRows("auto")
     finally s.conf.unset("spark.graft.tfidf.topkGateDocs")
-    assert(autoRouted === cluster, "auto past the gate = cluster")
+    assert(autoRouted === clusterTop, "auto past the gate = cluster")
+    // Band-rows derivation (the r=3 100× spill lesson): r grows
+    // log₂(n)/5, floor 3; explicit conf wins; junk is rejected with
+    // the key named.
+    assert(Semantic.tfidfBandRows(s, 500) === 3)
+    assert(Semantic.tfidfBandRows(s, 32000) === 3)
+    assert(Semantic.tfidfBandRows(s, 500000) === 4)
+    assert(Semantic.tfidfBandRows(s, 50000000L) === 6)
+    s.conf.set("spark.graft.tfidf.bandRows", "7")
+    try assert(Semantic.tfidfBandRows(s, 500) === 7)
+    finally s.conf.unset("spark.graft.tfidf.bandRows")
+    s.conf.set("spark.graft.tfidf.bandRows", "99")
+    val ex = intercept[IllegalArgumentException] {
+      try Semantic.tfidfBandRows(s, 500)
+      finally s.conf.unset("spark.graft.tfidf.bandRows")
+    }
+    assert(ex.getMessage.contains("spark.graft.tfidf.bandRows"))
+  }
+
+  test("tfidf bucket cap is EXACT in the rounding-tie clique regime " +
+    "(the oversized-bucket shape): capped route == uncapped == exact") {
+    // The 100× killer: nDocs/factor-member cliques of documents whose
+    // only surviving term is the shared replica token — every
+    // pairwise cos rounds to the same 6dp value, so the
+    // (cos DESC, d2 ASC) top-5 is the 5 smallest other ids, which any
+    // id-prefix cap >= 6 preserves. Build that shape synthetically:
+    // 40 docs, one shared rare term, varying lengths (weights differ,
+    // cos ties at 1.0 after rounding), bucket size 40 >> cap 6.
+    val s = spark
+    import s.implicits._
+    // 40 clique docs + 400 filler docs: the shared token must SURVIVE
+    // the df screen (df·10 <= nn → needs nn >= 400 here), while the
+    // filler token is in every doc and gets screened out — filler
+    // docs end with no surviving terms and never reach the output.
+    val docs = ((0 until 40).map { i =>
+      (i.toLong, ("sharedrare " + Seq.fill(3 + i)("common").mkString(" ")))
+    } ++ (40 until 440).map { i =>
+      (i.toLong, Seq.fill(5)("common").mkString(" "))
+    }).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("tie_clique").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def run(cap: Option[Int], mode: String): Seq[(Long, Long, Double, Long)] = {
+      cap.foreach(c => s.conf.set("spark.graft.tfidf.bucketCap", c.toString))
+      s.conf.set("spark.graft.tfidf.topk.mode", mode)
+      try graft.SparkEntry.queries("q_tfidf_topk")(s, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSeq
+      finally {
+        s.conf.unset("spark.graft.tfidf.topk.mode")
+        cap.foreach(_ => s.conf.unset("spark.graft.tfidf.bucketCap"))
+      }
+    }
+    val exact = run(None, "exact")
+    val capped = run(Some(6), "cluster")
+    val uncapped = run(Some(100000), "cluster")
+    assert(exact.nonEmpty && exact.forall(_._3 === 1.0),
+      s"fixture must be a rounding-tie clique, got ${exact.take(3)}")
+    assert(capped === exact, "capped cluster route must be exact on ties")
+    assert(uncapped === exact, "uncapped cluster route must be exact on ties")
   }
 
   test("coCounts hub-split + min-support screen are output-identical to the plain pair fold (seeded)") {
