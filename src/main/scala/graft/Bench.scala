@@ -50,7 +50,12 @@ object Bench {
     "q_agg_hash" -> 0.8582, "q_join_broadcast" -> 0.9393,
     "q_filter_range" -> 0.3920, "q_project_expr" -> 1.2387,
     "q_point_lookup" -> 0.1484, "q_agg_distinct" -> 1.1398,
-    "q_set_union" -> 0.2411, "q_agg_stats" -> 0.6311)
+    "q_set_union" -> 0.2411, "q_agg_stats" -> 0.6311,
+    // Round-14 keys (round-14 verdict #3): committed r14 mins
+    // (BENCH_r14_full.json) normalized to the r13 pin basis by that
+    // record's own canary_ratio 1.052.
+    "q_ppr" -> 3.7242, "q_stats_prune_str" -> 0.1875,
+    "q_stats_point_lookup" -> 0.1262)
 
   private def loadAvg(): Double =
     java.lang.management.ManagementFactory
