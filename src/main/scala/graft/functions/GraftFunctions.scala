@@ -15,7 +15,7 @@ object GraftFunctions {
   val names: Seq[String] =
     Seq("dot_product", "cosine_distance", "l2_distance", "sq_l2_distance",
       "l2_norm", "char_shingles", "sorted_intersect_count",
-      "word_shingles")
+      "sorted_dot_stats", "word_shingles")
 
   // Names graft itself registered, per session (weak keys — a closed
   // session drops its entry). A foreign squatter is also recorded

@@ -141,8 +141,12 @@ class Round12OpsSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.tfidf.pairsWarnDocs")
     assert(loud.contains("routing to the bounded top-k plan"),
       s"routing message expected past the gate, got: $loud")
-    assert(df.columns.toSeq === Seq("d1", "d2", "cos", "rk"),
-      "past the gate the frame IS the q_tfidf_topk plan")
+    // Round-15 (round-14 advice #2): the routed plan keeps the
+    // DECLARED pair schema — the top-k neighborhood projected into
+    // (d1 < d2, n_shared, cos ≥ 0.25), a bounded subset of the
+    // τ-pair contract, never a data-dependent column switch.
+    assert(df.columns.toSeq === Seq("d1", "d2", "n_shared", "cos"),
+      "past the gate the routed frame keeps the declared pair schema")
     // mode=exact past the gate: the τ-pair contract, no routing.
     spark.conf.set("spark.graft.tfidf.mode", "exact")
     spark.conf.set("spark.graft.tfidf.pairsWarnDocs", "1")
