@@ -919,6 +919,45 @@ class ScalePathSpec extends SparkTestBase {
     assert(uncapped === exact, "uncapped cluster route must be exact on ties")
   }
 
+  test("tfidf cluster route: measured mid-Jaccard recall matches the " +
+    "declared band-match formula 1-(1-J^r)^bands") {
+    // The docs claim P(pair found) = 1-(1-J^r)^16. The oracled
+    // fixtures only exercise J≈1 tie-cliques (recall 1.0), so build
+    // a controlled mid-J corpus: 200 disjoint pairs, each sharing 8
+    // of 16 pair-unique terms (J = 0.5 exactly, cos = 2/3), df = 2
+    // for every term (survives the screen at nn = 400). Exact top-k
+    // is then exactly the 400 directed pair rows, and the cluster
+    // route finds a pair iff some band's minhashes agree — a
+    // DETERMINISTIC outcome for fixed hashes, expected near
+    // 1-(1-0.125)^16 ≈ 0.882 at the derived r = 3.
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 200).flatMap { i =>
+      val terms = (0 until 16).map(j => s"t${i}x$j")
+      Seq((2L * i, terms.take(12).mkString(" ")),
+        (2L * i + 1, terms.drop(4).mkString(" ")))
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("midj").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def rows(mode: String): Set[(Long, Long)] = {
+      s.conf.set("spark.graft.tfidf.topk.mode", mode)
+      try graft.SparkEntry.queries("q_tfidf_topk")(s, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally s.conf.unset("spark.graft.tfidf.topk.mode")
+    }
+    val exact = rows("exact")
+    assert(exact.size === 400, s"exact must be the directed pairs, got ${exact.size}")
+    val cluster = rows("cluster")
+    assert(cluster.subsetOf(exact), "cluster rows must be exact rows here")
+    val recall = cluster.size.toDouble / exact.size
+    val pTheory = 1.0 - math.pow(1.0 - math.pow(0.5,
+      Semantic.tfidfBandRows(s, 400)), 16)
+    info(f"mid-J recall: measured $recall%.4f vs theory $pTheory%.4f")
+    assert(math.abs(recall - pTheory) < 0.1,
+      f"measured recall $recall%.3f strays >0.1 from the declared " +
+        f"band-match probability $pTheory%.3f")
+  }
+
   test("coCounts hub-split + min-support screen are output-identical to the plain pair fold (seeded)") {
     // q_item_cf / q_link_pred's claim: the part screen (n >= k for
     // both endpoints is necessary for co >= k) and the split-both-
