@@ -1027,11 +1027,18 @@ object Semantic {
     *  - `cluster`: the candidate- AND shuffle-bounded route
     *    (tfidfTopkClustered).
     *  - `auto` (default): exact below
-    *    `spark.graft.tfidf.topkGateDocs` (100 k — every oracled sf
-    *    runs exact; the parquet-footer doc count is deterministic),
-    *    cluster past it, with a stderr note naming the switch. */
+    *    `spark.graft.tfidf.topkGateDocs` (20 k, aligned with the
+    *    pairsWarnDocs gate — the sf0.01/sf0.1 oracle sfs run exact;
+    *    the parquet-footer doc count is deterministic), cluster past
+    *    it, with a stderr note naming the switch. Gate calibration
+    *    (round 15, /tmp/sf1.0 = 50 k docs): exact 688 s vs cluster
+    *    13.3 s — the replica-token cliques already dominate at 10×,
+    *    so the bounded route must be the default there; the sf1.0
+    *    ORACLE arm pins topk.mode=exact (the simjoin/knn pin
+    *    precedent). At sf0.1 (5 k docs) exact wins (1.8 s vs 3.5 s)
+    *    and stays the default. */
   private def tfidfRoute(s: SparkSession, d: String): (String, Long) = {
-    val gate = s.conf.get("spark.graft.tfidf.topkGateDocs", "100000").toLong
+    val gate = s.conf.get("spark.graft.tfidf.topkGateDocs", "20000").toLong
     require(gate >= 1,
       s"spark.graft.tfidf.topkGateDocs must be >= 1, got $gate")
     val nDocs = Tables.documents(s, d).count()
@@ -1188,6 +1195,17 @@ object Semantic {
       // matching posting) — drop it, or the routed result would
       // contain cos=0 rows the declared form can never emit.
       .filter(col("nsh") >= 1)
+    topkFold(scored)
+  }
+
+  /** (d1, d2, nsh, cos) → the per-d1 top-5 under (cos DESC, d2 ASC)
+    * with rk, via the heap aggregate — `row_number() OVER (PARTITION
+    * BY d1 ...) <= 5` semantics (TopKNeighborsAggregator scaladoc)
+    * at a fraction of its cost: map-side partial heaps reduce each
+    * partition to ≤5 rows per doc BEFORE the d1 exchange, where the
+    * window form shuffles the whole candidate-pair set (the exact
+    * arm's pair set at sf1.0 is ~10⁸ rows for a 226 k-row answer). */
+  private def topkFold(scored: DataFrame): DataFrame = {
     val topk = udaf(new graft.functions.TopKNeighborsAggregator(5),
       org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
@@ -1202,16 +1220,11 @@ object Semantic {
 
   /** The bounded top-k frame (d1, d2, nsh, cos, rk ≤ 5), shared by
     * q_tfidf_topk and q_tfidf_pairs' routed form, mode-dispatched
-    * (tfidfRoute). */
+    * (tfidfRoute). Both branches end in the same heap fold. */
   private def tfidfTopkFrame(s: SparkSession, d: String): DataFrame =
     tfidfRoute(s, d) match {
       case ("cluster", n) => tfidfTopkClustered(s, d, n)
-      case _ =>
-        val win = org.apache.spark.sql.expressions.Window
-          .partitionBy("d1").orderBy(col("cos").desc, col("d2"))
-        tfidfScoredExact(s, d)
-          .withColumn("rk", row_number().over(win).cast("long"))
-          .filter(col("rk") <= 5)
+      case _ => topkFold(tfidfScoredExact(s, d))
     }
 
   /** The bounded top-k plan — q_tfidf_topk's declared form and the

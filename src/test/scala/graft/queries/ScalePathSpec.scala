@@ -854,7 +854,7 @@ class ScalePathSpec extends SparkTestBase {
       s"high-cos (>=0.5) top-k recall $hiRecall < 0.95")
     assert(overall >= 0.5, s"overall top-k recall $overall < 0.5")
     // auto: exact below the gate, cluster at/past it.
-    assert(topkRows("auto") === exactTop, "auto below the 100k-doc gate = exact")
+    assert(topkRows("auto") === exactTop, "auto below the 20k-doc gate = exact")
     s.conf.set("spark.graft.tfidf.topkGateDocs", "1")
     val autoRouted = try topkRows("auto")
     finally s.conf.unset("spark.graft.tfidf.topkGateDocs")
