@@ -35,16 +35,23 @@ object Bench {
     "q_minhash_recall", "q_bloom_probe", "q_hll_registers",
     "q_kmv_sketch", "q_quantile_sketch", "q_knn_recall", "q_lsh_embed")
 
-  /** Box-drift canary (round-13 verdict #7): 10 stable, cheap,
-    * code-untouched keys with their committed round-13 sf0.1 times
-    * (BENCH_LAST.json @ 65e451c, reps=2 min, quiet box). The sweep
+  /** Box-drift canary (round-13 verdict #7): 15 code-untouched keys
+    * with their pinned sf0.1 times on the round-13 basis (r13 keys:
+    * BENCH_LAST.json @ 65e451c; later keys: that round's committed
+    * min normalized by its record's own canary_ratio). The sweep
     * prelude re-times them in the warmed JVM and emits
     * `canary_ratio` = measured_total / pinned_total — a cross-round
     * comparison divides by this instead of re-running a full
     * control sweep (round 13 spent a whole re-bench proving 1.15×
     * was box drift, not code: same-code scatter was 0.66–1.7×).
-    * Only emitted at the driver's sf0.1 — the pins mean nothing at
-    * another scale. */
+    * Round-15's record showed the cheap keys UNDER-capture what
+    * slows the loop-heavy graph keys (same-code median 1.127 vs
+    * canary 1.033, q_pagerank +17% with no code change), so the pin
+    * set carries both classes (see [[canaryHeavy]]) and the JSON
+    * line reports `canary_cheap` / `canary_heavy` next to the
+    * blended ratio — read the class that matches the keys being
+    * compared. Only emitted at the driver's sf0.1 — the pins mean
+    * nothing at another scale. */
   val canaryPins: Seq[(String, Double)] = Seq(
     "q_examine" -> 0.1020, "q_scan_filter" -> 0.1444,
     "q_agg_hash" -> 0.8582, "q_join_broadcast" -> 0.9393,
@@ -55,7 +62,17 @@ object Bench {
     // (BENCH_r14_full.json) normalized to the r13 pin basis by that
     // record's own canary_ratio 1.052.
     "q_ppr" -> 3.7242, "q_stats_prune_str" -> 0.1875,
-    "q_stats_point_lookup" -> 0.1262)
+    "q_stats_point_lookup" -> 0.1262,
+    // Round-15 verdict #3: one iteration-floor key and one wedge key
+    // so loop-heavy drift is captured. BENCH_LAST.json r15 driver
+    // mins (5.5584 / 2.6314) normalized by that record's
+    // canary_ratio 0.942.
+    "q_pagerank" -> 5.9006, "q_item_cf" -> 2.7934)
+
+  /** The loop-heavy pin class: fixed-unroll iterative plans whose
+    * per-step JIT/scheduler sensitivity drifts differently from the
+    * cheap scan/agg keys (round-15 record: 1.127 vs 1.033). */
+  val canaryHeavy: Set[String] = Set("q_ppr", "q_pagerank", "q_item_cf")
 
   private def loadAvg(): Double =
     java.lang.management.ManagementFactory
@@ -111,28 +128,43 @@ object Bench {
       (name, if (ok) sec else -1.0, ok)
     }
     // Canary prelude: re-time the pinned keys (min of 2 runs each,
-    // ~5 s total) in the warmed JVM, BEFORE the sweeps so later
-    // cache pressure can't leak into it. The gate matches the
+    // ~20 s total with the heavy class) in the warmed JVM, BEFORE
+    // the sweeps so later cache pressure can't leak into it. Each
+    // pin gets ONE untimed warm run first (round-15 advice: the
+    // prelude ran before the global warm pass, so a heavy pin's
+    // min-of-2 could still include the JIT-cold first execution the
+    // warm pass exists to eliminate). The gate matches the
     // directory BASENAME exactly (round-14 advice: endsWith("sf0.1")
     // also matched ".../mysf0.1"), and the prelude is skipped when a
     // --only restriction excludes every pinned key — a targeted
-    // profiling run must not pay ~5 s re-timing keys it was told to
-    // skip. canaryPins keys must exist in the registry; assert
-    // loudly instead of NaN-ing the ratio on a renamed key.
-    val canaryRatio: Option[Double] =
+    // profiling run must not pay the prelude re-timing keys it was
+    // told to skip. canaryPins keys must exist in the registry;
+    // assert loudly instead of NaN-ing the ratio on a renamed key.
+    // Emits the blended ratio plus per-class ratios (cheap vs
+    // loop-heavy) — round-15 verdict #3.
+    def ratio3(ms: Seq[Double], ps: Seq[Double]): Double =
+      math.round(ms.sum / ps.sum * 1000.0) / 1000.0
+    val canaryRatios: Option[(Double, Double, Double)] =
       if (new java.io.File(sfDir).getName != "sf0.1" ||
           only.exists(o => !canaryPins.exists(p => o.contains(p._1)))) None
       else {
         canaryPins.foreach { case (name, _) =>
           require(SparkEntry.queries.contains(name),
             s"canary pin '$name' is not a registry key") }
+        canaryPins.foreach { case (name, _) =>
+          timeOne(name, SparkEntry.queries(name)) }
         val measured = canaryPins.map { case (name, _) =>
           val ts = (1 to 2).map(_ => timeOne(name, SparkEntry.queries(name))._2)
           if (ts.exists(_ < 0)) Double.NaN else ts.min
         }
         if (measured.exists(_.isNaN)) None
-        else Some(math.round(
-          measured.sum / canaryPins.map(_._2).sum * 1000.0) / 1000.0)
+        else {
+          val zip = canaryPins.zip(measured)
+          val (heavy, cheap) = zip.partition(z => canaryHeavy(z._1._1))
+          Some((ratio3(measured, canaryPins.map(_._2)),
+            ratio3(cheap.map(_._2), cheap.map(_._1._2)),
+            ratio3(heavy.map(_._2), heavy.map(_._1._2))))
+        }
       }
     // One untimed warm pass over the sweep's key set (round-14
     // verdict #6: first-run keys carried 9.5-11x rep spreads from
@@ -196,8 +228,9 @@ object Bench {
       .mkString("{", ",", "}")
     val noauditJson = noaudit.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val canaryJson = canaryRatio.map(r => s""","canary_ratio":$r""")
-      .getOrElse("")
+    val canaryJson = canaryRatios.map { case (all, cheap, heavy) =>
+      s""","canary_ratio":$all,"canary_cheap":$cheap,"canary_heavy":$heavy"""
+    }.getOrElse("")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":$failed,"sf":"$sfDir","reps":$reps,""" +

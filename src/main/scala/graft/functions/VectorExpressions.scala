@@ -541,10 +541,15 @@ object SortedDotStats {
     * ulp ≈ |y|·4.4·10⁻¹⁶ of error vs the true p·10¹², and the
     * shortest-string decimal of p is itself within half an ulp of p
     * — so whenever y's distance to the nearest x.5 rounding boundary
-    * exceeds a margin ≫ combined error (10⁻⁹ + |y|·10⁻¹⁴, ~45×
+    * exceeds a margin ≫ combined error (10⁻⁹ + |y|·10⁻¹⁵, ~2.3×
     * slack), fast and canonical agree and the fast result is
     * returned; inside the margin (P ≈ 2·margin, « 10⁻³ at tf-idf
-    * magnitudes) the canonical path decides. Equality with the
+    * magnitudes) the canonical path decides. The relative term keeps
+    * the margin below the 0.5 max boundary distance out to
+    * |y| ≈ 5·10¹⁴ (products ≈ 500) — past that the error bound
+    * itself approaches 0.5 and the slow path is genuinely required
+    * (round-15 advice: the old |y|·10⁻¹⁴ term crossed 0.5 at
+    * products ≈ 50, pointlessly abandoning the fast path 10× early). Equality with the
     * all-BigDecimal form is pinned by the randomized kernel spec
     * plus a boundary-targeted spec. */
   private def round12Scaled(p: Double): Long = {
@@ -552,7 +557,7 @@ object SortedDotStats {
     if (java.lang.Double.isFinite(y) && Math.abs(y) < 4.5e15) {
       val r = if (y >= 0) Math.floor(y + 0.5) else Math.ceil(y - 0.5)
       val dist = Math.abs(Math.abs(y - Math.rint(y)) - 0.5)
-      if (dist > 1e-9 + Math.abs(y) * 1e-14) return r.toLong
+      if (dist > 1e-9 + Math.abs(y) * 1e-15) return r.toLong
     }
     java.math.BigDecimal.valueOf(p)
       .setScale(12, java.math.RoundingMode.HALF_UP)

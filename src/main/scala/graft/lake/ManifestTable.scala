@@ -471,11 +471,17 @@ object ManifestTable {
     val b = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
-      if (s.charAt(i) == '%' && i + 3 <= s.length) {
+      if (s.charAt(i) == '%') {
         // A malformed escape (e.g. '%zz' from a hand-edited or
         // corrupted sidecar) degrades to None → the caller KEEPS the
         // file, matching the numeric path's toDoubleOption policy:
         // pruning corruption must widen the read set, never throw.
+        // A truncated trailing escape ('%' or '%2') is the same
+        // corruption class: pctEnc never emits a bare '%', so any
+        // '%' without two hex chars is unparseable, not literal —
+        // decoding it literally could compare a wrong bound and
+        // wrongly PRUNE a file (the one direction the policy forbids).
+        if (i + 3 > s.length) return None
         val hex = s.substring(i + 1, i + 3)
         if (!hex.forall(c => Character.digit(c, 16) >= 0)) return None
         b.append(Integer.parseInt(hex, 16).toChar)

@@ -1058,11 +1058,35 @@ object Graphs {
       d: String): DataFrame = {
     val raw = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-    val gate = s.conf.getOption("spark.graft.cobasket.smallBytes")
-      .map(_.toLong).getOrElse(64L << 20)
-    if (Tables.tableBytes(d, "lineitem") < gate)
+    if (cobasketSmall(s, Tables.tableBytes(d, "lineitem"), d))
       raw.distinct().localCheckpoint(eager = false)
     else raw.repartition(col("o")).dropDuplicates("o", "p")
+  }
+
+  /** The basketFrame size-gate decision, separated for testability.
+    * `bytes == 0` means the size is UNKNOWN (missing table or a
+    * non-local path the driver-side listing can't walk) — that must
+    * NOT silently pick the small-input checkpoint plan (the worst
+    * plan at scale): past-the-gate is the safe default when blind
+    * (a cluster deployment reads catalog sizeInBytes instead).
+    * Malformed conf is rejected with the key named (round-15
+    * advice on both counts). */
+  private[queries] def cobasketSmall(s: org.apache.spark.sql.SparkSession,
+      bytes: Long, d: String): Boolean = {
+    val gate = s.conf.getOption("spark.graft.cobasket.smallBytes")
+      .map { v =>
+        val n = v.toLongOption.getOrElse(-1L)
+        require(n >= 0,
+          s"spark.graft.cobasket.smallBytes must be a non-negative " +
+            s"byte count, got '$v'")
+        n
+      }.getOrElse(64L << 20)
+    if (bytes == 0L)
+      System.err.println(
+        s"[graft] cobasket: lineitem size unlistable at '$d' — " +
+          "assuming LARGE (one-exchange build); set " +
+          "spark.graft.cobasket.smallBytes to override")
+    bytes > 0L && bytes < gate
   }
 
   private[queries] def coCounts(s: org.apache.spark.sql.SparkSession,

@@ -239,7 +239,11 @@ class LakeStatsPruneSpec extends SparkTestBase {
     // Malformed escapes degrade to None (keep-the-file policy), they
     // never throw (round-14 advice: '%zz' from a corrupted sidecar).
     assert(ManifestTable.pctDec("a%zzb") === None)
-    assert(ManifestTable.pctDec("trailing%2") === Some("trailing%2"))
+    // A truncated trailing escape is the same corruption class — a
+    // literal decode could compare a WRONG bound and wrongly prune
+    // (round-15 advice): pctEnc never emits a bare '%'.
+    assert(ManifestTable.pctDec("trailing%2") === None)
+    assert(ManifestTable.pctDec("trailing%") === None)
   }
 
   test("q_stats_prune_str / q_stats_point_lookup: the registry queries " +

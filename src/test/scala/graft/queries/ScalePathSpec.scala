@@ -956,6 +956,14 @@ class ScalePathSpec extends SparkTestBase {
     assert(math.abs(recall - pTheory) < 0.1,
       f"measured recall $recall%.3f strays >0.1 from the declared " +
         f"band-match probability $pTheory%.3f")
+    // Hard ABSOLUTE floor at the J=0.5 operating point (round-15
+    // verdict #4): the |measured-theory| check above tracks the
+    // formula, so a band-derivation regression (say r drifting to 5,
+    // theory 0.40) would pass it while halving real recall. 0.845
+    // was measured at r16 head; 0.8 leaves box noise only.
+    assert(recall >= 0.8,
+      f"mid-J (J=0.5) recall $recall%.3f fell below the 0.8 floor " +
+        "pinned at the measured 0.845 operating point")
   }
 
   test("coCounts hub-split + min-support screen are output-identical to the plain pair fold (seeded)") {
@@ -1035,5 +1043,22 @@ class ScalePathSpec extends SparkTestBase {
     assert(bytes > 0 && bytes ===
       new java.io.File(s"$sf/lineitem.parquet").length())
     assert(graft.Tables.tableBytes(sf, "no_such_table") === 0L)
+    // Unknown size (tableBytes == 0, e.g. a non-local path a driver
+    // listing can't walk) must default to the SCALE-SAFE big route,
+    // never the checkpoint plan (round-15 advice) — even under a
+    // gate that would otherwise always pick small.
+    s.conf.set("spark.graft.cobasket.smallBytes", Long.MaxValue.toString)
+    try {
+      assert(!Graphs.cobasketSmall(s, 0L, sf),
+        "unknown size must route to the one-exchange build")
+      assert(Graphs.cobasketSmall(s, 1L, sf))
+    } finally s.conf.unset("spark.graft.cobasket.smallBytes")
+    // Malformed conf is rejected with the key named (house style).
+    s.conf.set("spark.graft.cobasket.smallBytes", "lots")
+    val ex = intercept[IllegalArgumentException] {
+      try Graphs.cobasketSmall(s, 1L, sf)
+      finally s.conf.unset("spark.graft.cobasket.smallBytes")
+    }
+    assert(ex.getMessage.contains("spark.graft.cobasket.smallBytes"))
   }
 }
