@@ -43,7 +43,27 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def run_oracle(sql, q):
+# Chunked pair-enumeration oracles (round-15 verdict #6): at sf1.0
+# q_jaccard_containment's DECLARED oracle exhausted >76 GB of spill
+# disk under the 40 GB memory cap — the candidate DISTINCT plus the
+# verification GROUP BY hold the full 10x pair volume at once. The
+# pair set is PARTITIONED by id1 (= the prefix side's doc_id), so
+# running the same SQL K times with `a.doc_id % K = i` injected into
+# the candidate join enumerates each pair exactly once (id1 picks its
+# chunk), bounds per-run state by ~1/K, and the concatenated union
+# re-sorted on (id1, id2) is row-identical to the declared query.
+# The linear CTE prefix (tokenize/shingle/prefix) is recomputed per
+# chunk — seconds at sf1.0, an accepted K-x overhead for the
+# quadratic stage's K-x memory relief. Value = number of chunks.
+CHUNKED = {"q_jaccard_containment": 10}
+
+# The injection seam: the candidate join condition as TextKit's
+# prefixCandDuck(ordered=false) emits it. Mechanical surgery on the
+# DECLARED oracle string (asserted unique) — not a re-implementation.
+_CHUNK_SEAM = "ON a.t = b.t AND a.doc_id <> b.doc_id"
+
+
+def run_oracle(sql, q, chunks=0):
     """Child process: run one oracle, ship the frame back via parquet."""
     con = duckdb.connect()
     for t in TABLES:
@@ -73,7 +93,21 @@ def run_oracle(sql, q):
     spill = tempfile.mkdtemp(prefix="duckdb_spill_", dir=".tmp")
     try:
         con.execute(f"SET temp_directory='{spill}'")
-        con.execute(sql).df().to_parquet(q)
+        if chunks:
+            assert sql.count(_CHUNK_SEAM) == 1, \
+                "chunk seam not found exactly once in the declared oracle"
+            parts = []
+            for i in range(chunks):
+                csql = sql.replace(
+                    _CHUNK_SEAM, f"{_CHUNK_SEAM} AND a.doc_id % {chunks} = {i}")
+                parts.append(con.execute(csql).df())
+                print(f"  [chunk {i + 1}/{chunks}] {len(parts[-1])} rows",
+                      flush=True)
+            pd.concat(parts, ignore_index=True) \
+                .sort_values(["id1", "id2"], kind="mergesort") \
+                .reset_index(drop=True).to_parquet(q)
+        else:
+            con.execute(sql).df().to_parquet(q)
     finally:
         shutil.rmtree(spill, ignore_errors=True)
 
@@ -95,7 +129,8 @@ def main():
             f"SELECT count(*) FROM '{rd}/*.parquet'").fetchone()[0]
         if nrows > 2_000_000:
             tmp = f"/tmp/_oracle_{name}.parquet"
-            p = mp.Process(target=run_oracle, args=(oracles[name], tmp))
+            p = mp.Process(target=run_oracle,
+                           args=(oracles[name], tmp, CHUNKED.get(name, 0)))
             p.start()
             p.join(budget * 4)  # big oracles get a bigger budget
             if p.is_alive():
@@ -133,9 +168,12 @@ def main():
             print(f"{name:28s} rows-only: {len(got)} rows (no oracle)", flush=True)
             continue
         tmp = f"/tmp/_oracle_{name}.parquet"
-        p = mp.Process(target=run_oracle, args=(oracles[name], tmp))
+        p = mp.Process(target=run_oracle,
+                       args=(oracles[name], tmp, CHUNKED.get(name, 0)))
         p.start()
-        p.join(budget)
+        # A chunked oracle trades K-x wall-clock for bounded memory —
+        # give it the large-oracle budget.
+        p.join(budget * 4 if CHUNKED.get(name) else budget)
         if p.is_alive():
             p.terminate()
             p.join()

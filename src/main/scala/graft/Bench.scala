@@ -81,6 +81,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.build(cpus)
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the sweep (local
+    // targeted profiling; the driver never sets it). Parsed before
+    // the warmup so a restricted run skips UNRELATED build steps —
+    // staging CSV/JSON/ORC copies of a 100x fixture costs ~10 min
+    // that a dedup-only probe must not pay.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     // Untimed warm-up: JVM/codegen/classloader and the parquet reader
     // footprint land here instead of inside the first timed query.
     try {
@@ -90,10 +97,12 @@ object Bench {
       // Amortized build steps (IVF index, bucketed layout) run here,
       // untimed: the timed lines below then measure probe/join cost
       // only, which is what a cluster pays per query.
-      SparkEntry.buildSteps.foreach { n =>
-        SparkEntry.queries(n)(spark, sfDir)
-        ()
-      }
+      SparkEntry.buildSteps
+        .filter(n => only.forall(_.contains(n)))
+        .foreach { n =>
+          SparkEntry.queries(n)(spark, sfDir)
+          ()
+        }
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     // SPARK_GRAFT_BENCH_REPS=k (default 2) runs the WHOLE sweep k
     // times and reports each query's minimum — one noisy box window
@@ -110,10 +119,6 @@ object Bench {
           System.err.println(s"[bench] bad SPARK_GRAFT_BENCH_REPS='$v', using 2")
         p
       }.getOrElse(2))
-    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the sweep (local
-    // targeted profiling; the driver never sets it).
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
     val loadBefore = loadAvg()
     def timeOne(name: String,
         fn: (org.apache.spark.sql.SparkSession, String) =>

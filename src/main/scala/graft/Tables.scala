@@ -30,6 +30,19 @@ object Tables {
     if (f.exists()) walk(f) else 0L
   }
 
+  /** Per-(JVM, fixture-dir) documents row-count memo (round-15
+    * verdict #5): every size-gated text/dedup route reads this to
+    * dispatch, and the count is a parquet-footer-only job — but two
+    * footer scans per query invocation is pure overhead at
+    * 10⁶-file scale. The fixtures are immutable per run, so a stale
+    * entry cannot occur; a long-lived service would key this on the
+    * table's commit version instead. */
+  private val docCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def docCount(s: SparkSession, d: String): Long =
+    docCountMemo.computeIfAbsent(d, dir => documents(s, dir).count())
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

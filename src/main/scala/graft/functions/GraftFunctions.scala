@@ -15,7 +15,7 @@ object GraftFunctions {
   val names: Seq[String] =
     Seq("dot_product", "cosine_distance", "l2_distance", "sq_l2_distance",
       "l2_norm", "char_shingles", "sorted_intersect_count",
-      "sorted_dot_stats", "word_shingles")
+      "sorted_dot_stats", "word_shingles", "first_eq_index")
 
   // Names graft itself registered, per session (weak keys — a closed
   // session drops its entry). A foreign squatter is also recorded
@@ -90,6 +90,7 @@ object GraftFunctions {
     ensure("l2_norm")(es => L2Norm(d(es.head)))
     ensure("char_shingles")(es => CharShingles(es(0), es(1)))
     ensure("sorted_intersect_count")(es => SortedIntersectCount(es(0), es(1)))
+    ensure("first_eq_index")(es => FirstEqIndex(es(0), es(1)))
     ensure("sorted_dot_stats")(es =>
       SortedDotStats(es(0), d(es(1)), es(2), d(es(3))))
     ensure("word_shingles")(es => WordShingles(es(0), es(1), es(2)))

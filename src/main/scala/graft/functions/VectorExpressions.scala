@@ -355,6 +355,63 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** First 0-based index at which two equal-length ARRAY<BIGINT>
+  * columns hold the same value; -1 if none (or on a null slot — the
+  * minhash signatures this serves never contain nulls). The kernel
+  * form of `element_at(filter(sequence(0, n-1), i ->
+  * element_at(a, i+1) = element_at(b, i+1)), 1)` — that HOF chain is
+  * interpreted (megamorphic lambda call sites, the WordShingles
+  * pathology) AND allocates a filtered array per row; this is the
+  * minimal-colliding-band screen of the banded dedup route, run once
+  * per candidate pair (~10⁸ at the 100× fixture). */
+case class FirstEqIndex(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def prettyName: String = "first_eq_index"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT> inputs, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(av: Any, bv: Any): Any = {
+    val a = av.asInstanceOf[ArrayData]; val b = bv.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val r = ctx.freshName("r")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $r = -1;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
+         |      $a.getLong($i) == $b.getLong($i)) { $r = $i; break; }
+         |}
+         |${ev.value} = $r;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Distinct word n-gram shingles of a (pre-lowercased) text column in
   * ONE compiled pass — the kernel form of
   * `array_distinct(transform(sequence(...), i -> concat_ws(' ',

@@ -200,6 +200,192 @@ object DedupStages {
     (l, round)
   }
 
+  /** BOUNDED banded scored candidates — the pair-output dedup
+    * family's scale route (round-15 verdict #1: the PPJoin prefix
+    * candidate stage is clique-quadratic under replica mass — at the
+    * 100× fixture's 100-member cliques q_jaccard_containment
+    * exhausted the box's spill disk in the candidate DISTINCT, the
+    * exact regime that CUT the old tf-idf route). Discipline copied
+    * from tfidfTopkClustered:
+    *
+    *  1. CANDIDATES FROM r=1 MINHASH BANDS, not shingle postings:
+    *     16 single-row bands (the first 16 permutations of the
+    *     shared universal family), so a pair is tested at most 16
+    *     times instead of once per shared prefix shingle (~50× at
+    *     trigram scale). r=1 maximizes recall at the family's LOW-J
+    *     operating points — P(pair bucketed) = 1-(1-J)^16: 0.9999 at
+    *     J=0.6 (q_dedup_near's τ), 0.97 at J=1/3 (containment τ=0.5
+    *     at equal sizes), 0.81 at J=0.1 (C=1 with |B|=10|A|) — where
+    *     the deployed 8×4 sketch's J^4 row-AND would see ~0.67/0.09/
+    *     ~0. Coarser buckets are the price; the cap bounds them.
+    *  2. BUCKET CAP: the b-side of the candidate join keeps each
+    *     bucket's `cap` smallest doc_ids. EXACT in the replica-clique
+    *     regime that creates oversized buckets (members tie on
+    *     jac/cont, ties break id ASC — the round-15 tie-clique
+    *     argument), a recall trade on genuinely-mixed big buckets,
+    *     which the band key already makes rare.
+    *  3. SCORE INSIDE THE JOIN: ix via the sorted_intersect_count
+    *     merge walk over the same 60-bit hash sets the exact arm
+    *     verifies with — identical jac/cont values to the exact
+    *     pipeline (same arrays, same rounding), so routed rows are
+    *     bit-identical members of the exact answer. Consumers fold
+    *     or screen in the SAME stage; pair rows never cross an
+    *     exchange un-reduced.
+    *
+    * Returns DIRECTED scored candidates (id1, id2, ix, na, nb),
+    * ix ≥ 1, id1 ≠ id2; duplicates across bands NOT deduped (heap
+    * folds dedup by id2; CC edge consumers distinct() after their
+    * τ screen, at post-screen volume). */
+  def bandedScoredPairs(docs: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 6 && cap <= 100000,
+      s"dedup bucket cap must be in [6,100000], got $cap")
+    val sh = shingleSets(docs)
+    val aArr = "array(" + (0 until 16).map(aCoef).mkString(",") + ")"
+    val bArr = "array(" + (0 until 16).map(bCoef).mkString(",") + ")"
+    val hs = barrier(sh.filter(size(col("s")) >= 1).select(col("doc_id"),
+      expr(s"array_sort(transform(s, x -> ${TextKit.h60("x")}))").as("hs"),
+      expr(
+        s"""transform(sequence(0, 15), i ->
+           |  array_min(transform(transform(s, x -> ${h28("x")}), h ->
+           |    (element_at($aArr, i + 1) * h + element_at($bArr, i + 1)) % $P)))""".stripMargin)
+        .as("mhs")))
+    val banded = hs.select(col("doc_id"), col("hs"), col("mhs"),
+      posexplode(col("mhs")).as(Seq("band", "mh")))
+    // ONE bucket-key exchange; the per-bucket sort feeds both the
+    // cap and the join's bucket locality.
+    val f = banded.repartition(col("band"), col("mh"))
+    val win = Window.partitionBy("band", "mh").orderBy("doc_id")
+    val capped = f.withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= cap)
+      .drop("rn")
+    f.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      // SCORE EXACTLY ONCE PER PAIR: a replica-clique pair collides
+      // in ~all 16 bands and would pay the merge walk 16× (measured
+      // ~3 min/query at 100×); both sides carry their full signature,
+      // so keep only the pair's MINIMAL colliding band — ≤16 long
+      // compares replace 15 redundant O(|hs|) walks. Under-cap
+      // buckets lose nothing (the minimal band's bucket contains the
+      // pair by definition); in a CAPPED bucket a partner capped out
+      // of the minimal band but present in a later one is dropped —
+      // within the tie-clique regime ranks are id-determined and
+      // IDENTICAL across bands (members share every bucket), so
+      // clique exactness is unaffected; genuinely-mixed oversized
+      // buckets were already the declared recall-contract territory.
+      .filter(expr("first_eq_index(a.mhs, b.mhs) = a.band"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        expr("CAST(sorted_intersect_count(a.hs, b.hs) AS DOUBLE)").as("ix"),
+        size(col("a.hs")).as("na"), size(col("b.hs")).as("nb"))
+      .filter(col("ix") >= 1)
+  }
+
+  /** Mode dispatch for the pair-output dedup family (q_dedup_near /
+    * q_dup_clusters / q_jaccard_containment) — the tfidfRoute
+    * protocol: `spark.graft.dedup.pair.mode` ∈ exact|banded|auto
+    * (default auto: exact below `spark.graft.dedup.pairGateDocs`
+    * [20 000] docs — every oracled sf — banded at/past it), the
+    * taken route surfaced on stderr AND the conf-readable
+    * `spark.graft.dedup.pair.lastRoute`. */
+  def pairRoute(s: org.apache.spark.sql.SparkSession, d: String)
+      : String = {
+    val gate = s.conf.get("spark.graft.dedup.pairGateDocs", "20000").toLong
+    require(gate >= 1,
+      s"spark.graft.dedup.pairGateDocs must be >= 1, got $gate")
+    val mode = s.conf.get("spark.graft.dedup.pair.mode", "auto") match {
+      case "auto" =>
+        if (Tables.docCount(s, d) >= gate) "banded" else "exact"
+      case m @ ("exact" | "banded") => m
+      case other => throw new IllegalArgumentException(
+        "spark.graft.dedup.pair.mode must be exact|banded|auto, " +
+          s"got '$other'")
+    }
+    if (mode == "banded")
+      System.err.println(
+        "[graft] pair dedup: routing to the banded bucket-capped " +
+          "route (recall contract 1-(1-J)^16, capped buckets exact " +
+          "on replica cliques; set spark.graft.dedup.pair.mode=exact " +
+          "to force the complete prefix-filtered form)")
+    s.conf.set("spark.graft.dedup.pair.lastRoute", mode)
+    mode
+  }
+
+  /** The shared bucket cap conf (default aligned with the tf-idf
+    * route's 64 — proven to preserve tie-clique top-k / clique
+    * connectivity at any clique size). */
+  def pairBucketCap(s: org.apache.spark.sql.SparkSession): Int = {
+    val c = s.conf.get("spark.graft.dedup.pair.bucketCap", "64").toInt
+    require(c >= 6 && c <= 100000,
+      s"spark.graft.dedup.pair.bucketCap must be in [6,100000], got $c")
+    c
+  }
+
+  /** q_dedup_near's BANDED form: the ≥τ pair contract RESTRICTED to
+    * each document's top-5 neighborhood under (jac DESC, id ASC) —
+    * the q_tfidf_pairs routed-form precedent: ≤ n·k rows at any
+    * clique structure, DECLARED columns (id1 < id2, jac) kept, jac
+    * values bit-identical to the exact pipeline's. */
+  def nearDupPairsBanded(docs: DataFrame, tau: Double, cap: Int)
+      : DataFrame = {
+    val scored = bandedScoredPairs(docs, cap)
+      .withColumn("jac",
+        round(col("ix") / (col("na") + col("nb") - col("ix")), 6))
+      .filter(col("jac") >= tau)
+    topNeighborsFold(scored, "jac")
+      .select(least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"), col("jac"))
+      .distinct()
+  }
+
+  /** q_dup_clusters' BANDED edge set: ALL verified ≥τ capped-bucket
+    * pairs (no top-k restriction — CC needs a SPANNING subgraph, not
+    * a neighborhood sample; within a replica clique every member
+    * pairs with the bucket's smallest ids, a star that connects the
+    * clique exactly — the round-15 connectivity argument). Distinct
+    * undirected pairs, post-screen volume ≤ n·16·cap. */
+  def nearDupEdgesBanded(docs: DataFrame, tau: Double, cap: Int)
+      : DataFrame =
+    bandedScoredPairs(docs, cap)
+      .withColumn("jac",
+        round(col("ix") / (col("na") + col("nb") - col("ix")), 6))
+      .filter(col("jac") >= tau)
+      .select(least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"))
+      .distinct()
+
+  /** q_jaccard_containment's BANDED form: directed containment
+    * (cont = |A∩B| / |A| ≥ τ) restricted to each id1's top-5 under
+    * (cont DESC, id2 ASC). The asymmetric small-in-big pair sits at
+    * J = C·|A| / (|A|+|B|−C·|A|) — the r=1 band's 1-(1-J)^16 holds
+    * usable recall down to ~10× size skew (0.81 at J=0.1), the
+    * declared contract of the route. */
+  def containmentBanded(docs: DataFrame, tau: Double, cap: Int)
+      : DataFrame = {
+    val scored = bandedScoredPairs(docs, cap)
+      .withColumn("cont", round(col("ix") / col("na"), 6))
+      .filter(col("cont") >= tau)
+    topNeighborsFold(scored, "cont")
+  }
+
+  /** Per-id1 top-5 heap fold under (score DESC, id2 ASC) — the
+    * TopKNeighborsAggregator map-side reduction (pair rows never
+    * cross an exchange; band duplicates dedup by id2 inside the
+    * heap). Returns (id1, id2, `scoreCol`). */
+  private def topNeighborsFold(scored: DataFrame, scoreCol: String)
+      : DataFrame = {
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKNeighborsAggregator(5),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble))
+    scored
+      .groupBy("id1")
+      .agg(topk(col("id2"), col("ix").cast("long"), col(scoreCol)).as("tk"))
+      .select(col("id1"), explode(col("tk")).as("e"))
+      .select(col("id1"), col("e._1").as("id2"), col("e._3").as(scoreCol))
+  }
+
   /** Naive share-any-shingle candidates — the baseline the prefix
     * filter prunes. Test-only: a production plan never runs this. */
   def naiveCandidates(shRaw: DataFrame): DataFrame = {

@@ -1037,20 +1037,12 @@ object Semantic {
     *    ORACLE arm pins topk.mode=exact (the simjoin/knn pin
     *    precedent). At sf0.1 (5 k docs) exact wins (1.8 s vs 3.5 s)
     *    and stays the default. */
-  /** Per-(JVM, fixture-dir) doc-count memo (round-15 verdict #5):
-    * the gate count is a parquet-footer-only job, but two footer
-    * scans per tf-idf invocation is pure overhead at 10⁶-file scale
-    * — memoize like ensureIvfIndex / the CSV staging artifacts. The
-    * fixtures are immutable per run, so a stale entry can't occur. */
-  private val docCountMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-
   private def tfidfRoute(s: SparkSession, d: String): (String, Long) = {
     val gate = s.conf.get("spark.graft.tfidf.topkGateDocs", "20000").toLong
     require(gate >= 1,
       s"spark.graft.tfidf.topkGateDocs must be >= 1, got $gate")
-    val nDocs: Long = docCountMemo.computeIfAbsent(
-      d, dir => Tables.documents(s, dir).count())
+    // Memoized per (JVM, dir) — round-15 verdict #5 (Tables.docCount).
+    val nDocs: Long = Tables.docCount(s, d)
     val mode = s.conf.get("spark.graft.tfidf.topk.mode", "auto") match {
       case "auto" => if (nDocs >= gate) "cluster" else "exact"
       case m @ ("exact" | "cluster") => m

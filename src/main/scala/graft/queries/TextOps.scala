@@ -145,8 +145,17 @@ object TextOps {
       // verification over 60-bit shingle hashes, NO broadcast hints
       // on the verify joins (Catalyst picks broadcast at this sf
       // from size estimates; sort-merge on doc_id at scale).
-      DedupStages.nearDupPairs(Tables.documents(s, d), tau = 0.6)
-        .orderBy("id1", "id2")
+      // Past the pairGateDocs gate (round-16: the exact candidate
+      // stage exhausted spill disk at the 100× fixture's 100-member
+      // cliques) auto routes to the banded bucket-capped form — the
+      // ≥τ contract restricted to each doc's top-5 neighborhood,
+      // declared schema kept (DedupStages.nearDupPairsBanded).
+      val docs = Tables.documents(s, d)
+      (DedupStages.pairRoute(s, d) match {
+        case "banded" => DedupStages.nearDupPairsBanded(
+          docs, tau = 0.6, DedupStages.pairBucketCap(s))
+        case _ => DedupStages.nearDupPairs(docs, tau = 0.6)
+      }).orderBy("id1", "id2")
     },
 
     // Duplicate-cluster canonicalization — the step after pair
@@ -184,8 +193,18 @@ object TextOps {
          |SELECT doc_id, canonical, canonical = doc_id AS keep
          |FROM cc ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val pairs = DedupStages.nearDupPairs(docs, tau = 0.6)
-        .select("id1", "id2")
+      // Edge-set route (round-16): past the gate, the banded capped
+      // candidates — CC needs a SPANNING subgraph, not every clique
+      // edge; within a replica clique every member pairs with the
+      // bucket's smallest ids (a connecting star), so cluster
+      // assignment is exact in the regime that creates oversized
+      // buckets (DedupStages.nearDupEdgesBanded scaladoc).
+      val pairs = DedupStages.pairRoute(s, d) match {
+        case "banded" => DedupStages.nearDupEdgesBanded(
+          docs, tau = 0.6, DedupStages.pairBucketCap(s))
+        case _ => DedupStages.nearDupPairs(docs, tau = 0.6)
+          .select("id1", "id2")
+      }
       val lab = DedupStages.minLabelPropagate(
         docs.select(col("doc_id").as("node")), pairs)
       lab.select(col("node").as("doc_id"), col("lab").as("canonical"),
@@ -982,6 +1001,17 @@ object TextOps {
          |SELECT id1, id2, cont FROM p WHERE cont >= 0.5
          |ORDER BY id1, id2""".stripMargin) { (s, d) =>
       val tau = 0.5
+      // Past the pairGateDocs gate: the banded top-5-per-id1 form
+      // (round-16 — the asymmetric full-posting candidate join
+      // filled the box's spill disk at the 100× fixture; see
+      // DedupStages.containmentBanded for the directed-J recall
+      // contract). Below it (every oracled sf): the declared
+      // asymmetric-prefix exact plan.
+      if (DedupStages.pairRoute(s, d) == "banded") {
+        DedupStages.containmentBanded(
+          Tables.documents(s, d), tau, DedupStages.pairBucketCap(s))
+          .orderBy("id1", "id2")
+      } else {
       val sh = DedupStages.shingleSets(Tables.documents(s, d))
       val shN = sh.withColumn("n", size(col("s")))
       val ex = shN.select(col("doc_id"), col("n"), explode(col("s")).as("sh"))
@@ -1008,6 +1038,7 @@ object TextOps {
         .filter(col("cont") >= tau)
         .select("id1", "id2", "cont")
         .orderBy("id1", "id2")
+      }
     },
 
     // N-GRAM NOVELTY — per document, the fraction of its distinct

@@ -159,6 +159,39 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(interp === 2L)
   }
 
+  test("first_eq_index == the HOF filter form on random signatures; " +
+    "codegen == interpreted") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(29)
+    // 16-slot signatures over a small value domain so agreements at
+    // every position (incl. none and position 0) occur; plus a
+    // length-mismatch row (min-length walk, like the merge kernels).
+    val rows = Seq.fill(300)((
+      Seq.fill(16)(rnd.nextInt(6).toLong),
+      Seq.fill(16)(rnd.nextInt(6).toLong))) :+
+      (Seq(7L, 8L), Seq(9L, 8L, 7L))
+    val base = rows.toDF("a", "b")
+    base.selectExpr("first_eq_index(a, b) AS k",
+      "CAST(coalesce(try_element_at(filter(sequence(0, CAST(least(size(a), " +
+        "size(b)) AS INT) - 1), i -> element_at(a, CAST(i AS INT) + 1) = " +
+        "element_at(b, CAST(i AS INT) + 1)), 1), -1) AS INT) AS r")
+      .collect().foreach { case Row(k: Int, r: Int) =>
+        assert(k === r, s"kernel $k != HOF $r")
+      }
+    val one = Seq((Seq(5L, 1L, 9L), Seq(4L, 1L, 9L))).toDF("a", "b")
+    val conf = spark.conf
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp =
+      try one.selectExpr("first_eq_index(a, b)").head.getInt(0)
+      finally {
+        conf.set("spark.sql.codegen.wholeStage", "true")
+        conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    assert(interp === 1)
+  }
+
   test("sorted_intersect_count == size(array_intersect) on sorted arrays " +
     "WITH duplicates (set semantics, not pairwise)") {
     val s = spark

@@ -1061,4 +1061,114 @@ class ScalePathSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("spark.graft.cobasket.smallBytes"))
   }
+
+  test("pair-dedup banded route: rows are bit-identical members of the " +
+    "exact answer; auto gates by doc count; junk conf rejected") {
+    val sf = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    val s = spark
+    def rowsOf(name: String, mode: Option[String]): Set[Seq[Any]] = {
+      mode.foreach(m => s.conf.set("spark.graft.dedup.pair.mode", m))
+      try graft.SparkEntry.queries(name)(s, sf).collect().map(_.toSeq).toSet
+      finally s.conf.unset("spark.graft.dedup.pair.mode")
+    }
+    // q_dedup_near: the banded form is the ≥τ contract restricted to
+    // top-5 neighborhoods — a SUBSET with identical jac per pair.
+    val nearExact = rowsOf("q_dedup_near", None) // below gate: exact
+    val nearBanded = rowsOf("q_dedup_near", Some("banded"))
+    assert(nearBanded.subsetOf(nearExact),
+      s"banded near-dup rows must be exact rows; alien: " +
+        s"${nearBanded.diff(nearExact).take(3)}")
+    assert(nearBanded.nonEmpty, "fixture must exercise the route")
+    // q_jaccard_containment: same subset contract, directed.
+    val contExact = rowsOf("q_jaccard_containment", None)
+    val contBanded = rowsOf("q_jaccard_containment", Some("banded"))
+    assert(contBanded.subsetOf(contExact),
+      s"banded containment rows must be exact rows; alien: " +
+        s"${contBanded.diff(contExact).take(3)}")
+    assert(contBanded.nonEmpty)
+    // q_dup_clusters: cluster ASSIGNMENT must survive the edge-set
+    // route on this corpus (fixed hashes → deterministic; the banded
+    // edge recall at τ=0.6 is 1-(1-J)^16 ≥ 1-0.4^16 per pair).
+    assert(rowsOf("q_dup_clusters", Some("banded")) ===
+      rowsOf("q_dup_clusters", None),
+      "banded CC must reproduce the exact cluster assignment here")
+    // auto dispatch: below the 20k gate = exact; past it = banded;
+    // the taken route is conf-readable (round-15 advice protocol).
+    rowsOf("q_dedup_near", None)
+    assert(s.conf.get("spark.graft.dedup.pair.lastRoute") === "exact")
+    s.conf.set("spark.graft.dedup.pairGateDocs", "1")
+    val autoRouted = try rowsOf("q_dedup_near", None)
+    finally s.conf.unset("spark.graft.dedup.pairGateDocs")
+    assert(s.conf.get("spark.graft.dedup.pair.lastRoute") === "banded")
+    assert(autoRouted === nearBanded, "auto past the gate = banded")
+    s.conf.set("spark.graft.dedup.pair.mode", "junk")
+    val ex2 = intercept[IllegalArgumentException] {
+      try DedupStages.pairRoute(s, sf)
+      finally s.conf.unset("spark.graft.dedup.pair.mode")
+    }
+    assert(ex2.getMessage.contains("spark.graft.dedup.pair.mode"))
+    s.conf.set("spark.graft.dedup.pair.bucketCap", "2")
+    val ex3 = intercept[IllegalArgumentException] {
+      try DedupStages.pairBucketCap(s)
+      finally s.conf.unset("spark.graft.dedup.pair.bucketCap")
+    }
+    assert(ex3.getMessage.contains("spark.graft.dedup.pair.bucketCap"))
+  }
+
+  test("pair-dedup banded route is EXACT in the replica-clique regime: " +
+    "capped CC == exact CC, banded near-dup == exact top-5 restriction") {
+    // The 100× killer shape: k-member cliques of near-identical
+    // replicas (text + per-replica suffix token → J just under 1
+    // within a clique, ~0 across). The banded route's contract: the
+    // star around each bucket's smallest ids connects every clique
+    // (CC exact), and the bucket cap preserves the (score DESC, id
+    // ASC) top-5 (tie-clique argument).
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    def soup(n: Int) = Seq.fill(n)("w" + rnd.nextInt(5000)).mkString(" ")
+    val bases = (0 until 12).map(_ => soup(40))
+    val docs = bases.zipWithIndex.flatMap { case (b, c) =>
+      (0 until 10).map(i => ((c * 10 + i).toLong, s"$b r$i"))
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("clique16").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def q(name: String, mode: String): Seq[Seq[Any]] = {
+      s.conf.set("spark.graft.dedup.pair.mode", mode)
+      try graft.SparkEntry.queries(name)(s, dir).collect().map(_.toSeq).toSeq
+      finally s.conf.unset("spark.graft.dedup.pair.mode")
+    }
+    // CC: identical cluster assignment, and every clique collapses
+    // to its minimum id.
+    val ccB = q("q_dup_clusters", "banded")
+    assert(ccB === q("q_dup_clusters", "exact"))
+    val canon = ccB.map(r => r(0).asInstanceOf[Long] ->
+      r(1).asInstanceOf[Long]).toMap
+    (0 until 12).foreach { c =>
+      (0 until 10).foreach { i =>
+        assert(canon((c * 10 + i).toLong) === (c * 10).toLong,
+          s"doc ${c * 10 + i} must canonicalize to clique min ${c * 10}")
+      }
+    }
+    // near-dup: banded == the exact answer restricted to each doc's
+    // top-5 under (jac DESC, partner ASC), computed independently
+    // from the exact pair set here.
+    val exact = q("q_dedup_near", "exact")
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long],
+        r(2).asInstanceOf[Double]))
+    val byDoc = exact.flatMap { case (a, b, j) => Seq(a -> (b, j), b -> (a, j)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val restricted = byDoc.flatMap { case (d1, nbrs) =>
+      nbrs.sortBy { case (d2, j) => (-j, d2) }.take(5)
+        .map { case (d2, j) => (math.min(d1, d2), math.max(d1, d2), j) }
+    }.toSet
+    val banded = q("q_dedup_near", "banded")
+      .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long],
+        r(2).asInstanceOf[Double])).toSet
+    assert(banded === restricted,
+      s"banded near-dup must equal the exact top-5 restriction; " +
+        s"missing=${restricted.diff(banded).take(3)} " +
+        s"alien=${banded.diff(restricted).take(3)}")
+  }
 }
