@@ -8,7 +8,10 @@ Those are reported as ORACLE TIMEOUT (budget exceeded) distinctly
 from mismatches, and the caller documents them in BENCH.md; every
 oracle that completes must still match exactly.
 
-Usage: python3 scripts/check_scale.py <sfDir> <outDir> [budget_s]
+Usage: python3 scripts/check_scale.py <sfDir> <outDir> [budget_s] [keys_csv]
+keys_csv (optional) restricts the compare to those result dirs — a
+targeted re-proof run (e.g. the round-16 routed dedup keys) must not
+count the 291 intentionally-not-dumped oracles as failures.
 Exit code = number of MISMATCHES (timeouts excluded, reported).
 """
 import json, os, sys, multiprocessing as mp
@@ -18,6 +21,7 @@ import pandas as pd
 sf_dir = sys.argv[1]
 out_dir = sys.argv[2]
 budget = float(sys.argv[3]) if len(sys.argv) > 3 else 300.0
+only_keys = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -116,7 +120,8 @@ def main():
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
+                   if os.path.isdir(os.path.join(out_dir, d))
+                   and (only_keys is None or d in only_keys))
     fails, timeouts, ok = [], [], 0
     for name in names:
         rd = os.path.join(out_dir, name)
@@ -208,7 +213,8 @@ def main():
         else:
             ok += 1
             print(f"{name:28s} OK ({len(gc)} rows)", flush=True)
-    missing = sorted(set(oracles) - set(names))
+    missing = sorted((set(oracles) if only_keys is None
+                      else set(oracles) & only_keys) - set(names))
     for m in missing:
         print(f"{m:28s} NO RESULT PARQUET (query failed?)", flush=True)
         fails.append(m)
