@@ -98,6 +98,13 @@ def run_oracle(sql, q, chunks=0):
     try:
         con.execute(f"SET temp_directory='{spill}'")
         if chunks:
+            # A chunked oracle runs as the ONLY child (serial outer
+            # loop) -- give it the box instead of the 40 GB
+            # co-residency cap: the first 40 GB attempt spent 30+ min
+            # inside chunk 1 spill-thrashing the candidate DISTINCT
+            # while 80+ GB sat idle.
+            con.execute("SET memory_limit='100GB'")
+            con.execute("SET threads TO 32")
             assert sql.count(_CHUNK_SEAM) == 1, \
                 "chunk seam not found exactly once in the declared oracle"
             parts = []
