@@ -251,9 +251,17 @@ object DedupStages {
         .as("mhs")))
     val banded = hs.select(col("doc_id"), col("hs"), col("mhs"),
       posexplode(col("mhs")).as(Seq("band", "mh")))
-    // ONE bucket-key exchange; the per-bucket sort feeds both the
-    // cap and the join's bucket locality.
+    // ONE bucket-key exchange, MATERIALIZED: the capped build side
+    // and the probe side both consume this frame — without the
+    // checkpoint each re-derives the whole scan→shingle→md5→minhash
+    // pipeline through its OWN exchange (round-16 plan audit: two
+    // identical 9-node subtrees; ReuseExchange can't fire because
+    // the sides' null filters differ), doubling the corpus hash work
+    // and the shuffle. LogicalRDD preserves the (band, mh)
+    // partitioning, so the window and the join add no exchange —
+    // the tfidf cluster route's checkpointed-posting discipline.
     val f = banded.repartition(col("band"), col("mh"))
+      .localCheckpoint(eager = false)
     val win = Window.partitionBy("band", "mh").orderBy("doc_id")
     val capped = f.withColumn("rn", row_number().over(win))
       .filter(col("rn") <= cap)
@@ -706,7 +714,34 @@ object DedupSketches {
       // the O(n²) brute force lives only in the small-sf oracle.
       // Candidate arm = the deployed band join. Shingle sets are
       // pinned once for both arms.
-      val sh = DedupStages.shingleSets(Tables.documents(s, d))
+      // PANEL GATE (round 16): past spark.graft.dedup.pairGateDocs
+      // the truth arm's exact pair enumeration is clique-quadratic —
+      // the 100× sweep died ENOSPC inside it. No exact τ-pair method
+      // survives that regime (that is WHY the deployed operators
+      // route); an audit at scale must therefore measure on a
+      // bounded sample: both arms restrict to the deterministic
+      // doc_id % stride == 0 panel (~gate docs). Per-pair band
+      // collision is pair-local and deterministic, so panel recall
+      // is an unbiased estimate of corpus recall over the panel's
+      // pair population. Below the gate (every oracled sf) the full
+      // corpus runs — CORRECTNESS unchanged.
+      val docsAll = Tables.documents(s, d)
+      val docs = {
+        val gate =
+          s.conf.get("spark.graft.dedup.pairGateDocs", "20000").toLong
+        require(gate >= 1,
+          s"spark.graft.dedup.pairGateDocs must be >= 1, got $gate")
+        val nDocs = Tables.docCount(s, d)
+        if (auditOn(s) && nDocs >= gate) {
+          val stride = (nDocs + gate - 1) / gate
+          System.err.println(
+            s"[graft] minhash recall audit: corpus $nDocs >= gate " +
+              s"$gate — auditing on the deterministic 1/$stride panel " +
+              "(the exact truth arm is clique-quadratic past the gate)")
+          docsAll.filter(pmod(col("doc_id"), lit(stride)) === 0)
+        } else docsAll
+      }
+      val sh = DedupStages.shingleSets(docs)
         .localCheckpoint(eager = false)
       val cand = DedupStages.bandCandidates(DedupStages.bandKeys(sh))
       val nc = cand.agg(count(lit(1)).as("n_cand"))

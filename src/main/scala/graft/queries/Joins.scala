@@ -187,16 +187,76 @@ object Joins {
         |  ON e.value >= p.p_retailprice / 10 - 0.5
         | AND e.value <  p.p_retailprice / 10 + 0.5
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin) { (s, d) =>
+      // BOUNDARY-SWEEP REWRITE (round 16): the round-1 band join
+      // (floor-bucket equi-join + residual filter) enumerates every
+      // matching PAIR — and the true pair cardinality is quadratic
+      // in sf (both sides × 10 ⟹ ~1.8·10¹¹ pairs at the 100×
+      // fixture: 1 970 s, 171× the sf1.0 cell — the full-sweep
+      // catch of the round). The declared output only needs per-type
+      // COUNT and price SUM over matches, which a 1-D interval
+      // stabbing decomposes into prefix sums: part j matches event v
+      // iff (c−0.5) ≤ v AND NOT (c+0.5 ≤ v) — both thresholds the
+      // join's own float expressions, so truth values are
+      // bit-identical — i.e. each part contributes +1/+price at key
+      // c−0.5 and −1/−price at key c+0.5, and an event's match
+      // (count, sum) IS the running boundary sum at key=value.
+      // Plan: union boundaries + probes (2·|part| + |events| rows),
+      // ONE repartitionByRange exchange, per-partition sort +
+      // running DECIMAL(38,6)/long window (partitioned by pid — no
+      // global window), exclusive per-partition offsets via a
+      // ≤ shuffle.partitions-row driver collect broadcast back, then
+      // one partial-aggregated groupBy. Linear at any sf; no pair
+      // row ever exists. DECIMAL accumulation keeps the sum exactly
+      // the oracle's Σ DECIMAL(38,6) over pairs (associativity).
       val p = Tables.part(s, d)
         .withColumn("c", col("p_retailprice") / 10)
-        .withColumn("bkt",
-          explode(array(floor(col("c") - 0.5), floor(col("c") - 0.5) + 1)))
-      fanout(Tables.events(s, d)).withColumn("bkt", floor(col("value")))
-        .join(broadcast(p), Seq("bkt"))
-        .filter(col("value") >= col("c") - 0.5 && col("value") < col("c") + 0.5)
+      val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+      val bounds = p.select((col("c") - 0.5).as("k"), lit(0).as("tag"),
+          lit(1L).as("dn"), col("p_retailprice").cast(dec).as("ds"),
+          lit(null).cast("string").as("event_type"))
+        .unionByName(p.select((col("c") + 0.5).as("k"), lit(0).as("tag"),
+          lit(-1L).as("dn"), (-col("p_retailprice")).cast(dec).as("ds"),
+          lit(null).cast("string").as("event_type")))
+      val probes = Tables.events(s, d).select(col("value").as("k"),
+        lit(1).as("tag"), lit(0L).as("dn"), lit(0).cast(dec).as("ds"),
+        col("event_type"))
+      val ranged = bounds.unionByName(probes)
+        .repartitionByRange(col("k"), col("tag"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint(eager = false)
+      // Exclusive per-partition offsets: a ≤ numPartitions-row
+      // driver read (bounded by conf, not by data — the sanctioned
+      // collect class), broadcast back as a tiny join side.
+      val offs = ranged.groupBy("pid")
+        .agg(sum("dn").as("tn"), sum("ds").as("ts"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1),
+          Option(r.getDecimal(2)).getOrElse(java.math.BigDecimal.ZERO)))
+        .sortBy(_._1)
+      var accN = 0L
+      var accS = java.math.BigDecimal.ZERO
+      val offRows = offs.map { case (pid, tn, ts) =>
+        val out = (pid, accN, accS)
+        accN += tn
+        accS = accS.add(ts)
+        out
+      }.toSeq
+      import s.implicits._
+      val offDf = offRows.toDF("pid", "offn", "offs_raw")
+        .select(col("pid"), col("offn"), col("offs_raw").cast(dec).as("offs"))
+      val w = Window.partitionBy("pid").orderBy("k", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ranged
+        .withColumn("rn", sum(col("dn")).over(w))
+        .withColumn("rs", sum(col("ds")).over(w))
+        .filter(col("tag") === 1)
+        .join(broadcast(offDf), "pid")
+        .select(col("event_type"), (col("rn") + col("offn")).as("cnt"),
+          (col("rs") + coalesce(col("offs"), lit(0).cast(dec))).as("psum"))
         .groupBy("event_type")
-        .agg(count(lit(1)).alias("n_pairs"),
-          dsum(col("p_retailprice")).alias("price_sum"))
+        .agg(sum("cnt").as("n_pairs"),
+          round(sum("psum").cast("double"), 6).as("price_sum"))
+        .filter(col("n_pairs") > 0)
         .orderBy("event_type")
     },
 

@@ -1116,6 +1116,32 @@ class ScalePathSpec extends SparkTestBase {
     assert(ex3.getMessage.contains("spark.graft.dedup.pair.bucketCap"))
   }
 
+  test("minhash recall audit panels past the pair gate: both arms " +
+    "restrict to the doc_id % stride == 0 sample") {
+    val sf = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    val s = spark
+    // 500 docs, gate 100 → stride 5, panel = doc_id % 5 == 0.
+    s.conf.set("spark.graft.dedup.pairGateDocs", "100")
+    val row = try graft.SparkEntry.queries("q_minhash_recall")(s, sf).head()
+    finally s.conf.unset("spark.graft.dedup.pairGateDocs")
+    val panel = graft.Tables.documents(s, sf)
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+    val shP = DedupStages.shingleSets(panel)
+    val candP = DedupStages.bandCandidates(DedupStages.bandKeys(shP)).count()
+    val trueP = DedupStages.nearDupPairsFromShingles(shP, 0.6).count()
+    assert(row.getLong(row.fieldIndex("n_cand")) === candP,
+      "panel candidate count must come from the sampled corpus")
+    assert(row.getLong(row.fieldIndex("n_true")) === trueP,
+      "panel truth count must come from the sampled corpus")
+    // Below the gate (default 20k) the full corpus runs — the
+    // oracle-checked form.
+    val full = graft.SparkEntry.queries("q_minhash_recall")(s, sf).head()
+    val shF = DedupStages.shingleSets(graft.Tables.documents(s, sf))
+    assert(full.getLong(full.fieldIndex("n_cand")) ===
+      DedupStages.bandCandidates(DedupStages.bandKeys(shF)).count())
+  }
+
   test("pair-dedup banded route is EXACT in the replica-clique regime: " +
     "capped CC == exact CC, banded near-dup == exact top-5 restriction") {
     // The 100× killer shape: k-member cliques of near-identical
