@@ -844,9 +844,26 @@ object VectorSearch {
         .localCheckpoint(eager = false)
       val p = SimilarityStages.knnCandidates(e, metric = "cosine")
         .select(col("a").as("aid"), col("b").as("bid"), col("dist"))
-      val w = Window.partitionBy("aid").orderBy(col("dist"), col("bid"))
-      val top = p.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
+      // Per-aid top-3 via the map-side heap fold (round 16 — the
+      // tfidf/dedup-route reduction applied to the kNN family): the
+      // row_number window shuffled the FULL candidate pair stream on
+      // aid before discarding all but 3 rows per doc (214.7 s at the
+      // 100× sweep, the largest surviving cell); the heap folds each
+      // partition to ≤3 rows per aid before the exchange. Score is
+      // negated dist — the aggregator's (score DESC, id ASC) order
+      // is then exactly the window's (dist ASC, bid ASC); negation
+      // is a sign-bit flip, so round-tripped dist is bit-identical.
+      val topkAgg = udaf(new graft.functions.TopKNeighborsAggregator(3),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble))
+      val top = p.groupBy("aid")
+        .agg(topkAgg(col("bid"), lit(0L), negate(col("dist"))).as("tk"))
+        .select(col("aid"), posexplode(col("tk")))
+        .select(col("aid"), col("col._1").as("bid"),
+          negate(col("col._3")).as("dist"),
+          (col("pos") + 1).cast("int").as("rn"))
         .localCheckpoint(eager = false)
       top.as("t1")
         .join(top.select(col("aid").as("raid"),
