@@ -1262,6 +1262,13 @@ object VectorSearch {
         .join(flags.select(col("vec_id").as("b"), col("label").as("blbl"),
           col("lab").as("blab")), "b")
         .filter(!col("alab") && col("blab"))
+      // Round-16 A/B note: the q_mutual_knn heap-fold reduction was
+      // tried here too (vote label riding the aggregator's third
+      // slot) and measured NO win at 100× (116-122 s vs the 103.3 s
+      // sweep cell, spread 1.02) — in this plan the eval×train
+      // scoring joins dominate, not the row_number sort, and the
+      // ObjectHashAggregate tuple buffers cost more than the
+      // window's in-partition sort. Kept the window form.
       val w = Window.partitionBy("a").orderBy(col("dist"), col("b"))
       val votes = ab.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
