@@ -21,7 +21,14 @@ import pandas as pd
 sf_dir = sys.argv[1]
 out_dir = sys.argv[2]
 budget = float(sys.argv[3]) if len(sys.argv) > 3 else 300.0
-only_keys = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+if len(sys.argv) > 4:
+    # Reject a blank keys_csv loudly: {""} matches no result dir and
+    # the run would silently compare nothing (round-16 advice).
+    only_keys = {k.strip() for k in sys.argv[4].split(",") if k.strip()}
+    if not only_keys:
+        sys.exit("usage: keys_csv must name at least one query key")
+else:
+    only_keys = None
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -108,9 +115,15 @@ def run_oracle(sql, q, chunks=0):
             assert sql.count(_CHUNK_SEAM) == 1, \
                 "chunk seam not found exactly once in the declared oracle"
             parts = []
+            # Non-negative modulus (round-16 advice): DuckDB's % keeps
+            # the dividend's sign, so a raw `doc_id % K = i` silently
+            # drops every negative-id pair (no i in 1..K-1 is ever
+            # hit). The double-mod form covers the full id domain.
             for i in range(chunks):
                 csql = sql.replace(
-                    _CHUNK_SEAM, f"{_CHUNK_SEAM} AND a.doc_id % {chunks} = {i}")
+                    _CHUNK_SEAM,
+                    f"{_CHUNK_SEAM} AND ((a.doc_id % {chunks}) + {chunks})"
+                    f" % {chunks} = {i}")
                 parts.append(con.execute(csql).df())
                 print(f"  [chunk {i + 1}/{chunks}] {len(parts[-1])} rows",
                       flush=True)

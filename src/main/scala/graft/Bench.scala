@@ -96,13 +96,25 @@ object Bench {
         .foreach(t => Tables.table(spark, sfDir, t).count())
       // Amortized build steps (IVF index, bucketed layout) run here,
       // untimed: the timed lines below then measure probe/join cost
-      // only, which is what a cluster pays per query.
-      SparkEntry.buildSteps
-        .filter(n => only.forall(_.contains(n)))
-        .foreach { n =>
-          SparkEntry.queries(n)(spark, sfDir)
-          ()
-        }
+      // only, which is what a cluster pays per query. A restricted
+      // run keeps a build step when the step ITSELF or any timed key
+      // that reads its memoized artifact is in the set — naming
+      // q_knn_recall without q_knn_ivf_rule must not silently charge
+      // the index build to the timed probe (round-16 advice). Most
+      // steps only feed themselves; the IVF index is the one shared
+      // artifact (ensureIvfIndex call sites in VectorSearch).
+      val ivfReaders = Set("q_knn_ivf_rule", "q_knn_ivf_rule_l2",
+        "q_knn_ivfpq", "q_knn_recall")
+      def buildDependents(step: String): Set[String] = step match {
+        case "q_knn_ivf_rule" | "q_knn_ivf_rule_l2" => ivfReaders
+        case other => Set(other)
+      }
+      SparkEntry.buildSteps.foreach { n =>
+        val wanted = only.forall(o => buildDependents(n).exists(o.contains))
+        if (wanted) { SparkEntry.queries(n)(spark, sfDir); () }
+        else System.err.println(
+          s"[bench] restricted run: skipping unrelated build step $n")
+      }
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     // SPARK_GRAFT_BENCH_REPS=k (default 2) runs the WHOLE sweep k
     // times and reports each query's minimum — one noisy box window

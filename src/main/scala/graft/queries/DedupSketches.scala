@@ -738,7 +738,14 @@ object DedupSketches {
             s"[graft] minhash recall audit: corpus $nDocs >= gate " +
               s"$gate — auditing on the deterministic 1/$stride panel " +
               "(the exact truth arm is clique-quadratic past the gate)")
-          docsAll.filter(pmod(col("doc_id"), lit(stride)) === 0)
+          // Sample on a HASH of the id, not the raw id (round-16
+          // advice): replica cliques are laid out as base*k+i, so a
+          // raw doc_id % stride sharing a factor with the clique
+          // period keeps at most one replica per clique — a panel
+          // with near-zero true pairs and a degenerate recall
+          // estimate. murmur3 breaks the alignment; still
+          // deterministic per corpus.
+          docsAll.filter(pmod(hash(col("doc_id")), lit(stride)) === 0)
         } else docsAll
       }
       val sh = DedupStages.shingleSets(docs)

@@ -842,8 +842,16 @@ object VectorSearch {
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("v"))
         .localCheckpoint(eager = false)
+      // NaN guard (round-16 advice): TopKNeighborsAggregator.better()
+      // is false for every NaN comparison, so a NaN dist (zero-norm
+      // vector) landing in a non-full heap would sit unordered where
+      // the row_number window sorts NaN last — filter them so the
+      // window/heap equivalence is unconditional. The fixture has no
+      // zero-norm embeddings, so this is a no-op on real data (and
+      // the DuckDB oracle's cross join sees the same non-NaN stream).
       val p = SimilarityStages.knnCandidates(e, metric = "cosine")
         .select(col("a").as("aid"), col("b").as("bid"), col("dist"))
+        .filter(!isnan(col("dist")))
       // Per-aid top-3 via the map-side heap fold (round 16 — the
       // tfidf/dedup-route reduction applied to the kNN family): the
       // row_number window shuffled the FULL candidate pair stream on

@@ -1117,16 +1117,18 @@ class ScalePathSpec extends SparkTestBase {
   }
 
   test("minhash recall audit panels past the pair gate: both arms " +
-    "restrict to the doc_id % stride == 0 sample") {
+    "restrict to the hash(doc_id) % stride == 0 sample") {
     val sf = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$sf/documents.parquet").exists())
     val s = spark
-    // 500 docs, gate 100 → stride 5, panel = doc_id % 5 == 0.
+    // 500 docs, gate 100 → stride 5, panel = hash(doc_id) % 5 == 0
+    // (hash, not raw id: a raw stride aliases with the fixture's
+    // base*k+i clique layout and can strip the panel of true pairs).
     s.conf.set("spark.graft.dedup.pairGateDocs", "100")
     val row = try graft.SparkEntry.queries("q_minhash_recall")(s, sf).head()
     finally s.conf.unset("spark.graft.dedup.pairGateDocs")
     val panel = graft.Tables.documents(s, sf)
-      .filter(pmod(col("doc_id"), lit(5)) === 0)
+      .filter(pmod(hash(col("doc_id")), lit(5)) === 0)
     val shP = DedupStages.shingleSets(panel)
     val candP = DedupStages.bandCandidates(DedupStages.bandKeys(shP)).count()
     val trueP = DedupStages.nearDupPairsFromShingles(shP, 0.6).count()
