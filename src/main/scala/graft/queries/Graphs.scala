@@ -37,20 +37,35 @@ import graft.Tables
 object Graphs {
 
   /** One damped PageRank step: rank mass flows src → dst over the
-    * deg-enriched static edge frame `ew(src, dst, deg)`; `r(node, r)`
-    * is the incoming rank frame, `nn` the broadcast 1-row node count.
-    * Exposed for the plan-shape spec: the edge side must enter the
-    * join without an Exchange and the rank side must broadcast. */
+    * static edge frame `ew(src, dst)`; `r(node, r)` is the incoming
+    * rank frame, `deg` the node-sized degree frame, `nn` the
+    * broadcast 1-row node count. Exposed for the plan-shape spec:
+    * the edge side must enter the join without an Exchange and the
+    * rank side must broadcast.
+    *
+    * Round-17 iteration-floor fix: the per-edge contribution
+    * round(r/deg, 12) is a function of the SOURCE node only, but the
+    * old plan evaluated it per EDGE — 118 M BigDecimal round+divide
+    * ops per iteration at the 100× fixture (~24 s/iteration, the
+    * whole floor). It now folds into the node-sized broadcast frame
+    * (2.1 M rounds), the edge join ships a ready DECIMAL constant,
+    * and the per-dst sums stay in Spark's compact-long decimal range
+    * (each sum ≤ deg ≤ 52 ≪ the 9.2e6 long-backed bound). Identical
+    * values by construction — same rounding, same sum order
+    * contract (order-free decimal addition). */
   private[queries] def step(ew: DataFrame, nn: DataFrame,
-      r: DataFrame): DataFrame =
-    ew.join(broadcast(r), ew("src") === r("node"))
+      deg: DataFrame, r: DataFrame): DataFrame = {
+    val rc = r.join(broadcast(deg), r("node") === deg("src"))
+      .select(col("node"), round(col("r") / col("deg"), 12)
+        .cast(DecimalType(38, 12)).as("c"))
+    ew.join(broadcast(rc), ew("src") === rc("node"))
       .groupBy(col("dst"))
-      .agg(sum(round(col("r") / col("deg"), 12)
-        .cast(DecimalType(38, 12))).as("m"))
+      .agg(sum(col("c")).as("m"))
       .crossJoin(nn)
       .select(col("dst").as("node"),
         round(lit(0.15) / col("n").cast("double") +
           lit(0.85) * col("m").cast("double"), 12).as("r"))
+  }
 
   /** Unrolled-iteration oracle: DuckDB's recursive CTEs disallow
     * aggregation over the recursive relation, so the fixed 5
@@ -120,10 +135,10 @@ object Graphs {
     // the fixed unroll avoids (and lets the oracle state the same
     // five steps as chained CTEs).
     Q("q_pagerank", pagerankSql(5)) { (s, d) =>
-      val (ew, nn, r0) = frames(s, d)
+      val (ew, nn, r0, deg) = frames(s, d)
       var r = r0
-      for (_ <- 1 to 5) r = step(ew, nn, r).localCheckpoint()
-      r.select(col("node"), col("r").as("rank"))
+      for (_ <- 1 to 5) r = step(ew, nn, deg, r).localCheckpoint()
+      r.select(nodeName.as("node"), col("r").as("rank"))
         .orderBy(col("rank").desc, col("node"))
         .limit(100)
     },
@@ -147,16 +162,21 @@ object Graphs {
     // DECIMAL(38,12) sums; the damp+teleport combine is one shared
     // double expression; (r DESC, node) total order.
     Q("q_ppr", pprSql(4)) { (s, d) =>
-      val (ew, _, _) = frames(s, d)
+      val (ew, _, _, deg) = frames(s, d)
       val seed = Tables.lineitem(s, d).agg(min("l_partkey").as("mp"))
-        .select(concat(lit("p"), col("mp")).as("snode"))
+        .select((col("mp") * 2).as("snode"))
         .localCheckpoint(eager = false)
       var r = seed.select(col("snode").as("node"), lit(1.0).as("r"))
       for (_ <- 1 to 4) {
-        val m = ew.join(broadcast(r), ew("src") === r("node"))
+        // Node-sized contribution fold (the step() discipline): the
+        // 12dp round+divide runs once per reached node, and the edge
+        // join ships the ready DECIMAL constant.
+        val rc = r.join(broadcast(deg), r("node") === deg("src"))
+          .select(col("node"), round(col("r") / col("deg"), 12)
+            .cast(DecimalType(38, 12)).as("c"))
+        val m = ew.join(broadcast(rc), ew("src") === rc("node"))
           .groupBy(col("dst"))
-          .agg(sum(round(col("r") / col("deg"), 12)
-            .cast(DecimalType(38, 12))).as("m"))
+          .agg(sum(col("c")).as("m"))
         r = m.join(broadcast(seed), col("dst") === col("snode"),
             "full_outer")
           .select(coalesce(col("dst"), col("snode")).as("node"),
@@ -166,7 +186,7 @@ object Graphs {
           .localCheckpoint()
       }
       r.filter(col("r") > 0)
-        .select(col("node"), col("r").as("rank"))
+        .select(nodeName.as("node"), col("r").as("rank"))
         .orderBy(col("rank").desc, col("node"))
         .limit(50)
     },
@@ -206,7 +226,21 @@ object Graphs {
       val w = e0.as("a").join(e0.as("b"),
         col("a.p") === col("b.p") && col("a.s") < col("b.s"))
         .select(col("a.s").as("s1"), col("b.s").as("s2"))
-      w.groupBy("s1", "s2").agg(count(lit(1)).as("shared_parts"))
+      // Exchange the RAW wedge stream before aggregating (round-17:
+      // 100× fixture measured 872 M wedges over 50 M distinct pairs,
+      // multiplicity 17.5 — but spread uniformly, so a map-side
+      // partial agg sees ~27 M wedges/task drawn from the 50 M pair
+      // space: per-task multiplicity < 1, the hash table grows to
+      // tens of millions of entries, spills, and the exchange still
+      // carries nearly the full stream. Repartitioning first moves
+      // ALL aggregation to where the pair space is partitioned
+      // (~1.5 M keys/task): the same one exchange, no doomed
+      // map-side table. The degree histogram is FLAT here (max 52 at
+      // every sf — replication multiplies parts, not per-part
+      // degree), so the round-16 hot-part wedge² hypothesis is
+      // wrong for this shape; shuffle-spill regime was the 21×.)
+      w.repartition(col("s1"), col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("shared_parts"))
         .filter(col("shared_parts") >= 2)
         .withColumn("butterflies",
           (col("shared_parts") * (col("shared_parts") - 1) / 2)
@@ -815,15 +849,20 @@ object Graphs {
       val ew = Tables.lineitem(s, d)
         .groupBy(col("l_partkey").as("p"), col("l_suppkey").as("su"))
         .agg(min("l_quantity").cast("long").as("w"))
+      // LONG node keys inside the loop (round-17 iteration-floor
+      // pass): part p ↦ 2p, supplier s ↦ 2s+1 — the 'p…'/'s…'
+      // strings the oracle names are rebuilt ONCE at output. The
+      // edge frame the loop rescans every round drops from
+      // string-keyed rows to 24 fixed bytes, and every hash
+      // (broadcast build, groupBy(node)) runs on longs.
       val edges = ew
-        .select(concat(lit("p"), col("p")).as("src"),
-          concat(lit("s"), col("su")).as("dst"), col("w"))
-        .unionAll(ew.select(concat(lit("s"), col("su")).as("src"),
-          concat(lit("p"), col("p")).as("dst"), col("w")))
+        .select((col("p") * 2).as("src"), (col("su") * 2 + 1).as("dst"),
+          col("w"))
+        .unionAll(ew.select((col("su") * 2 + 1).as("src"),
+          (col("p") * 2).as("dst"), col("w")))
         .localCheckpoint(eager = false)
       val seed = ew.agg(min("p").as("mp"))
-        .select(concat(lit("p"), col("mp")).as("node"),
-          lit(0L).as("dist"))
+        .select((col("mp") * 2).as("node"), lit(0L).as("dist"))
       // DELTA relaxation (the frontier discipline every BSP SSSP
       // uses): only nodes whose distance IMPROVED last round join
       // the edge frame — early rounds touch a handful of edges
@@ -831,28 +870,41 @@ object Graphs {
       // round improves nothing (an empty frontier IS the fixpoint;
       // equivalent to full Bellman–Ford round-for-round by
       // induction, so the 4-round oracle cap still matches).
+      // Round-17 floor work: the frontier BROADCASTS onto the
+      // static edge checkpoint (node-sized worst case — the same
+      // budget q_pagerank's rank frame spends; the old co-partition
+      // plan re-exchanged AND re-sorted the 10×-data edge frame
+      // every round), the round materializes ONE checkpoint (the
+      // full-outer merge; frontier and dist are narrow projections
+      // of it, where three checkpoints per round each re-wrote a
+      // node-sized frame), and the fixpoint probe is a limit-1 read
+      // of that checkpoint's blocks, not a separate lineage.
       var dist = seed.localCheckpoint(eager = false)
       var frontier = dist
       var it = 0
-      while (it < 4 && frontier.head(1).nonEmpty) {
+      var live = true
+      while (it < 4 && live) {
         it += 1
-        val cand = edges.join(frontier, edges("src") === frontier("node"))
+        val cand = edges
+          .join(broadcast(frontier), edges("src") === frontier("node"))
           .select(col("dst").as("node"),
             (col("dist") + col("w")).as("nd"))
           .groupBy("node").agg(min("nd").cast("long").as("nd"))
         val joined = dist.join(cand, Seq("node"), "full_outer")
-          .localCheckpoint(eager = false)
+          .localCheckpoint()
         frontier = joined
           .filter(col("nd").isNotNull &&
             (col("dist").isNull || col("nd") < col("dist")))
           .select(col("node"), col("nd").as("dist"))
-          .localCheckpoint(eager = false)
         dist = joined.select(col("node"),
           least(coalesce(col("dist"), col("nd")),
             coalesce(col("nd"), col("dist"))).cast("long").as("dist"))
-          .localCheckpoint(eager = false)
+        live = frontier.head(1).nonEmpty
       }
-      dist.orderBy("node")
+      dist
+        .select(expr("CASE WHEN node % 2 = 0 THEN concat('p', node DIV 2) " +
+          "ELSE concat('s', node DIV 2) END").as("node"), col("dist"))
+        .orderBy("node")
     },
 
     // LINK PREDICTION (CF-scored) — predict the customer→part edges
@@ -1133,30 +1185,51 @@ object Graphs {
     * it), the broadcast 1-row node count, and the uniform r0.
     * Exposed for the conservation + plan-shape spec. */
   private[queries] def frames(s: org.apache.spark.sql.SparkSession,
-      d: String): (DataFrame, DataFrame, DataFrame) = {
+      d: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val e0 = Tables.lineitem(s, d)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
       .distinct()
       .localCheckpoint()
+    // LONG node keys (round-17 iteration-floor pass): part p ↦ 2p,
+    // supplier s ↦ 2s+1; the caller rebuilds the oracle's 'p…'/'s…'
+    // strings at output (nodeName below). The edge checkpoint the
+    // loop rescans every iteration is 16 fixed bytes/row, and the
+    // broadcast build + groupBy(dst) hash longs, not strings.
     val edges = e0
-      .select(concat(lit("p"), col("p")).as("src"),
-        concat(lit("s"), col("s")).as("dst"))
-      .unionAll(e0.select(concat(lit("s"), col("s")).as("src"),
-        concat(lit("p"), col("p")).as("dst")))
+      .select((col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+      .unionAll(e0.select((col("s") * 2 + 1).as("src"),
+        (col("p") * 2).as("dst")))
+    // deg is node-sized and read by THREE consumers (nn, ew, r0) —
+    // checkpoint it once instead of re-running the edge-sized
+    // aggregation in each consumer's job (exchange reuse does not
+    // cross job boundaries).
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    // The 1-row node count is checkpointed too: without it every
-    // iteration's job would re-run deg's edge-sized aggregation just
-    // to re-derive this constant.
-    val nn = broadcast(deg.agg(count(lit(1)).as("n")).localCheckpoint())
-    val ew = edges.join(deg, "src")
-      .repartition(col("src"))
       .localCheckpoint()
+    // The 1-row node count is checkpointed too: without it every
+    // iteration's job would re-run deg's aggregation just to
+    // re-derive this constant.
+    val nn = broadcast(deg.agg(count(lit(1)).as("n")).localCheckpoint())
+    // The edge checkpoint carries ONLY (src, dst) — 16 fixed
+    // bytes/row: deg now rides the node-sized broadcast inside
+    // step(), so the frame the loop rescans every iteration never
+    // pays the extra column and the build never exchanges the edge
+    // stream at all. (A bucketed-by-src edge table — the at-scale
+    // stand-in — replaces this checkpoint when node counts outgrow
+    // broadcast range, where the loop's rank join becomes
+    // shuffle-hash against the bucket layout.)
+    val ew = edges.localCheckpoint()
     val r0 = deg.crossJoin(nn)
       .select(col("src").as("node"),
         (lit(1.0) / col("n").cast("double")).as("r"))
       .localCheckpoint()
-    (ew, nn, r0)
+    (ew, nn, r0, deg)
   }
+
+  /** Rebuild the oracle's string node name from the even/odd long
+    * encoding frames() uses internally. */
+  private[queries] val nodeName =
+    expr("CASE WHEN node % 2 = 0 THEN concat('p', node DIV 2) " +
+      "ELSE concat('s', node DIV 2) END")
 }
 
 object GraphsOracles {

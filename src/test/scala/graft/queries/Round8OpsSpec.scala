@@ -18,10 +18,10 @@ class Round8OpsSpec extends SparkTestBase {
   // ---------------------------------------------------------- pagerank
 
   test("pagerank: one step conserves rank mass (damped sum stays 1)") {
-    val (ew, nn, r0) = Graphs.frames(spark, sf)
+    val (ew, nn, r0, deg) = Graphs.frames(spark, sf)
     val s0 = r0.agg(sum("r")).head.getDouble(0)
     assert(math.abs(s0 - 1.0) < 1e-9, s"r0 sums to $s0")
-    val r1 = Graphs.step(ew, nn, r0)
+    val r1 = Graphs.step(ew, nn, deg, r0)
     // Symmetric bipartite edges ⇒ every node has in-edges ⇒ the
     // damped update maps a unit distribution to a unit distribution
     // (up to the 12dp per-edge rounding).
@@ -30,8 +30,8 @@ class Round8OpsSpec extends SparkTestBase {
   }
 
   test("pagerank: loop body joins edges broadcast-side, one exchange total") {
-    val (ew, nn, r0) = Graphs.frames(spark, sf)
-    val plan = Graphs.step(ew, nn, r0).queryExecution.executedPlan.toString
+    val (ew, nn, r0, deg) = Graphs.frames(spark, sf)
+    val plan = Graphs.step(ew, nn, deg, r0).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"rank frame must broadcast onto the static edge frame:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
