@@ -877,6 +877,64 @@ object SimilarityStages {
           .distinct()
     }
 
+  /** Bipartite variant of [[knnCandidates]] for classifier-shaped
+    * operators (round-17 — verdict #6 on q_knn_classifier's 100×
+    * cell): anchors are the rows where `lab` is FALSE, probe
+    * neighbors the rows where it is TRUE, and the restriction is
+    * pushed INTO the candidate stage — the old post-filter plan
+    * computed the distance kernel for every same-cell pair and then
+    * dropped 3/4 of them (eval×eval, train×train, train×eval).
+    * Input contract: (vec_id, v ARRAY<DOUBLE>, lab BOOLEAN); output
+    * (a, b, dist) with a from the false side, b from the true side —
+    * exactly [[knnCandidates]]' rows restricted to that orientation
+    * (same block chunking, same probe assignments; in the ann arm
+    * the side split filters the SAME per-vector assignments, so the
+    * surviving pairs and distances are bit-identical). Gates read
+    * the full frame's stats, so auto routes exactly as the
+    * all-pairs stage would. */
+  def knnCandidatesBipartite(e: DataFrame, metric: String): DataFrame = {
+    // Gates (mode, blocks, cells, probes) read the SAME bare
+    // (vec_id, v) shape the all-pairs stage sees — the size
+    // estimates feed the auto heuristics, and a frame widened by
+    // the lab column would tessellate differently and break the
+    // pair-set identity with [[knnCandidates]]' restriction.
+    val ev = e.select(col("vec_id"), col("v"))
+    resolveMode(ev, "spark.graft.knn.mode") match {
+      case "exact" =>
+        val blocks = blockCount(ev)
+        val a = fanout(e.filter(!col("lab"))
+          .select(col("vec_id").as("a"), col("v").as("av")))
+        val bAll = e.filter(col("lab"))
+          .select(col("vec_id").as("b"), col("v").as("bv"))
+        (0 until blocks).map { k =>
+          val b = if (blocks == 1) bAll
+                  else bAll.filter(pmod(col("b"), lit(blocks)) === k)
+          a.join(b, col("a") =!= col("b"))
+            .select(col("a"), col("b"),
+              knnDist(metric, col("av"), col("bv")).as("dist"))
+        }.reduce(_ unionByName _)
+      case "ann" =>
+        val cells = annCells(ev, "spark.graft.knn.ann.cells")
+        val probes = annProbes(
+          ev, "spark.graft.knn.ann.probes", cells, pinned = 8)
+        // Assignments run over the FULL frame (identical centroids
+        // and probe sets to the all-pairs stage); the node-sized lab
+        // frame re-attaches by broadcast and splits the sides.
+        val asg = probeAssignments(
+          ev.select(col("vec_id"), col("v").as("embedding")),
+          cells, probes, metric)
+          .join(broadcast(e.select(col("vec_id"), col("lab"))), "vec_id")
+        asg.filter(!col("lab"))
+          .select(col("cid"), col("vec_id").as("a"), col("v").as("av"))
+          .join(asg.filter(col("lab"))
+            .select(col("cid"), col("vec_id").as("b"), col("v").as("bv")),
+            "cid")
+          .select(col("a"), col("b"),
+            knnDist(metric, col("av"), col("bv")).as("dist"))
+          .distinct()
+    }
+  }
+
   /** The same kernel-fusion shape as the [[knnCandidates]] ann arm
     * (round-12): cell-keyed self-join over vector-carrying top-P
     * assignments, sim computed INSIDE the join stage, τ-filter

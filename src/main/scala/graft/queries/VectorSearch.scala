@@ -1262,14 +1262,21 @@ object VectorSearch {
             % 2 === 0).as("lab"))
         .localCheckpoint(eager = false)
       val flags = e0.select("vec_id", "label", "lab")
+      // Round-17 (verdict #6): the bipartite restriction is pushed
+      // INTO the candidate stage (kernel runs on eval×train pairs
+      // only — the old plan scored every same-cell pair and
+      // post-filtered 3/4 away), and the two label attachments are
+      // BROADCAST (the flag frame is vector-count-sized; the old
+      // un-hinted joins sort-merge-exchanged the pair stream TWICE —
+      // the measured dominant cost of the 103 s cell).
       val p = SimilarityStages
-        .knnCandidates(e0.select("vec_id", "v"), metric = "cosine")
+        .knnCandidatesBipartite(e0.select("vec_id", "v", "lab"),
+          metric = "cosine")
       val ab = p
-        .join(flags.select(col("vec_id").as("a"), col("label").as("albl"),
-          col("lab").as("alab")), "a")
-        .join(flags.select(col("vec_id").as("b"), col("label").as("blbl"),
-          col("lab").as("blab")), "b")
-        .filter(!col("alab") && col("blab"))
+        .join(broadcast(flags.select(col("vec_id").as("a"),
+          col("label").as("albl"))), "a")
+        .join(broadcast(flags.select(col("vec_id").as("b"),
+          col("label").as("blbl"))), "b")
       // Round-16 A/B note: the q_mutual_knn heap-fold reduction was
       // tried here too (vote label riding the aggregator's third
       // slot) and measured NO win at 100× (116-122 s vs the 103.3 s
