@@ -1199,4 +1199,81 @@ class ScalePathSpec extends SparkTestBase {
         s"missing=${restricted.diff(banded).take(3)} " +
         s"alien=${banded.diff(restricted).take(3)}")
   }
+
+  test("dedup banded route: MEASURED mid-J recall at two operating " +
+    "points matches the declared 1-(1-J)^16 band contract") {
+    // Round-17 (verdict #3): the route's recall rested on the
+    // formula + the clique-exactness argument; this measures it on
+    // genuinely-MIXED (non-clique, non-tie) corpora, transplanting
+    // the tfidf route's technique. Two deterministic fixtures:
+    //  - LOW-J / high-containment (the asymmetric small-in-big pair
+    //    the containment operator exists for): A = 10 unique words
+    //    (8 trigram shingles), B = A ++ 70 more unique words (78
+    //    shingles, sharing exactly A's 8) → J = 8/78 ≈ 0.103,
+    //    cont(A→B) = 1.0. Theory 1-(1-J)^16 ≈ 0.823 — the
+    //    DISCRIMINATING operating point (r=1's reason to exist; the
+    //    8×4 sketch would see ≈ 0.002 here).
+    //  - τ-MARGIN J for q_dedup_near: A/B share a 21-word suffix
+    //    behind 6 distinct prefix words each → 25 shingles/side, 19
+    //    shared, J = 19/31 ≈ 0.613 ≥ τ = 0.6 with margin (not a
+    //    rounding tie). Theory miss (1-J)^16 ≈ 2.6e-7 — recall must
+    //    be TOTAL on 400 pairs.
+    // Pair universes are word-disjoint, so buckets hold only true
+    // partners (ix ≥ 1 screens stray bucket mates) and the cap
+    // never binds — this isolates the BAND-match probability, which
+    // is what the formula claims.
+    val s = spark
+    import s.implicits._
+    def write(docs: org.apache.spark.sql.DataFrame): String = {
+      val dir = java.nio.file.Files.createTempDirectory("midj_dedup").toString
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    def rows(name: String, dir: String, mode: String): Map[(Long, Long), Double] = {
+      s.conf.set("spark.graft.dedup.pair.mode", mode)
+      try graft.SparkEntry.queries(name)(s, dir).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      finally s.conf.unset("spark.graft.dedup.pair.mode")
+    }
+    // --- operating point 1: J = 8/78, q_jaccard_containment
+    val lowJ = write((0 until 400).flatMap { i =>
+      val ws = (0 until 80).map(j => s"w${i}x$j")
+      Seq((2L * i, ws.take(10).mkString(" ")),
+        (2L * i + 1, ws.mkString(" ")))
+    }.toDF("doc_id", "text"))
+    val exactC = rows("q_jaccard_containment", lowJ, "exact")
+    assert(exactC.size === 400 && exactC.values.forall(_ === 1.0),
+      s"exact answer must be the 400 contained pairs at cont 1.0, " +
+        s"got ${exactC.size}")
+    val bandedC = rows("q_jaccard_containment", lowJ, "banded")
+    assert(bandedC.keySet.subsetOf(exactC.keySet),
+      "banded containment rows must be exact rows")
+    assert(bandedC.forall { case (k, v) => exactC(k) === v },
+      "routed cont values must be bit-identical to exact")
+    val recall = bandedC.size.toDouble / exactC.size
+    val j = 8.0 / 78.0
+    val theory = 1.0 - math.pow(1.0 - j, 16)
+    info(f"low-J recall: measured $recall%.4f vs theory $theory%.4f (J=$j%.4f)")
+    assert(math.abs(recall - theory) < 0.1,
+      f"measured recall $recall%.3f strays >0.1 from 1-(1-J)^16 = $theory%.3f")
+    // Hard absolute floor at the measured operating point (the
+    // tfidf-route discipline: the tracking check alone would pass a
+    // band-count regression that halves real recall).
+    assert(recall >= 0.75,
+      f"low-J recall $recall%.3f fell below the 0.75 floor pinned " +
+        "at the measured operating point")
+    // --- operating point 2: J = 19/31 ≈ 0.613, q_dedup_near
+    val tauJ = write((0 until 400).flatMap { i =>
+      val shared = (0 until 21).map(j => s"s${i}x$j")
+      Seq((2L * i, ((0 until 6).map(j => s"a${i}x$j") ++ shared).mkString(" ")),
+        (2L * i + 1, ((0 until 6).map(j => s"b${i}x$j") ++ shared).mkString(" ")))
+    }.toDF("doc_id", "text"))
+    val exactN = rows("q_dedup_near", tauJ, "exact")
+    assert(exactN.size === 400,
+      s"exact near-dup answer must be the 400 pairs, got ${exactN.size}")
+    val bandedN = rows("q_dedup_near", tauJ, "banded")
+    assert(bandedN === exactN,
+      s"at J ≈ 0.613 ≥ τ the band contract predicts TOTAL recall " +
+        s"(miss ≈ 2.6e-7); missing=${(exactN.keySet -- bandedN.keySet).take(3)}")
+  }
 }
