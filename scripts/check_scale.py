@@ -73,8 +73,72 @@ CHUNKED = {"q_jaccard_containment": 10}
 # DECLARED oracle string (asserted unique) — not a re-implementation.
 _CHUNK_SEAM = "ON a.t = b.t AND a.doc_id <> b.doc_id"
 
+# Two-phase chunked oracles (round-17 verdict #4 — sf1.0 waivers
+# 2 → 0): q_lof / q_dbscan's downstream CTEs read CROSS-anchor state
+# (lof's reach joins the NEIGHBOR's kdist; dbscan's core walk is a
+# recursive traversal of the whole core graph), so the single-seam
+# row-concat mechanism above cannot apply — a chunk run end-to-end
+# would lack kd/core rows for neighbors outside the chunk. Instead:
+# phase 1 materializes the quadratic pair STAGE (lof's knn top-5,
+# dbscan's ε-neighbor set) chunked on a.vec_id — each anchor's FULL
+# b-scan runs inside its own chunk and anchors partition the stage's
+# output rows, so the union over chunks is row-identical to the
+# declared CTE — and phase 2 runs the DECLARED downstream text
+# unchanged against the staged rows. Both phases are mechanical
+# surgery on the declared oracle string (markers asserted unique, the
+# dbscan `e` CTE re-declaration asserted verbatim-present), never a
+# re-implementation. Non-negative modulus as in the single-seam path.
+TWO_PHASE = {
+    "q_lof": {
+        "chunks": 10,
+        "seam": "ON a.vec_id <> b.vec_id",
+        "stage_end": "knn AS (SELECT a, b, d2 FROM r WHERE rn <= 5),",
+        "stage_name": "knn",
+        "head": "WITH ",
+    },
+    "q_dbscan": {
+        "chunks": 10,
+        "seam": "ON a.vec_id <> b.vec_id",
+        "stage_end": "nbr AS (SELECT a, b FROM d WHERE d2 <= 1.34),",
+        "stage_name": "nbr",
+        # phase 2's final select re-reads `e`; re-declare it with the
+        # DECLARED text (presence asserted below).
+        "head": ("WITH RECURSIVE e AS (SELECT vec_id,\n"
+                 "    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"),
+    },
+}
 
-def run_oracle(sql, q, chunks=0):
+
+def run_two_phase(con, sql, q, spec):
+    chunks = spec["chunks"]
+    idx = sql.find(spec["stage_end"])
+    assert idx >= 0 and sql.count(spec["stage_end"]) == 1, \
+        "two-phase stage marker not found exactly once in the declared oracle"
+    assert sql.count(spec["seam"]) == 1, \
+        "two-phase chunk seam not found exactly once in the declared oracle"
+    if spec["head"] != "WITH ":
+        assert spec["head"][len("WITH RECURSIVE "):].rstrip(",\n") in sql, \
+            "phase-2 CTE re-declaration drifted from the declared oracle"
+    prefix = sql[:idx + len(spec["stage_end"])].rstrip()
+    assert prefix.endswith("),")
+    rest = sql[idx + len(spec["stage_end"]):]
+    stage_parts = []
+    for i in range(chunks):
+        p1 = prefix[:-1].replace(
+            spec["seam"],
+            f"{spec['seam']} AND ((a.vec_id % {chunks}) + {chunks})"
+            f" % {chunks} = {i}") + f"\nSELECT * FROM {spec['stage_name']}"
+        stage_parts.append(con.execute(p1).df())
+        print(f"  [stage chunk {i + 1}/{chunks}] {len(stage_parts[-1])} rows",
+              flush=True)
+    stage = pd.concat(stage_parts, ignore_index=True)
+    con.register("graft_stage", stage)
+    p2 = (spec["head"] +
+          f"{spec['stage_name']} AS (SELECT * FROM graft_stage),\n" + rest)
+    con.execute(p2).df().to_parquet(q)
+
+
+def run_oracle(sql, q, chunks=0, two_phase=None):
     """Child process: run one oracle, ship the frame back via parquet."""
     con = duckdb.connect()
     for t in TABLES:
@@ -104,7 +168,13 @@ def run_oracle(sql, q, chunks=0):
     spill = tempfile.mkdtemp(prefix="duckdb_spill_", dir=".tmp")
     try:
         con.execute(f"SET temp_directory='{spill}'")
-        if chunks:
+        if two_phase:
+            # Two-phase runs are the only child too — same box-wide
+            # budget as the single-seam chunked path.
+            con.execute("SET memory_limit='100GB'")
+            con.execute("SET threads TO 32")
+            run_two_phase(con, sql, q, two_phase)
+        elif chunks:
             # A chunked oracle runs as the ONLY child (serial outer
             # loop) -- give it the box instead of the 40 GB
             # co-residency cap: the first 40 GB attempt spent 30+ min
@@ -155,7 +225,8 @@ def main():
         if nrows > 2_000_000:
             tmp = f"/tmp/_oracle_{name}.parquet"
             p = mp.Process(target=run_oracle,
-                           args=(oracles[name], tmp, CHUNKED.get(name, 0)))
+                           args=(oracles[name], tmp, CHUNKED.get(name, 0),
+                                 TWO_PHASE.get(name)))
             p.start()
             p.join(budget * 4)  # big oracles get a bigger budget
             if p.is_alive():
@@ -194,11 +265,13 @@ def main():
             continue
         tmp = f"/tmp/_oracle_{name}.parquet"
         p = mp.Process(target=run_oracle,
-                       args=(oracles[name], tmp, CHUNKED.get(name, 0)))
+                       args=(oracles[name], tmp, CHUNKED.get(name, 0),
+                                 TWO_PHASE.get(name)))
         p.start()
         # A chunked oracle trades K-x wall-clock for bounded memory —
         # give it the large-oracle budget.
-        p.join(budget * 4 if CHUNKED.get(name) else budget)
+        p.join(budget * 4 if CHUNKED.get(name) or TWO_PHASE.get(name)
+               else budget)
         if p.is_alive():
             p.terminate()
             p.join()

@@ -29,6 +29,35 @@ package graft
   */
 object Bench {
 
+  /** Stage-level shuffle-write + spill accumulator (round-17
+    * verdict #7). Totals grow on the async listener bus;
+    * `snapshot(key)` attributes the delta since the previous
+    * snapshot to `key`, keeping the MAX across reps (spill varies
+    * with pressure — the worst observed run is the diagnostic). */
+  private class IoMeter extends org.apache.spark.scheduler.SparkListener {
+    private val shuffleW = new java.util.concurrent.atomic.AtomicLong
+    private val spill = new java.util.concurrent.atomic.AtomicLong
+    private var lastS = 0L
+    private var lastP = 0L
+    val perKey = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        shuffleW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    def snapshot(name: String): Unit = synchronized {
+      val (s, p) = (shuffleW.get, spill.get)
+      val (ds, dp) = (s - lastS, p - lastP)
+      lastS = s; lastP = p
+      val (os, op) = perKey.getOrElse(name, (0L, 0L))
+      perKey(name) = (math.max(os, ds), math.max(op, dp))
+    }
+    def mb(b: Long): Double = math.round(b / 1048576.0 * 10) / 10.0
+  }
+
   /** The queries whose plans branch on spark.graft.audit — kept in
     * lockstep with the auditOn call sites. */
   val auditQueries: Seq[String] = Seq(
@@ -132,6 +161,17 @@ object Bench {
         p
       }.getOrElse(2))
     val loadBefore = loadAvg()
+    // Per-query shuffle/spill meter (round-17 verdict #7): the
+    // dedup family's 100× cells showed 2× run-order sensitivity
+    // (q_dup_clusters 183 s standalone vs 378 s after q_dedup_near's
+    // spill churn) — only diagnosable when the record carries the
+    // bytes each key pushed through the shuffle and spill. Stage
+    // totals accumulate on the (async) listener bus; the snapshot
+    // takes a short grace sleep after each query, so attribution can
+    // smear a straggler stage into the next key — a diagnostic
+    // column, not a timing.
+    val meter = new IoMeter
+    spark.sparkContext.addSparkListener(meter)
     def timeOne(name: String,
         fn: (org.apache.spark.sql.SparkSession, String) =>
           org.apache.spark.sql.DataFrame): (String, Double, Boolean) = {
@@ -142,6 +182,8 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: $e"); false
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(30)
+      meter.snapshot(name)
       (name, if (ok) sec else -1.0, ok)
     }
     // Canary prelude: re-time the pinned keys (min of 2 runs each,
@@ -248,11 +290,18 @@ object Bench {
     val canaryJson = canaryRatios.map { case (all, cheap, heavy) =>
       s""","canary_ratio":$all,"canary_cheap":$cheap,"canary_heavy":$heavy"""
     }.getOrElse("")
+    val shufJson = results.map { case (k, _, _) =>
+      "\"" + k + "\":" + meter.mb(meter.perKey.get(k).map(_._1).getOrElse(0L))
+    }.mkString("{", ",", "}")
+    val spillJson = results.map { case (k, _, _) =>
+      "\"" + k + "\":" + meter.mb(meter.perKey.get(k).map(_._2).getOrElse(0L))
+    }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":$failed,"sf":"$sfDir","reps":$reps,""" +
         s""""load_avg":{"before":$loadBefore,"after":$loadAfter},""" +
-        s""""spread":$spreadJson,"noaudit":$noauditJson$canaryJson}"""
+        s""""spread":$spreadJson,"noaudit":$noauditJson,""" +
+        s""""shuffle_mb":$shufJson,"spill_mb":$spillJson$canaryJson}"""
     println(line)
     // Persist the FULL summary too: harness stdout capture has
     // truncated to the tail of the line (round-6 BENCH_r06.json lost
