@@ -90,13 +90,20 @@ object Bench {
     // Round-14 keys (round-14 verdict #3): committed r14 mins
     // (BENCH_r14_full.json) normalized to the r13 pin basis by that
     // record's own canary_ratio 1.052.
-    "q_ppr" -> 3.7242, "q_stats_prune_str" -> 0.1875,
+    "q_ppr" -> 2.43, "q_stats_prune_str" -> 0.1875,
     "q_stats_point_lookup" -> 0.1262,
     // Round-15 verdict #3: one iteration-floor key and one wedge key
-    // so loop-heavy drift is captured. BENCH_LAST.json r15 driver
-    // mins (5.5584 / 2.6314) normalized by that record's
-    // canary_ratio 0.942.
-    "q_pagerank" -> 5.9006, "q_item_cf" -> 2.7934)
+    // so loop-heavy drift is captured. q_item_cf: BENCH_LAST.json
+    // r15 driver min (2.6314) normalized by that record's
+    // canary_ratio 0.942. q_pagerank (and q_ppr above): RE-PINNED
+    // round 17 — the iteration-floor rewrite made the old pins
+    // measure the speedup, not box drift (the r17 record read heavy
+    // 0.658 while every same-code key sat at ~1.1); new basis = r17
+    // record mins (3.4267 / 2.7167) normalized by that record's
+    // cheap-class ratio 1.118 (the valid drift estimate — cheap
+    // pins were untouched, and the same-code median 1.103 agreed
+    // with it within 1.4%).
+    "q_pagerank" -> 3.065, "q_item_cf" -> 2.7934)
 
   /** The loop-heavy pin class: fixed-unroll iterative plans whose
     * per-step JIT/scheduler sensitivity drifts differently from the
