@@ -315,8 +315,7 @@ object Graphs {
         .localCheckpoint(eager = false)
       val deg = GraphStages.degrees(e)
       val o = GraphStages.orientedEdges(e, deg)
-      val tri = GraphStages.orientedWedges(o)
-        .join(o, col("t1") === col("s") && col("t2") === col("t"))
+      val tri = GraphStages.closeWedges(GraphStages.orientedWedges(o), o)
         .agg(count(lit(1)).as("t"))
       val wed = deg.agg(sum(col("d") * (col("d") - 1) / 2)
         .cast("long").as("w"))
@@ -714,13 +713,17 @@ object Graphs {
         .localCheckpoint(eager = false)
       val deg = GraphStages.degrees(e).localCheckpoint(eager = false)
       val o = GraphStages.orientedEdges(e, deg)
-      val wdg = o.as("o1").join(o.as("o2"),
+      // SHUFFLE_HASH on both wedge-stage joins (round 17 — the
+      // GraphStages.closeWedges rationale: SMJ sorted the wedge
+      // stream, 17.8 GB of spill at 100×; the build sides are
+      // edge-sized).
+      val wdg = o.as("o1").join(o.as("o2").hint("SHUFFLE_HASH"),
         col("o1.s") === col("o2.s") &&
           (col("o1.dt") < col("o2.dt") ||
             (col("o1.dt") === col("o2.dt") && col("o1.t") < col("o2.t"))))
         .select(col("o1.s").as("a"), col("o1.t").as("b"),
           col("o2.t").as("c"))
-      val tri = wdg.join(o,
+      val tri = wdg.join(o.hint("SHUFFLE_HASH"),
           col("b") === col("s") && col("c") === col("t"))
         .select("a", "b", "c")
       val tc = tri
@@ -796,17 +799,20 @@ object Graphs {
     // pure set algebra on exact keys — no floats anywhere; oracle =
     // chained MATERIALIZED CTEs.
     Q("q_bfs_hops", GraphsOracles.bfsSql(4)) { (s, d) =>
+      // LONG node keys (round 17 — the q_sssp treatment; the output
+      // is (hop, frontier_size, reached) so no string ever needs
+      // rebuilding): the edge checkpoint the loop rescans per hop is
+      // 16 fixed bytes/row and every set op hashes longs.
       val e0 = Tables.lineitem(s, d)
         .select(col("l_partkey").as("p"), col("l_suppkey").as("su"))
         .distinct()
       val edges = e0
-        .select(concat(lit("p"), col("p")).as("src"),
-          concat(lit("s"), col("su")).as("dst"))
-        .unionAll(e0.select(concat(lit("s"), col("su")).as("src"),
-          concat(lit("p"), col("p")).as("dst")))
+        .select((col("p") * 2).as("src"), (col("su") * 2 + 1).as("dst"))
+        .unionAll(e0.select((col("su") * 2 + 1).as("src"),
+          (col("p") * 2).as("dst")))
         .localCheckpoint(eager = false)
       val seed = e0.agg(min("p").as("mp"))
-        .select(concat(lit("p"), col("mp")).as("node"))
+        .select((col("mp") * 2).as("node"))
         .localCheckpoint(eager = false)
       var visited = seed
       var frontier = seed
@@ -1435,11 +1441,24 @@ object GraphStages {
     * wedge pivots at its LOWEST-degree vertex (Schank-Wagner), so
     * per-pivot out-degree is ≤ O(√m) even on hub-dominated graphs.
     * Equi-join on the pivot; the (dt, t) order is a post-join
-    * filter. */
+    * filter. SHUFFLE_HASH, not sort-merge (round 17): both sides
+    * are the edge-sized `o` (per-task hash build = m/parts rows),
+    * and SMJ's per-side sorts were pure spill. */
   def orientedWedges(o: DataFrame): DataFrame =
-    o.as("o1").join(o.as("o2"),
+    o.as("o1").join(o.as("o2").hint("SHUFFLE_HASH"),
       col("o1.s") === col("o2.s") &&
         (col("o1.dt") < col("o2.dt") ||
           (col("o1.dt") === col("o2.dt") && col("o1.t") < col("o2.t"))))
       .select(col("o1.t").as("t1"), col("o2.t").as("t2"))
+
+  /** Close wedges against the oriented edge frame — (t1, t2) must
+    * itself be an edge. SHUFFLE_HASH with the EDGE-sized side as
+    * build (round 17 — the spill columns caught it: SMJ sorted the
+    * O(m^1.5) WEDGE stream on the pair key, 12.7 / 17.8 GB of sort
+    * spill at the 100× fixture for q_triangle_count /
+    * q_clustering_coeff; the hash build is m/parts rows per task
+    * and the wedge stream crosses its one exchange unsorted). */
+  def closeWedges(w: DataFrame, o: DataFrame): DataFrame =
+    w.join(o.hint("SHUFFLE_HASH"),
+      col("t1") === col("s") && col("t2") === col("t"))
 }
