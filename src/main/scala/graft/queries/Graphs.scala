@@ -357,17 +357,23 @@ object Graphs {
         .selectExpr("sid", "round(1 / sqrt(n), 12) AS a")
         .localCheckpoint(eager = false)
       var h: org.apache.spark.sql.DataFrame = null
+      // Round-17: the per-edge double→DECIMAL cast folds into the
+      // node-sized broadcast frame (the q_pagerank contribution-fold
+      // discipline) — the half-step then sums a ready decimal
+      // constant instead of building a BigDecimal per edge row.
       for (_ <- 1 to 3) {
-        val hr = e.join(broadcast(a), "sid").groupBy("p")
-          .agg(expr("sum(CAST(a AS DECIMAL(38,12)))").as("hr"))
+        val hr = e.join(broadcast(
+            a.selectExpr("sid", "CAST(a AS DECIMAL(38,12)) AS ad")), "sid")
+          .groupBy("p").agg(sum(col("ad")).as("hr"))
         val hn = hr.agg(expr(
           "sqrt(CAST(sum(CAST(round(CAST(hr AS DOUBLE) * CAST(hr AS DOUBLE)" +
             ", 12) AS DECIMAL(38,12))) AS DOUBLE))").as("nrm"))
         h = hr.crossJoin(broadcast(hn))
           .selectExpr("p", "round(CAST(hr AS DOUBLE) / nrm, 12) AS h")
           .localCheckpoint(eager = false)
-        val ar = e.join(broadcast(h), "p").groupBy("sid")
-          .agg(expr("sum(CAST(h AS DECIMAL(38,12)))").as("ar"))
+        val ar = e.join(broadcast(
+            h.selectExpr("p", "CAST(h AS DECIMAL(38,12)) AS hd")), "p")
+          .groupBy("sid").agg(sum(col("hd")).as("ar"))
         val an = ar.agg(expr(
           "sqrt(CAST(sum(CAST(round(CAST(ar AS DOUBLE) * CAST(ar AS DOUBLE)" +
             ", 12) AS DECIMAL(38,12))) AS DOUBLE))").as("nrm"))
@@ -529,30 +535,40 @@ object Graphs {
     // double division rounded 12dp — hash-exact at any
     // partitioning.
     Q("q_als_rank1", GraphsOracles.alsSql(2)) { (s, d) =>
+      // Round-17 floor pass: (1) the ratings build joins via
+      // SHUFFLE_HASH (SMJ sorted both the 10× lineitem and orders
+      // streams just to build the frame the loop never re-shuffles);
+      // (2) no repartition — the loop only ever BROADCAST-joins the
+      // factor frame, so a post-groupBy exchange on p was dead
+      // weight; (3) the denominator term round(f², 12) is a function
+      // of the FACTOR node, not the edge — it folds once per node
+      // into the broadcast frame (the q_pagerank contribution-fold
+      // discipline; the numerator's round(r·f, 12) stays per-edge:
+      // r varies per rating, and both engines must round the same
+      // double product).
       val ratings = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d),
+        .join(Tables.orders(s, d).hint("SHUFFLE_HASH"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .agg(sum(col("l_quantity").cast("long")).cast("long").as("r"))
-        .repartition(col("p"))
         .localCheckpoint(eager = false)
       def uStep(v: DataFrame): DataFrame =
-        ratings.join(broadcast(v), "p")
+        ratings.join(broadcast(v.withColumn("f2",
+            round(col("v") * col("v"), 12).cast(DecimalType(38, 12)))), "p")
           .groupBy("c")
           .agg(sum(round(col("r") * col("v"), 12)
             .cast(DecimalType(38, 12))).as("num"),
-            sum(round(col("v") * col("v"), 12)
-              .cast(DecimalType(38, 12))).as("den"))
+            sum(col("f2")).as("den"))
           .select(col("c"), round(col("num").cast("double") /
             col("den").cast("double"), 12).as("u"))
           .localCheckpoint(eager = false)
       def vStep(u: DataFrame): DataFrame =
-        ratings.join(broadcast(u), "c")
+        ratings.join(broadcast(u.withColumn("f2",
+            round(col("u") * col("u"), 12).cast(DecimalType(38, 12)))), "c")
           .groupBy("p")
           .agg(sum(round(col("r") * col("u"), 12)
             .cast(DecimalType(38, 12))).as("num"),
-            sum(round(col("u") * col("u"), 12)
-              .cast(DecimalType(38, 12))).as("den"))
+            sum(col("f2")).as("den"))
           .select(col("p"), round(col("num").cast("double") /
             col("den").cast("double"), 12).as("v"))
           .localCheckpoint(eager = false)
