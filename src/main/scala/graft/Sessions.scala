@@ -54,6 +54,19 @@ object Sessions {
       // never scanned), so the rule is excluded session-wide.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // ObjectHashAggregate (every typed-udaf heap fold: the dedup
+      // top-5 heaps, TopKNeighborsAggregator) falls back to
+      // SORT-BASED aggregation after a mere 128 distinct keys in the
+      // in-memory map — the map-side partial agg then externally
+      // SORTS its whole input partition (round 17: the spill column
+      // showed q_mutual_knn/q_lof spilling ~48 GB each at the 100×
+      // fixture sorting the pair stream under 200 k anchor keys).
+      // The folds' per-key state is a bounded ≤5-tuple heap
+      // (~200 B), so half a million keys per task is ~100 MB — raise
+      // the threshold so the hash path holds node-count-sized key
+      // sets and the sort never happens.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (2 * 1024 * 1024).toString)
       // Catalog tables (bucketed-join demos) land in a per-process
       // temp warehouse: no repo pollution, no stale cross-run reads.
       .config("spark.sql.warehouse.dir",
@@ -78,5 +91,9 @@ object Sessions {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if (s.conf.get("spark.sql.session.timeZone") != "UTC")
       s.conf.set("spark.sql.session.timeZone", "UTC")
+    // See the builder note: without this the typed-udaf heap folds
+    // sort their whole input partition past 128 keys.
+    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      (2 * 1024 * 1024).toString)
   }
 }

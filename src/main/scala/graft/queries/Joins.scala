@@ -773,24 +773,55 @@ object SimilarityStages {
       case other => throw new IllegalArgumentException(
         s"ann metric must be cosine|l2, got '$other'")
     }
-    e.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("v"))
-      .crossJoin(broadcast(cents))
+    // `cids` carries the vector's FULL probe-cell set alongside each
+    // exploded (vec_id, cid) row (round 17): the candidate joins
+    // dedup a multi-cell pair SCAN-LOCALLY by keeping only its
+    // minimal shared cell (array_min ∘ array_intersect over two
+    // ≤P-element arrays) instead of a global distinct() — whose
+    // map-side partial agg held the RAW duplicated pair stream and
+    // spilled 154-157 GB per query at the 100× fixture (q_lof /
+    // q_mutual_knn, caught by the new spill column). The second
+    // window reuses the rn window's vec_id partitioning — no
+    // additional exchange; intersection order doesn't matter under
+    // array_min.
+    // The vector must NOT ride the ranking window: the crossJoin
+    // emits n×cells rows, and sorting them with the ~512 B embedding
+    // aboard spilled a deterministic ~28 GB into EVERY ann-family
+    // query at the 100× fixture (the recurring spill-column
+    // constant). Distance is computed per (v, cv) row, then the
+    // window ranks 24-byte (vec_id, cid, cdist) rows; the vector
+    // re-attaches afterwards via one node-sized broadcast join.
+    val ev = e.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    ev.crossJoin(broadcast(cents))
       .withColumn("cdist", round(cdist, 6))
+      .select(col("vec_id"), col("cid"), col("cdist"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("cdist"), col("cid"))))
       .filter(col("rn") <= probes)
-      .select(col("vec_id"), col("v"), col("cid"))
+      .withColumn("cids", collect_list(col("cid")).over(
+        Window.partitionBy("vec_id")
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      // No broadcast hint on the re-attach: ev is the full embedding
+      // table (node-sized, fine as a shuffle join at any scale;
+      // Catalyst broadcasts it by size estimate at the test sfs).
+      .join(ev, "vec_id")
+      .select(col("vec_id"), col("v"), col("cid"), col("cids"))
   }
 
   def annCandidates(e: DataFrame, cells: Int, probes: Int,
                     metric: String = "cosine"): DataFrame = {
     val asg = probeAssignments(e, cells, probes, metric)
-      .select(col("vec_id"), col("cid"))
-    asg.select(col("vec_id").as("id1"), col("cid"))
-      .join(asg.select(col("vec_id").as("id2"), col("cid")), "cid")
+      .select(col("vec_id"), col("cid"), col("cids"))
+    asg.select(col("vec_id").as("id1"), col("cid"),
+        col("cids").as("c1"))
+      .join(asg.select(col("vec_id").as("id2"), col("cid"),
+        col("cids").as("c2")).hint("SHUFFLE_HASH"), "cid")
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+      // Minimal-shared-cell dedup — see the knnCandidates ann arm.
+      .filter(expr("array_min(array_intersect(c1, c2)) = cid"))
+      .select("id1", "id2")
   }
 
   /** Squared L2 over two DOUBLE array columns — the codegen kernel
@@ -868,13 +899,29 @@ object SimilarityStages {
         val asg = probeAssignments(
           e.select(col("vec_id"), col("v").as("embedding")),
           cells, probes, metric)
-        asg.select(col("cid"), col("vec_id").as("a"), col("v").as("av"))
+        // Minimal-shared-cell dedup (round 17 — the bandedScoredPairs
+        // first_eq_index discipline carried to IVF cells): a pair
+        // sharing k probe cells is kept ONLY in its smallest shared
+        // cell, so the dedup is a scan-local ≤P-element array filter
+        // and the kernel runs once per pair — the old distinct()'s
+        // map-side hash of the RAW duplicated pair stream spilled
+        // 154-157 GB per query at the 100× fixture (q_lof /
+        // q_mutual_knn, caught by the new spill column). Same rows
+        // by construction: every colliding pair survives in exactly
+        // one cell. The cell join is SHUFFLE_HASH: SMJ buffers each
+        // cid's FULL vector-carrying match group per probe row
+        // (ExternalAppendOnlyUnsafeRowArray — the residual ~45 GB
+        // spill), where the hash build is just the partition's
+        // assignment rows.
+        asg.select(col("cid"), col("vec_id").as("a"), col("v").as("av"),
+            col("cids").as("acids"))
           .join(asg.select(col("cid"), col("vec_id").as("b"),
-            col("v").as("bv")), "cid")
+            col("v").as("bv"), col("cids").as("bcids"))
+            .hint("SHUFFLE_HASH"), "cid")
           .filter(col("a") =!= col("b"))
+          .filter(expr("array_min(array_intersect(acids, bcids)) = cid"))
           .select(col("a"), col("b"),
             knnDist(metric, col("av"), col("bv")).as("dist"))
-          .distinct()
     }
 
   /** Bipartite variant of [[knnCandidates]] for classifier-shaped
@@ -925,13 +972,17 @@ object SimilarityStages {
           cells, probes, metric)
           .join(broadcast(e.select(col("vec_id"), col("lab"))), "vec_id")
         asg.filter(!col("lab"))
-          .select(col("cid"), col("vec_id").as("a"), col("v").as("av"))
+          .select(col("cid"), col("vec_id").as("a"), col("v").as("av"),
+            col("cids").as("acids"))
           .join(asg.filter(col("lab"))
-            .select(col("cid"), col("vec_id").as("b"), col("v").as("bv")),
+            .select(col("cid"), col("vec_id").as("b"), col("v").as("bv"),
+              col("cids").as("bcids"))
+            .hint("SHUFFLE_HASH"),
             "cid")
+          // Minimal-shared-cell dedup — see the knnCandidates ann arm.
+          .filter(expr("array_min(array_intersect(acids, bcids)) = cid"))
           .select(col("a"), col("b"),
             knnDist(metric, col("av"), col("bv")).as("dist"))
-          .distinct()
     }
   }
 
@@ -950,15 +1001,18 @@ object SimilarityStages {
     val probes = annProbes(
       e, "spark.graft.simjoin.ann.probes", cells, pinned = 6)
     val asg = probeAssignments(e, cells, probes, metric = "cosine")
-    asg.select(col("cid"), col("vec_id").as("id1"), col("v").as("v1"))
+    asg.select(col("cid"), col("vec_id").as("id1"), col("v").as("v1"),
+        col("cids").as("c1"))
       .join(asg.select(col("cid"), col("vec_id").as("id2"),
-        col("v").as("v2")), "cid")
+        col("v").as("v2"), col("cids").as("c2")).hint("SHUFFLE_HASH"),
+        "cid")
       .filter(col("id1") < col("id2"))
+      // Minimal-shared-cell dedup — see the knnCandidates ann arm.
+      .filter(expr("array_min(array_intersect(c1, c2)) = cid"))
       .select(col("id1"), col("id2"),
         round(lit(1.0) - cosine_distance(col("v1"), col("v2")), 6)
           .alias("sim"))
       .filter(col("sim") >= tau)
-      .distinct()
   }
 
   private def exactSim(e: DataFrame, tau: Double): DataFrame = {

@@ -550,12 +550,28 @@ object Semantic {
       // knnCandidates fuses the codegen sq_l2 kernel into the
       // candidate join (round-12: pair exchanges carry 24-byte
       // (a, b, dist) rows, never the vectors — see Joins.scala).
+      // Per-anchor top-5 via the map-side heap fold (round 17 — the
+      // q_mutual_knn reduction): the row_number window sorted the
+      // FULL candidate pair stream per anchor before keeping 5 rows
+      // (the spill column showed ~44 GB of window-sort spill at the
+      // 100× fixture); the heap folds each partition to ≤5 rows per
+      // anchor before the exchange. Score is negated d2 — the
+      // aggregator's (score DESC, id ASC) order is exactly the
+      // window's (d2 ASC, b ASC); negation is a sign-bit flip, so
+      // the round-tripped d2 is bit-identical. sq_l2 never yields
+      // NaN (sum of squares), so the window/heap equivalence is
+      // unconditional here.
+      val topkAgg = udaf(new graft.functions.TopKNeighborsAggregator(5),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble))
       val knn = SimilarityStages.knnCandidates(e, metric = "l2")
         .select(col("a"), col("b"), col("dist").as("d2"))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("a").orderBy("d2", "b")))
-        .filter(col("rn") <= 5).select("a", "b", "d2")
+        .groupBy("a")
+        .agg(topkAgg(col("b"), lit(0L), negate(col("d2"))).as("tk"))
+        .select(col("a"), explode(col("tk")).as("e"))
+        .select(col("a"), col("e._1").as("b"), negate(col("e._3")).as("d2"))
         .localCheckpoint(eager = false)
       val kd = knn.groupBy(col("a").as("p")).agg(max("d2").as("kdist"))
       val lrd = knn.join(kd, col("p") === col("b"))

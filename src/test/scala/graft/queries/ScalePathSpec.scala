@@ -453,6 +453,18 @@ class ScalePathSpec extends SparkTestBase {
       .count()
     val expected = 20 + 15 // C(6,3) clique triangles + hub∧(clique edge)
     assert(tri === expected.toLong)
+    // Round-17 plan pin: both wedge-stage joins must be SHUFFLE-HASH
+    // (build = the edge-sized side), never sort-merge — SMJ sorted
+    // the O(m^1.5) wedge stream on the closing pair key (12.7/17.8 GB
+    // of sort spill at the 100× fixture, caught by the new spill
+    // column). closeWedges carries the hint; so does orientedWedges.
+    val closePlan = GraphStages.closeWedges(GraphStages.orientedWedges(o), o)
+      .queryExecution.executedPlan.toString
+    assert(closePlan.contains("ShuffledHashJoin") ||
+      closePlan.contains("BroadcastHashJoin"),
+      s"wedge joins must hash, not sort-merge:\n$closePlan")
+    assert(!closePlan.contains("SortMergeJoin"),
+      s"SMJ would sort the wedge stream:\n$closePlan")
   }
 
   test("knnCandidates exact: no FORCED broadcast — auto-broadcast off yields a broadcast-free plan") {
