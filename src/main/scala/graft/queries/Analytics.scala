@@ -454,9 +454,15 @@ object Analytics {
         |FROM pairs JOIN item i1 ON p1 = i1.pk
         |           JOIN item i2 ON p2 = i2.pk CROSS JOIN n
         |ORDER BY lift DESC, p1, p2 LIMIT 100""".stripMargin) { (s, d) =>
-      val b = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct().localCheckpoint(eager = false)
+      // Size-gated basket build (Graphs.basketFrame): past the gate
+      // the ONE exchange hashes the order key, which the pair
+      // self-join below reuses co-partitioned — the old
+      // `.distinct()` hashed on BOTH columns, so each join side
+      // re-exchanged and re-sorted the basket frame (the 3 GB sort
+      // spill the round-17 spill columns flagged at 100×).
+      val b = Graphs.basketFrame(s, d)
+        .select(col("o").as("ok"), col("p").as("pk"))
+        .localCheckpoint(eager = false)
       val n = b.agg(countDistinct(col("ok")).as("n_orders"))
       val item = b.groupBy("pk").agg(count(lit(1)).as("icnt"))
       val pairs = b.as("a")

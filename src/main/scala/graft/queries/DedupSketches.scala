@@ -516,21 +516,31 @@ object DedupSketches {
          |SELECT id1, id2, bit_count(xor(s1, s2)) AS hamming
          |FROM cand WHERE bit_count(xor(s1, s2)) <= 3
          |ORDER BY id1, id2""".stripMargin) { (s, d) =>
-      // Trailing barrier = materialization of h: otherwise the md5
-      // hash is inlined below the 60-way bit explode and recomputed
-      // per bit. The inner fanout is parallelism-only (gated).
-      val tf = barrier(fanout(Tables.documents(s, d))
+      // ONE hash exchange on doc_id, reused by BOTH aggregates
+      // (HashPartitioning(doc_id) satisfies the (doc_id, t)
+      // clustering too), and the 60 per-bit signed sums run as 60
+      // aggregate expressions of ONE groupBy over the (doc, token)
+      // frame — the oracle's `CROSS JOIN range(60)` explode never
+      // materializes. The old shape built the ×60 row blowup and
+      // paid a doomed map-side partial aggregate on (doc_id, j):
+      // ~30 M keys per task against per-task multiplicity ~3 — the
+      // 60 GB spill the round-17 spill columns flagged (the
+      // q_butterfly partial-agg multiplicity lesson, applied to an
+      // explode instead of a wedge stream). h materializes through
+      // the aggregate's child projection — computed once per token
+      // row, never per bit. The inner fanout is parallelism-only
+      // (gated); explode parallelism comes from the doc_id exchange.
+      val tf = fanout(Tables.documents(s, d))
         .select(col("doc_id"), explode(expr(toks)).as("t"))
+        .repartition(col("doc_id"))
         .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
-        .withColumn("h", expr(h60("t"))))
-      val bits = tf
-        .select(col("doc_id"), col("cnt"), col("h"),
-          explode(expr("sequence(0, 59)")).as("j"))
-        .groupBy("doc_id", "j")
-        .agg(sum(expr("((shiftright(h, CAST(j AS INT)) & 1) * 2 - 1) * cnt")).as("sgn"))
-      val sig = bits.groupBy("doc_id")
-        .agg(sum(expr("CASE WHEN sgn > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END"))
-          .as("simhash"))
+        .withColumn("h", expr(h60("t")))
+      val sgns = (0 to 59).map(j =>
+        sum(expr(s"((shiftright(h, $j) & 1) * 2 - 1) * cnt")).as(s"s$j"))
+      val sig = tf.groupBy("doc_id").agg(sgns.head, sgns.tail: _*)
+        .select(col("doc_id"), expr((0 to 59).map(j =>
+            s"IF(s$j > 0, CAST(${1L << j} AS BIGINT), CAST(0 AS BIGINT))")
+          .mkString(" + ")).as("simhash"))
       val ch = sig.select(col("doc_id"), col("simhash"),
           explode(expr("sequence(0, 3)")).as("c"))
         .withColumn("chunk",

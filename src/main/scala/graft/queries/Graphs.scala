@@ -492,11 +492,18 @@ object Graphs {
       val e0 = Tables.lineitem(s, d)
         .select(col("l_partkey").as("p"), col("l_suppkey").as("sid"))
         .distinct()
+      // LONG node keys in the peel loop (the q_sssp iteration-floor
+      // treatment): p ↦ 2p, s ↦ 2s+1; the oracle's 'p…'/'s…' strings
+      // rebuild once at output. One upfront hash partition on src —
+      // the per-round groupBy("src") and both BROADCAST keep-joins
+      // preserve it (BHJ streams the probe side; localCheckpoint
+      // preserves outputPartitioning), so all 8 peel rounds run
+      // EXCHANGE-FREE over 16-byte rows after the single shuffle.
       var e = e0
-        .select(concat(lit("p"), col("p")).as("src"),
-          concat(lit("s"), col("sid")).as("dst"))
-        .unionAll(e0.select(concat(lit("s"), col("sid")).as("src"),
-          concat(lit("p"), col("p")).as("dst")))
+        .select((col("p") * 2).as("src"), (col("sid") * 2 + 1).as("dst"))
+        .unionAll(e0.select((col("sid") * 2 + 1).as("src"),
+          (col("p") * 2).as("dst")))
+        .repartition(col("src"))
         .localCheckpoint()
       var prev = e.count()
       var converged = false
@@ -515,7 +522,8 @@ object Graphs {
         prev = n
       }
       e.groupBy("src").agg(count(lit(1)).as("deg"))
-        .select(col("src").as("node"), col("deg"))
+        .select(expr("CASE WHEN src % 2 = 0 THEN concat('p', src DIV 2) " +
+          "ELSE concat('s', src DIV 2) END").as("node"), col("deg"))
         .orderBy("node")
     },
 
