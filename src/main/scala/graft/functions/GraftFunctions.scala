@@ -15,7 +15,8 @@ object GraftFunctions {
   val names: Seq[String] =
     Seq("dot_product", "cosine_distance", "l2_distance", "sq_l2_distance",
       "l2_norm", "char_shingles", "sorted_intersect_count",
-      "sorted_dot_stats", "word_shingles", "first_eq_index")
+      "sorted_dot_stats", "word_shingles", "first_eq_index",
+      "bloom_might_contain")
 
   // Names graft itself registered, per session (weak keys — a closed
   // session drops its entry). A foreign squatter is also recorded
@@ -94,6 +95,18 @@ object GraftFunctions {
     ensure("sorted_dot_stats")(es =>
       SortedDotStats(es(0), d(es(1)), es(2), d(es(3))))
     ensure("word_shingles")(es => WordShingles(es(0), es(1), es(2)))
+    // The bloom bytes arrive as a foldable BINARY literal and are
+    // folded OUT of the expression tree at build time (see the
+    // BloomMightContainLong scaladoc: a ~35 MB literal child would
+    // hex-render through every plan toString).
+    ensure("bloom_might_contain")(es => BloomMightContainLong(es(1), es(0) match {
+      case e if e.foldable &&
+          e.dataType == org.apache.spark.sql.types.BinaryType =>
+        e.eval(null).asInstanceOf[Array[Byte]]
+      case other => throw new IllegalArgumentException(
+        "bloom_might_contain expects (foldable BINARY bloom, BIGINT probe), " +
+          s"got a non-foldable ${other.dataType.simpleString} bloom side")
+    }))
   }
 
   def dot_product(a: Column, b: Column): Column =

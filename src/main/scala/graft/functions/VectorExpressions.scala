@@ -621,3 +621,46 @@ object SortedDotStats {
       .unscaledValue().longValueExact()
   }
 }
+
+/** Bloom membership probe against a DRIVER-BUILT filter, for
+  * map-side pruning of generated streams (wedge closing joins:
+  * GraphStages.bloomPrune). The filter bytes live in a constructor
+  * field, NOT a child Literal — a 30 M-edge bloom is ~35 MB, and as
+  * a Literal child it would render in full hex through every
+  * `explain`/`toString` the plan-audit specs and PLANS.md take.
+  * They still ship to executors exactly once per stage (the task
+  * binary is broadcast). Same contract as Spark's internal
+  * runtime-filter probe (BloomFilterMightContain, which public API
+  * cannot construct): false positives pass through to the exact
+  * join behind it, false negatives are impossible — results are
+  * unaffected at any fpp.
+  *
+  * Probe values are `xxhash64(...)` longs; the build side must hash
+  * the SAME columns with the same function (GraphStages.edgeBloom
+  * pairs them).
+  */
+case class BloomMightContainLong(child: Expression, bytes: Array[Byte])
+    extends UnaryExpression with Predicate with Serializable {
+  override def prettyName: String = "bloom_might_contain"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT probe, got ${child.dataType.simpleString}")
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+
+  override def nullSafeEval(v: Any): Any =
+    bloom.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}

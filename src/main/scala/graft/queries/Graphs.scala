@@ -747,7 +747,10 @@ object Graphs {
             (col("o1.dt") === col("o2.dt") && col("o1.t") < col("o2.t"))))
         .select(col("o1.s").as("a"), col("o1.t").as("b"),
           col("o2.t").as("c"))
-      val tri = wdg.join(o.hint("SHUFFLE_HASH"),
+      // Bloom-pruned before the closing exchange (GraphStages
+      // .bloomPrune): only closing wedges + ~1% fpp ship.
+      val tri = GraphStages.bloomPrune(wdg, o, "b", "c")
+        .join(o.hint("SHUFFLE_HASH"),
           col("b") === col("s") && col("c") === col("t"))
         .select("a", "b", "c")
       val tc = tri
@@ -1483,6 +1486,46 @@ object GraphStages {
     * q_clustering_coeff; the hash build is m/parts rows per task
     * and the wedge stream crosses its one exchange unsorted). */
   def closeWedges(w: DataFrame, o: DataFrame): DataFrame =
-    w.join(o.hint("SHUFFLE_HASH"),
+    bloomPrune(w, o, "t1", "t2").join(o.hint("SHUFFLE_HASH"),
       col("t1") === col("s") && col("t2") === col("t"))
+
+  /** Map-side pruning of the O(m^1.5) wedge stream BEFORE the
+    * closing join's exchange (round 17): only a small fraction of
+    * wedges close into triangles, yet the SHUFFLE_HASH join
+    * exchanged all ~500 M of them (8.8 GB at the 100× fixture) just
+    * to drop most at the probe. A driver-built bloom over the
+    * oriented edge keys (`xxhash64(s, t)`, ~10 bits/edge ≈ 1% fpp,
+    * the standard runtime-filter budget — ~35 MB at 30 M edges,
+    * shipped once per stage via the broadcast task binary) filters
+    * wedges inside the generating stage, so the exchange carries
+    * ~(closure rate + fpp) of the stream. Exactness: bloom false
+    * positives proceed to the exact join and fail it there; false
+    * negatives are impossible — output identical at any fpp. The
+    * build is one extra scan of the edge checkpoint (`stat
+    * .bloomFilter`, public API — Spark's own InjectRuntimeFilter
+    * only fires on selective creation-side FILTERS, never on a
+    * generated-stream join like this). */
+  def bloomPrune(w: DataFrame, o: DataFrame, c1: String, c2: String): DataFrame = {
+    // `spark.graft.wedge.bloom=off` skips the prune (A/B seam; also
+    // the escape hatch for clique-heavy graphs where closure rate ≈ 1
+    // and the probe pass buys nothing).
+    if (w.sparkSession.conf.get("spark.graft.wedge.bloom", "on") == "off")
+      return w
+    val m = o.count() // exact item count; also forces the checkpoint
+    // Below ~1 M edges the closing exchange is a few MB and the two
+    // bloom-build jobs cost more than they save (measured +0.6 s at
+    // sf0.1); the prune is a big-graph device.
+    val minEdges = w.sparkSession.conf
+      .get("spark.graft.wedge.bloom.minEdges", "1000000").toLong
+    if (m < minEdges) w
+    else {
+      val bf = o.select(xxhash64(col("s"), col("t")).as("h"))
+        .stat.bloomFilter("h", m, 0.01)
+      val bo = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bo)
+      graft.functions.GraftFunctions.register(w.sparkSession)
+      w.filter(call_function("bloom_might_contain", lit(bo.toByteArray),
+        xxhash64(col(c1), col(c2))))
+    }
+  }
 }
