@@ -16,7 +16,7 @@ object GraftFunctions {
     Seq("dot_product", "cosine_distance", "l2_distance", "sq_l2_distance",
       "l2_norm", "char_shingles", "sorted_intersect_count",
       "sorted_dot_stats", "word_shingles", "first_eq_index",
-      "bloom_might_contain")
+      "bloom_might_contain", "min_common_long")
 
   // Names graft itself registered, per session (weak keys — a closed
   // session drops its entry). A foreign squatter is also recorded
@@ -95,6 +95,12 @@ object GraftFunctions {
     ensure("sorted_dot_stats")(es =>
       SortedDotStats(es(0), d(es(1)), es(2), d(es(3))))
     ensure("word_shingles")(es => WordShingles(es(0), es(1), es(2)))
+    // Probe-cell arrays arrive as whatever integral type the cell id
+    // carries; widen to ARRAY<BIGINT> (exact) like d() widens floats.
+    def dl(e: Expression): Expression =
+      Cast(e, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))
+    ensure("min_common_long")(es => MinCommonLong(dl(es(0)), dl(es(1))))
     // The bloom bytes arrive as a foldable BINARY literal and are
     // folded OUT of the expression tree at build time (see the
     // BloomMightContainLong scaladoc: a ~35 MB literal child would

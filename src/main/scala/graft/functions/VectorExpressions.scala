@@ -664,3 +664,83 @@ case class BloomMightContainLong(child: Expression, bytes: Array[Byte])
   override protected def withNewChildInternal(
       newChild: Expression): Expression = copy(child = newChild)
 }
+
+/** Minimal common element of two small ARRAY<BIGINT> inputs, NULL
+  * when disjoint — the minimal-shared-cell dedup screen of the ann
+  * candidate stages (SimilarityStages): a pair colliding in k probe
+  * cells is kept only where `min_common_long(c1, c2) = cid`, so the
+  * dedup is scan-local and each pair survives exactly once. The
+  * built-in `array_min(array_intersect(c1, c2))` computes the same
+  * value but allocates an OpenHashSet + result array PER CALL — at
+  * ~10⁹ pair-copies per 100× ann query that allocation churn tripled
+  * q_similarity_join's cell (24 → 75 s, round 17; the
+  * first_eq_index lesson from the banded dedup route). Probe-cell
+  * arrays are ≤ probes (≤ 8) elements, so the O(n·m) nested walk is
+  * at most ~64 allocation-free comparisons inside codegen.
+  * Null ELEMENTS cannot occur (cells are pmod results); they are
+  * skipped defensively. */
+case class MinCommonLong(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def prettyName: String = "min_common_long"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT> inputs, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(av: Any, bv: Any): Any = {
+    val a = av.asInstanceOf[ArrayData]; val b = bv.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var best = Long.MaxValue; var found = false
+    var i = 0
+    while (i < na) {
+      if (!a.isNullAt(i)) {
+        val x = a.getLong(i)
+        if (x < best) {
+          var j = 0
+          while (j < nb) {
+            if (!b.isNullAt(j) && b.getLong(j) == x) { best = x; found = true; j = nb }
+            else j += 1
+          }
+        }
+      }
+      i += 1
+    }
+    if (found) best else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val x = ctx.freshName("x"); val best = ctx.freshName("best")
+      val found = ctx.freshName("found")
+      s"""
+         |int $na = $a.numElements(); int $nb = $b.numElements();
+         |long $best = Long.MAX_VALUE; boolean $found = false;
+         |for (int $i = 0; $i < $na; $i++) {
+         |  if ($a.isNullAt($i)) continue;
+         |  long $x = $a.getLong($i);
+         |  if ($x >= $best) continue;
+         |  for (int $j = 0; $j < $nb; $j++) {
+         |    if (!$b.isNullAt($j) && $b.getLong($j) == $x) {
+         |      $best = $x; $found = true; break;
+         |    }
+         |  }
+         |}
+         |if ($found) { ${ev.value} = $best; } else { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -776,7 +776,7 @@ object SimilarityStages {
     // `cids` carries the vector's FULL probe-cell set alongside each
     // exploded (vec_id, cid) row (round 17): the candidate joins
     // dedup a multi-cell pair SCAN-LOCALLY by keeping only its
-    // minimal shared cell (array_min ∘ array_intersect over two
+    // minimal shared cell (the min_common_long kernel over two
     // ≤P-element arrays) instead of a global distinct() — whose
     // map-side partial agg held the RAW duplicated pair stream and
     // spilled 154-157 GB per query at the 100× fixture (q_lof /
@@ -820,7 +820,7 @@ object SimilarityStages {
         col("cids").as("c2")).hint("SHUFFLE_HASH"), "cid")
       .filter(col("id1") < col("id2"))
       // Minimal-shared-cell dedup — see the knnCandidates ann arm.
-      .filter(expr("array_min(array_intersect(c1, c2)) = cid"))
+      .filter(expr("min_common_long(c1, c2) = cid"))
       .select("id1", "id2")
   }
 
@@ -919,7 +919,7 @@ object SimilarityStages {
             col("v").as("bv"), col("cids").as("bcids"))
             .hint("SHUFFLE_HASH"), "cid")
           .filter(col("a") =!= col("b"))
-          .filter(expr("array_min(array_intersect(acids, bcids)) = cid"))
+          .filter(expr("min_common_long(acids, bcids) = cid"))
           .select(col("a"), col("b"),
             knnDist(metric, col("av"), col("bv")).as("dist"))
     }
@@ -980,7 +980,7 @@ object SimilarityStages {
             .hint("SHUFFLE_HASH"),
             "cid")
           // Minimal-shared-cell dedup — see the knnCandidates ann arm.
-          .filter(expr("array_min(array_intersect(acids, bcids)) = cid"))
+          .filter(expr("min_common_long(acids, bcids) = cid"))
           .select(col("a"), col("b"),
             knnDist(metric, col("av"), col("bv")).as("dist"))
     }
@@ -1008,7 +1008,7 @@ object SimilarityStages {
         "cid")
       .filter(col("id1") < col("id2"))
       // Minimal-shared-cell dedup — see the knnCandidates ann arm.
-      .filter(expr("array_min(array_intersect(c1, c2)) = cid"))
+      .filter(expr("min_common_long(c1, c2) = cid"))
       .select(col("id1"), col("id2"),
         round(lit(1.0) - cosine_distance(col("v1"), col("v2")), 6)
           .alias("sim"))
