@@ -58,6 +58,50 @@ object Bench {
     def mb(b: Long): Double = math.round(b / 1048576.0 * 10) / 10.0
   }
 
+  /** Per-key JVM-health meter (round-18, verdict #1): the single-JVM
+    * 100× sweep showed a heavy-tail variance mode between
+    * identical-code sweeps (q_als_rank1 39.5 → 188.3 s while the
+    * 243-key median held 1.02) that the shuffle/spill columns could
+    * not explain (all zero). The three suspects are driver-heap GC
+    * pressure, old-gen occupancy, and storage-memory accumulation —
+    * every query localCheckpoints its internal frames (~210 sites),
+    * and after the noop sink completes those blocks are orphans that
+    * ContextCleaner only reaps when a (rare, 48 GB heap) old-gen GC
+    * collects the RDD handle; until then they sit in the unified
+    * memory region, where a later key's execution-memory demand
+    * evicts them to DISK (MEMORY_AND_DISK drop path) — I/O that task
+    * metrics do NOT count as spill. This meter makes all three
+    * visible per key: `gc_sec` (collection-time delta across all GC
+    * beans), `oldgen_mb` (old-gen used after the key), `cached_mb`
+    * (block-manager mem+disk bytes of live persisted RDDs). Max
+    * across reps, matching the IoMeter convention. */
+  private class JvmMeter(sc: org.apache.spark.SparkContext) {
+    import scala.jdk.CollectionConverters._
+    private val gcBeans =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+    private val oldPools =
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter { p =>
+          val n = p.getName.toLowerCase
+          n.contains("old") || n.contains("tenured")
+        }
+    private var lastGc = gcBeans.map(_.getCollectionTime).sum
+    val perKey =
+      scala.collection.mutable.Map.empty[String, (Double, Double, Double)]
+    def snapshot(name: String): Unit = synchronized {
+      val gc = gcBeans.map(_.getCollectionTime).sum
+      val gcSec = math.round((gc - lastGc) / 1000.0 * 100) / 100.0
+      lastGc = gc
+      val oldMb = math.round(
+        oldPools.map(_.getUsage.getUsed).sum / 1048576.0 * 10) / 10.0
+      val cachedMb = math.round(sc.getRDDStorageInfo
+        .map(i => i.memSize + i.diskSize).sum / 1048576.0 * 10) / 10.0
+      val (og, oo, oc) = perKey.getOrElse(name, (0.0, 0.0, 0.0))
+      perKey(name) =
+        (math.max(og, gcSec), math.max(oo, oldMb), math.max(oc, cachedMb))
+    }
+  }
+
   /** The queries whose plans branch on spark.graft.audit — kept in
     * lockstep with the auditOn call sites. */
   val auditQueries: Seq[String] = Seq(
@@ -179,6 +223,21 @@ object Bench {
     // column, not a timing.
     val meter = new IoMeter
     spark.sparkContext.addSparkListener(meter)
+    val jvm = new JvmMeter(spark.sparkContext)
+    // Between-key block hygiene (round-18 verdict #1): after a key's
+    // noop sink completes, every persisted RDD it created (the ~210
+    // per-query localCheckpoint sites, Recursive's loop caches) is an
+    // orphan — nothing outside the finished plan holds it, and the
+    // intentionally long-lived artifacts (IVF index, bucketed/staged
+    // tables) are all DISK-backed saveAsTable/files, never cached
+    // RDDs. Dropping the orphans between keys is what a real
+    // deployment's query-session teardown does; leaving them to
+    // ContextCleaner means they accumulate until an old-gen GC and
+    // get evicted to disk under later keys' memory pressure — the
+    // leading suspect for the sweep's heavy-tail variance.
+    // SPARK_GRAFT_BENCH_KEEP_BLOCKS=1 disables (the A/B control).
+    val unpersistBetween =
+      sys.env.get("SPARK_GRAFT_BENCH_KEEP_BLOCKS").forall(_ != "1")
     def timeOne(name: String,
         fn: (org.apache.spark.sql.SparkSession, String) =>
           org.apache.spark.sql.DataFrame): (String, Double, Boolean) = {
@@ -191,6 +250,10 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(30)
       meter.snapshot(name)
+      jvm.snapshot(name)
+      if (unpersistBetween)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       (name, if (ok) sec else -1.0, ok)
     }
     // Canary prelude: re-time the pinned keys (min of 2 runs each,
@@ -303,12 +366,19 @@ object Bench {
     val spillJson = results.map { case (k, _, _) =>
       "\"" + k + "\":" + meter.mb(meter.perKey.get(k).map(_._2).getOrElse(0L))
     }.mkString("{", ",", "}")
+    def jvmJson(pick: ((Double, Double, Double)) => Double): String =
+      results.map { case (k, _, _) =>
+        "\"" + k + "\":" + jvm.perKey.get(k).map(pick).getOrElse(0.0)
+      }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":$failed,"sf":"$sfDir","reps":$reps,""" +
         s""""load_avg":{"before":$loadBefore,"after":$loadAfter},""" +
         s""""spread":$spreadJson,"noaudit":$noauditJson,""" +
-        s""""shuffle_mb":$shufJson,"spill_mb":$spillJson$canaryJson}"""
+        s""""shuffle_mb":$shufJson,"spill_mb":$spillJson,""" +
+        s""""unpersist":$unpersistBetween,"gc_sec":${jvmJson(_._1)},""" +
+        s""""oldgen_mb":${jvmJson(_._2)},"cached_mb":${jvmJson(_._3)}""" +
+        s"""$canaryJson}"""
     println(line)
     // Persist the FULL summary too: harness stdout capture has
     // truncated to the tail of the line (round-6 BENCH_r06.json lost

@@ -65,6 +65,20 @@ object Sessions {
       // (~200 B), so half a million keys per task is ~100 MB — raise
       // the threshold so the hash path holds node-count-sized key
       // sets and the sort never happens.
+      //
+      // The raised threshold governs EVERY TypedImperativeAggregate,
+      // so it only stays session-wide because the registry has been
+      // audited for unbounded-per-key state (round-18 advice): all
+      // collect_list sites are bounded by construction (≤8 PQ codes
+      // VectorSearch, 64 embedding dims Semantic ×5, rn≤5 postings
+      // TextOps:874, per-doc token vocab Semantic:1142 — bounded by
+      // document length), and the two percentile sites are 5-key
+      // (q_robust_scale — key COUNT never reaches even the 128
+      // default, threshold moot) or per-user slope lists whose TOTAL
+      // hash-map state ≈ the task's input rows — the same bytes the
+      // sort fallback would buffer before sorting (q_theil_sen). A
+      // future aggregate with genuinely unbounded per-key state must
+      // scope its own threshold instead of relying on this one.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         (2 * 1024 * 1024).toString)
       // Catalog tables (bucketed-join demos) land in a per-process

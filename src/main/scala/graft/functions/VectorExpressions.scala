@@ -652,6 +652,22 @@ case class BloomMightContainLong(child: Expression, bytes: Array[Byte])
     org.apache.spark.util.sketch.BloomFilter.readFrom(
       new java.io.ByteArrayInputStream(bytes))
 
+  // Case-class equality on an Array[Byte] field is REFERENCE
+  // equality, which would make two semantically identical probes
+  // never compare equal — silently defeating semanticEquals-based
+  // subexpression elimination and exchange reuse across plan copies
+  // (round-18 advice). Equality is structural: the cached content
+  // hash screens first so canonicalization maps never pay an O(35 MB)
+  // byte compare on distinct filters.
+  @transient private lazy val bytesHash = java.util.Arrays.hashCode(bytes)
+  override def hashCode(): Int = 31 * child.hashCode() + bytesHash
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContainLong =>
+      child == b.child && bytesHash == b.bytesHash &&
+        java.util.Arrays.equals(bytes, b.bytes)
+    case _ => false
+  }
+
   override def nullSafeEval(v: Any): Any =
     bloom.mightContainLong(v.asInstanceOf[Long])
 

@@ -236,9 +236,21 @@ object DedupStages {
     * ix ≥ 1, id1 ≠ id2; duplicates across bands NOT deduped (heap
     * folds dedup by id2; CC edge consumers distinct() after their
     * τ screen, at post-screen volume). */
-  def bandedScoredPairs(docs: DataFrame, cap: Int): DataFrame = {
-    require(cap >= 6 && cap <= 100000,
-      s"dedup bucket cap must be in [6,100000], got $cap")
+  /** The checkpointed (doc_id, hs, mhs, band, mh) banded frame
+    * feeding [[bandedScoredPairs]]'s self-join — factored out so the
+    * round-18 stage profile can time the band build separately from
+    * the bucket join (verdict #3).
+    *
+    * ONE bucket-key exchange, MATERIALIZED: the capped build side
+    * and the probe side both consume this frame — without the
+    * checkpoint each re-derives the whole scan→shingle→md5→minhash
+    * pipeline through its OWN exchange (round-16 plan audit: two
+    * identical 9-node subtrees; ReuseExchange can't fire because
+    * the sides' null filters differ), doubling the corpus hash work
+    * and the shuffle. LogicalRDD preserves the (band, mh)
+    * partitioning, so the window and the join add no exchange —
+    * the tfidf cluster route's checkpointed-posting discipline. */
+  def bandedFrame(docs: DataFrame): DataFrame = {
     val sh = shingleSets(docs)
     val aArr = "array(" + (0 until 16).map(aCoef).mkString(",") + ")"
     val bArr = "array(" + (0 until 16).map(bCoef).mkString(",") + ")"
@@ -251,17 +263,14 @@ object DedupStages {
         .as("mhs")))
     val banded = hs.select(col("doc_id"), col("hs"), col("mhs"),
       posexplode(col("mhs")).as(Seq("band", "mh")))
-    // ONE bucket-key exchange, MATERIALIZED: the capped build side
-    // and the probe side both consume this frame — without the
-    // checkpoint each re-derives the whole scan→shingle→md5→minhash
-    // pipeline through its OWN exchange (round-16 plan audit: two
-    // identical 9-node subtrees; ReuseExchange can't fire because
-    // the sides' null filters differ), doubling the corpus hash work
-    // and the shuffle. LogicalRDD preserves the (band, mh)
-    // partitioning, so the window and the join add no exchange —
-    // the tfidf cluster route's checkpointed-posting discipline.
-    val f = banded.repartition(col("band"), col("mh"))
+    banded.repartition(col("band"), col("mh"))
       .localCheckpoint(eager = false)
+  }
+
+  def bandedScoredPairs(docs: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 6 && cap <= 100000,
+      s"dedup bucket cap must be in [6,100000], got $cap")
+    val f = bandedFrame(docs)
     val win = Window.partitionBy("band", "mh").orderBy("doc_id")
     val capped = f.withColumn("rn", row_number().over(win))
       .filter(col("rn") <= cap)

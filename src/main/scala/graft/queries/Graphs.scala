@@ -315,7 +315,8 @@ object Graphs {
         .localCheckpoint(eager = false)
       val deg = GraphStages.degrees(e)
       val o = GraphStages.orientedEdges(e, deg)
-      val tri = GraphStages.closeWedges(GraphStages.orientedWedges(o), o)
+      val tri = GraphStages.closeWedges(GraphStages.orientedWedges(o), o,
+          memoKey = Some("tri:" + d))
         .agg(count(lit(1)).as("t"))
       val wed = deg.agg(sum(col("d") * (col("d") - 1) / 2)
         .cast("long").as("w"))
@@ -338,21 +339,38 @@ object Graphs {
     // fixpoint. Fixed unroll (the q_pagerank discipline: no
     // driver-side convergence test on a distributed reduce), so the
     // oracle states the same 3 iterations as chained CTEs.
-    // Scale: the edge frame is data-sized and localCheckpointed
-    // ONCE; every half-step joins the NODE-sized score frame to it
-    // as a BROADCAST, so per-half-step cost is one partial-aggregated
-    // groupBy; norms are 1-row broadcast folds. Score arithmetic
-    // follows the q_vector_pca normalization: per-edge contributions
-    // sum in DECIMAL(38,12), norms fold round(x², 12) into DECIMAL,
-    // and every division rounds at 12dp on identical double
-    // operands — hash-exact at any partitioning.
+    // Scale (round-18 rewrite — verdict #4): the edge frame is
+    // data-sized and localCheckpointed TWICE, pre-partitioned by
+    // each half-step's grouping key (hash(p) / hash(sid)) — the
+    // q_kcore exchange-free-loop discipline. hash(p) satisfies
+    // ClusteredDistribution for both the (p, sid) dedup and the
+    // groupBy(p), so after the two upfront exchanges NO edge-sized
+    // exchange exists anywhere in the loop. Each half-step's raw
+    // node frame (hr/ar) is consumed by TWO jobs — the 1-row norm
+    // fold and the score projection — so it is checkpointed
+    // (exchange reuse does not cross job boundaries; the round-17
+    // form recomputed every half-step's edge scan+groupBy twice, 12
+    // edge passes per query instead of 6 — 100× A/B in BENCH.md
+    // round 18). Every half-step joins the NODE-sized score
+    // frame as a BROADCAST. Score arithmetic follows the
+    // q_vector_pca normalization: per-edge contributions sum in
+    // DECIMAL(38,12), norms fold round(x², 12) into DECIMAL, and
+    // every division rounds at 12dp on identical double operands —
+    // hash-exact at any partitioning (which is what licenses the
+    // partitioning change in the first place).
     Q("q_hits", GraphsOracles.hitsSql(3)) { (s, d) =>
-      val e = Tables.lineitem(s, d)
+      val raw = Tables.lineitem(s, d)
         .select(col("l_partkey").as("p"), col("l_suppkey").as("sid"))
-        .distinct()
+      // One exchange of the raw projection, dedup in place (hash(p)
+      // clusters equal (p, sid)); the sid-keyed copy reships the
+      // DEDUPED edges from the checkpoint, not the raw rows.
+      val eByP = raw.repartition(col("p"))
+        .dropDuplicates("p", "sid")
         .localCheckpoint(eager = false)
-      val sn = e.agg(countDistinct("sid").as("n"))
-      var a = e.select(col("sid")).distinct()
+      val eBySid = eByP.repartition(col("sid"))
+        .localCheckpoint(eager = false)
+      val sn = eBySid.agg(countDistinct("sid").as("n"))
+      var a = eBySid.select(col("sid")).distinct()
         .crossJoin(broadcast(sn))
         .selectExpr("sid", "round(1 / sqrt(n), 12) AS a")
         .localCheckpoint(eager = false)
@@ -362,24 +380,24 @@ object Graphs {
       // discipline) — the half-step then sums a ready decimal
       // constant instead of building a BigDecimal per edge row.
       for (_ <- 1 to 3) {
-        val hr = e.join(broadcast(
+        val hr = eByP.join(broadcast(
             a.selectExpr("sid", "CAST(a AS DECIMAL(38,12)) AS ad")), "sid")
           .groupBy("p").agg(sum(col("ad")).as("hr"))
+          .localCheckpoint(eager = false)
         val hn = hr.agg(expr(
           "sqrt(CAST(sum(CAST(round(CAST(hr AS DOUBLE) * CAST(hr AS DOUBLE)" +
             ", 12) AS DECIMAL(38,12))) AS DOUBLE))").as("nrm"))
         h = hr.crossJoin(broadcast(hn))
           .selectExpr("p", "round(CAST(hr AS DOUBLE) / nrm, 12) AS h")
-          .localCheckpoint(eager = false)
-        val ar = e.join(broadcast(
+        val ar = eBySid.join(broadcast(
             h.selectExpr("p", "CAST(h AS DECIMAL(38,12)) AS hd")), "p")
           .groupBy("sid").agg(sum(col("hd")).as("ar"))
+          .localCheckpoint(eager = false)
         val an = ar.agg(expr(
           "sqrt(CAST(sum(CAST(round(CAST(ar AS DOUBLE) * CAST(ar AS DOUBLE)" +
             ", 12) AS DECIMAL(38,12))) AS DOUBLE))").as("nrm"))
         a = ar.crossJoin(broadcast(an))
           .selectExpr("sid", "round(CAST(ar AS DOUBLE) / nrm, 12) AS a")
-          .localCheckpoint(eager = false)
       }
       val hubs = h.orderBy(col("h").desc, col("p")).limit(20)
         .selectExpr("'hub' AS side", "p AS node_id", "h AS score")
@@ -748,8 +766,11 @@ object Graphs {
         .select(col("o1.s").as("a"), col("o1.t").as("b"),
           col("o2.t").as("c"))
       // Bloom-pruned before the closing exchange (GraphStages
-      // .bloomPrune): only closing wedges + ~1% fpp ship.
-      val tri = GraphStages.bloomPrune(wdg, o, "b", "c")
+      // .bloomPrune): only closing wedges + ~1% fpp ship. Shares
+      // q_triangle_count's memoized bloom — the hash-sampled
+      // co-purchase graph is identical per fixture.
+      val tri = GraphStages.bloomPrune(wdg, o, "b", "c",
+          memoKey = Some("tri:" + d))
         .join(o.hint("SHUFFLE_HASH"),
           col("b") === col("s") && col("c") === col("t"))
         .select("a", "b", "c")
@@ -1485,8 +1506,9 @@ object GraphStages {
     * spill at the 100× fixture for q_triangle_count /
     * q_clustering_coeff; the hash build is m/parts rows per task
     * and the wedge stream crosses its one exchange unsorted). */
-  def closeWedges(w: DataFrame, o: DataFrame): DataFrame =
-    bloomPrune(w, o, "t1", "t2").join(o.hint("SHUFFLE_HASH"),
+  def closeWedges(w: DataFrame, o: DataFrame,
+      memoKey: Option[String] = None): DataFrame =
+    bloomPrune(w, o, "t1", "t2", memoKey).join(o.hint("SHUFFLE_HASH"),
       col("t1") === col("s") && col("t2") === col("t"))
 
   /** Map-side pruning of the O(m^1.5) wedge stream BEFORE the
@@ -1505,26 +1527,53 @@ object GraphStages {
     * .bloomFilter`, public API — Spark's own InjectRuntimeFilter
     * only fires on selective creation-side FILTERS, never on a
     * generated-stream join like this). */
-  def bloomPrune(w: DataFrame, o: DataFrame, c1: String, c2: String): DataFrame = {
+  /** Memoized bloom bytes per (session, caller key) — None = the
+    * graph was below the minEdges gate. The build runs two eager
+    * Spark jobs (`o.count()` + the bloomFilter scan) at
+    * DataFrame-CONSTRUCTION time, so without the memo merely
+    * re-constructing the plan (explain/plan-audit paths, a second
+    * query over the same fixture graph) re-runs both jobs and
+    * rebuilds the ~35 MB filter (round-18 advice). The key is
+    * caller-supplied (fixture-derived) because `o` descends from a
+    * per-invocation localCheckpoint whose LogicalRDD id differs
+    * every construction — plan-canonicalization keying can never
+    * hit. Callers passing a key assert their `o` content is a pure
+    * function of the key (q_triangle_count / q_clustering_coeff
+    * share the identical hash-sampled co-purchase graph per
+    * fixture); tests pass None and keep fresh builds. */
+  private val bloomMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), Option[Array[Byte]]]()
+
+  def bloomPrune(w: DataFrame, o: DataFrame, c1: String, c2: String,
+      memoKey: Option[String] = None): DataFrame = {
     // `spark.graft.wedge.bloom=off` skips the prune (A/B seam; also
     // the escape hatch for clique-heavy graphs where closure rate ≈ 1
     // and the probe pass buys nothing).
     if (w.sparkSession.conf.get("spark.graft.wedge.bloom", "on") == "off")
       return w
-    val m = o.count() // exact item count; also forces the checkpoint
-    // Below ~1 M edges the closing exchange is a few MB and the two
-    // bloom-build jobs cost more than they save (measured +0.6 s at
-    // sf0.1); the prune is a big-graph device.
-    val minEdges = w.sparkSession.conf
-      .get("spark.graft.wedge.bloom.minEdges", "1000000").toLong
-    if (m < minEdges) w
-    else {
-      val bf = o.select(xxhash64(col("s"), col("t")).as("h"))
-        .stat.bloomFilter("h", m, 0.01)
-      val bo = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bo)
+    def build(): Option[Array[Byte]] = {
+      val m = o.count() // exact item count; also forces the checkpoint
+      // Below ~1 M edges the closing exchange is a few MB and the two
+      // bloom-build jobs cost more than they save (measured +0.6 s at
+      // sf0.1); the prune is a big-graph device.
+      val minEdges = w.sparkSession.conf
+        .get("spark.graft.wedge.bloom.minEdges", "1000000").toLong
+      if (m < minEdges) None
+      else {
+        val bf = o.select(xxhash64(col("s"), col("t")).as("h"))
+          .stat.bloomFilter("h", m, 0.01)
+        val bo = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bo)
+        Some(bo.toByteArray)
+      }
+    }
+    val bytes = memoKey match {
+      case Some(k) => bloomMemo.computeIfAbsent((w.sparkSession, k), _ => build())
+      case None => build()
+    }
+    bytes.fold(w) { b =>
       graft.functions.GraftFunctions.register(w.sparkSession)
-      w.filter(call_function("bloom_might_contain", lit(bo.toByteArray),
+      w.filter(call_function("bloom_might_contain", lit(b),
         xxhash64(col(c1), col(c2))))
     }
   }

@@ -871,9 +871,14 @@ object SimilarityStages {
     *    candidate stage is a cell-keyed SELF-join: the exchange
     *    ships n·P vector rows (not pairs), pairs materialize only
     *    inside the join stage where the kernel immediately reduces
-    *    them to (a, b, dist), and the sole pair-sized exchange is
-    *    the 24-byte-row distinct (a pair sharing several probe
-    *    cells must count once for dbscan's k-threshold). Both
+    *    them to (a, b, dist). A pair sharing several probe cells
+    *    must count once (dbscan's k-threshold); that dedup is the
+    *    scan-local minimal-shared-cell filter
+    *    (`min_common_long(acids, bcids) = cid`, see the inline note
+    *    below) — NO pair-sized exchange exists anywhere in the arm
+    *    (the round-16 form's 24-byte-row distinct() was replaced in
+    *    round 17 after the spill column caught its map-side hash of
+    *    the raw duplicated pair stream). Both
     *    orientations emerge from the a ≠ b self-join. Recall is
     *    governed by probes/cells; at the test sfs the defaults have
     *    total recall, so ScalePathSpec pins ann ≡ exact per

@@ -234,6 +234,13 @@ object Sources {
             val fs = org.apache.hadoop.fs.FileSystem.get(
               new java.net.URI(s"file://$out"),
               new org.apache.hadoop.conf.Configuration())
+            // ChecksumFileSystem writes a hidden .crc SIDECAR per
+            // file — at the 100× fixture that doubles both the
+            // staging writes and the directory entries the read-side
+            // InMemoryFileIndex must list+stat (round 18; the
+            // sidecars never appear as ROWS — listing filters
+            // dot-files — they only cost).
+            fs.setWriteChecksum(false)
             it.foreach { r =>
               val p = new org.apache.hadoop.fs.Path(
                 out, s"doc_${r.getLong(0)}.txt")
