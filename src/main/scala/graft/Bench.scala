@@ -251,9 +251,17 @@ object Bench {
       Thread.sleep(30)
       meter.snapshot(name)
       jvm.snapshot(name)
-      if (unpersistBetween)
+      if (unpersistBetween) {
+        // SQL-cache entries (persist() sites) AND bare persisted RDDs
+        // (localCheckpoint sites) — clearCache drops the former's
+        // CacheManager entries so the next key (or rep) re-plans and
+        // re-materializes from scratch instead of silently timing a
+        // cross-invocation cache hit; getPersistentRDDs catches the
+        // LogicalRDD checkpoints clearCache cannot see.
+        spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+      }
       (name, if (ok) sec else -1.0, ok)
     }
     // Canary prelude: re-time the pinned keys (min of 2 runs each,

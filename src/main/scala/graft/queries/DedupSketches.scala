@@ -263,8 +263,16 @@ object DedupStages {
         .as("mhs")))
     val banded = hs.select(col("doc_id"), col("hs"), col("mhs"),
       posexplode(col("mhs")).as(Seq("band", "mh")))
+    // Columnar persist, not localCheckpoint (round 18): the frame is
+    // ~8 M rows each dragging a full h60 array — deserialized
+    // checkpoint blocks held one UnsafeRow + byte[] PER ROW in
+    // old-gen (the sweep-variance GC mechanism, BENCH.md round 18);
+    // the columnar cache stores compressed batches at a fraction of
+    // the bytes and both consumers (cap window + probe side) scan it
+    // vectorized. InMemoryTableScan preserves the (band, mh)
+    // partitioning exactly as LogicalRDD did.
     banded.repartition(col("band"), col("mh"))
-      .localCheckpoint(eager = false)
+      .persist()
   }
 
   def bandedScoredPairs(docs: DataFrame, cap: Int): DataFrame = {

@@ -37,8 +37,15 @@ class Round8OpsSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"),
       "loop body must not sort-merge the data-sized edge frame")
     // The ONLY hash exchange is the partial-aggregated groupBy(dst);
-    // the edge side enters the join straight from its checkpoint.
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // the edge side enters the join straight from its cache. The
+    // plan string EMBEDS the InMemoryRelation's one-time build plan
+    // (which legitimately contains its own exchanges but never
+    // re-executes in the loop) — count only exchanges ABOVE it
+    // (round 18: the edge frame moved from localCheckpoint, whose
+    // LogicalRDD rendered as a leaf, to a columnar persist).
+    val loopBody = plan.split("InMemoryRelation").head
+    val exchanges =
+      "Exchange hashpartitioning".r.findAllIn(loopBody).length
     assert(exchanges === 1,
       s"expected exactly 1 loop-body exchange (groupBy dst), got $exchanges:\n$plan")
   }
