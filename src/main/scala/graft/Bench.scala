@@ -257,10 +257,18 @@ object Bench {
         // CacheManager entries so the next key (or rep) re-plans and
         // re-materializes from scratch instead of silently timing a
         // cross-invocation cache hit; getPersistentRDDs catches the
-        // LogicalRDD checkpoints clearCache cannot see.
+        // LogicalRDD checkpoints clearCache cannot see. The RDD
+        // snapshot is taken BEFORE clearCache and the unpersist is
+        // BLOCKING: the first round-18 sweep used blocking=false and
+        // the deferred multi-GB MemoryStore evictions ran inside the
+        // NEXT key's timed window (q_ate_strata/q_bm25/q_decontaminate
+        // — each right after a 6-13 GB-cache key — read 2-3.8x their
+        // standalone cells with zero gc/spill signature). Blocking
+        // moves the eviction into this untimed gap, which is also
+        // where a real deployment pays session teardown.
+        val orphans = spark.sparkContext.getPersistentRDDs.values.toSeq
         spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        orphans.foreach(_.unpersist(blocking = true))
       }
       (name, if (ok) sec else -1.0, ok)
     }

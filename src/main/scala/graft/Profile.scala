@@ -38,9 +38,12 @@ object Profile {
         println(f"[profile] $name iter $it: $sec%.2f s  " +
           f"gc=$gcSec%.1f s old=$oldMb MB cached=$cachedMb MB")
         if (unp) {
+          // Snapshot-then-BLOCKING, as in Bench: a non-blocking
+          // unpersist defers the multi-GB MemoryStore eviction into
+          // the next iteration's timed window.
+          val orphans = spark.sparkContext.getPersistentRDDs.values.toSeq
           spark.catalog.clearCache()
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
+          orphans.foreach(_.unpersist(blocking = true))
         }
       }
     }

@@ -263,7 +263,8 @@ object DedupStages {
         .as("mhs")))
     val banded = hs.select(col("doc_id"), col("hs"), col("mhs"),
       posexplode(col("mhs")).as(Seq("band", "mh")))
-    // Columnar persist, not localCheckpoint (round 18): the frame is
+    // Loop-frame storage route (Tables.loopPin, round 18) — above
+    // the fixture gate this is a columnar persist: the frame is
     // ~8 M rows each dragging a full h60 array — deserialized
     // checkpoint blocks held one UnsafeRow + byte[] PER ROW in
     // old-gen (the sweep-variance GC mechanism, BENCH.md round 18);
@@ -272,7 +273,7 @@ object DedupStages {
     // vectorized. InMemoryTableScan preserves the (band, mh)
     // partitioning exactly as LogicalRDD did.
     banded.repartition(col("band"), col("mh"))
-      .persist()
+      .transform(graft.Tables.loopPin)
   }
 
   def bandedScoredPairs(docs: DataFrame, cap: Int): DataFrame = {

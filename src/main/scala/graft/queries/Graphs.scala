@@ -313,7 +313,7 @@ object Graphs {
         // wedge self-join, closing join); the columnar persist pins
         // one materialization of the co-purchase join (round 18 —
         // compressed batches, not per-row deserialized blocks).
-        .persist()
+        .transform(graft.Tables.loopPin)
       val deg = GraphStages.degrees(e)
       val o = GraphStages.orientedEdges(e, deg)
       val tri = GraphStages.closeWedges(GraphStages.orientedWedges(o), o,
@@ -367,9 +367,9 @@ object Graphs {
       // DEDUPED edges from the checkpoint, not the raw rows.
       val eByP = raw.repartition(col("p"))
         .dropDuplicates("p", "sid")
-        .persist()
+        .transform(graft.Tables.loopPin)
       val eBySid = eByP.repartition(col("sid"))
-        .persist()
+        .transform(graft.Tables.loopPin)
       val sn = eBySid.agg(countDistinct("sid").as("n"))
       var a = eBySid.select(col("sid")).distinct()
         .crossJoin(broadcast(sn))
@@ -518,8 +518,9 @@ object Graphs {
       // preserve it (BHJ streams the probe side; localCheckpoint
       // preserves outputPartitioning), so all 8 peel rounds run
       // EXCHANGE-FREE over 16-byte rows after the single shuffle.
-      // Columnar persist on the (shrinking) per-round edge frames
-      // (round 18 — the frames() rationale); each superseded round's
+      // Loop-pinned (shrinking) per-round edge frames — columnar
+      // above the fixture gate, Tables.loopPin (round 18 — the
+      // frames() rationale); each superseded round's
       // cache is dropped once its successor is materialized by the
       // count() action, so the loop holds at most two edge frames
       // instead of accumulating all eight in deserialized blocks.
@@ -528,7 +529,7 @@ object Graphs {
         .unionAll(e0.select((col("sid") * 2 + 1).as("src"),
           (col("p") * 2).as("dst")))
         .repartition(col("src"))
-        .persist()
+        .transform(graft.Tables.loopPin)
       var prev = e.count()
       var converged = false
       var round = 0
@@ -540,7 +541,7 @@ object Graphs {
         e = e.join(broadcast(keep), Seq("src"))
           .join(broadcast(keep.select(col("src").as("dst"))), Seq("dst"))
           .select("src", "dst")
-          .persist()
+          .transform(graft.Tables.loopPin)
         round += 1
         val n = e.count()
         superseded.unpersist(blocking = false)
@@ -585,7 +586,7 @@ object Graphs {
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .agg(sum(col("l_quantity").cast("long")).cast("long").as("r"))
-        .persist()
+        .transform(graft.Tables.loopPin)
       def uStep(v: DataFrame): DataFrame =
         ratings.join(broadcast(v.withColumn("f2",
             round(col("v") * col("v"), 12).cast(DecimalType(38, 12)))), "p")
@@ -676,7 +677,7 @@ object Graphs {
         .join(broadcast(lab.select(col("p").as("v"), col("c").as("cv"))),
           "v")
         .select("cu", "cv")
-        .persist()
+        .transform(graft.Tables.loopPin)
       val m = el.agg(count(lit(1)).cast("long").as("m"))
       val mc = el.filter(col("cu") === col("cv"))
         .groupBy(col("cu").as("c"))
@@ -760,7 +761,7 @@ object Graphs {
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v"))
         .distinct()
-        .persist()
+        .transform(graft.Tables.loopPin)
       val deg = GraphStages.degrees(e).localCheckpoint(eager = false)
       val o = GraphStages.orientedEdges(e, deg)
       // SHUFFLE_HASH on both wedge-stage joins (round 17 — the
@@ -866,7 +867,7 @@ object Graphs {
         .select((col("p") * 2).as("src"), (col("su") * 2 + 1).as("dst"))
         .unionAll(e0.select((col("su") * 2 + 1).as("src"),
           (col("p") * 2).as("dst")))
-        .persist()
+        .transform(graft.Tables.loopPin)
       val seed = e0.agg(min("p").as("mp"))
         .select((col("mp") * 2).as("node"))
         .localCheckpoint(eager = false)
@@ -922,7 +923,7 @@ object Graphs {
           col("w"))
         .unionAll(ew.select((col("su") * 2 + 1).as("src"),
           (col("p") * 2).as("dst"), col("w")))
-        .persist()
+        .transform(graft.Tables.loopPin)
       val seed = ew.agg(min("p").as("mp"))
         .select((col("mp") * 2).as("node"), lit(0L).as("dist"))
       // DELTA relaxation (the frontier discipline every BSP SSSP
@@ -1038,7 +1039,7 @@ object Graphs {
       val owned = Tables.orders(s, d)
         .select(col("o_custkey").as("cust"), col("o_orderkey").as("o"))
         .join(li, "o").select("cust", "p").distinct()
-        .persist()
+        .transform(graft.Tables.loopPin)
       val cand = owned.join(broadcast(sym), col("src") === col("p"))
         .select(col("cust"), col("dst").as("part"), col("cosine"))
       cand.join(owned.select(col("cust"), col("p").as("part")),
@@ -1248,19 +1249,21 @@ object Graphs {
     * Exposed for the conservation + plan-shape spec. */
   private[queries] def frames(s: org.apache.spark.sql.SparkSession,
       d: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    // Columnar persist for the two data-sized frames (round 18): the
-    // deserialized checkpoint held one UnsafeRow object per row in
-    // old-gen — ~18 GB per pagerank invocation at the 100× fixture,
-    // the measured GC-churn mechanism behind the sweep's heavy-tail
-    // variance (BENCH.md round 18). The compressed columnar cache is
-    // ~10× smaller and the loop's scans read it vectorized;
-    // InMemoryTableScan preserves outputPartitioning exactly as
-    // LogicalRDD did. Node-sized frames keep localCheckpoint (it
-    // also truncates the loop's lineage, which persist does not).
+    // The two data-sized frames take the loop-storage route
+    // (Tables.loopPin, round 18) — columnar persist above the
+    // fixture gate: the deserialized checkpoint held one UnsafeRow
+    // object per row in old-gen — ~18 GB per pagerank invocation at
+    // the 100× fixture, the measured GC-churn mechanism behind the
+    // sweep's heavy-tail variance (BENCH.md round 18). The
+    // compressed columnar cache is ~10× smaller and the loop's scans
+    // read it vectorized; InMemoryTableScan preserves
+    // outputPartitioning exactly as LogicalRDD did. Node-sized
+    // frames keep localCheckpoint unconditionally (it also truncates
+    // the loop's lineage, which persist does not).
     val e0 = Tables.lineitem(s, d)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
       .distinct()
-      .persist()
+      .transform(graft.Tables.loopPin)
     // LONG node keys (round-17 iteration-floor pass): part p ↦ 2p,
     // supplier s ↦ 2s+1; the caller rebuilds the oracle's 'p…'/'s…'
     // strings at output (nodeName below). The edge checkpoint the
@@ -1288,7 +1291,7 @@ object Graphs {
     // stand-in — replaces this checkpoint when node counts outgrow
     // broadcast range, where the loop's rank join becomes
     // shuffle-hash against the bucket layout.)
-    val ew = edges.persist()
+    val ew = edges.transform(graft.Tables.loopPin)
     val r0 = deg.crossJoin(nn)
       .select(col("src").as("node"),
         (lit(1.0) / col("n").cast("double")).as("r"))
@@ -1498,7 +1501,7 @@ object GraphStages {
       .select(when(lt, col("u")).otherwise(col("v")).as("s"),
         when(lt, col("v")).otherwise(col("u")).as("t"),
         when(lt, col("db.d")).otherwise(col("da.d")).as("dt"))
-      .persist()
+      .transform(graft.Tables.loopPin)
   }
 
   /** (t1, t2): ordered out-neighbor pairs per pivot — the wedge

@@ -29,25 +29,42 @@ class Round8OpsSpec extends SparkTestBase {
     assert(math.abs(s1 - 1.0) < 1e-6, s"r1 sums to $s1")
   }
 
-  test("pagerank: loop body joins edges broadcast-side, one exchange total") {
-    val (ew, nn, r0, deg) = Graphs.frames(spark, sf)
-    val plan = Graphs.step(ew, nn, deg, r0).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"rank frame must broadcast onto the static edge frame:\n$plan")
-    assert(!plan.contains("SortMergeJoin"),
-      "loop body must not sort-merge the data-sized edge frame")
-    // The ONLY hash exchange is the partial-aggregated groupBy(dst);
-    // the edge side enters the join straight from its cache. The
-    // plan string EMBEDS the InMemoryRelation's one-time build plan
-    // (which legitimately contains its own exchanges but never
-    // re-executes in the loop) — count only exchanges ABOVE it
-    // (round 18: the edge frame moved from localCheckpoint, whose
-    // LogicalRDD rendered as a leaf, to a columnar persist).
-    val loopBody = plan.split("InMemoryRelation").head
-    val exchanges =
-      "Exchange hashpartitioning".r.findAllIn(loopBody).length
-    assert(exchanges === 1,
-      s"expected exactly 1 loop-body exchange (groupBy dst), got $exchanges:\n$plan")
+  test("pagerank: loop body joins edges broadcast-side, one exchange " +
+    "total — under BOTH loop-storage routes") {
+    // The fixture gate (Tables.loopPin) picks checkpoint at test
+    // scale, so force each route explicitly: the exchange-free loop
+    // claim must hold whether the edge frame is a LogicalRDD leaf
+    // (small route) or an InMemoryTableScan (columnar route, whose
+    // preserved outputPartitioning the claim rests on at 100×).
+    for (mode <- Seq("off", "on")) {
+      spark.conf.set("spark.graft.loop.columnar", mode)
+      try {
+        val (ew, nn, r0, deg) = Graphs.frames(spark, sf)
+        assert(spark.conf.get("spark.graft.loop.lastStorage") ===
+          (if (mode == "on") "columnar" else "checkpoint"))
+        val plan =
+          Graphs.step(ew, nn, deg, r0).queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastHashJoin"),
+          s"rank frame must broadcast onto the static edge frame:\n$plan")
+        assert(!plan.contains("SortMergeJoin"),
+          "loop body must not sort-merge the data-sized edge frame")
+        // The ONLY hash exchange is the partial-aggregated
+        // groupBy(dst); the edge side enters the join straight from
+        // its pinned frame. On the columnar route the plan string
+        // EMBEDS the InMemoryRelation's one-time build plan (which
+        // legitimately contains its own exchanges but never
+        // re-executes in the loop) — count only exchanges ABOVE it.
+        val loopBody = plan.split("InMemoryRelation").head
+        val exchanges =
+          "Exchange hashpartitioning".r.findAllIn(loopBody).length
+        assert(exchanges === 1,
+          s"expected exactly 1 loop-body exchange (groupBy dst), " +
+            s"got $exchanges:\n$plan")
+      } finally {
+        spark.conf.unset("spark.graft.loop.columnar")
+        spark.catalog.clearCache()
+      }
+    }
   }
 
   test("pagerank: output is the descending top-100 and ranks are positive") {
