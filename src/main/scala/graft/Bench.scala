@@ -266,9 +266,20 @@ object Bench {
         // standalone cells with zero gc/spill signature). Blocking
         // moves the eviction into this untimed gap, which is also
         // where a real deployment pays session teardown.
-        val orphans = spark.sparkContext.getPersistentRDDs.values.toSeq
+        // Order matters: blocking-unpersist the data blocks FIRST,
+        // clearCache after. clearCache's own internal unpersist of
+        // the SQL-cache buffer RDDs is non-blocking, so running it
+        // first races this loop on the same RDDs ("Block does not
+        // exist" thrown from the blocking removeRdd — it killed a
+        // full record sweep 31 min in); in this order clearCache's
+        // residual async removals find already-drained RDDs and any
+        // race lands in ITS swallowed error path, not ours. The
+        // per-RDD catch keeps a torn removal from failing the sweep.
+        spark.sparkContext.getPersistentRDDs.values.foreach { r =>
+          try r.unpersist(blocking = true)
+          catch { case _: Throwable => () }
+        }
         spark.catalog.clearCache()
-        orphans.foreach(_.unpersist(blocking = true))
       }
       (name, if (ok) sec else -1.0, ok)
     }

@@ -38,12 +38,15 @@ object Profile {
         println(f"[profile] $name iter $it: $sec%.2f s  " +
           f"gc=$gcSec%.1f s old=$oldMb MB cached=$cachedMb MB")
         if (unp) {
-          // Snapshot-then-BLOCKING, as in Bench: a non-blocking
-          // unpersist defers the multi-GB MemoryStore eviction into
-          // the next iteration's timed window.
-          val orphans = spark.sparkContext.getPersistentRDDs.values.toSeq
+          // BLOCKING unpersist BEFORE clearCache, as in Bench: the
+          // non-blocking form defers the multi-GB MemoryStore
+          // eviction into the next iteration's timed window, and the
+          // reverse order races clearCache's async buffer removal.
+          spark.sparkContext.getPersistentRDDs.values.foreach { r =>
+            try r.unpersist(blocking = true)
+            catch { case _: Throwable => () }
+          }
           spark.catalog.clearCache()
-          orphans.foreach(_.unpersist(blocking = true))
         }
       }
     }
