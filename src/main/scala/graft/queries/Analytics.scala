@@ -518,8 +518,34 @@ object Analytics {
       val t = Tables.orders(s, d).select(
         col("o_orderpriority").as("prio"),
         round(col("o_totalprice"), 6).as("x"), col("o_orderkey").as("k"))
-      val w = Window.partitionBy("prio").orderBy("x", "k")
-      t.withColumn("i", row_number().over(w))
+      // Distributed per-group rank (round 18 — the q_spearman
+      // two-level prefix-sum discipline): prio has 5 values, so the
+      // plain Window.partitionBy("prio") row_number sorted the WHOLE
+      // corpus in 5 tasks (27 of 32 cores idle at 100×). Instead:
+      // range-partition on the FULL sort key (prio, x, k), rank
+      // within each (partition, prio) slice — a distributed,
+      // partition-keyed window — and add back per-(partition, prio)
+      // row-count prefix offsets from the metadata-sized (≤ parts×5
+      // rows) broadcast frame. k (o_orderkey) is unique, so the order
+      // is total and the two-level rank equals the declared
+      // row_number at ANY sampled boundary placement; the pin below
+      // materializes the sampled range split ONCE so both consumers
+      // (offsets + ranks) see the same partition ids.
+      val parts = t.repartitionByRange(
+          s.sparkContext.defaultParallelism, col("prio"), col("x"), col("k"))
+        .withColumn("pid", spark_partition_id())
+        .transform(graft.Tables.loopPin)
+      val offsets = parts.groupBy("pid", "prio")
+        .agg(count(lit(1)).cast("long").as("pc"))
+        .withColumn("off", coalesce(
+          sum("pc").over(Window.partitionBy("prio").orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .cast("long"))
+        .select("pid", "prio", "off")
+      val w = Window.partitionBy("pid", "prio").orderBy("x", "k")
+      parts.withColumn("rn", row_number().over(w))
+        .join(broadcast(offsets), Seq("pid", "prio"))
+        .withColumn("i", col("off") + col("rn"))
         .groupBy("prio")
         .agg(count(lit(1)).as("n"),
           sum(col("x").cast(DecimalType(38, 6))).cast("double").as("s"),

@@ -1288,4 +1288,5 @@ class ScalePathSpec extends SparkTestBase {
       s"at J ≈ 0.613 ≥ τ the band contract predicts TOTAL recall " +
         s"(miss ≈ 2.6e-7); missing=${(exactN.keySet -- bandedN.keySet).take(3)}")
   }
+
 }
